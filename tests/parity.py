@@ -1,0 +1,43 @@
+"""Local replica of the driver's DuckDB-oracle differential check:
+row count + sorted-column schema + value comparison (exact, after the
+plans' own rounding discipline)."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pandas as pd
+
+from trace_data_pipeline_spark.sources import TABLES
+
+
+def duckdb_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return con.execute(sql).df()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        col = df[c]
+        if pd.api.types.is_datetime64_any_dtype(col):
+            df[c] = col.astype("datetime64[us]").astype(str)
+        elif pd.api.types.is_numeric_dtype(col):
+            df[c] = col.astype("float64")
+        else:
+            df[c] = col.astype(object)
+    return df.sort_values(list(df.columns), na_position="last").reset_index(drop=True)
+
+
+def assert_parity(spark_df, oracle_pdf: pd.DataFrame, name: str = "") -> None:
+    a = canon(spark_df.toPandas())
+    b = canon(oracle_pdf)
+    assert sorted(a.columns) == sorted(b.columns), (
+        f"{name}: column mismatch {sorted(a.columns)} vs {sorted(b.columns)}"
+    )
+    assert len(a) == len(b), f"{name}: row count {len(a)} vs oracle {len(b)}"
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True, obj=name)

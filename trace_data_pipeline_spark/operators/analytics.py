@@ -1,0 +1,131 @@
+"""Enrichment & report analytics (SURVEY.md §2.5 W8/W9, §2.4 A7–A13).
+
+Everything here is pure column algebra / relational aggregation — the
+reference used dict lookups, np.interp and groupby-transforms
+(`stage1/helper_functions.py:309-433, 2267-2334, 3664-3751`), all of
+which Catalyst expresses without UDFs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def map_via_case(col: Column | str, mapping: dict, default=None) -> Column:
+    """W8: dictionary lookup as a CASE WHEN chain (the reference's
+    rating maps, `stage1/helper_functions.py:411-433`). For very large
+    maps prefer a broadcast join; rating scales are ~22 entries."""
+    c = F.col(col) if isinstance(col, str) else col
+    expr = F.lit(default)
+    for k, v in reversed(list(mapping.items())):
+        expr = F.when(c == F.lit(k), F.lit(v)).otherwise(expr)
+    return expr
+
+
+def piecewise_linear(x: Column | str, xs: Sequence[float], ys: Sequence[float]) -> Column:
+    """W9: np.interp as nested WHEN algebra — clamps at both ends like
+    the reference's treasury-curve interpolation
+    (`stage1/helper_functions.py:309-408`). xs must be ascending."""
+    c = F.col(x) if isinstance(x, str) else x
+    expr = F.lit(float(ys[-1]))  # beyond last node → clamp
+    for i in range(len(xs) - 1, 0, -1):
+        x0, x1, y0, y1 = float(xs[i - 1]), float(xs[i]), float(ys[i - 1]), float(ys[i])
+        seg = F.lit(y0) + (c - F.lit(x0)) * F.lit(y1 - y0) / F.lit(x1 - x0)
+        expr = F.when((c >= F.lit(x0)) & (c < F.lit(x1)), seg).otherwise(expr)
+    return F.when(c < F.lit(float(xs[0])), F.lit(float(ys[0]))).otherwise(expr)
+
+
+def pooled_stats(
+    df: DataFrame,
+    value: str,
+    group_by: Sequence[str],
+    quantiles: Sequence[float] = (0.01, 0.05, 0.95, 0.99),
+) -> DataFrame:
+    """A8: mean/std/min/max + exact interpolated quantiles per group."""
+    aggs = [
+        F.count(value).alias("n"),
+        F.avg(value).alias("mean"),
+        F.stddev_samp(value).alias("std"),
+        F.min(value).alias("min"),
+        F.max(value).alias("max"),
+    ]
+    for q in quantiles:
+        aggs.append(F.percentile(F.col(value), F.lit(q)).alias(f"q{int(q * 100):02d}"))
+    return df.groupBy(*[F.col(g) for g in group_by]).agg(*aggs)
+
+
+def winsorize_by_group(
+    df: DataFrame,
+    value: str,
+    group_by: Sequence[str],
+    lower: float = 0.005,
+    upper: float = 0.995,
+    out_col: str | None = None,
+) -> DataFrame:
+    """A11 (`stage1/stage1_pipeline.py:1950-1960`): clip `value` at the
+    per-group [lower, upper] quantiles. Implemented as a per-group
+    quantile aggregate joined back (rather than a window) so the
+    quantile is computed once per group — at scale the join side is
+    |groups| rows and broadcasts."""
+    out_col = out_col or value
+    bounds = df.groupBy(*group_by).agg(
+        F.percentile(F.col(value), F.lit(lower)).alias("__lo"),
+        F.percentile(F.col(value), F.lit(upper)).alias("__hi"),
+    )
+    clipped = df.join(F.broadcast(bounds), list(group_by), "left").withColumn(
+        out_col, F.least(F.greatest(F.col(value), F.col("__lo")), F.col("__hi"))
+    )
+    return clipped.drop("__lo", "__hi")
+
+
+def concentration_metrics(
+    df: DataFrame,
+    entity: str,
+    value: str,
+    coverage: Sequence[float] = (0.5, 0.75, 0.9),
+    top_fracs: Sequence[float] = (0.1, 0.25),
+) -> DataFrame:
+    """A10 (`stage1/helper_functions.py:2267-2334`): volume concentration.
+    Per-entity totals → descending cumulative share → share of entities
+    needed for X% of volume, top-fraction share, Herfindahl (Σ share² ·
+    10000). Returns a single row.
+
+    The per-entity aggregate shuffles once; the cumulative window runs
+    over |entities| rows (small after aggregation)."""
+    totals = df.groupBy(entity).agg(F.sum(F.col(value)).alias("__v"))
+    w_all = Window.partitionBy()
+    w_cum = Window.orderBy(F.col("__v").desc(), F.col(entity)).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = (
+        totals.withColumn("__total", F.sum("__v").over(w_all))
+        .withColumn("__share", F.col("__v") / F.col("__total"))
+        .withColumn("__cum", F.sum("__v").over(w_cum) / F.col("__total"))
+        .withColumn("__rank", F.row_number().over(
+            Window.orderBy(F.col("__v").desc(), F.col(entity))
+        ))
+        .withColumn("__n", F.count(F.lit(1)).over(w_all))
+    )
+    aggs = [
+        F.max("__n").alias("n_entities"),
+        (F.sum(F.col("__share") * F.col("__share")) * F.lit(10000.0)).alias("herfindahl"),
+    ]
+    for cv in coverage:
+        aggs.append(
+            (
+                F.min(F.when(F.col("__cum") >= F.lit(cv), F.col("__rank")))
+                / F.max("__n")
+            ).alias(f"frac_for_{int(cv * 100)}pct")
+        )
+    for tf in top_fracs:
+        aggs.append(
+            F.sum(
+                F.when(
+                    F.col("__rank") <= F.ceil(F.col("__n") * F.lit(tf)), F.col("__share")
+                ).otherwise(F.lit(0.0))
+            ).alias(f"top_{int(tf * 100)}pct_share")
+        )
+    return ranked.agg(*aggs)

@@ -1,0 +1,52 @@
+"""Query catalog — the driver contract's backing registry.
+
+Each entry pairs a Spark plan builder (spark, sf_dir) -> DataFrame with
+an equivalent ANSI-SQL oracle string for DuckDB (None for operators the
+oracle can't express — grouped-map state machines etc., which get
+rows-only checks plus golden unit tests in tests/).
+
+Design rules for oracle parity (floating point):
+- every computed float column is ROUNDed identically on both sides;
+  quotients/means round fine because their *relative* error is ~1e-15,
+  while raw sums of large magnitudes may not — so plans round ratios,
+  not intermediate sums;
+- rankings over floats always rank the ROUNDED value with an id
+  tiebreak so ulp-level engine differences can't reorder rows;
+- timestamps are grouped via formatted strings (yyyy-MM etc.), never
+  raw date_trunc results, to avoid dtype mismatches between engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    builder: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+
+
+_REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None = None, doc: str = ""):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        _REGISTRY[name] = Query(name, fn, oracle, doc or (fn.__doc__ or "").strip())
+        return fn
+
+    return deco
+
+
+def get_catalog() -> dict[str, Query]:
+    # import for side effect: modules register their queries
+    from trace_data_pipeline_spark.plans import datapipe, relational  # noqa: F401
+
+    return dict(_REGISTRY)

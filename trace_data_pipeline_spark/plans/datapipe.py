@@ -1,0 +1,395 @@
+"""Training-data pipeline queries over documents / embeddings / events.
+
+Oracle-parity techniques: all hashing is md5 (identical in both
+engines); MinHash permutations are lexicographic minima of seeded md5
+hex strings, so signatures compare as plain strings; cosine math is
+explicit float64 with rankings on the rounded value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from trace_data_pipeline_spark.datapipe.dedup import (
+    exact_dedup_clusters,
+    lsh_bands,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_bits,
+)
+from trace_data_pipeline_spark.datapipe.similarity import brute_force_topk, embedding_norms
+from trace_data_pipeline_spark.datapipe.text import (
+    DEFAULT_STOPWORDS,
+    LANG_MARKERS,
+    bag_fingerprint,
+    distinct_ratio,
+    language_guess,
+    mean_token_length,
+    quality_score,
+    stopword_count,
+    tokens,
+)
+from trace_data_pipeline_spark.plans.catalog import register
+from trace_data_pipeline_spark.sources import load_table
+
+# ---- shared SQL fragments (DuckDB) ------------------------------------
+
+_TOKS_CTE = r"""toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+)"""
+
+_GRAMS_CTE = (
+    _TOKS_CTE
+    + r""",
+grams AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+  FROM (SELECT doc_id, t, UNNEST(range(1, len(t) - 1)) AS i FROM toks)
+)"""
+)
+
+_N_HASHES = 16
+_BANDS = 4
+
+
+def _minhash_ctes() -> str:
+    sig_cols = ",\n         ".join(
+        f"min(CASE WHEN seed = {s} THEN sig END) AS sig_{s}" for s in range(_N_HASHES)
+    )
+    rows = _N_HASHES // _BANDS
+    band_selects = []
+    for b in range(_BANDS):
+        concat = " || '|' || ".join(f"sig_{b * rows + r}" for r in range(rows))
+        band_selects.append(
+            f"SELECT doc_id, CAST({b} AS INT) AS band_idx, md5({concat}) AS band_hash FROM sigs"
+        )
+    bands_cte = "\nUNION ALL\n".join(band_selects)
+    return (
+        "WITH "
+        + _GRAMS_CTE
+        + f""",
+seeded AS (
+  SELECT doc_id, s.seed, md5(CAST(s.seed AS VARCHAR) || '|' || gram) AS h
+  FROM grams, (SELECT UNNEST(range(0, {_N_HASHES})) AS seed) s
+),
+per_seed AS (SELECT doc_id, seed, min(h) AS sig FROM seeded GROUP BY 1, 2),
+sigs AS (SELECT doc_id,
+         {sig_cols}
+         FROM per_seed GROUP BY 1),
+bands AS (
+{bands_cte}
+)"""
+    )
+
+
+# ---- dedup -------------------------------------------------------------
+
+
+@register(
+    "d1_exact_dedup",
+    oracle="""
+    SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS cluster_size
+    FROM documents GROUP BY 1
+    """,
+)
+def d1_exact_dedup(spark, sf_dir):
+    """Exact dedup: hash-groupBy on the content digest; keeper = min id
+    per cluster."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup_clusters(docs)
+
+
+@register(
+    "d2_ngram_jaccard_pairs",
+    oracle="WITH "
+    + _GRAMS_CTE
+    + """,
+    sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+    inter AS (
+      SELECT g1.doc_id AS a, g2.doc_id AS b, count(*) AS n_inter
+      FROM grams g1 JOIN grams g2 USING (gram)
+      WHERE g1.doc_id < g2.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a, b, ROUND(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON inter.a = sa.doc_id
+    JOIN sizes sb ON inter.b = sb.doc_id
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.2
+    """,
+)
+def d2_ngram_jaccard_pairs(spark, sf_dir):
+    """N-gram Jaccard near-dup pairs via a shingle inverted index —
+    pairs meet only on shared grams, never a full cross join."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    return pairs.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register(
+    "d3_minhash_bands",
+    oracle=_minhash_ctes() + "\nSELECT doc_id, band_idx, band_hash FROM bands",
+)
+def d3_minhash_bands(spark, sf_dir):
+    """MinHash(16)+LSH(4 bands): the banded signature surface — verifies
+    the whole shingle→minhash→band pipeline value-for-value."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, n=3, num_hashes=_N_HASHES)
+    return lsh_bands(sigs, _N_HASHES, _BANDS)
+
+
+@register(
+    "d4_minhash_lsh_pairs",
+    oracle=_minhash_ctes()
+    + """,
+    cand AS (
+      SELECT DISTINCT b1.doc_id AS a, b2.doc_id AS b
+      FROM bands b1 JOIN bands b2 USING (band_idx, band_hash)
+      WHERE b1.doc_id < b2.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+    inter AS (
+      SELECT g1.doc_id AS a, g2.doc_id AS b, count(*) AS n_inter
+      FROM grams g1 JOIN grams g2 USING (gram)
+      JOIN cand ON g1.doc_id = cand.a AND g2.doc_id = cand.b
+      GROUP BY 1, 2
+    )
+    SELECT a, b, ROUND(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON inter.a = sa.doc_id
+    JOIN sizes sb ON inter.b = sb.doc_id
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.4
+    """,
+)
+def d4_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup detection: band-collision candidates, exact
+    Jaccard verify on candidates only — the 100 TB-safe dedup path."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, n=3, num_hashes=_N_HASHES, bands=_BANDS, verify_threshold=0.4
+    )
+    return pairs.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register(
+    "d5_simhash",
+    oracle="WITH "
+    + _TOKS_CTE
+    + """,
+    tok AS (SELECT doc_id, UNNEST(t) AS tok FROM toks),
+    hashed AS (SELECT doc_id, md5(tok) AS h FROM tok),
+    votes AS (
+      SELECT doc_id,
+      """
+    + ",\n      ".join(
+        "sum(((strpos('0123456789abcdef', h[{d}]) - 1) // {p}) % 2 * 2 - 1) AS v{b}".format(
+            d=b // 4 + 1, p=2 ** (3 - b % 4), b=b
+        )
+        for b in range(64)
+    )
+    + """
+      FROM hashed GROUP BY 1
+    )
+    SELECT doc_id, """
+    + " || ".join(f"(CASE WHEN v{b} > 0 THEN '1' ELSE '0' END)" for b in range(64))
+    + """ AS simhash
+    FROM votes
+    """,
+)
+def d5_simhash(spark, sf_dir):
+    """SimHash-64 document fingerprints: md5-derived per-token bit
+    votes, sign of the vote sum per position."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_bits(docs)
+
+
+@register(
+    "d6_bag_fingerprint",
+    oracle="WITH "
+    + _TOKS_CTE
+    + """
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS fingerprint
+    FROM toks
+    """,
+)
+def d6_bag_fingerprint(spark, sf_dir):
+    """Order-insensitive content fingerprint: md5 over the sorted
+    distinct token bag."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", bag_fingerprint(tokens(F.col("text"))).alias("fingerprint")
+    )
+
+
+# ---- text analysis -----------------------------------------------------
+
+
+def _sql_str_list(words: list[str]) -> str:
+    return ", ".join("'" + w.replace("'", "''") + "'" for w in words)
+
+
+@register(
+    "d7_text_stats",
+    oracle="WITH "
+    + _TOKS_CTE
+    + f"""
+    SELECT doc_id,
+           len(t) AS n_tokens,
+           len(list_filter(t, x -> x IN ({_sql_str_list(DEFAULT_STOPWORDS)}))) AS n_stop,
+           ROUND(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6) AS distinct_ratio,
+           ROUND(CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t), 6)
+             AS mean_token_len,
+           ROUND(CAST(len(list_distinct(t)) AS DOUBLE) / len(t) * 0.4
+                 + (1.0 - CAST(len(list_filter(t, x -> x IN
+                        ({_sql_str_list(DEFAULT_STOPWORDS)}))) AS DOUBLE) / len(t)) * 0.4
+                 + LEAST(1.0, CAST(len(t) AS DOUBLE) / 50.0) * 0.2, 6) AS quality
+    FROM toks
+    """,
+)
+def d7_text_stats(spark, sf_dir):
+    """Per-document quality statistics: token count, stopword count,
+    vocabulary diversity, mean token length, composite quality score —
+    all JVM-side array algebra."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(t).cast("long").alias("n_tokens"),
+        stopword_count(t).cast("long").alias("n_stop"),
+        F.round(distinct_ratio(t), 6).alias("distinct_ratio"),
+        F.round(mean_token_length(t), 6).alias("mean_token_len"),
+        F.round(quality_score(t), 6).alias("quality"),
+    )
+
+
+def _lang_guess_sql() -> str:
+    # mirror language_guess(): fixed-order strictly-greater argmax
+    score = {
+        lang: f"len(list_filter(t, x -> x IN ({_sql_str_list(ws)})))"
+        for lang, ws in LANG_MARKERS.items()
+    }
+    best_lang, best_score = "'und'", "0"
+    for lang, s in score.items():
+        best_lang = f"(CASE WHEN {s} > {best_score} THEN '{lang}' ELSE {best_lang} END)"
+        best_score = f"(CASE WHEN {s} > {best_score} THEN {s} ELSE {best_score} END)"
+    return best_lang
+
+
+@register(
+    "d8_lang_id",
+    oracle="WITH "
+    + _TOKS_CTE
+    + f"""
+    SELECT doc_id, lang AS labeled_lang, {_lang_guess_sql()} AS guessed_lang
+    FROM toks JOIN documents USING (doc_id)
+    """,
+)
+def d8_lang_id(spark, sf_dir):
+    """Marker-token language-ID heuristic (argmax over per-language
+    stopword hit counts, fixed-order tie break)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        language_guess(t).alias("guessed_lang"),
+    )
+
+
+# ---- similarity search --------------------------------------------------
+
+
+@register(
+    "d9_embedding_norms",
+    oracle="""
+    SELECT vec_id,
+           ROUND(sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                       list_transform(embedding, x -> CAST(x AS DOUBLE)))), 6)
+             AS l2_norm,
+           CAST(len(embedding) AS BIGINT) AS dim
+    FROM embeddings
+    """,
+)
+def d9_embedding_norms(spark, sf_dir):
+    """Vector plumbing surface: L2 norm + dimensionality per embedding,
+    float64 math."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = embedding_norms(emb)
+    return out.select("vec_id", "l2_norm", F.col("dim").cast("long").alias("dim"))
+
+
+@register(
+    "d10_cosine_topk",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_dot_product(q.e, c.e)
+                   / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))),
+                   6) AS cos_sim
+      FROM (SELECT * FROM v WHERE vec_id % 50 = 0) q
+      JOIN v c ON q.vec_id != c.vec_id
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def d10_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k ANN baseline: broadcast query set ×
+    corpus, rank on the rounded similarity with an id tiebreak."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    out = brute_force_topk(queries, emb, k=5)
+    return out.select(
+        "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank")
+    )
+
+
+# ---- event-stream extras ------------------------------------------------
+
+
+@register(
+    "s1_sessionize",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sess AS (
+      SELECT user_id, event_id,
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM gaps
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events, MIN(event_id) AS first_event
+    FROM sess GROUP BY 1, 2
+    """,
+)
+def s1_sessionize(spark, sf_dir):
+    """Sessionization: 30-minute inactivity gap starts a new session —
+    lag + cumulative-sum windows, then per-session aggregates."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_session = F.when(
+        gap_us.isNull() | (gap_us > 1800 * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = ev.withColumn("session_id", F.sum(new_session).over(cum))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("event_id").alias("first_event"),
+    )

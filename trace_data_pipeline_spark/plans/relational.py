@@ -1,0 +1,954 @@
+"""Relational query catalog: SURVEY.md §2 operators on the driver tables.
+
+Mapping convention (FIXTURES.md): lineitem plays the intraday trade
+table — l_suppkey ≈ cusip_id, l_shipdate ≈ trd_exctn_dt,
+l_extendedprice ≈ rptd_pr, l_quantity ≈ entrd_vol_qt, and
+(l_orderkey, l_linenumber) the report-sequence tiebreak; events plays a
+per-entity ordered series (user_id ≈ cusip_id, ts ≈ execution time,
+value ≈ price).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from trace_data_pipeline_spark.functions.ordered import first_by, last_by
+from trace_data_pipeline_spark.functions.scalars import (
+    round_ratio_half_up,
+    seconds_after_midnight,
+)
+from trace_data_pipeline_spark.operators.analytics import (
+    concentration_metrics,
+    map_via_case,
+    piecewise_linear,
+    pooled_stats,
+    winsorize_by_group,
+)
+from trace_data_pipeline_spark.operators.asof import asof_join
+from trace_data_pipeline_spark.operators.cleaning import (
+    agency_dedup,
+    anti_join_keys,
+    sequence_match_removal,
+)
+from trace_data_pipeline_spark.operators.daily_agg import bid_ask_panel
+from trace_data_pipeline_spark.operators.dedup import keep_first, prefer_sources
+from trace_data_pipeline_spark.operators.filters import (
+    isin_keep_null,
+    null_keeping_neq,
+    time_window_filter,
+    volume_filter,
+)
+from trace_data_pipeline_spark.operators.interval import range_join
+from trace_data_pipeline_spark.operators.windows import (
+    consecutive_log_return_filter,
+    group_diff,
+    initial_price_error_filter,
+    price_flags,
+)
+from trace_data_pipeline_spark.plans.catalog import register
+from trace_data_pipeline_spark.sources import load_table
+
+# ---------------------------------------------------------------- A1/A2
+
+
+@register(
+    "a1_daily_panel",
+    oracle="""
+    SELECT l_suppkey,
+           strftime(l_shipdate, '%Y-%m') AS month,
+           CAST((2 * SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) * 10000
+                 + 100 * COUNT(*)) // (200 * COUNT(*)) AS DOUBLE) / 10000 AS prc_ew,
+           ROUND(SUM(l_extendedprice * (l_extendedprice * l_quantity / 100))
+                 / SUM(l_extendedprice * l_quantity / 100), 4) AS prc_vw,
+           CAST((2 * SUM(CAST(round(l_extendedprice * l_quantity * 100, 0) AS BIGINT)) * 10000
+                 + 100 * SUM(CAST(l_quantity AS BIGINT)))
+                // (200 * SUM(CAST(l_quantity AS BIGINT))) AS DOUBLE) / 10000 AS prc_vw_par,
+           MIN_BY(l_extendedprice, (l_orderkey * 10 + l_linenumber) * 100000000
+                  + CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS prc_first,
+           MAX_BY(l_extendedprice, (l_orderkey * 10 + l_linenumber) * 100000000
+                  + CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS prc_last,
+           MAX(l_extendedprice) AS prc_hi,
+           MIN(l_extendedprice) AS prc_lo,
+           COUNT(*) AS trade_count,
+           ROUND(SUM(l_quantity), 2) AS qvolume,
+           CAST(ROUND(SUM(CAST(l_extendedprice * l_quantity / 100
+                               AS DECIMAL(28,6))), 2) AS DOUBLE) AS dvolume
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+)
+def a1_daily_panel(spark, sf_dir):
+    """A1+A2 daily panel (flagship): per (entity, period) equal-/value-/
+    par-weighted prices, deterministic order-sensitive first/last via
+    min_by/max_by over the full tiebreak key, hi/lo/count/volumes.
+    One hash aggregate — the reference's per-chunk partials+concat
+    (A4) collapse into Spark's partial/final aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p, q = F.col("l_extendedprice"), F.col("l_quantity")
+    dv = p * q / F.lit(100)
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic data, so
+    # the report-sequence key alone isn't total — append the price cents
+    # to make first/last deterministic (ties on the full key carry equal
+    # values, so the selection is then well-defined)
+    tiebreak = (F.col("l_orderkey") * 10 + F.col("l_linenumber")) * F.lit(
+        100000000
+    ) + F.round(p * 100, 0).cast("long")
+    # exact fixed-point sums: prices are 2-decimal, quantities integer, so
+    # the equal-/par-weighted means have true decimal ties at 4dp (e.g.
+    # sum/8) — round_ratio_half_up keeps them reproducible across engines
+    cents = F.round(p * 100, 0).cast("long")
+    pq_cents = F.round(p * q * 100, 0).cast("long")
+    n = F.count(F.lit(1))
+    return li.groupBy(
+        F.col("l_suppkey"), F.date_format("l_shipdate", "yyyy-MM").alias("month")
+    ).agg(
+        round_ratio_half_up(F.sum(cents), n * 100, 4).alias("prc_ew"),
+        F.round(F.sum(p * dv) / F.sum(dv), 4).alias("prc_vw"),
+        round_ratio_half_up(
+            F.sum(pq_cents), F.sum(q.cast("long")) * 100, 4
+        ).alias("prc_vw_par"),
+        first_by(p, tiebreak).alias("prc_first"),
+        last_by(p, tiebreak).alias("prc_last"),
+        F.max(p).alias("prc_hi"),
+        F.min(p).alias("prc_lo"),
+        F.count(F.lit(1)).alias("trade_count"),
+        F.round(F.sum(q), 2).alias("qvolume"),
+        # exact-decimal accumulation: float sums are order-dependent across
+        # engines/partitionings, so ROUND(float_sum, 2) can flip the last
+        # digit; decimal(28,6) makes the sum associative and reproducible
+        F.round(F.sum(dv.cast("decimal(28,6)")), 2).cast("double").alias("dvolume"),
+    )
+
+
+@register(
+    "a3_bid_ask",
+    oracle="""
+    WITH bid AS (
+      SELECT l_suppkey, strftime(l_shipdate, '%Y-%m') AS month,
+             ROUND(SUM(l_extendedprice * (l_extendedprice * l_quantity / 100))
+                   / SUM(l_extendedprice * l_quantity / 100), 4) AS prc_bid,
+             COUNT(*) AS bid_count
+      FROM lineitem WHERE l_returnflag = 'A' GROUP BY 1, 2
+    ), ask AS (
+      SELECT l_suppkey, strftime(l_shipdate, '%Y-%m') AS month,
+             ROUND(SUM(l_extendedprice * (l_extendedprice * l_quantity / 100))
+                   / SUM(l_extendedprice * l_quantity / 100), 4) AS prc_ask,
+             COUNT(*) AS ask_count
+      FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1, 2
+    )
+    SELECT COALESCE(bid.l_suppkey, ask.l_suppkey) AS l_suppkey,
+           COALESCE(bid.month, ask.month) AS month,
+           prc_bid, bid_count, prc_ask, ask_count
+    FROM bid FULL OUTER JOIN ask
+      ON bid.l_suppkey = ask.l_suppkey AND bid.month = ask.month
+    """,
+)
+def a3_bid_ask(spark, sf_dir):
+    """A3+J9: value-weighted bid/ask side panels, full-outer merged on
+    the panel key. Two filtered aggregates over one scan; the algebraic
+    Σ(p·dv)/Σ(dv) replaces the reference's transform('sum') weights."""
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "month", F.date_format("l_shipdate", "yyyy-MM")
+    )
+    panel = bid_ask_panel(
+        li,
+        bid_pred=F.col("l_returnflag") == "A",
+        ask_pred=F.col("l_returnflag") == "R",
+        id_col="l_suppkey",
+        date_col="month",
+        price_col="l_extendedprice",
+        qty_col="l_quantity",
+    )
+    return panel.select(
+        "l_suppkey",
+        "month",
+        F.round("prc_bid", 4).alias("prc_bid"),
+        "bid_count",
+        F.round("prc_ask", 4).alias("prc_ask"),
+        "ask_count",
+    )
+
+
+# ---------------------------------------------------------------- filters
+
+
+@register(
+    "f1_f4_price_volume_screens",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity,
+           ROUND(l_extendedprice * l_quantity / 100, 4) AS dollar_vol
+    FROM lineitem
+    WHERE l_extendedprice > 0 AND l_extendedprice <= 100000
+      AND l_extendedprice * l_quantity / 100 >= 5000
+    """,
+)
+def f1_f4_price_volume_screens(spark, sf_dir):
+    """F1–F4: positive-price / large-price screens + derived dollar
+    volume + config-driven volume threshold. Predicates push to the
+    parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = li.filter((F.col("l_extendedprice") > 0) & (F.col("l_extendedprice") <= 100000))
+    out = volume_filter(out, "l_extendedprice", "l_quantity", kind="dollar", threshold=5000)
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+        "l_quantity",
+        F.round("dollar_vol", 4).alias("dollar_vol"),
+    )
+
+
+@register(
+    "f5_null_keep_neq",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_discount,
+           CASE WHEN l_tax < 0.02 THEN NULL ELSE l_tax END AS tax_n
+    FROM lineitem
+    WHERE l_discount != (CASE WHEN l_tax < 0.02 THEN NULL ELSE l_tax END)
+       OR (CASE WHEN l_tax < 0.02 THEN NULL ELSE l_tax END) IS NULL
+    """,
+)
+def f5_null_keep_neq(spark, sf_dir):
+    """F5: `a != b OR b IS NULL` — the reference's explicit null-keep
+    under SQL three-valued logic (yld≠price screen)."""
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "tax_n", F.when(F.col("l_tax") < 0.02, F.lit(None)).otherwise(F.col("l_tax"))
+    )
+    return li.filter(null_keeping_neq("l_discount", "tax_n")).select(
+        "l_orderkey", "l_linenumber", "l_discount", "tax_n"
+    )
+
+
+@register(
+    "f8_time_window_wrap",
+    oracle="""
+    SELECT event_id FROM events
+    WHERE (hour(ts) * 3600 + minute(ts) * 60 + second(ts)) >= 79200
+       OR (hour(ts) * 3600 + minute(ts) * 60 + second(ts)) <= 9000
+    """,
+)
+def f8_time_window_wrap(spark, sf_dir):
+    """F8: inclusive intraday time window with wrap-around (22:00:00 →
+    02:30:00 crosses midnight ⇒ t>=start OR t<=end)."""
+    ev = load_table(spark, sf_dir, "events")
+    secs = seconds_after_midnight(F.col("ts"))
+    return time_window_filter(ev, secs, "22:00:00", "02:30:00").select("event_id")
+
+
+@register(
+    "f9_calendar_semi_join",
+    oracle="""
+    SELECT l_orderkey, l_linenumber FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) IN
+          (SELECT DISTINCT CAST(o_orderdate AS DATE) FROM orders)
+    """,
+)
+def f9_calendar_semi_join(spark, sf_dir):
+    """F9: trading-calendar screen as a broadcast left-semi join against
+    a small calendar of valid sessions (order dates stand in)."""
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "ship_date", F.to_date("l_shipdate")
+    )
+    cal = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.to_date("o_orderdate").alias("ship_date"))
+        .distinct()
+    )
+    return li.join(F.broadcast(cal), ["ship_date"], "left_semi").select(
+        "l_orderkey", "l_linenumber"
+    )
+
+
+@register(
+    "f10_universe_screens",
+    oracle="""
+    SELECT p_partkey FROM part
+    WHERE p_size >= 1 AND p_size <= 40
+      AND p_type != 'ECONOMY'
+      AND p_brand NOT IN ('Brand#1', 'Brand#2')
+      AND NOT COALESCE(regexp_matches(p_name, '(?i)(ring|bolt)'), FALSE)
+      AND p_retailprice IS NOT NULL
+    """,
+)
+def f10_universe_screens(spark, sf_dir):
+    """F10: chained universe screens — range, not-equal, not-in set,
+    negated case-insensitive regex with the reference's na=False null
+    branch (null name ⇒ keep), non-null."""
+    part = load_table(spark, sf_dir, "part")
+    name_match = F.coalesce(F.col("p_name").rlike("(?i)(ring|bolt)"), F.lit(False))
+    return part.filter(
+        (F.col("p_size") >= 1)
+        & (F.col("p_size") <= 40)
+        & (F.col("p_type") != "ECONOMY")
+        & (~F.col("p_brand").isin("Brand#1", "Brand#2"))
+        & (~name_match)
+        & F.col("p_retailprice").isNotNull()
+    ).select("p_partkey")
+
+
+@register(
+    "f11_membership_null_keep",
+    oracle="""
+    SELECT event_id FROM events
+    WHERE event_type IN ('click', 'view', 'purchase') OR event_type IS NULL
+    """,
+)
+def f11_membership_null_keep(spark, sf_dir):
+    """F11: set membership with an explicit null-keep disjunct (the
+    pre-2012 record screens coerce NaN before isin)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(
+        isin_keep_null("event_type", ["click", "view", "purchase"], keep_null=True)
+    ).select("event_id")
+
+
+@register(
+    "f15_price_flags",
+    oracle="""
+    WITH seq AS (
+      SELECT event_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS d
+      FROM events
+    )
+    SELECT event_id,
+           CAST(CASE WHEN value > 300 THEN 1 ELSE 0 END AS BIGINT) AS prc_high,
+           CAST(CASE WHEN rn = 2 AND abs(d) > 150 THEN 1 ELSE 0 END AS BIGINT) AS prc_dip
+    FROM seq
+    """,
+)
+def f15_price_flags(spark, sf_dir):
+    """F15: prc_high threshold flag + prc_dip (second observation
+    flagged when the first change is a big jump) via lag/row_number."""
+    ev = load_table(spark, sf_dir, "events")
+    flagged = price_flags(
+        ev, "value", ["user_id"], ["ts", "event_id"], high_threshold=300.0, dip_jump=150.0
+    )
+    return flagged.select(
+        "event_id",
+        F.col("prc_high").cast("long").alias("prc_high"),
+        F.col("prc_dip").cast("long").alias("prc_dip"),
+    )
+
+
+# ---------------------------------------------------------------- joins
+
+
+@register(
+    "j1_cancel_anti_join",
+    oracle="""
+    SELECT t.l_orderkey, t.l_linenumber FROM lineitem t
+    WHERE t.l_returnflag IN ('N', 'A')
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem c
+        WHERE c.l_returnflag = 'R'
+          AND c.l_orderkey = t.l_orderkey AND c.l_partkey = t.l_partkey
+          AND c.l_suppkey = t.l_suppkey AND c.l_quantity = t.l_quantity
+      )
+    """,
+)
+def j1_cancel_anti_join(spark, sf_dir):
+    """J1/J3: cancel/correction removal — multi-column left_anti join on
+    the composite trade key (no string-concat keys)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    trades = li.filter(F.col("l_returnflag").isin("N", "A"))
+    cancels = li.filter(F.col("l_returnflag") == "R")
+    keys = ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity"]
+    return anti_join_keys(trades, cancels, keys).select("l_orderkey", "l_linenumber")
+
+
+@register(
+    "j2_reversal_anti_join_asym",
+    oracle="""
+    SELECT t.l_orderkey, t.l_linenumber FROM lineitem t
+    WHERE t.l_returnflag IN ('N', 'A')
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem r
+        WHERE r.l_returnflag = 'R'
+          AND r.l_orderkey = t.l_orderkey
+          AND r.l_linenumber - 1 = t.l_linenumber
+      )
+    """,
+)
+def j2_reversal_anti_join_asym(spark, sf_dir):
+    """J2: asymmetric anti-join — survivors matched on the removal
+    side's *derived* key (reversals point at originals via
+    orig_msg_seq_nb; here linenumber-1)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    trades = li.filter(F.col("l_returnflag").isin("N", "A"))
+    reversals = li.filter(F.col("l_returnflag") == "R").withColumn(
+        "orig_linenumber", F.col("l_linenumber") - 1
+    )
+    return anti_join_keys(
+        trades,
+        reversals,
+        {"l_orderkey": "l_orderkey", "l_linenumber": "orig_linenumber"},
+    ).select("l_orderkey", "l_linenumber")
+
+
+@register(
+    "j5_sequence_match",
+    oracle="""
+    WITH trades AS (
+      SELECT l_orderkey, l_linenumber,
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_shipdate, l_linenumber) AS seq
+      FROM lineitem WHERE l_returnflag IN ('N', 'A')
+    ), reversals AS (
+      SELECT l_orderkey,
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_shipdate, l_linenumber) AS seq
+      FROM lineitem WHERE l_returnflag = 'R'
+    )
+    SELECT t.l_orderkey, t.l_linenumber FROM trades t
+    WHERE NOT EXISTS (
+      SELECT 1 FROM reversals r
+      WHERE r.l_orderkey = t.l_orderkey AND r.seq = t.seq
+    )
+    """,
+)
+def j5_sequence_match(spark, sf_dir):
+    """J5/J6: SAS-style sequence-matched removal — i-th reversal knocks
+    out the i-th matching trade under the group key (row_number on both
+    sides + anti-join on keys+seq)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    trades = li.filter(F.col("l_returnflag").isin("N", "A"))
+    reversals = li.filter(F.col("l_returnflag") == "R")
+    out = sequence_match_removal(
+        trades,
+        reversals,
+        keys=["l_orderkey"],
+        trade_order=["l_shipdate", "l_linenumber"],
+        reversal_order=["l_shipdate", "l_linenumber"],
+    )
+    return out.select("l_orderkey", "l_linenumber")
+
+
+@register(
+    "j7_agency_dedup",
+    oracle="""
+    SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_returnflag = 'N'
+    UNION ALL
+    SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_returnflag = 'A'
+    UNION ALL
+    SELECT b.l_orderkey, b.l_linenumber FROM lineitem b
+    WHERE b.l_returnflag = 'R'
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem s
+        WHERE s.l_returnflag = 'A'
+          AND s.l_partkey = b.l_partkey AND s.l_quantity = b.l_quantity
+      )
+    """,
+)
+def j7_agency_dedup(spark, sf_dir):
+    """J7: inter-dealer de-dup — keep customer legs and dealer-sells,
+    drop dealer-buys matching a sell on the match keys (time excluded
+    by design)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = agency_dedup(
+        li,
+        customer_pred=F.col("l_returnflag") == "N",
+        sell_pred=F.col("l_returnflag") == "A",
+        buy_pred=F.col("l_returnflag") == "R",
+        match_keys=["l_partkey", "l_quantity"],
+    )
+    return out.select("l_orderkey", "l_linenumber")
+
+
+@register(
+    "j10_enrichment_join",
+    oracle="""
+    SELECT o.o_orderkey, c.c_name, c.c_mktsegment,
+           ROUND(date_diff('day', CAST(o.o_orderdate AS DATE), DATE '2002-01-01')
+                 / 365.25, 6) AS order_age_years
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def j10_enrichment_join(spark, sf_dir):
+    """J10: reference-table enrichment left join + tenor derivation in
+    years (/365.25). Dimension side broadcasts."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    joined = orders.join(
+        F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"], "left"
+    )
+    age = F.datediff(F.lit("2002-01-01").cast("date"), F.to_date("o_orderdate")) / 365.25
+    return joined.select(
+        "o_orderkey", "c_name", "c_mktsegment", F.round(age, 6).alias("order_age_years")
+    )
+
+
+@register(
+    "j11_asof_backward",
+    oracle="""
+    SELECT l.event_id, r.value AS last_purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def j11_asof_backward(spark, sf_dir):
+    """J11/J12: backward as-of join (merge_asof semantics, exact matches
+    allowed) via the union + last-non-null window pattern — one shuffle
+    on the by-key, no join explosion, scales to unbounded history."""
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", F.col("value").alias("last_purchase_value"))
+    )
+    out = asof_join(
+        left, right, on="ts", by="user_id", value_cols=["last_purchase_value"]
+    )
+    return out.select("event_id", "last_purchase_value")
+
+
+@register(
+    "j15_range_join",
+    oracle="""
+    SELECT p.p_partkey, COALESCE(r.size_class, 'other') AS size_class
+    FROM part p
+    LEFT JOIN (VALUES (1, 10, 'small'), (11, 25, 'medium'), (26, 40, 'large'))
+         AS r(lo, hi, size_class)
+      ON p.p_size >= r.lo AND p.p_size <= r.hi
+    """,
+)
+def j15_range_join(spark, sf_dir):
+    """J15: interval join against a broadcast range table with an
+    'Other' fallback (SIC → Fama-French industries). Physical plan:
+    BroadcastNestedLoopJoin — no shuffle of the fact side."""
+    part = load_table(spark, sf_dir, "part")
+    ranges = spark.createDataFrame(
+        [(1, 10, "small"), (11, 25, "medium"), (26, 40, "large")],
+        ["lo", "hi", "size_class"],
+    )
+    out = range_join(
+        part, "p_size", ranges, "lo", "hi", ["size_class"], defaults={"size_class": "other"}
+    )
+    return out.select("p_partkey", "size_class")
+
+
+@register(
+    "j17_source_preference",
+    oracle="""
+    WITH tagged AS (
+      SELECT l_orderkey, l_partkey, l_linenumber,
+             CASE l_returnflag WHEN 'A' THEN 1 WHEN 'N' THEN 2 ELSE 3 END AS db_type
+      FROM lineitem
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY l_orderkey, l_partkey
+                                   ORDER BY db_type, l_linenumber) AS rn
+      FROM tagged
+    )
+    SELECT l_orderkey, l_partkey, l_linenumber, db_type FROM ranked WHERE rn = 1
+    """,
+)
+def j17_source_preference(spark, sf_dir):
+    """J17: source-preference dedup (Enhanced ≻ Standard ≻ 144A) —
+    union the tagged sources and keep the highest-priority row per key
+    via a row_number window with a total tiebreak."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_linenumber", "l_returnflag"
+    )
+    sources = [
+        (li.filter(F.col("l_returnflag") == "A").drop("l_returnflag"), 1),
+        (li.filter(F.col("l_returnflag") == "N").drop("l_returnflag"), 2),
+        (li.filter(F.col("l_returnflag") == "R").drop("l_returnflag"), 3),
+    ]
+    out = prefer_sources(
+        sources, keys=["l_orderkey", "l_partkey"], tiebreak=["l_linenumber"]
+    )
+    return out.select("l_orderkey", "l_partkey", "l_linenumber", "db_type")
+
+
+# ---------------------------------------------------------------- windows
+
+
+@register(
+    "w3_initial_price_errors",
+    oracle="""
+    WITH seq AS (
+      SELECT event_id, user_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             abs(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS d
+      FROM events
+    ), fj AS (
+      SELECT *, min(CASE WHEN rn <= 3 AND d > 200 THEN rn END)
+                  OVER (PARTITION BY user_id) AS first_jump
+      FROM seq
+    )
+    SELECT event_id FROM fj WHERE first_jump IS NULL OR rn >= first_jump
+    """,
+)
+def w3_initial_price_errors(spark, sf_dir):
+    """W3: initial-print error screen — within each entity's first 3
+    observations, the first |Δ| > threshold marks everything before it
+    as bad. Pure window algebra, no UDF."""
+    ev = load_table(spark, sf_dir, "events")
+    out = initial_price_error_filter(
+        ev, "value", ["user_id"], ["ts", "event_id"], n_initial=3, jump_threshold=200.0
+    )
+    return out.select("event_id")
+
+
+@register(
+    "w4_group_diff",
+    oracle="""
+    SELECT event_id,
+           value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS diff
+    FROM events
+    """,
+)
+def w4_group_diff(spark, sf_dir):
+    """W4: per-group one-step difference (groupby().diff()) with a total
+    ordering key."""
+    ev = load_table(spark, sf_dir, "events")
+    return group_diff(ev, "value", ["user_id"], ["ts", "event_id"]).select(
+        "event_id", "diff"
+    )
+
+
+@register(
+    "w5_sequence_number",
+    oracle="""
+    SELECT event_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+    FROM events
+    """,
+)
+def w5_sequence_number(spark, sf_dir):
+    """W5: SAS BY-group cumcount+1 → row_number over a deterministic
+    window."""
+    from trace_data_pipeline_spark.operators.cleaning import add_seq
+
+    ev = load_table(spark, sf_dir, "events")
+    return add_seq(ev, ["user_id"], ["ts", "event_id"]).select(
+        "event_id", F.col("seq").cast("long").alias("seq")
+    )
+
+
+@register(
+    "w6_log_return_filter",
+    oracle="""
+    WITH d AS (
+      SELECT event_id, user_id,
+             ln(value) - lag(ln(value)) OVER w AS d_in,
+             lead(ln(value)) OVER w - ln(value) AS d_out
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id FROM d
+    WHERE d_in * d_out IS NULL OR d_in * d_out >= -0.25
+    """,
+)
+def w6_log_return_filter(spark, sf_dir):
+    """W6: drop rows whose consecutive log-return product signals a
+    spike-and-revert (< -0.25); null products (series edges) kept."""
+    ev = load_table(spark, sf_dir, "events")
+    out = consecutive_log_return_filter(
+        ev, "value", ["user_id"], ["ts", "event_id"], threshold=-0.25
+    )
+    return out.select("event_id")
+
+
+@register(
+    "w8_rating_map",
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(AVG(CASE o_orderpriority
+                       WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2
+                       WHEN '3-MEDIUM' THEN 3 WHEN '4-NOT SPECIFIED' THEN 4
+                       WHEN '5-LOW' THEN 5 END), 6) AS avg_priority,
+           COUNT(*) AS n
+    FROM orders GROUP BY 1
+    """,
+)
+def w8_rating_map(spark, sf_dir):
+    """W8: ordinal code mapping (rating letters → numeric grades) as a
+    CASE chain, then a composite average."""
+    orders = load_table(spark, sf_dir, "orders")
+    grade = map_via_case(
+        "o_orderpriority",
+        {"1-URGENT": 1, "2-HIGH": 2, "3-MEDIUM": 3, "4-NOT SPECIFIED": 4, "5-LOW": 5},
+    )
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.avg(grade), 6).alias("avg_priority"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "w9_curve_interp",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey,
+             date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-07-01') / 365.25 AS tmt
+      FROM orders
+    )
+    SELECT o_orderkey,
+           ROUND(CASE
+             WHEN tmt < 1.0 THEN 0.04
+             WHEN tmt >= 1.0 AND tmt < 2.0 THEN 0.04 + (tmt - 1.0) * 0.0020000000000000018 / 1.0
+             WHEN tmt >= 2.0 AND tmt < 5.0 THEN 0.042 + (tmt - 2.0) * 0.002999999999999996 / 3.0
+             WHEN tmt >= 5.0 AND tmt < 7.0 THEN 0.045 + (tmt - 5.0) * 0.0020000000000000018 / 2.0
+             WHEN tmt >= 7.0 AND tmt < 10.0 THEN 0.047 + (tmt - 7.0) * 0.0030000000000000027 / 3.0
+             WHEN tmt >= 10.0 AND tmt < 20.0 THEN 0.05 + (tmt - 10.0) * 0.004999999999999997 / 10.0
+             WHEN tmt >= 20.0 AND tmt < 30.0 THEN 0.055 + (tmt - 20.0) * 0.0050000000000000044 / 10.0
+             ELSE 0.06 END, 8) AS yld
+    FROM t
+    """,
+)
+def w9_curve_interp(spark, sf_dir):
+    """W9: piecewise-linear key-rate curve interpolation at a derived
+    tenor, clamped at both ends — pure WHEN algebra (np.interp without
+    a UDF). Slope literals are spelled as exact float64 differences so
+    both engines evaluate the identical expression."""
+    xs = [1.0, 2.0, 5.0, 7.0, 10.0, 20.0, 30.0]
+    ys = [0.04, 0.042, 0.045, 0.047, 0.05, 0.055, 0.06]
+    orders = load_table(spark, sf_dir, "orders")
+    tmt = F.datediff(F.lit("2002-07-01").cast("date"), F.to_date("o_orderdate")) / 365.25
+    out = orders.withColumn("yld", piecewise_linear(tmt, xs, ys))
+    return out.select("o_orderkey", F.round("yld", 8).alias("yld"))
+
+
+# ---------------------------------------------------------------- aggregations
+
+
+@register(
+    "a7_group_median",
+    oracle="""
+    SELECT user_id, ROUND(median(value), 6) AS med_value, COUNT(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def a7_group_median(spark, sf_dir):
+    """A7: exact per-group median (interpolated at even counts)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.round(F.median("value"), 6).alias("med_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "a8_pooled_stats",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(l_extendedprice) AS n,
+           ROUND(AVG(l_extendedprice), 4) AS mean,
+           ROUND(stddev_samp(l_extendedprice), 4) AS std,
+           MIN(l_extendedprice) AS min,
+           MAX(l_extendedprice) AS max,
+           ROUND(quantile_cont(l_extendedprice, 0.01), 4) AS q01,
+           ROUND(quantile_cont(l_extendedprice, 0.05), 4) AS q05,
+           ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS q95,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS q99
+    FROM lineitem GROUP BY 1
+    """,
+)
+def a8_pooled_stats(spark, sf_dir):
+    """A8: pooled descriptive stats — mean/std/min/max + exact
+    interpolated quantiles per group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    stats = pooled_stats(li, "l_extendedprice", ["l_returnflag"])
+    return stats.select(
+        "l_returnflag",
+        "n",
+        F.round("mean", 4).alias("mean"),
+        F.round("std", 4).alias("std"),
+        "min",
+        "max",
+        F.round("q01", 4).alias("q01"),
+        F.round("q05", 4).alias("q05"),
+        F.round("q95", 4).alias("q95"),
+        F.round("q99", 4).alias("q99"),
+    )
+
+
+@register(
+    "a9_cross_sectional",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(l_shipdate AS DATE) AS d,
+             COUNT(*) AS n, AVG(l_extendedprice) AS m
+      FROM lineitem GROUP BY 1
+    )
+    SELECT ROUND(AVG(n), 6) AS avg_daily_n, ROUND(AVG(m), 4) AS avg_daily_price,
+           COUNT(*) AS n_days
+    FROM daily
+    """,
+)
+def a9_cross_sectional(spark, sf_dir):
+    """A9: two-level aggregation — per-day cross-sectional stats, then
+    the time-series mean of each daily stat."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.to_date("l_shipdate").alias("d")).agg(
+        F.count(F.lit(1)).alias("n"), F.avg("l_extendedprice").alias("m")
+    )
+    return daily.agg(
+        F.round(F.avg("n"), 6).alias("avg_daily_n"),
+        F.round(F.avg("m"), 4).alias("avg_daily_price"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+
+
+@register(
+    "a10_concentration",
+    oracle="""
+    WITH totals AS (
+      SELECT l_suppkey, SUM(l_extendedprice * l_quantity / 100) AS v
+      FROM lineitem GROUP BY 1
+    ), ranked AS (
+      SELECT l_suppkey, v,
+             SUM(v) OVER () AS total,
+             SUM(v) OVER (ORDER BY v DESC, l_suppkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             row_number() OVER (ORDER BY v DESC, l_suppkey) AS rank,
+             COUNT(*) OVER () AS n
+      FROM totals
+    )
+    SELECT MAX(n) AS n_entities,
+           ROUND(SUM((v / total) * (v / total)) * 10000, 6) AS herfindahl,
+           ROUND(CAST(MIN(CASE WHEN cum / total >= 0.5 THEN rank END) AS DOUBLE)
+                 / MAX(n), 6) AS frac_for_50pct,
+           ROUND(CAST(MIN(CASE WHEN cum / total >= 0.75 THEN rank END) AS DOUBLE)
+                 / MAX(n), 6) AS frac_for_75pct,
+           ROUND(CAST(MIN(CASE WHEN cum / total >= 0.9 THEN rank END) AS DOUBLE)
+                 / MAX(n), 6) AS frac_for_90pct,
+           ROUND(SUM(CASE WHEN rank <= CEIL(n * CAST(0.1 AS DOUBLE)) THEN v / total
+                          ELSE 0 END), 6) AS top_10pct_share,
+           ROUND(SUM(CASE WHEN rank <= CEIL(n * CAST(0.25 AS DOUBLE)) THEN v / total
+                          ELSE 0 END), 6) AS top_25pct_share
+    FROM ranked
+    """,
+)
+def a10_concentration(spark, sf_dir):
+    """A10: market-concentration report — cumulative volume share,
+    fraction of entities covering 50/75/90% of volume, top-decile/
+    quartile shares, Herfindahl. The window runs over the (small)
+    per-entity aggregate, not the fact table."""
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "dv", F.col("l_extendedprice") * F.col("l_quantity") / F.lit(100)
+    )
+    m = concentration_metrics(li, "l_suppkey", "dv")
+    return m.select(
+        "n_entities",
+        F.round("herfindahl", 6).alias("herfindahl"),
+        F.round("frac_for_50pct", 6).alias("frac_for_50pct"),
+        F.round("frac_for_75pct", 6).alias("frac_for_75pct"),
+        F.round("frac_for_90pct", 6).alias("frac_for_90pct"),
+        F.round("top_10pct_share", 6).alias("top_10pct_share"),
+        F.round("top_25pct_share", 6).alias("top_25pct_share"),
+    )
+
+
+@register(
+    "a11_winsorize",
+    oracle="""
+    WITH bounds AS (
+      SELECT strftime(l_shipdate, '%Y-%m') AS month,
+             quantile_cont(l_extendedprice, 0.005) AS lo,
+             quantile_cont(l_extendedprice, 0.995) AS hi
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l.month, ROUND(AVG(LEAST(GREATEST(l.l_extendedprice, b.lo), b.hi)), 4)
+             AS mean_winsorized,
+           COUNT(*) AS n
+    FROM (SELECT strftime(l_shipdate, '%Y-%m') AS month, l_extendedprice
+          FROM lineitem) l
+    JOIN bounds b ON l.month = b.month
+    GROUP BY 1
+    """,
+)
+def a11_winsorize(spark, sf_dir):
+    """A11: per-group winsorization at [0.5%, 99.5%] quantiles —
+    quantiles aggregated once per group and broadcast back, then
+    least/greatest clipping."""
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "month", F.date_format("l_shipdate", "yyyy-MM")
+    )
+    clipped = winsorize_by_group(
+        li, "l_extendedprice", ["month"], 0.005, 0.995, out_col="wins"
+    )
+    return clipped.groupBy("month").agg(
+        F.round(F.avg("wins"), 4).alias("mean_winsorized"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "a13_weekly_resample",
+    oracle="""
+    SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+           event_type,
+           ROUND(AVG(value), 6) AS mean_value,
+           COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def a13_weekly_resample(spark, sf_dir):
+    """A13/A14: weekly resample — date_trunc to ISO week (Monday) +
+    aggregate; the reference's resample('W-MON').mean()."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd").alias("week"),
+        "event_type",
+    ).agg(
+        F.round(F.avg("value"), 6).alias("mean_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------- order/top-k/dedup
+
+
+@register(
+    "o3_topk_per_group",
+    oracle="""
+    WITH ranked AS (
+      SELECT p_brand, p_partkey, p_retailprice,
+             row_number() OVER (PARTITION BY p_brand
+                                ORDER BY p_retailprice DESC, p_partkey) AS rank
+      FROM part
+    )
+    SELECT p_brand, p_partkey, p_retailprice, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def o3_topk_per_group(spark, sf_dir):
+    """O3: top-k per group with a deterministic tiebreak."""
+    from pyspark.sql import Window
+
+    part = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey")
+    )
+    return (
+        part.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "p_brand",
+            "p_partkey",
+            "p_retailprice",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+@register(
+    "o5_dedup_keep_first",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_id,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT event_id FROM ranked WHERE rn = 1
+    """,
+)
+def o5_dedup_keep_first(spark, sf_dir):
+    """O5: order-aware dedup — sort + drop_duplicates(keep='first') as a
+    deterministic row_number window."""
+    ev = load_table(spark, sf_dir, "events")
+    out = keep_first(ev, ["user_id", "event_type"], ["ts", "event_id"])
+    return out.select("event_id")

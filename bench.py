@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""Benchmark harness: run every catalog query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is forced end-to-end with a noop datasource write — full
+execution of the physical plan (scan → shuffle → sink) without driver
+collect overhead, which is what a cluster job would look like.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from trace_data_pipeline_spark.plans import get_catalog  # noqa: E402
+from trace_data_pipeline_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def infer_sf(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else float("nan")
+
+
+def main() -> None:
+    spark = get_spark(app_name="trace-spark-bench")
+    catalog = get_catalog()
+
+    # warm the JVM/codegen paths so per-query numbers measure the plans,
+    # not first-use class loading
+    spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in sorted(catalog):
+        t0 = time.perf_counter()
+        catalog[name].builder(spark, SF_DIR).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "catalog_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": infer_sf(SF_DIR),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,209 @@
+"""W2: bounce-back price-error filter.
+
+Flags one-off erroneous prints: a large one-step move (or a print far
+from a trailing unique-median anchor) that "bounces back" within a few
+rows — an opposite-signed jump or a return to the pre-move anchor.
+Includes blame reassignment (flag the previous row when it deviates
+more), bounded plateau extension, a par-spike heuristic for runs pinned
+at exactly 100.0, and a post-flag cooldown.
+
+Semantics mirror `stage0/create_daily_enhanced_trace.py:965-1221`
+(params `stage0/_trace_settings.py:69-83`) bit-for-bit, including eps
+slop. This is an inherently sequential per-id state machine — the one
+class of operator that cannot be expressed in DataFrame algebra — so it
+runs as an applyInPandas grouped map: one shuffle on id, per-group
+state bounded by a single bond's history, numpy inside the kernel.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import ByteType, StructField, StructType
+
+EPS = 1e-12
+
+
+def _trailing_unique_median(p: np.ndarray, window: int) -> np.ndarray:
+    """Strictly-backward anchor: median of the UNIQUE values among the
+    previous `window` rows (the current row excluded via the shift)."""
+    n = p.size
+    out = np.full(n, np.nan)
+    for i in range(1, n):
+        seg = p[max(0, i - window) : i]
+        seg = seg[~np.isnan(seg)]
+        if seg.size:
+            out[i] = float(np.median(np.unique(seg)))
+    return out
+
+
+def _scan_group(
+    p: np.ndarray,
+    *,
+    threshold_abs: float,
+    lookahead: int,
+    max_span: int,
+    window: int,
+    back_to_anchor_tol: float,
+    candidate_slack_abs: float,
+    reassignment_margin_abs: float,
+    par_spike: bool,
+    par_level: float,
+    par_equal_tol: float,
+    par_min_run: int,
+    par_cooldown: int,
+) -> np.ndarray:
+    """The sequential scan over one id's time-ordered prices."""
+    n = p.size
+    flags = np.zeros(n, dtype=np.int8)
+    d = np.empty(n)
+    d[0] = np.nan
+    d[1:] = p[1:] - p[:-1]
+    base = _trailing_unique_median(p, window + 1)
+
+    thr = max(0.0, threshold_abs - candidate_slack_abs)
+    back_abs = back_to_anchor_tol * threshold_abs
+
+    def at_par(x: float) -> bool:
+        return not np.isnan(x) and abs(x - par_level) <= par_equal_tol
+
+    i, cooldown_until = 0, -1
+    while i < n:
+        if i <= cooldown_until and not at_par(p[i]):
+            i += 1
+            continue
+
+        jump = not np.isnan(d[i]) and abs(d[i]) >= thr - EPS
+        far = not np.isnan(base[i]) and abs(p[i] - base[i]) >= thr - EPS
+        par_hit = (
+            par_spike
+            and at_par(p[i])
+            and not np.isnan(base[i])
+            and abs(p[i] - base[i]) >= back_abs - EPS
+        )
+        par_only = par_hit and not jump
+
+        if not (jump or far or par_hit):
+            i += 1
+            continue
+
+        # look ahead for the bounce: an opposite big move, or a return
+        # to the pre-move anchor (par-only candidates skip this path)
+        stop_at = None
+        if not par_only:
+            for j in range(i + 1, min(n - 1, i + lookahead) + 1):
+                opposite = (
+                    not np.isnan(d[i])
+                    and not np.isnan(d[j])
+                    and np.sign(d[j]) == -np.sign(d[i])
+                    and abs(d[j]) >= thr - EPS
+                )
+                returned = not np.isnan(base[i]) and (
+                    abs(p[j] - base[i]) <= back_abs + EPS
+                )
+                if opposite or returned:
+                    stop_at = j
+                    break
+
+        if stop_at is not None:
+            start = i
+            # blame reassignment: previous row deviating even more from
+            # ITS anchor owns the error
+            if i > 0 and not np.isnan(base[i - 1]) and not np.isnan(base[i]):
+                dev_prev = abs(p[i - 1] - base[i - 1])
+                dev_curr = abs(p[i] - base[i])
+                if (
+                    dev_prev - dev_curr >= reassignment_margin_abs - EPS
+                    and dev_prev >= back_abs - EPS
+                ):
+                    start = i - 1
+            if not par_hit or at_par(p[start]):
+                flags[start] = 1
+            # plateau extension: keep flagging while still displaced
+            for k in range(start + 1, min(stop_at, start + max_span) + 1):
+                if par_hit:
+                    if at_par(p[k]):
+                        flags[k] = 1
+                elif not np.isnan(base[start]) and (
+                    abs(p[k] - base[start]) >= back_abs - EPS
+                ):
+                    flags[k] = 1
+                else:
+                    break
+            if par_hit:
+                cooldown_until = max(cooldown_until, stop_at + par_cooldown)
+            i = stop_at + 1
+            continue
+
+        # persistent par block with no quick correction: flag runs of
+        # at least par_min_run consecutive par prints
+        if par_hit:
+            run_end = i
+            while run_end + 1 < n and at_par(p[run_end + 1]):
+                run_end += 1
+            if run_end - i + 1 >= par_min_run:
+                flags[i : run_end + 1] = 1
+                cooldown_until = max(cooldown_until, run_end + par_cooldown)
+                i = run_end + 1
+                continue
+
+        i += 1
+
+    return flags
+
+
+def bounce_back_filter(
+    df: DataFrame,
+    id_col: str = "cusip_id",
+    price_col: str = "rptd_pr",
+    order_cols: Sequence[str] = ("trd_exctn_dt", "trd_exctn_tm"),
+    threshold_abs: float = 35.0,
+    lookahead: int = 5,
+    max_span: int = 5,
+    window: int = 5,
+    back_to_anchor_tol: float = 0.25,
+    candidate_slack_abs: float = 1.0,
+    reassignment_margin_abs: float = 5.0,
+    par_spike_heuristic: bool = True,
+    par_level: float = 100.0,
+    par_equal_tol: float = 1e-8,
+    par_min_run: int = 3,
+    par_cooldown_after_flag: int = 2,
+    mode: str = "flag",
+) -> DataFrame:
+    """Append `filtered_error` (0/1) per row (mode='flag'), or drop the
+    flagged rows (mode='clean')."""
+    order_names = list(order_cols)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_names, kind="mergesort").reset_index(drop=True)
+        flags = _scan_group(
+            pdf[price_col].astype(float).to_numpy(),
+            threshold_abs=threshold_abs,
+            lookahead=lookahead,
+            max_span=max_span,
+            window=window,
+            back_to_anchor_tol=back_to_anchor_tol,
+            candidate_slack_abs=candidate_slack_abs,
+            reassignment_margin_abs=reassignment_margin_abs,
+            par_spike=par_spike_heuristic,
+            par_level=par_level,
+            par_equal_tol=par_equal_tol,
+            par_min_run=par_min_run,
+            par_cooldown=par_cooldown_after_flag,
+        )
+        out = pdf.copy()
+        out["filtered_error"] = flags
+        return out
+
+    schema = StructType(
+        [df.schema[c] for c in df.columns]
+        + [StructField("filtered_error", ByteType())]
+    )
+    out = df.groupBy(id_col).applyInPandas(kernel, schema=schema)
+    if mode == "clean":
+        out = out.filter(out["filtered_error"] == 0).drop("filtered_error")
+    return out

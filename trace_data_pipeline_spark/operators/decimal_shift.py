@@ -1,0 +1,171 @@
+"""W1: decimal-shift price corrector.
+
+Detects prices recorded with a misplaced decimal (10.5 keyed as 105.0 /
+1050.0) by testing multiplicative factors against a rolling
+unique-median anchor, accepting a correction only when it passes the
+reference's five gates (`stage0/create_daily_enhanced_trace.py:764-963`;
+spec `stage0/README_decimal_shift_corrector.md:25-110`).
+
+Spark-first decomposition — the only part that genuinely needs Python
+is the rolling-median fallback chain, so that is ALL the Python there
+is:
+
+1. dedup to unique (id, date, price) rows (keep first in trade order) —
+   a row_number window, JVM-side;
+2. per-id rolling anchor over the deduped mini-frame via applyInPandas
+   (ships only key+order columns through Arrow, not the fact table);
+3. m:1 join of the anchor back to all rows on (id, date, price);
+4. factor testing and acceptance gates as pure column algebra
+   (whole-stage codegen; no UDF).
+
+At scale the cost is one shuffle for the dedup window, one for the
+grouped-map, and one shuffle join — each keyed on id, so AQE can reuse
+the partitioning; group state never exceeds a single bond's history.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StructField, StructType
+
+EPS = 1e-12
+
+
+def _anchor_kernel(price_name: str, order_names: list[str], window: int):
+    """Per-id pandas kernel: centered / forward / backward rolling
+    medians over the (already deduped) price sequence, composed
+    center → forward → backward → global-median."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_names, kind="mergesort").reset_index(drop=True)
+        s = pdf[price_name].astype(float)
+        center = s.rolling(2 * window + 1, center=True, min_periods=window + 1).median()
+        fwd = s[::-1].rolling(window + 1, min_periods=1).median()[::-1]
+        back = s.rolling(window + 1, min_periods=1).median()
+        anchor = center.fillna(fwd).fillna(back)
+        if anchor.isna().any():
+            anchor = anchor.fillna(float(np.nanmedian(s.to_numpy())))
+        out = pdf.copy()
+        out["anchor_price"] = anchor.astype(float)
+        return out
+
+    return kernel
+
+
+def rolling_unique_anchor(
+    df: DataFrame,
+    id_col: str,
+    date_col: str,
+    price_col: str,
+    order_cols: Sequence[str],
+    window: int = 5,
+) -> DataFrame:
+    """Anchor table: one row per unique (id, date, price) with its
+    rolling unique-median anchor. `order_cols` must totally order each
+    id's trades (the reference's 6-key stable sort)."""
+    order_cols = list(order_cols)
+    w_first = Window.partitionBy(id_col, date_col, price_col).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    slim = df.select(id_col, date_col, price_col, *order_cols)
+    dedup = (
+        slim.withColumn("__rn", F.row_number().over(w_first))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    schema = StructType(
+        [dedup.schema[c] for c in dedup.columns]
+        + [StructField("anchor_price", DoubleType())]
+    )
+    kernel = _anchor_kernel(price_col, order_cols, window)
+    anchored = dedup.groupBy(id_col).applyInPandas(kernel, schema=schema)
+    return anchored.select(id_col, date_col, price_col, "anchor_price")
+
+
+def decimal_shift_corrector(
+    df: DataFrame,
+    id_col: str = "cusip_id",
+    date_col: str = "trd_exctn_dt",
+    price_col: str = "rptd_pr",
+    order_cols: Sequence[str] = ("trd_exctn_tm",),
+    factors: Sequence[float] = (0.1, 0.01, 10.0, 100.0),
+    tol_pct_good: float = 0.02,
+    tol_abs_good: float = 8.0,
+    tol_pct_bad: float = 0.05,
+    low_pr: float = 5.0,
+    high_pr: float = 300.0,
+    window: int = 5,
+    improvement_frac: float = 0.2,
+    par_snap: bool = True,
+    par_band: float = 15.0,
+    mode: str = "flag",
+) -> DataFrame:
+    """Append dec_shift_flag / dec_shift_factor / suggested_price
+    (mode='flag'), or overwrite price_col where flagged (mode='clean').
+
+    Gate semantics match the reference bit-for-bit, including its eps
+    slop and the strict-< factor preference (earliest factor wins ties).
+    """
+    anchors = rolling_unique_anchor(
+        df, id_col, date_col, price_col, list(order_cols), window
+    )
+    out = df.join(anchors, on=[id_col, date_col, price_col], how="left")
+
+    # rows whose price never reached the dedup table (null price) fall
+    # back to the per-(id, date) interpolated median
+    day_med = F.median(price_col).over(Window.partitionBy(id_col, date_col))
+    anchor = F.coalesce(F.col("anchor_price"), day_med).cast("double")
+
+    price = F.col(price_col).cast("double")
+    raw_rel = F.abs(price - anchor) / anchor
+
+    best_rel = F.lit(None).cast("double")
+    best_factor = F.lit(None).cast("double")
+    best_price = F.lit(None).cast("double")
+    for f in factors:
+        cand = price * F.lit(float(f))
+        plausible = (cand >= F.lit(low_pr)) & (cand <= F.lit(high_pr))
+        rel = F.when(plausible, F.abs(cand - anchor) / anchor)
+        take = rel.isNotNull() & (best_rel.isNull() | (rel < best_rel))
+        best_rel = F.when(take, rel).otherwise(best_rel)
+        best_factor = F.when(take, F.lit(float(f))).otherwise(best_factor)
+        best_price = F.when(take, cand).otherwise(best_price)
+
+    abs_good = F.abs(best_price - anchor) <= F.lit(tol_abs_good + EPS)
+    par_ok = (
+        (F.abs(anchor - 100.0) <= F.lit(par_band))
+        & (F.abs(best_price - 100.0) <= F.lit(par_band))
+        if par_snap
+        else F.lit(False)
+    )
+    accepted = (
+        (raw_rel > F.lit(tol_pct_bad - EPS))
+        & ((best_rel <= F.lit(tol_pct_good + EPS)) | abs_good | par_ok)
+        & (best_rel <= F.lit(improvement_frac) * raw_rel + F.lit(EPS))
+    )
+    flag = F.when(accepted, F.lit(1)).otherwise(F.lit(0))
+
+    out = (
+        out.withColumn("dec_shift_flag", flag)
+        .withColumn(
+            "dec_shift_factor",
+            F.when(flag == 1, best_factor).otherwise(F.lit(1.0)),
+        )
+        .withColumn(
+            "suggested_price", F.when(flag == 1, best_price).otherwise(price)
+        )
+        .drop("anchor_price")
+    )
+    if mode == "clean":
+        out = out.withColumn(
+            price_col,
+            F.when(F.col("dec_shift_flag") == 1, F.col("suggested_price")).otherwise(
+                F.col(price_col)
+            ),
+        )
+    return out

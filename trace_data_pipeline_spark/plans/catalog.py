@@ -47,6 +47,10 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 
 def get_catalog() -> dict[str, Query]:
     # import for side effect: modules register their queries
-    from trace_data_pipeline_spark.plans import datapipe, relational  # noqa: F401
+    from trace_data_pipeline_spark.plans import (  # noqa: F401
+        datapipe,
+        errorcorrection,
+        relational,
+    )
 
     return dict(_REGISTRY)

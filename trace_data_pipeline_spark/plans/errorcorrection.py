@@ -1,0 +1,145 @@
+"""W1/W2 error-correction plans over the events table.
+
+The events series (user_id ≈ cusip_id, ts order, value ≈ price) gets a
+deterministic synthetic corruption — every event_id ≡ 0 (mod 97) price
+is multiplied by 100 — so the decimal-shift corrector has real work to
+do, applied identically in the Spark plan and the oracle.
+
+w1's oracle expresses the whole anchor chain in DuckDB list SQL: with
+non-null prices the reference's fallback chain reduces to
+centered-median else forward-median (forward has min_periods=1 and is
+always defined), and medians/gates are bit-exact double algebra in both
+engines, so the comparison needs NO rounding at all.
+
+w2 is a sequential state machine (lookahead scan, blame reassignment,
+cooldown) — not expressible in SQL; it gets the rows-only check here
+and golden unit tests in tests/test_error_correction.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from trace_data_pipeline_spark.operators.bounceback import bounce_back_filter
+from trace_data_pipeline_spark.operators.decimal_shift import decimal_shift_corrector
+from trace_data_pipeline_spark.plans.catalog import register
+from trace_data_pipeline_spark.sources import load_table
+
+_W1_ORACLE = r"""
+WITH base AS (
+  SELECT user_id, event_id, ts, CAST(ts AS DATE) AS d,
+         CASE WHEN event_id % 97 = 0 THEN value * 100 ELSE value END AS p
+  FROM events
+),
+dd AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, d, p
+                               ORDER BY ts, event_id) AS dup_rn
+  FROM base
+),
+seq AS (
+  SELECT user_id, d, p, ts, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM dd WHERE dup_rn = 1
+),
+lists AS (SELECT user_id, list(p ORDER BY i) AS ps FROM seq GROUP BY 1),
+sliced AS (
+  SELECT s.user_id, s.d, s.p,
+         CASE WHEN least(s.n, s.i + 5) - greatest(1, s.i - 5) + 1 >= 6
+              THEN list_sort(l.ps[greatest(1, s.i - 5):least(s.n, s.i + 5)])
+              ELSE list_sort(l.ps[s.i:least(s.n, s.i + 5)]) END AS w
+  FROM seq s JOIN lists l USING (user_id)
+),
+anch AS (
+  SELECT user_id, d, p,
+         CASE WHEN len(w) % 2 = 1 THEN w[(len(w) + 1) // 2]
+              ELSE (w[len(w) // 2] + w[len(w) // 2 + 1]) / 2.0 END AS a
+  FROM sliced
+),
+scored AS (
+  SELECT b.event_id, b.p, anch.a,
+         abs(b.p - anch.a) / anch.a AS raw_rel,
+         CASE WHEN b.p * 0.1   BETWEEN 5.0 AND 300.0 THEN abs(b.p * 0.1   - anch.a) / anch.a END AS r1,
+         CASE WHEN b.p * 0.01  BETWEEN 5.0 AND 300.0 THEN abs(b.p * 0.01  - anch.a) / anch.a END AS r2,
+         CASE WHEN b.p * 10.0  BETWEEN 5.0 AND 300.0 THEN abs(b.p * 10.0  - anch.a) / anch.a END AS r3,
+         CASE WHEN b.p * 100.0 BETWEEN 5.0 AND 300.0 THEN abs(b.p * 100.0 - anch.a) / anch.a END AS r4
+  FROM base b JOIN anch ON b.user_id = anch.user_id AND b.d = anch.d AND b.p = anch.p
+),
+best AS (
+  SELECT event_id, p, a, raw_rel,
+         least(r1, r2, r3, r4) AS best_rel,
+         CASE WHEN r1 = least(r1, r2, r3, r4) THEN 0.1
+              WHEN r2 = least(r1, r2, r3, r4) THEN 0.01
+              WHEN r3 = least(r1, r2, r3, r4) THEN 10.0
+              WHEN r4 = least(r1, r2, r3, r4) THEN 100.0 END AS best_factor
+  FROM scored
+),
+gated AS (
+  SELECT event_id, p, best_factor, p * best_factor AS best_price,
+         CASE WHEN raw_rel > (0.05 - 1e-12)
+                   AND (best_rel <= (0.02 + 1e-12)
+                        OR abs(p * best_factor - a) <= (8.0 + 1e-12)
+                        OR (abs(a - 100.0) <= 15.0
+                            AND abs(p * best_factor - 100.0) <= 15.0))
+                   AND best_rel <= 0.2 * raw_rel + 1e-12
+              THEN 1 ELSE 0 END AS dec_shift_flag
+  FROM best
+)
+SELECT event_id,
+       dec_shift_flag,
+       CASE WHEN dec_shift_flag = 1 THEN best_factor ELSE 1.0 END AS dec_shift_factor,
+       CASE WHEN dec_shift_flag = 1 THEN best_price ELSE p END AS suggested_price
+FROM gated
+"""
+
+
+def _corrupted_events(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.to_date("ts").alias("d"),
+        F.when(F.col("event_id") % 97 == 0, F.col("value") * 100)
+        .otherwise(F.col("value"))
+        .alias("p"),
+    )
+
+
+@register("w1_decimal_shift", oracle=_W1_ORACLE)
+def w1_decimal_shift(spark, sf_dir):
+    """W1 decimal-shift corrector end-to-end on synthetically corrupted
+    prices: rolling unique-median anchor (applyInPandas over the deduped
+    slice), factor testing + five acceptance gates as column algebra.
+    Value-hash checked against a full list-SQL oracle — bit-exact, no
+    rounding."""
+    out = decimal_shift_corrector(
+        _corrupted_events(spark, sf_dir),
+        id_col="user_id",
+        date_col="d",
+        price_col="p",
+        order_cols=("ts", "event_id"),
+    )
+    return out.select(
+        "event_id",
+        F.col("dec_shift_flag").cast("int").alias("dec_shift_flag"),
+        "dec_shift_factor",
+        "suggested_price",
+    )
+
+
+@register("w2_bounce_back", oracle=None)
+def w2_bounce_back(spark, sf_dir):
+    """W2 bounce-back filter on the corrupted series: per-id sequential
+    state machine (lookahead bounce scan, blame reassignment, par runs,
+    cooldown) as an applyInPandas grouped map. Not SQL-expressible —
+    rows-only check here; semantics pinned by golden tests."""
+    out = bounce_back_filter(
+        _corrupted_events(spark, sf_dir),
+        id_col="user_id",
+        price_col="p",
+        order_cols=("ts", "event_id"),
+    )
+    return out.select(
+        "event_id", F.col("filtered_error").cast("int").alias("filtered_error")
+    )

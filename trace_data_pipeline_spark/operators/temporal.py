@@ -1,0 +1,67 @@
+"""Temporal dimension maintenance: linker forward-extension (J14) and
+spine resample + forward-fill (A14).
+
+The reference extends its monthly equity linker past its last observed
+month by snapshotting the final month and cartesian-joining it with
+future month-ends (`stage1/helper_functions.py:549-621`), and
+daily-resamples + forward-fills the treasury curve
+(`helper_functions.py:750-754`). Both are shuffle-light in Spark: the
+snapshot and the future spine are tiny (broadcast), and the fill is one
+window over the by-key partitioning.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def forward_extend(
+    dim: DataFrame,
+    date_col: str,
+    spine: DataFrame,
+) -> DataFrame:
+    """J14: extend a slowly-changing dimension to future spine dates by
+    replicating its latest snapshot. `spine` holds a `date_col` column
+    of panel dates; dates past the dimension's max get the snapshot
+    rows via a broadcast cross join."""
+    mx = dim.agg(F.max(date_col).alias("__mx"))
+    snap = (
+        dim.join(F.broadcast(mx), F.col(date_col) == F.col("__mx"))
+        .drop(date_col, "__mx")
+    )
+    future = (
+        spine.select(date_col)
+        .distinct()
+        .join(F.broadcast(mx), F.col(date_col) > F.col("__mx"))
+        .select(date_col)
+    )
+    ext = snap.crossJoin(F.broadcast(future))
+    return dim.unionByName(ext.select(*dim.columns))
+
+
+def resample_ffill(
+    daily: DataFrame,
+    id_col: str,
+    date_col: str,
+    value_cols: Sequence[str],
+    spine: DataFrame,
+) -> DataFrame:
+    """A14: align per-id sparse observations onto a shared date spine
+    and forward-fill each value column. One shuffle on id; the fill is
+    `last(col, ignorenulls=True)` over an unbounded-preceding window —
+    the Spark idiom for pandas resample('D').last().ffill()."""
+    grid = spine.select(date_col).distinct().crossJoin(
+        daily.select(id_col).distinct()
+    )
+    joined = grid.join(daily, on=[id_col, date_col], how="left")
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy(date_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in value_cols:
+        joined = joined.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return joined

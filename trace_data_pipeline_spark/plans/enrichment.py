@@ -1,0 +1,245 @@
+"""Stage-1-style enrichment plans: correction chains, linker joins,
+two-hop flags, join+filter screens, resample+ffill, flag summaries.
+
+Fixed-point rounding discipline: any mean/ratio whose denominator is an
+integer count is computed with round_ratio_half_up (exact integer
+half-up) in both engines — see plans/catalog.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from trace_data_pipeline_spark.functions.ordered import last_by
+from trace_data_pipeline_spark.functions.scalars import round_ratio_half_up
+from trace_data_pipeline_spark.operators.cleaning import correction_chain_resolution
+from trace_data_pipeline_spark.operators.temporal import forward_extend, resample_ffill
+from trace_data_pipeline_spark.plans.catalog import register
+from trace_data_pipeline_spark.sources import load_table
+
+
+@register(
+    "j4_correction_chain",
+    oracle="""
+    WITH t AS (
+      SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
+      WHERE l_returnflag IN ('N', 'A')
+    ), w AS (
+      SELECT l_orderkey, l_linenumber, l_returnflag,
+             l_linenumber - 1 AS orig
+      FROM lineitem WHERE l_returnflag = 'R'
+    ), roles AS (
+      SELECT l_orderkey, l_linenumber AS nb, 'msg' AS role FROM w
+      UNION ALL
+      SELECT l_orderkey, orig AS nb, 'omsg' AS role FROM w
+    ), counts AS (
+      SELECT l_orderkey, nb, count(*) AS napp, count(DISTINCT role) AS ntype
+      FROM roles GROUP BY 1, 2
+    ), ref AS (
+      SELECT DISTINCT l_orderkey, nb FROM counts WHERE ntype = 2 OR napp > 1
+    ), heads AS (
+      SELECT w.l_orderkey, w.l_linenumber, w.l_returnflag FROM w
+      WHERE NOT EXISTS (SELECT 1 FROM ref
+                        WHERE ref.l_orderkey = w.l_orderkey
+                          AND ref.nb = w.l_linenumber)
+    ), surv AS (
+      SELECT t.* FROM t
+      WHERE NOT EXISTS (SELECT 1 FROM (SELECT DISTINCT l_orderkey, orig FROM w) x
+                        WHERE x.l_orderkey = t.l_orderkey
+                          AND x.orig = t.l_linenumber)
+    )
+    SELECT * FROM surv UNION ALL SELECT * FROM heads
+    """,
+)
+def j4_correction_chain(spark, sf_dir):
+    """J4: correction-chain resolution — W records may correct other W
+    records; chain heads substitute the trades they transitively
+    replace (unpivot roles → appearance counts → anti-joins → union)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag"
+    )
+    trades = li.filter(F.col("l_returnflag").isin("N", "A"))
+    corrections = li.filter(F.col("l_returnflag") == "R").withColumn(
+        "orig", F.col("l_linenumber") - 1
+    )
+    return correction_chain_resolution(
+        trades,
+        corrections,
+        keys=["l_orderkey"],
+        msg_col="l_linenumber",
+        orig_col="orig",
+    )
+
+
+@register(
+    "j13_j14_linker_extend",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, CAST(ts AS DATE) AS d,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents
+      FROM events
+    ), linker AS (
+      SELECT user_id, d,
+             CAST((2 * SUM(cents) * 1000000 + 100 * COUNT(*))
+                  // (200 * COUNT(*)) AS DOUBLE) / 1000000 AS attrib
+      FROM ev WHERE d <= DATE '2024-01-15' GROUP BY 1, 2
+    ), mx AS (SELECT max(d) AS mxd FROM linker),
+    snap AS (SELECT user_id, attrib FROM linker, mx WHERE d = mxd),
+    future AS (SELECT DISTINCT d FROM ev, mx WHERE d > mxd),
+    ext AS (SELECT s.user_id, f.d, s.attrib FROM snap s CROSS JOIN future f),
+    lx AS (SELECT * FROM linker UNION ALL SELECT * FROM ext)
+    SELECT e.event_id, lx.attrib
+    FROM ev e LEFT JOIN lx ON e.user_id = lx.user_id AND e.d = lx.d
+    """,
+)
+def j13_j14_linker_extend(spark, sf_dir):
+    """J13+J14: slowly-changing linker join with forward extension —
+    snapshot the linker's last observed date and cross-join it with
+    future panel dates (broadcast), then join the panel on
+    (id, date)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.to_date("ts").alias("d"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    linker = (
+        ev.filter(F.col("d") <= F.lit("2024-01-15").cast("date"))
+        .groupBy("user_id", "d")
+        .agg(
+            round_ratio_half_up(
+                F.sum("cents"), F.count(F.lit(1)) * 100, 6
+            ).alias("attrib")
+        )
+    )
+    extended = forward_extend(linker, "d", ev.select("d"))
+    return ev.join(extended, on=["user_id", "d"], how="left").select(
+        "event_id", "attrib"
+    )
+
+
+@register(
+    "j16_two_hop_flag",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, l.l_suppkey,
+           CAST(COALESCE(n.n_name IN ('FRANCE', 'GERMANY', 'CHINA'), FALSE)
+                AS BIGINT) AS callable
+    FROM lineitem l
+    LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+    """,
+)
+def j16_two_hop_flag(spark, sf_dir):
+    """J16: two-hop enrichment (fact → id-map → attribute table) with a
+    fillna(0) flag; both dimensions broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    joined = li.join(
+        F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"], "left"
+    ).join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"], "left")
+    flag = F.coalesce(
+        F.col("n_name").isin("FRANCE", "GERMANY", "CHINA"), F.lit(False)
+    )
+    return joined.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_suppkey",
+        flag.cast("long").alias("callable"),
+    )
+
+
+@register(
+    "f6_f7_join_screens",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, l.l_quantity
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_quantity * 1000 < o.o_totalprice * 0.5
+      AND CAST(l.l_shipdate AS DATE) <= CAST(o.o_orderdate AS DATE) + INTERVAL 90 DAY
+    """,
+)
+def f6_f7_join_screens(spark, sf_dir):
+    """F6+F7: screens that need reference-table context — volume vs
+    issue size and trade-before-maturity — a broadcast left join
+    followed by plain filters."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", F.to_date("o_orderdate").alias("o_d")
+    )
+    joined = li.join(orders, li["l_orderkey"] == orders["o_orderkey"], "left")
+    return joined.filter(
+        (F.col("l_quantity") * 1000 < F.col("o_totalprice") * 0.5)
+        & (F.to_date("l_shipdate") <= F.date_add(F.col("o_d"), 90))
+    ).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+@register(
+    "a12_flag_summary",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_obs,
+           SUM(CASE WHEN value > 150 THEN 1 ELSE 0 END) AS n_flagged,
+           strftime(min(CAST(ts AS DATE)), '%Y-%m-%d') AS first_date,
+           strftime(max(CAST(ts AS DATE)), '%Y-%m-%d') AS last_date,
+           CAST((2 * SUM(CASE WHEN value > 150 THEN 1 ELSE 0 END) * 1000000
+                 + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE) / 1000000 AS pct_flagged
+    FROM events GROUP BY 1
+    """,
+)
+def a12_flag_summary(spark, sf_dir):
+    """A12: per-entity flag report — totals, flagged counts, first/last
+    observation dates, exact flagged share."""
+    ev = load_table(spark, sf_dir, "events")
+    flagged = F.when(F.col("value") > 150, 1).otherwise(0)
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(flagged).alias("n_flagged"),
+        F.date_format(F.min(F.to_date("ts")), "yyyy-MM-dd").alias("first_date"),
+        F.date_format(F.max(F.to_date("ts")), "yyyy-MM-dd").alias("last_date"),
+        round_ratio_half_up(F.sum(flagged), F.count(F.lit(1)), 6).alias(
+            "pct_flagged"
+        ),
+    )
+
+
+@register(
+    "a14_resample_ffill",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS d, value,
+             row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ), obs AS (SELECT user_id, d, value FROM daily WHERE rn = 1),
+    grid AS (
+      SELECT u.user_id, s.d
+      FROM (SELECT DISTINCT user_id FROM events) u
+      CROSS JOIN (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events) s
+    )
+    SELECT g.user_id, strftime(g.d, '%Y-%m-%d') AS d,
+           last_value(o.value IGNORE NULLS)
+             OVER (PARTITION BY g.user_id ORDER BY g.d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+    FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.d = o.d
+    """,
+)
+def a14_resample_ffill(spark, sf_dir):
+    """A14: spine resample + forward fill — per-id last observation per
+    day, aligned to the shared date spine, gaps forward-filled (the
+    reference's resample('D').last().ffill() for the yield curve)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        last_by("value", F.col("ts"), F.col("event_id")).alias("value")
+    )
+    filled = resample_ffill(
+        daily,
+        id_col="user_id",
+        date_col="d",
+        value_cols=["value"],
+        spine=ev.select(F.to_date("ts").alias("d")),
+    )
+    return filled.select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("d"),
+        F.col("value").alias("filled"),
+    )

@@ -49,6 +49,7 @@ def get_catalog() -> dict[str, Query]:
     # import for side effect: modules register their queries
     from trace_data_pipeline_spark.plans import (  # noqa: F401
         datapipe,
+        distressed_plan,
         enrichment,
         errorcorrection,
         relational,

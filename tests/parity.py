@@ -33,9 +33,23 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), na_position="last").reset_index(drop=True)
 
 
+def _assert_no_negative_zero(df: pd.DataFrame, side: str, name: str) -> None:
+    """A -0.0 prints differently from 0.0 (CSV/byte hashes diverge even
+    though == holds); plans must normalize with `+ 0.0` on both sides."""
+    import numpy as np
+
+    for c in df.columns:
+        col = df[c]
+        if pd.api.types.is_float_dtype(col):
+            bad = (col == 0) & (np.copysign(1.0, col.fillna(1.0)) < 0)
+            assert not bad.any(), f"{name}: {side} column {c!r} contains -0.0"
+
+
 def assert_parity(spark_df, oracle_pdf: pd.DataFrame, name: str = "") -> None:
     a = canon(spark_df.toPandas())
     b = canon(oracle_pdf)
+    _assert_no_negative_zero(a, "spark", name)
+    _assert_no_negative_zero(b, "oracle", name)
     assert sorted(a.columns) == sorted(b.columns), (
         f"{name}: column mismatch {sorted(a.columns)} vs {sorted(b.columns)}"
     )

@@ -1,0 +1,49 @@
+"""Sanity vectors for the W10 closed-form bond engine."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from trace_data_pipeline_spark.operators.bond_math import bond_analytics
+
+
+def _solve(spark, rows):
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["p", "c", "n"]))
+    out = df.withColumn("r", bond_analytics(F.col("p"), F.col("c"), F.col("n")))
+    return out.select("p", "c", "n", "r.*").collect()
+
+
+def test_par_bond_yields_coupon(spark):
+    """A bond priced at par yields exactly its coupon; Macaulay duration
+    of a 1-period bond is half a year (one semiannual period)."""
+    rows = _solve(spark, [(100.0, 0.025, 10), (100.0, 0.025, 1)])
+    for r in rows:
+        assert r["ytm"] == pytest.approx(0.05, abs=1e-10)
+        assert r["pv_residual"] == pytest.approx(0.0, abs=1e-8)
+    one = next(r for r in rows if r["n"] == 1)
+    assert one["mac_dur"] == pytest.approx(0.5, abs=1e-10)
+
+
+def test_discount_premium_monotonicity(spark):
+    """Price below par → yield above coupon; above par → below; longer
+    maturity → longer duration."""
+    rows = _solve(
+        spark, [(90.0, 0.02, 10), (110.0, 0.02, 10), (90.0, 0.02, 20)]
+    )
+    by = {(r["p"], r["n"]): r for r in rows}
+    assert by[(90.0, 10)]["ytm"] > 0.04 > by[(110.0, 10)]["ytm"]
+    assert by[(90.0, 20)]["mac_dur"] > by[(90.0, 10)]["mac_dur"]
+    zero = _solve(spark, [(78.0, 0.0, 10)])[0]
+    # zero-coupon Macaulay duration = time to maturity exactly
+    assert zero["mac_dur"] == pytest.approx(5.0, abs=1e-10)
+    assert zero["mod_dur"] < zero["mac_dur"]
+
+
+def test_invalid_inputs_yield_nan(spark):
+    """NaN-on-failure contract (reference helper_functions.py:242-243)."""
+    rows = _solve(spark, [(0.0, 0.02, 10), (100.0, 0.02, 0)])
+    for r in rows:
+        assert r["ytm"] is None or r["ytm"] != r["ytm"]

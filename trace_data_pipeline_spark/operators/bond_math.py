@@ -1,0 +1,111 @@
+"""W10: bond analytics — price → yield, duration, convexity.
+
+The reference wraps QuantLib row-by-row behind joblib
+(`stage1/helper_functions.py:44-255`): build a fixed-coupon bond,
+solve yield from the daily price, emit ytm/durations/convexity, NaN on
+failure. QuantLib is a native black box, so this module provides a
+closed-form level-coupon engine with the same shape:
+
+- per-period cash flows cf_t = 100·c (+100 at maturity), discount
+  v = 1/(1+y);
+- 25 fixed Newton iterations from y₀ = 0.03, clamped to [-0.9, 10];
+- Macaulay/modified duration and convexity from the discounted-flow
+  sums, semiannual-annualized.
+
+Everything is a deterministic arithmetic sequence (fixed iteration
+count, sequential term accumulation), so a DuckDB recursive-CTE oracle
+can replay it bit-for-bit — the fixed-point iteration converges to
+machine precision, which washes out libm pow() differences between
+engines.
+
+Runs as an Arrow-batched pandas UDF (the reference's own pattern:
+analytics are a scalar row UDF; the surrounding joins/aggregations stay
+relational). If QuantLib is importable it could be swapped in behind
+the same signature; this container does not ship it.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StructField, StructType
+
+NEWTON_ITERS = 25
+Y0 = 0.03
+Y_MIN, Y_MAX = -0.9, 10.0
+
+_SCHEMA = StructType(
+    [
+        StructField("ytm", DoubleType()),
+        StructField("mac_dur", DoubleType()),
+        StructField("mod_dur", DoubleType()),
+        StructField("convexity", DoubleType()),
+        StructField("pv_residual", DoubleType()),
+    ]
+)
+
+
+def _sums(
+    c: "np.ndarray", n: "np.ndarray", y: "np.ndarray", n_max: int
+) -> tuple["np.ndarray", "np.ndarray", "np.ndarray", "np.ndarray"]:
+    """Row-vectorized, per-row t-SEQUENTIAL accumulation of the four
+    discounted-flow sums (the t-order matters for parity with the
+    oracle's list_sum; rows with t > n contribute exact zeros)."""
+    import numpy as np
+
+    m = y.size
+    v = 1.0 / (1.0 + y)
+    pv = np.zeros(m)
+    dpv = np.zeros(m)
+    wsum = np.zeros(m)
+    csum = np.zeros(m)
+    vp = np.ones(m)
+    for t in range(1, n_max + 1):
+        vp = vp * v  # v^t
+        cf = np.where(t == n, c * 100.0 + 100.0, np.where(t < n, c * 100.0, 0.0))
+        pv += cf * vp
+        dpv += -t * cf * (vp * v)
+        wsum += t * cf * vp
+        csum += t * (t + 1) * cf * vp
+    return pv, dpv, wsum, csum
+
+
+@F.pandas_udf(_SCHEMA)
+def bond_analytics(
+    price: pd.Series, coupon_pp: pd.Series, n_periods: pd.Series
+) -> pd.DataFrame:
+    """price: clean price per 100 face on a coupon date; coupon_pp:
+    per-period coupon rate (decimal); n_periods: whole periods to
+    maturity. Returns annualized (semiannual) ytm, Macaulay/modified
+    duration in years, convexity in years², and the PV residual
+    (≈0 when the solver converged). NaN rows on invalid input — the
+    reference's NaN-on-failure contract."""
+    import numpy as np
+
+    p = price.to_numpy(dtype=float)
+    c = coupon_pp.to_numpy(dtype=float)
+    n = n_periods.to_numpy(dtype="int64")
+    valid = (n >= 1) & (p > 0.0)
+    n_max = int(n[valid].max()) if valid.any() else 0
+
+    y = np.full(p.size, Y0)
+    for _ in range(NEWTON_ITERS):
+        pv, dpv, _, _ = _sums(c, n, y, n_max)
+        with np.errstate(all="ignore"):
+            step = np.where(valid, (pv - p) / dpv, 0.0)
+        y = np.clip(y - step, Y_MIN, Y_MAX)
+    pv, _, wsum, csum = _sums(c, n, y, n_max)
+    with np.errstate(all="ignore"):
+        v = 1.0 / (1.0 + y)
+        mac_years = wsum / pv / 2.0
+        out = pd.DataFrame(
+            {
+                "ytm": y * 2.0,
+                "mac_dur": mac_years,
+                "mod_dur": mac_years / (1.0 + y),
+                "convexity": csum * v * v / pv / 4.0,
+                "pv_residual": pv - p,
+            }
+        )
+    out.loc[~valid] = float("nan")
+    return out

@@ -48,6 +48,7 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 def get_catalog() -> dict[str, Query]:
     # import for side effect: modules register their queries
     from trace_data_pipeline_spark.plans import (  # noqa: F401
+        bond_plan,
         datapipe,
         distressed_plan,
         enrichment,

@@ -1,0 +1,117 @@
+"""Streaming pipeline equivalence + sink round-trips + audit ledger.
+
+Covers SURVEY §2.8 (streaming extension), §2.1 S6–S8 (parquet/csv
+sinks, incremental append) and S13 (audit ledger via Observation).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from tests.conftest import TEST_SF_DIR
+from trace_data_pipeline_spark.operators.filters import AuditLedger, filter_with_log
+from trace_data_pipeline_spark.sources import load_table
+from trace_data_pipeline_spark.streaming.daily import (
+    daily_event_panel,
+    stream_events_from_dir,
+)
+
+
+def test_streaming_daily_panel_matches_batch(spark, tmp_path):
+    """The same builder over a file-source stream (3 micro-batch files)
+    and over the batch frame must agree row-for-row — late arrivals
+    inside the watermark are merged by update-mode state."""
+    ev = load_table(spark, TEST_SF_DIR, "events").select(
+        "ts", "user_id", "value", "event_id"
+    )
+    src = os.path.join(str(tmp_path), "drops")
+    # three unordered drops: event-id striping scatters each day's rows
+    # across micro-batches, exercising cross-batch state merge
+    for i in range(3):
+        ev.filter(F.col("event_id") % 3 == i).write.mode("overwrite").parquet(
+            os.path.join(src, f"drop_{i}.parquet")
+        )
+    stream = stream_events_from_dir(
+        spark, os.path.join(src, "*"), ev.schema, max_files_per_trigger=1
+    )
+    q = (
+        daily_event_panel(stream, watermark=None)
+        .writeStream.format("memory")
+        .queryName("daily_panel_test")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM daily_panel_test").toPandas()
+    want = daily_event_panel(ev, watermark=None).toPandas()
+
+    key = ["day", "user_id"]
+    got = got.sort_values(key).reset_index(drop=True)[sorted(got.columns)]
+    want = want.sort_values(key).reset_index(drop=True)[sorted(want.columns)]
+    got["day"] = got["day"].astype(str)
+    want["day"] = want["day"].astype(str)
+    assert got.equals(want), "stream result != batch result"
+    assert len(got) > 0
+
+
+def test_parquet_snappy_roundtrip(spark, tmp_path):
+    """S6: parquet + snappy write, read back identical."""
+    df = load_table(spark, TEST_SF_DIR, "nation")
+    path = os.path.join(str(tmp_path), "nation_pq")
+    df.write.mode("overwrite").option("compression", "snappy").parquet(path)
+    back = spark.read.parquet(path)
+    assert sorted(back.columns) == sorted(df.columns)
+    assert back.count() == df.count()
+
+
+def test_csv_gzip_roundtrip(spark, tmp_path):
+    """S7: csv + gzip alternative output format."""
+    df = load_table(spark, TEST_SF_DIR, "region")
+    path = os.path.join(str(tmp_path), "region_csv")
+    df.write.mode("overwrite").option("compression", "gzip").option(
+        "header", True
+    ).csv(path)
+    back = spark.read.option("header", True).csv(path)
+    assert back.count() == df.count()
+    assert any(f.endswith(".gz") for f in os.listdir(path) if f.startswith("part"))
+
+
+def test_incremental_append(spark, tmp_path):
+    """S8: the reference's read-concat-rewrite chunk loop is a native
+    append-mode write."""
+    df = load_table(spark, TEST_SF_DIR, "supplier")
+    path = os.path.join(str(tmp_path), "sup_pq")
+    half1 = df.filter(F.col("s_suppkey") % 2 == 0)
+    half2 = df.filter(F.col("s_suppkey") % 2 == 1)
+    half1.write.mode("overwrite").parquet(path)
+    half2.write.mode("append").parquet(path)
+    assert spark.read.parquet(path).count() == df.count()
+    shutil.rmtree(path)
+
+
+def test_audit_ledger_counts(spark):
+    """S13: chained audited filters — rows_before(k+1) == rows_after(k)
+    and every stage only removes rows (SURVEY §5 invariants)."""
+    df = load_table(spark, TEST_SF_DIR, "lineitem")
+    ledger = AuditLedger()
+    out = filter_with_log(df, F.col("l_extendedprice") > 0, "positive_price", ledger)
+    out = filter_with_log(out, F.col("l_quantity") >= 5, "min_volume", ledger)
+    out = filter_with_log(out, F.col("l_returnflag") != "R", "no_reversals", ledger)
+    total = out.count()  # one action materializes every observation
+    rows = ledger.collect()
+    assert [r["stage"] for r in rows] == [
+        "positive_price",
+        "min_volume",
+        "no_reversals",
+    ]
+    counts = [r["rows_after"] for r in rows]
+    assert counts[-1] == total
+    assert counts == sorted(counts, reverse=True)
+    for earlier, later in zip(rows, rows[1:]):
+        assert later["rows_before"] == earlier["rows_after"]

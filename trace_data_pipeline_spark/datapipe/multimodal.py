@@ -66,7 +66,9 @@ def _fake_features(payload: bytes) -> list[float]:
     Clearly fake — exists so the distributed plumbing (batching,
     schema, partitioning) is testable without codecs."""
     digest = hashlib.md5(payload or b"").digest()
-    return [b / 255.0 for b in digest[:FEATURE_DIM]]
+    # /256 (not /255): b·2⁻⁸ is exactly representable in float32 AND
+    # float64, so features compare bit-exact across engines unrounded
+    return [b / 256.0 for b in digest[:FEATURE_DIM]]
 
 
 def extract_features(media: DataFrame, batch_size: int = 256) -> DataFrame:

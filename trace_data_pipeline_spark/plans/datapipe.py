@@ -18,7 +18,11 @@ from trace_data_pipeline_spark.datapipe.dedup import (
     ngram_jaccard_pairs,
     simhash_bits,
 )
-from trace_data_pipeline_spark.datapipe.similarity import brute_force_topk, embedding_norms
+from trace_data_pipeline_spark.datapipe.similarity import (
+    brute_force_topk,
+    embedding_norms,
+    lsh_cosine_pairs,
+)
 from trace_data_pipeline_spark.datapipe.text import (
     DEFAULT_STOPWORDS,
     LANG_MARKERS,
@@ -348,6 +352,99 @@ def d10_cosine_topk(spark, sf_dir):
     out = brute_force_topk(queries, emb, k=5)
     return out.select(
         "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def _lcg_planes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (fixed LCG, no RNG state)
+    shared verbatim by the Spark plan and the SQL oracle text."""
+    x = seed
+    planes = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            x = (1103515245 * x + 12345) % (1 << 31)
+            row.append((x / float(1 << 31)) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+_PLANES = _lcg_planes(8, 64)
+
+
+def _lsh_oracle() -> str:
+    bucket_bits = " || ".join(
+        "(CASE WHEN list_dot_product(e, ["
+        + ", ".join(repr(x) for x in p)
+        + "]) >= 0.0 THEN '1' ELSE '0' END)"
+        for p in _PLANES
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), b AS (SELECT vec_id, e, {bucket_bits} AS bucket FROM v)
+    SELECT b1.vec_id AS a, b2.vec_id AS b,
+           ROUND(list_dot_product(b1.e, b2.e)
+                 / (sqrt(list_dot_product(b1.e, b1.e))
+                    * sqrt(list_dot_product(b2.e, b2.e))), 6) AS cos_sim
+    FROM b b1 JOIN b b2 USING (bucket)
+    WHERE b1.vec_id < b2.vec_id
+      AND list_dot_product(b1.e, b2.e)
+          / (sqrt(list_dot_product(b1.e, b1.e))
+             * sqrt(list_dot_product(b2.e, b2.e))) >= 0.2
+    """
+
+
+@register("d11_lsh_cosine_pairs", oracle=_lsh_oracle())
+def d11_lsh_cosine_pairs(spark, sf_dir):
+    """Embedding near-dup scale path: sign-pattern LSH buckets from 8
+    fixed hyperplanes, candidates meet on the bucket key (one shuffle,
+    no cross join), exact cosine verify on candidates only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = lsh_cosine_pairs(emb, _PLANES, threshold=0.2)
+    return pairs
+
+
+_HEX = "0123456789abcdef"
+
+
+@register(
+    "d12_media_features",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id AS media_id, md5(text) AS hh,
+             octet_length(encode(text)) AS n_bytes
+      FROM documents
+    )
+    SELECT media_id, n_bytes, CAST(t.i AS INT) AS idx,
+           ((strpos('{_HEX}', substr(hh, CAST(2 * t.i + 1 AS INT), 1)) - 1) * 16
+            + (strpos('{_HEX}', substr(hh, CAST(2 * t.i + 2 AS INT), 1)) - 1))
+           / 256.0 AS feature
+    FROM h CROSS JOIN range(0, 16) t(i)
+    """,
+)
+def d12_media_features(spark, sf_dir):
+    """Multimodal plumbing end-to-end: text payloads become opaque
+    binary columns, features extracted via the Arrow-batched
+    mapInPandas operator (the real codec shape; kernel is the
+    documented deterministic fake), exploded to rows. Features are
+    md5-byte/256 — exactly representable in float32, so the comparison
+    is bit-exact with no rounding."""
+    from trace_data_pipeline_spark.datapipe.multimodal import extract_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.posexplode("features").alias("idx", "f"),
+    ).select(
+        "media_id", "n_bytes", "idx", F.col("f").cast("double").alias("feature")
     )
 
 

@@ -68,7 +68,9 @@ def ngram_jaccard_pairs(
     """All-pairs n-gram Jaccard via a gram-keyed self-join (inverted
     index): pairs only meet on shared shingles, so cost is Σ|posting
     list|² per gram, not |docs|². Returns (a, b, jaccard) with a < b."""
-    grams = doc_shingles(docs, text_col, id_col, n)
+    # persist: the shingle index feeds both probe sides AND the size
+    # aggregate — without it Spark re-tokenizes the corpus three times
+    grams = doc_shingles(docs, text_col, id_col, n).persist()
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     g1 = grams.select(F.col("doc_id").alias("a"), "gram")
     g2 = grams.select(F.col("doc_id").alias("b"), "gram")
@@ -103,17 +105,18 @@ def minhash_signatures(
     a hex string (lexicographic min of a uniform hash ≡ a permutation
     minimum). Output: (doc_id, sig_0..sig_{k-1})."""
     grams = doc_shingles(docs, text_col, id_col, n)
-    seeded = grams.select(
+    # all k hashes as COLUMNS of one projection + a single hash
+    # aggregate — k× less shuffle volume than exploding a seed column,
+    # and map-side partial mins do most of the work
+    hashed = grams.select(
         "doc_id",
-        F.explode(F.array(*[F.lit(s) for s in range(num_hashes)])).alias("seed"),
-        "gram",
-    ).withColumn("h", F.md5(F.concat_ws("|", F.col("seed"), F.col("gram"))))
-    per_seed = seeded.groupBy("doc_id", "seed").agg(F.min("h").alias("sig"))
-    return per_seed.groupBy("doc_id").agg(
         *[
-            F.min(F.when(F.col("seed") == s, F.col("sig"))).alias(f"sig_{s}")
+            F.md5(F.concat_ws("|", F.lit(s), F.col("gram"))).alias(f"h{s}")
             for s in range(num_hashes)
-        ]
+        ],
+    )
+    return hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{s}").alias(f"sig_{s}") for s in range(num_hashes)]
     )
 
 
@@ -150,7 +153,7 @@ def minhash_lsh_pairs(
     exact Jaccard verification of ONLY the candidates. The verify join
     re-uses the shingle inverted index restricted to candidate pairs."""
     sigs = minhash_signatures(docs, text_col, id_col, n, num_hashes)
-    banded = lsh_bands(sigs, num_hashes, bands)
+    banded = lsh_bands(sigs, num_hashes, bands).persist()
     b1 = banded.select(F.col("doc_id").alias("a"), "band_idx", "band_hash")
     b2 = banded.select(F.col("doc_id").alias("b"), "band_idx", "band_hash")
     candidates = (
@@ -158,8 +161,9 @@ def minhash_lsh_pairs(
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
         .dropDuplicates()
+        .persist()
     )
-    grams = doc_shingles(docs, text_col, id_col, n)
+    grams = doc_shingles(docs, text_col, id_col, n).persist()
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     # restrict the inverted index to candidate docs, then semi-filter the
     # gram join down to candidate PAIRS — verification cost scales with

@@ -17,8 +17,18 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def dot_f64(a: Column, b: Column) -> Column:
-    """Σ aᵢ·bᵢ with per-element double cast and a left-to-right fold."""
+def dot_f64(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Σ aᵢ·bᵢ with per-element double cast, accumulated left-to-right
+    (same term order as the oracle's list_dot_product).
+
+    With `dim` given, the sum is unrolled into a flat codegen-friendly
+    expression — measurably faster than the interpreted higher-order
+    aggregate() fold on hot paths like brute-force top-k."""
+    if dim is not None:
+        acc = F.lit(0.0)
+        for i in range(dim):
+            acc = acc + F.get(a, i).cast("double") * F.get(b, i).cast("double")
+        return acc
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -26,12 +36,12 @@ def dot_f64(a: Column, b: Column) -> Column:
     )
 
 
-def norm_f64(a: Column) -> Column:
-    return F.sqrt(dot_f64(a, a))
+def norm_f64(a: Column, dim: int | None = None) -> Column:
+    return F.sqrt(dot_f64(a, a, dim))
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return dot_f64(a, b) / (norm_f64(a) * norm_f64(b))
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
+    return dot_f64(a, b, dim) / (norm_f64(a, dim) * norm_f64(b, dim))
 
 
 def brute_force_topk(
@@ -41,6 +51,7 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors (self excluded): broadcast the query
     set against the corpus, one window per query for the top-k cut.
@@ -56,7 +67,7 @@ def brute_force_topk(
         .crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
-            "cos_sim", F.round(cosine(F.col("__qv"), F.col("__cv")), round_dp)
+            "cos_sim", F.round(cosine(F.col("__qv"), F.col("__cv"), dim), round_dp)
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -70,12 +81,15 @@ def brute_force_topk(
 
 
 def embedding_norms(
-    vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """L2 norms — the cheap sanity surface for the vector plumbing."""
     return vectors.select(
         F.col(id_col),
-        F.round(norm_f64(F.col(vec_col)), 6).alias("l2_norm"),
+        F.round(norm_f64(F.col(vec_col), dim), 6).alias("l2_norm"),
         F.size(F.col(vec_col)).alias("dim"),
     )
 
@@ -107,6 +121,7 @@ def lsh_cosine_pairs(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup detection at scale: bucket join (same sign
     pattern) → exact cosine verify. One shuffle on the bucket key."""
@@ -116,7 +131,7 @@ def lsh_cosine_pairs(
     return (
         b1.join(b2, "bucket")
         .filter(F.col("a") < F.col("b"))
-        .withColumn("cos_sim", F.round(cosine(F.col("__va"), F.col("__vb")), 6))
+        .withColumn("cos_sim", F.round(cosine(F.col("__va"), F.col("__vb"), dim), 6))
         .filter(F.col("cos_sim") >= threshold)
         .select("a", "b", "cos_sim")
     )

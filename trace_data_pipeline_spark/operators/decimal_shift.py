@@ -119,22 +119,45 @@ def decimal_shift_corrector(
     # rows whose price never reached the dedup table (null price) fall
     # back to the per-(id, date) interpolated median
     day_med = F.median(price_col).over(Window.partitionBy(id_col, date_col))
-    anchor = F.coalesce(F.col("anchor_price"), day_med).cast("double")
-
+    out = out.withColumn(
+        "__anchor", F.coalesce(F.col("anchor_price"), day_med).cast("double")
+    )
+    anchor = F.col("__anchor")
     price = F.col(price_col).cast("double")
     raw_rel = F.abs(price - anchor) / anchor
 
-    best_rel = F.lit(None).cast("double")
-    best_factor = F.lit(None).cast("double")
-    best_price = F.lit(None).cast("double")
-    for f in factors:
-        cand = price * F.lit(float(f))
-        plausible = (cand >= F.lit(low_pr)) & (cand <= F.lit(high_pr))
-        rel = F.when(plausible, F.abs(cand - anchor) / anchor)
-        take = rel.isNotNull() & (best_rel.isNull() | (rel < best_rel))
-        best_rel = F.when(take, rel).otherwise(best_rel)
-        best_factor = F.when(take, F.lit(float(f))).otherwise(best_factor)
-        best_price = F.when(take, cand).otherwise(best_price)
+    # factor selection as ONE sorted candidate array. An iterative
+    # when()-fold would nest each accumulator inside the next and blow
+    # the expression tree up exponentially (observed: 3 MiB codegen
+    # binaries, 10× runtime). Sort key (rel, position) reproduces the
+    # reference's strict-< earliest-factor tie preference.
+    cands = F.array(
+        *[
+            F.struct(
+                F.when(
+                    (price * F.lit(float(f)) >= F.lit(low_pr))
+                    & (price * F.lit(float(f)) <= F.lit(high_pr)),
+                    F.abs(price * F.lit(float(f)) - anchor) / anchor,
+                ).alias("rel"),
+                F.lit(i).alias("pos"),
+                F.lit(float(f)).alias("factor"),
+                (price * F.lit(float(f))).alias("price"),
+            )
+            for i, f in enumerate(factors)
+        ]
+    )
+    out = out.withColumn(
+        "__best",
+        F.get(  # get(): null on empty (ANSI-safe), no plausible factor
+            F.array_sort(
+                F.filter(cands, lambda x: x["rel"].isNotNull() & ~F.isnan(x["rel"]))
+            ),
+            0,
+        ),
+    )
+    best_rel = F.col("__best.rel")
+    best_factor = F.col("__best.factor")
+    best_price = F.col("__best.price")
 
     abs_good = F.abs(best_price - anchor) <= F.lit(tol_abs_good + EPS)
     par_ok = (
@@ -159,7 +182,7 @@ def decimal_shift_corrector(
         .withColumn(
             "suggested_price", F.when(flag == 1, best_price).otherwise(price)
         )
-        .drop("anchor_price")
+        .drop("anchor_price", "__anchor", "__best")
     )
     if mode == "clean":
         out = out.withColumn(

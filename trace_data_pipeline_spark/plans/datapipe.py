@@ -319,7 +319,7 @@ def d9_embedding_norms(spark, sf_dir):
     """Vector plumbing surface: L2 norm + dimensionality per embedding,
     float64 math."""
     emb = load_table(spark, sf_dir, "embeddings")
-    out = embedding_norms(emb)
+    out = embedding_norms(emb, dim=64)
     return out.select("vec_id", "l2_norm", F.col("dim").cast("long").alias("dim"))
 
 
@@ -349,7 +349,7 @@ def d10_cosine_topk(spark, sf_dir):
     corpus, rank on the rounded similarity with an id tiebreak."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
-    out = brute_force_topk(queries, emb, k=5)
+    out = brute_force_topk(queries, emb, k=5, dim=64)
     return out.select(
         "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank")
     )
@@ -402,6 +402,10 @@ def d11_lsh_cosine_pairs(spark, sf_dir):
     fixed hyperplanes, candidates meet on the bucket key (one shuffle,
     no cross join), exact cosine verify on candidates only."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # NB: dim-unrolled cosine is NOT used here — the bucket-join stage
+    # already carries 8 plane dot products, and a further 3×64-term
+    # unrolled expression pushes janino past the 64 KB method limit,
+    # forcing interpreted fallback (observed slower than the fold)
     pairs = lsh_cosine_pairs(emb, _PLANES, threshold=0.2)
     return pairs
 

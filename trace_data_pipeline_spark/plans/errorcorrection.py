@@ -25,7 +25,7 @@ from trace_data_pipeline_spark.operators.decimal_shift import decimal_shift_corr
 from trace_data_pipeline_spark.plans.catalog import register
 from trace_data_pipeline_spark.sources import load_table
 
-_W1_ORACLE = r"""
+_W1_CTE = r"""
 WITH base AS (
   SELECT user_id, event_id, ts, CAST(ts AS DATE) AS d,
          CASE WHEN event_id % 97 = 0 THEN value * 100 ELSE value END AS p
@@ -57,7 +57,7 @@ anch AS (
   FROM sliced
 ),
 scored AS (
-  SELECT b.event_id, b.p, anch.a,
+  SELECT b.user_id, b.d, b.ts, b.event_id, b.p, anch.a,
          abs(b.p - anch.a) / anch.a AS raw_rel,
          CASE WHEN b.p * 0.1   BETWEEN 5.0 AND 300.0 THEN abs(b.p * 0.1   - anch.a) / anch.a END AS r1,
          CASE WHEN b.p * 0.01  BETWEEN 5.0 AND 300.0 THEN abs(b.p * 0.01  - anch.a) / anch.a END AS r2,
@@ -66,7 +66,7 @@ scored AS (
   FROM base b JOIN anch ON b.user_id = anch.user_id AND b.d = anch.d AND b.p = anch.p
 ),
 best AS (
-  SELECT event_id, p, a, raw_rel,
+  SELECT user_id, d, ts, event_id, p, a, raw_rel,
          least(r1, r2, r3, r4) AS best_rel,
          CASE WHEN r1 = least(r1, r2, r3, r4) THEN 0.1
               WHEN r2 = least(r1, r2, r3, r4) THEN 0.01
@@ -75,7 +75,7 @@ best AS (
   FROM scored
 ),
 gated AS (
-  SELECT event_id, p, best_factor, p * best_factor AS best_price,
+  SELECT user_id, d, ts, event_id, p, best_factor, p * best_factor AS best_price,
          CASE WHEN raw_rel > (0.05 - 1e-12)
                    AND (best_rel <= (0.02 + 1e-12)
                         OR abs(p * best_factor - a) <= (8.0 + 1e-12)
@@ -85,12 +85,18 @@ gated AS (
               THEN 1 ELSE 0 END AS dec_shift_flag
   FROM best
 )
+"""
+
+_W1_ORACLE = (
+    _W1_CTE
+    + r"""
 SELECT event_id,
        dec_shift_flag,
        CASE WHEN dec_shift_flag = 1 THEN best_factor ELSE 1.0 END AS dec_shift_factor,
        CASE WHEN dec_shift_flag = 1 THEN best_price ELSE p END AS suggested_price
 FROM gated
 """
+)
 
 
 def _corrupted_events(spark, sf_dir):
@@ -142,4 +148,113 @@ def w2_bounce_back(spark, sf_dir):
     )
     return out.select(
         "event_id", F.col("filtered_error").cast("int").alias("filtered_error")
+    )
+
+
+_P0_ORACLE = (
+    _W1_CTE
+    + r""",
+cleaned AS (
+  SELECT user_id, d, ts, event_id,
+         CASE WHEN dec_shift_flag = 1 THEN best_price ELSE p END AS cp
+  FROM gated
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY user_id, d ORDER BY ts, event_id) AS ra,
+         row_number() OVER (PARTITION BY user_id, d ORDER BY ts DESC, event_id DESC) AS rd
+  FROM cleaned
+)
+SELECT user_id, strftime(d, '%Y-%m-%d') AS d,
+       COUNT(*) AS n_trades,
+       max(CASE WHEN ra = 1 THEN cp END) AS prc_first,
+       max(CASE WHEN rd = 1 THEN cp END) AS prc_last,
+       max(cp) AS prc_hi, min(cp) AS prc_lo,
+       CAST((2 * SUM(CAST(round(cp * 1000, 0) AS BIGINT)) * 10000
+             + 1000 * COUNT(*)) // (2000 * COUNT(*)) AS DOUBLE) / 10000 AS prc_ew
+FROM ranked GROUP BY 1, 2
+"""
+)
+
+
+def _daily_panel(cleaned, price_col):
+    """A1-style daily aggregation over a cleaned trade frame, with the
+    exact fixed-point mean discipline (corrected prices have ≤3
+    decimals, so mills are integers)."""
+    from trace_data_pipeline_spark.functions.ordered import first_by, last_by
+    from trace_data_pipeline_spark.functions.scalars import round_ratio_half_up
+
+    cp = F.col(price_col)
+    mills = F.round(cp * 1000, 0).cast("long")
+    return cleaned.groupBy("user_id", "d").agg(
+        F.count(F.lit(1)).alias("n_trades"),
+        first_by(cp, F.col("ts"), F.col("event_id")).alias("prc_first"),
+        last_by(cp, F.col("ts"), F.col("event_id")).alias("prc_last"),
+        F.max(cp).alias("prc_hi"),
+        F.min(cp).alias("prc_lo"),
+        round_ratio_half_up(F.sum(mills), F.count(F.lit(1)) * 1000, 4).alias(
+            "prc_ew"
+        ),
+    )
+
+
+@register("p0_stage0_panel", oracle=_P0_ORACLE)
+def p0_stage0_panel(spark, sf_dir):
+    """Composite stage-0 slice (SURVEY §3.1): corrupt → decimal-shift
+    CLEAN mode → order-sensitive daily panel, all in one lazy plan —
+    the operators compose without materialization boundaries. The
+    oracle replays the whole chain (anchor CTEs + gates + aggregation)
+    and the comparison is exact."""
+    cleaned = decimal_shift_corrector(
+        _corrupted_events(spark, sf_dir),
+        id_col="user_id",
+        date_col="d",
+        price_col="p",
+        order_cols=("ts", "event_id"),
+        mode="clean",
+    ).select("user_id", "d", "ts", "event_id", F.col("p").alias("cp"))
+    panel = _daily_panel(cleaned, "cp")
+    return panel.select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("d"),
+        "n_trades",
+        "prc_first",
+        "prc_last",
+        "prc_hi",
+        "prc_lo",
+        "prc_ew",
+    )
+
+
+@register("p1_stage0_full", oracle=None)
+def p1_stage0_full(spark, sf_dir):
+    """Full stage-0 chain including the sequential bounce-back filter
+    (W2): corrupt → decimal-shift clean → bounce-back clean → daily
+    panel. Rows-only check (W2 is not SQL-expressible); each stage is
+    independently oracle- or golden-verified."""
+    cleaned = decimal_shift_corrector(
+        _corrupted_events(spark, sf_dir),
+        id_col="user_id",
+        date_col="d",
+        price_col="p",
+        order_cols=("ts", "event_id"),
+        mode="clean",
+    )
+    bounced = bounce_back_filter(
+        cleaned.select("user_id", "d", "ts", "event_id", "p"),
+        id_col="user_id",
+        price_col="p",
+        order_cols=("ts", "event_id"),
+        mode="clean",
+    ).select("user_id", "d", "ts", "event_id", F.col("p").alias("cp"))
+    panel = _daily_panel(bounced, "cp")
+    return panel.select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("d"),
+        "n_trades",
+        "prc_first",
+        "prc_last",
+        "prc_hi",
+        "prc_lo",
+        "prc_ew",
     )

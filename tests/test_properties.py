@@ -1,0 +1,88 @@
+"""Property-based invariants (SURVEY §5 test plan): hypothesis drives
+random price series through the error-correction and aggregation
+operators and asserts the contracts that must hold for ANY input."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from trace_data_pipeline_spark.operators.decimal_shift import decimal_shift_corrector
+
+prices = st.lists(
+    st.floats(min_value=0.5, max_value=2000.0, allow_nan=False, width=32),
+    min_size=3,
+    max_size=25,
+)
+
+SLOW = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@pytest.fixture(scope="module")
+def sp(spark):
+    return spark
+
+
+@given(series=prices)
+@SLOW
+def test_decimal_shift_invariants(sp, series):
+    """Row count preserved; factors from the candidate set ∪ {1};
+    suggested price is exactly price × factor; unflagged rows pass
+    through untouched."""
+    pdf = pd.DataFrame(
+        {
+            "cusip_id": "X",
+            "trd_exctn_dt": "2024-01-15",
+            "seq": range(len(series)),
+            "rptd_pr": [round(p, 2) for p in series],
+        }
+    )
+    out = decimal_shift_corrector(
+        sp.createDataFrame(pdf), order_cols=("seq",)
+    ).orderBy("seq")
+    rows = out.collect()
+    assert len(rows) == len(series)
+    for r in rows:
+        assert r["dec_shift_factor"] in (0.1, 0.01, 10.0, 100.0, 1.0)
+        assert r["suggested_price"] == pytest.approx(
+            r["rptd_pr"] * r["dec_shift_factor"]
+        )
+        if r["dec_shift_flag"] == 0:
+            assert r["dec_shift_factor"] == 1.0
+            assert r["suggested_price"] == r["rptd_pr"]
+        else:
+            # corrected prices obey the plausibility gate
+            assert 5.0 <= r["suggested_price"] <= 300.0
+
+
+@given(series=prices)
+@SLOW
+def test_clean_mode_only_rescales(sp, series):
+    """mode='clean' changes exactly the flagged rows and the multiset of
+    unflagged prices is preserved."""
+    pdf = pd.DataFrame(
+        {
+            "cusip_id": "X",
+            "trd_exctn_dt": "2024-01-15",
+            "seq": range(len(series)),
+            "rptd_pr": [round(p, 2) for p in series],
+        }
+    )
+    df = sp.createDataFrame(pdf)
+    flagged = decimal_shift_corrector(df, order_cols=("seq",)).orderBy("seq").collect()
+    cleaned = (
+        decimal_shift_corrector(df, order_cols=("seq",), mode="clean")
+        .orderBy("seq")
+        .collect()
+    )
+    for f, c in zip(flagged, cleaned):
+        if f["dec_shift_flag"] == 1:
+            assert c["rptd_pr"] == pytest.approx(f["suggested_price"])
+        else:
+            assert c["rptd_pr"] == f["rptd_pr"]

@@ -952,3 +952,68 @@ def o5_dedup_keep_first(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     out = keep_first(ev, ["user_id", "event_type"], ["ts", "event_id"])
     return out.select("event_id")
+
+
+@register(
+    "s2_standard_normalize",
+    oracle="""
+    WITH coded AS (
+      SELECT l_orderkey, l_linenumber,
+             CASE WHEN l_quantity > 45 THEN '5MM+'
+                  WHEN l_quantity > 40 THEN '1MM+'
+                  ELSE CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) END AS vol_tx,
+             CASE CAST(l_linenumber % 6 AS INT)
+                  WHEN 0 THEN 'G' WHEN 1 THEN 'M' WHEN 2 THEN 'H'
+                  WHEN 3 THEN 'N' WHEN 4 THEN 'I' ELSE 'O' END AS trc_st_raw,
+             CASE WHEN l_returnflag = 'N' THEN NULL ELSE l_returnflag END AS side_a,
+             l_linestatus AS side_b
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber,
+           CASE vol_tx WHEN '5MM+' THEN 5000000.0 WHEN '1MM+' THEN 1000000.0
+                ELSE TRY_CAST(vol_tx AS DOUBLE) END AS volume,
+           CASE WHEN trc_st_raw IN ('G', 'M') THEN 'T'
+                WHEN trc_st_raw IN ('H', 'N') THEN 'C'
+                WHEN trc_st_raw IN ('I', 'O') THEN 'W'
+                ELSE trc_st_raw END AS trc_st,
+           COALESCE(side_a, side_b) AS rpt_side_cd
+    FROM coded
+    """,
+)
+def s2_standard_normalize(spark, sf_dir):
+    """Standard/144A scan normalization (SURVEY §3.2,
+    `create_daily_standard_trace.py:1742-1753, 1905-1908`): string
+    volume with capped codes '5MM+'/'1MM+' decoded to numerics
+    (null-on-parse-failure), trc_st code folding G/M→T H/N→C I/O→W,
+    and report-side fallback via coalesce."""
+    li = load_table(spark, sf_dir, "lineitem")
+    coded = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_quantity") > 45, F.lit("5MM+"))
+        .when(F.col("l_quantity") > 40, F.lit("1MM+"))
+        .otherwise(F.col("l_quantity").cast("long").cast("string"))
+        .alias("vol_tx"),
+        F.element_at(
+            F.array(*[F.lit(c) for c in "GMHNIO"]),
+            (F.col("l_linenumber") % 6 + 1).cast("int"),
+        ).alias("trc_st_raw"),
+        F.when(F.col("l_returnflag") == "N", F.lit(None))
+        .otherwise(F.col("l_returnflag"))
+        .alias("side_a"),
+        F.col("l_linestatus").alias("side_b"),
+    )
+    return coded.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("vol_tx") == "5MM+", 5000000.0)
+        .when(F.col("vol_tx") == "1MM+", 1000000.0)
+        .otherwise(F.col("vol_tx").try_cast("double"))
+        .alias("volume"),
+        F.when(F.col("trc_st_raw").isin("G", "M"), "T")
+        .when(F.col("trc_st_raw").isin("H", "N"), "C")
+        .when(F.col("trc_st_raw").isin("I", "O"), "W")
+        .otherwise(F.col("trc_st_raw"))
+        .alias("trc_st"),
+        F.coalesce("side_a", "side_b").alias("rpt_side_cd"),
+    )

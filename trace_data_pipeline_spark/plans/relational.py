@@ -630,11 +630,17 @@ def w5_sequence_number(spark, sf_dir):
 @register(
     "w6_log_return_filter",
     oracle="""
-    WITH d AS (
-      SELECT event_id, user_id,
-             ln(value) - lag(ln(value)) OVER w AS d_in,
-             lead(ln(value)) OVER w - ln(value) AS d_out
+    WITH lp AS (
+      -- Spark's log() is null on non-positive input; DuckDB's ln()
+      -- throws — guard to match (zero prices are bad prints anyway)
+      SELECT event_id, user_id, ts,
+             CASE WHEN value > 0 THEN ln(value) END AS lv
       FROM events
+    ), d AS (
+      SELECT event_id, user_id,
+             lv - lag(lv) OVER w AS d_in,
+             lead(lv) OVER w - lv AS d_out
+      FROM lp
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
     SELECT event_id FROM d

@@ -135,3 +135,82 @@ def lsh_cosine_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("a", "b", "cos_sim")
     )
+
+
+def assign_clusters(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """IVF coarse quantization: nearest centroid by cosine (rounded,
+    centroid-id tiebreak — membership must not flip on ulp noise, it
+    would cascade into different candidate sets). Centroids broadcast;
+    one narrow pass over the corpus."""
+    c = centroids.select(
+        F.col(id_col).alias("__cid"), F.col(vec_col).alias("__ce")
+    )
+    scored = vectors.crossJoin(F.broadcast(c)).withColumn(
+        "__sim", F.round(cosine(F.col(vec_col), F.col("__ce")), round_dp)
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__sim").desc(), F.col("__cid")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, vec_col, F.col("__cid").alias("cluster"))
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors are bucketed by nearest
+    centroid; each query probes its n_probe nearest clusters and scores
+    only those buckets. At scale this replaces the Q×N cross join with
+    Q×(N/n_clusters·n_probe) — the candidate join is an equi-join on
+    the cluster id, so it shuffles once and AQE handles bucket skew."""
+    corpus_assigned = assign_clusters(corpus, centroids, id_col, vec_col)
+    c = centroids.select(
+        F.col(id_col).alias("__cid"), F.col(vec_col).alias("__ce")
+    )
+    q_probes = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+        .crossJoin(F.broadcast(c))
+        .withColumn("__sim", F.round(cosine(F.col("__qv"), F.col("__ce")), 6))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("__sim").desc(), F.col("__cid")
+    )
+    probes = (
+        q_probes.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= n_probe)
+        .select("query_id", "__qv", F.col("__cid").alias("cluster"))
+    )
+    cand = probes.join(
+        corpus_assigned.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__cv"),
+            "cluster",
+        ),
+        "cluster",
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = cand.withColumn(
+        "cos_sim", F.round(cosine(F.col("__qv"), F.col("__cv")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

@@ -494,3 +494,67 @@ def s1_sessionize(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         F.min("event_id").alias("first_event"),
     )
+
+
+_COS = (
+    "round(list_dot_product({a}, {b})"
+    " / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+
+@register(
+    "d13_ivf_topk",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    cent AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id % 125 = 0),
+    ca AS (
+      SELECT v.vec_id, v.e, cent.cid,
+             {_COS.format(a="v.e", b="cent.ce")} AS s
+      FROM v CROSS JOIN cent
+    ),
+    assigned AS (
+      SELECT vec_id, e, cid AS cluster FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY s DESC, cid) AS rn FROM ca)
+      WHERE rn = 1
+    ),
+    qp AS (
+      SELECT vec_id AS query_id, e AS qe, cid AS cluster FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY s DESC, cid) AS rn
+        FROM ca WHERE vec_id % 50 = 0)
+      WHERE rn <= 2
+    ),
+    cand AS (
+      SELECT qp.query_id, a.vec_id AS neighbor_id,
+             {_COS.format(a="qp.qe", b="a.e")} AS cos_sim
+      FROM qp JOIN assigned a USING (cluster)
+      WHERE qp.query_id != a.vec_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM cand
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def d13_ivf_topk(spark, sf_dir):
+    """IVF-bucketed ANN (the scale path next to d10's brute force):
+    deterministic coarse centroids (every 125th vector), corpus bucketed
+    by nearest centroid, queries probe their 2 nearest clusters, exact
+    cosine only inside the probed buckets. Candidate meeting is an
+    equi-join on cluster — no Q×N cross join."""
+    from trace_data_pipeline_spark.datapipe.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 125 == 0)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    out = ivf_topk(queries, emb, centroids, k=5, n_probe=2)
+    return out.select(
+        "query_id", "neighbor_id", "cos_sim",
+        F.col("rank").cast("long").alias("rank"),
+    )

@@ -243,3 +243,82 @@ def a14_resample_ffill(spark, sf_dir):
         F.date_format("d", "yyyy-MM-dd").alias("d"),
         F.col("value").alias("filled"),
     )
+
+
+@register(
+    "w8b_composite_ratings",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                  ELSE 1 + (o_orderkey * 13) % 22 END AS sp_num,
+             CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                  ELSE 1 + (o_orderkey * 17) % 21 END AS mdy_num
+      FROM orders
+    ), adj AS (
+      SELECT o_orderkey, sp_num,
+             CASE WHEN mdy_num >= 21 THEN 22 ELSE mdy_num END AS mdy_adj
+      FROM r
+    ), comp AS (
+      SELECT o_orderkey, sp_num, mdy_adj,
+             COALESCE(sp_num, mdy_adj) AS sp_composite,
+             COALESCE(mdy_adj, sp_num) AS mdy_composite,
+             CASE WHEN sp_num <= 7 THEN 1 WHEN sp_num <= 10 THEN 2
+                  WHEN sp_num <= 13 THEN 3 WHEN sp_num <= 16 THEN 4
+                  WHEN sp_num <= 19 THEN 5 WHEN sp_num <= 22 THEN 6 END AS sp_naic
+      FROM adj
+    )
+    SELECT o_orderkey, sp_composite, mdy_composite, sp_naic,
+           CASE WHEN sp_composite IS NULL AND mdy_composite IS NULL THEN NULL
+                WHEN sp_composite IS NULL THEN CAST(mdy_composite AS DOUBLE)
+                WHEN mdy_composite IS NULL THEN CAST(sp_composite AS DOUBLE)
+                ELSE (sp_composite + mdy_composite) / 2.0 END AS comp_rating
+    FROM comp
+    """,
+)
+def w8b_composite_ratings(spark, sf_dir):
+    """W8 depth (`stage1_pipeline.py:851-956`, `helper_functions.py:
+    411-433`): Moody's ≥21 adjusted to 22, crosswise coalesce
+    composites, NAIC band mapping, and the null-aware pairwise mean
+    (pandas mean(axis=1): one null → the other value, both null →
+    null — NOT SQL AVG semantics)."""
+    orders = load_table(spark, sf_dir, "orders")
+    r = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+        .otherwise(1 + (F.col("o_orderkey") * 13) % 22)
+        .alias("sp_num"),
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit(None))
+        .otherwise(1 + (F.col("o_orderkey") * 17) % 21)
+        .alias("mdy_num"),
+    )
+    adj = r.withColumn(
+        "mdy_adj",
+        F.when(F.col("mdy_num") >= 21, F.lit(22)).otherwise(F.col("mdy_num")),
+    )
+    sp_comp = F.coalesce("sp_num", "mdy_adj")
+    mdy_comp = F.coalesce("mdy_adj", "sp_num")
+    naic = (
+        F.when(F.col("sp_num") <= 7, 1)
+        .when(F.col("sp_num") <= 10, 2)
+        .when(F.col("sp_num") <= 13, 3)
+        .when(F.col("sp_num") <= 16, 4)
+        .when(F.col("sp_num") <= 19, 5)
+        .when(F.col("sp_num") <= 22, 6)
+    )
+    comp = adj.select(
+        "o_orderkey",
+        sp_comp.alias("sp_composite"),
+        mdy_comp.alias("mdy_composite"),
+        naic.alias("sp_naic"),
+    )
+    mean_na = (
+        F.when(
+            F.col("sp_composite").isNull() & F.col("mdy_composite").isNull(),
+            F.lit(None),
+        )
+        .when(F.col("sp_composite").isNull(), F.col("mdy_composite").cast("double"))
+        .when(F.col("mdy_composite").isNull(), F.col("sp_composite").cast("double"))
+        .otherwise((F.col("sp_composite") + F.col("mdy_composite")) / 2.0)
+    )
+    return comp.withColumn("comp_rating", mean_na)

@@ -24,6 +24,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import ByteType, StructField, StructType
 
+from trace_data_pipeline_spark.operators.parallelism import pin_group_parallelism
+
 EPS = 1e-12
 
 
@@ -203,7 +205,11 @@ def bounce_back_filter(
         [df.schema[c] for c in df.columns]
         + [StructField("filtered_error", ByteType())]
     )
-    out = df.groupBy(id_col).applyInPandas(kernel, schema=schema)
+    out = (
+        pin_group_parallelism(df, id_col)
+        .groupBy(id_col)
+        .applyInPandas(kernel, schema=schema)
+    )
     if mode == "clean":
         out = out.filter(out["filtered_error"] == 0).drop("filtered_error")
     return out

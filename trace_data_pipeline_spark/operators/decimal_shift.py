@@ -33,6 +33,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, StructField, StructType
 
+from trace_data_pipeline_spark.operators.parallelism import pin_group_parallelism
+
 EPS = 1e-12
 
 
@@ -83,7 +85,11 @@ def rolling_unique_anchor(
         + [StructField("anchor_price", DoubleType())]
     )
     kernel = _anchor_kernel(price_col, order_cols, window)
-    anchored = dedup.groupBy(id_col).applyInPandas(kernel, schema=schema)
+    anchored = (
+        pin_group_parallelism(dedup, id_col)
+        .groupBy(id_col)
+        .applyInPandas(kernel, schema=schema)
+    )
     return anchored.select(id_col, date_col, price_col, "anchor_price")
 
 

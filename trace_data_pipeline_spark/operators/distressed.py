@@ -28,6 +28,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ByteType, StructField, StructType
 
+from trace_data_pipeline_spark.operators.parallelism import pin_group_parallelism
+
 ROUND_NUMBERS = (0.001, 0.01, 0.05, 0.10, 0.25, 0.50, 0.75, 1.00)
 
 
@@ -206,7 +208,11 @@ def ultra_distressed_filter(
             StructField("flag_plateau_sequence", ByteType()),
         ]
     )
-    out = df.groupBy(id_col).applyInPandas(kernel, schema=schema)
+    out = (
+        pin_group_parallelism(df, id_col)
+        .groupBy(id_col)
+        .applyInPandas(kernel, schema=schema)
+    )
 
     # filter 4 is row-local: stay JVM-side; null-aware like the
     # reference (stats over the non-null subset, ≥2 values required)

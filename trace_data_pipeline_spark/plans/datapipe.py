@@ -35,7 +35,20 @@ from trace_data_pipeline_spark.datapipe.text import (
     tokens,
 )
 from trace_data_pipeline_spark.plans.catalog import register
+from trace_data_pipeline_spark.operators.parallelism import ensure_min_parallelism
 from trace_data_pipeline_spark.sources import load_table
+
+
+def _docs(spark, sf_dir):
+    """documents scan widened for CPU-bound text derivation — a small
+    compressed file is one input split, which would serialize every
+    tokenize/shingle/hash expression on one core."""
+    return ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
+
+
+def _emb(spark, sf_dir):
+    """embeddings scan widened for vector math (same rationale)."""
+    return ensure_min_parallelism(load_table(spark, sf_dir, "embeddings"))
 
 # ---- shared SQL fragments (DuckDB) ------------------------------------
 
@@ -99,7 +112,7 @@ bands AS (
 def d1_exact_dedup(spark, sf_dir):
     """Exact dedup: hash-groupBy on the content digest; keeper = min id
     per cluster."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return exact_dedup_clusters(docs)
 
 
@@ -125,7 +138,7 @@ def d1_exact_dedup(spark, sf_dir):
 def d2_ngram_jaccard_pairs(spark, sf_dir):
     """N-gram Jaccard near-dup pairs via a shingle inverted index —
     pairs meet only on shared grams, never a full cross join."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.2)
     return pairs.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
@@ -137,7 +150,7 @@ def d2_ngram_jaccard_pairs(spark, sf_dir):
 def d3_minhash_bands(spark, sf_dir):
     """MinHash(16)+LSH(4 bands): the banded signature surface — verifies
     the whole shingle→minhash→band pipeline value-for-value."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     sigs = minhash_signatures(docs, n=3, num_hashes=_N_HASHES)
     return lsh_bands(sigs, _N_HASHES, _BANDS)
 
@@ -168,7 +181,7 @@ def d3_minhash_bands(spark, sf_dir):
 def d4_minhash_lsh_pairs(spark, sf_dir):
     """MinHash+LSH near-dup detection: band-collision candidates, exact
     Jaccard verify on candidates only — the 100 TB-safe dedup path."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     pairs = minhash_lsh_pairs(
         docs, n=3, num_hashes=_N_HASHES, bands=_BANDS, verify_threshold=0.4
     )
@@ -203,7 +216,7 @@ def d4_minhash_lsh_pairs(spark, sf_dir):
 def d5_simhash(spark, sf_dir):
     """SimHash-64 document fingerprints: md5-derived per-token bit
     votes, sign of the vote sum per position."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return simhash_bits(docs)
 
 
@@ -220,7 +233,7 @@ def d5_simhash(spark, sf_dir):
 def d6_bag_fingerprint(spark, sf_dir):
     """Order-insensitive content fingerprint: md5 over the sorted
     distinct token bag."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return docs.select(
         "doc_id", bag_fingerprint(tokens(F.col("text"))).alias("fingerprint")
     )
@@ -255,7 +268,7 @@ def d7_text_stats(spark, sf_dir):
     """Per-document quality statistics: token count, stopword count,
     vocabulary diversity, mean token length, composite quality score —
     all JVM-side array algebra."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     t = tokens(F.col("text"))
     return docs.select(
         "doc_id",
@@ -292,7 +305,7 @@ def _lang_guess_sql() -> str:
 def d8_lang_id(spark, sf_dir):
     """Marker-token language-ID heuristic (argmax over per-language
     stopword hit counts, fixed-order tie break)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     t = tokens(F.col("text"))
     return docs.select(
         "doc_id",
@@ -318,7 +331,7 @@ def d8_lang_id(spark, sf_dir):
 def d9_embedding_norms(spark, sf_dir):
     """Vector plumbing surface: L2 norm + dimensionality per embedding,
     float64 math."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     out = embedding_norms(emb, dim=64)
     return out.select("vec_id", "l2_norm", F.col("dim").cast("long").alias("dim"))
 
@@ -347,7 +360,7 @@ def d9_embedding_norms(spark, sf_dir):
 def d10_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k ANN baseline: broadcast query set ×
     corpus, rank on the rounded similarity with an id tiebreak."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     out = brute_force_topk(queries, emb, k=5, dim=64)
     return out.select(
@@ -401,7 +414,7 @@ def d11_lsh_cosine_pairs(spark, sf_dir):
     """Embedding near-dup scale path: sign-pattern LSH buckets from 8
     fixed hyperplanes, candidates meet on the bucket key (one shuffle,
     no cross join), exact cosine verify on candidates only."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     # NB: dim-unrolled cosine is NOT used here — the bucket-join stage
     # already carries 8 plane dot products, and a further 3×64-term
     # unrolled expression pushes janino past the 64 KB method limit,
@@ -437,7 +450,7 @@ def d12_media_features(spark, sf_dir):
     is bit-exact with no rounding."""
     from trace_data_pipeline_spark.datapipe.multimodal import extract_features
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.encode(F.col("text"), "utf-8").alias("payload"),
@@ -550,7 +563,7 @@ def d13_ivf_topk(spark, sf_dir):
     equi-join on cluster — no Q×N cross join."""
     from trace_data_pipeline_spark.datapipe.similarity import ivf_topk
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     centroids = emb.filter(F.col("vec_id") % 125 == 0)
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     out = ivf_topk(queries, emb, centroids, k=5, n_probe=2)

@@ -115,3 +115,80 @@ def test_audit_ledger_counts(spark):
     assert counts == sorted(counts, reverse=True)
     for earlier, later in zip(rows, rows[1:]):
         assert later["rows_before"] == earlier["rows_after"]
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionizer over time-ordered micro-batch
+    drops == batch lag+cumsum sessionization, for every CLOSED session
+    (each user's final session is still open in stream state)."""
+    from pyspark.sql import Window
+
+    from trace_data_pipeline_spark.streaming.sessions import streaming_sessionize
+
+    ev = load_table(spark, TEST_SF_DIR, "events").select("ts", "user_id", "event_id")
+
+    # three drops split by event-time terciles: replay preserves each
+    # user's time order across micro-batches (the operator's contract)
+    lo, hi = ev.selectExpr(
+        "percentile(unix_micros(ts), 0.33)", "percentile(unix_micros(ts), 0.66)"
+    ).first()
+    us = F.unix_micros("ts")
+    drops = [
+        ev.filter(us <= F.lit(int(lo))),
+        ev.filter((us > F.lit(int(lo))) & (us <= F.lit(int(hi)))),
+        ev.filter(us > F.lit(int(hi))),
+    ]
+    src = os.path.join(str(tmp_path), "sess_drops")
+    for i, d in enumerate(drops):
+        p = os.path.join(src, f"drop_{i}.parquet")
+        d.write.mode("overwrite").parquet(p)
+        # file-source replays in mtime order — make it deterministic
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (1_000_000 + i, 1_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "*"))
+    )
+    q = (
+        streaming_sessionize(stream)
+        .writeStream.format("memory")
+        .queryName("sessions_test")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM sessions_test").toPandas()
+
+    # batch twin: same gap/tiebreak; drop each user's last session
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    new_s = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = ev.withColumn("sid", F.sum(new_s).over(cum))
+    agg = sess.groupBy("user_id", "sid").agg(
+        F.min(F.unix_micros("ts")).alias("session_start_us"),
+        F.max(F.unix_micros("ts")).alias("session_end_us"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("event_id").alias("first_event"),
+    )
+    last_sid = Window.partitionBy("user_id")
+    want = (
+        agg.withColumn("max_sid", F.max("sid").over(last_sid))
+        .filter(F.col("sid") != F.col("max_sid"))
+        .drop("sid", "max_sid")
+        .toPandas()
+    )
+
+    key = ["user_id", "session_start_us"]
+    got = got.sort_values(key).reset_index(drop=True)[sorted(got.columns)]
+    want = want.sort_values(key).reset_index(drop=True)[sorted(want.columns)]
+    assert len(got) > 0, "no closed sessions emitted"
+    assert got.astype("int64").equals(want.astype("int64")), (
+        f"stream sessions != batch sessions\n{got.head()}\n{want.head()}"
+    )

@@ -34,6 +34,67 @@ def token_count(toks: Column) -> Column:
     return F.size(toks)
 
 
+# BPE pre-tokenization shape: letter runs, single digits, single
+# punctuation marks — the split byte-pair encoders apply before merges.
+# Kept to syntax valid in both Java regex and RE2 so the DuckDB oracle
+# runs the identical pattern.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def subword_count(text: Column) -> Column:
+    """BPE-ish subword count over raw text (no vocab): a cheap proxy for
+    LLM token cost that, unlike whitespace counting, bills punctuation
+    and digit runs the way a byte-pair encoder would."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), F.lit(0)))
+
+
+def winnow_fingerprints(
+    df, text_col: str = "text", id_col: str = "doc_id", k: int = 8, w: int = 4
+):
+    """Winnowing document fingerprint (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003): md5 every k-char gram, take the minimum hash in each
+    sliding window of w grams, distinct the selected mins. Any shared
+    substring of length >= k + w - 1 contributes a shared fingerprint —
+    the standard rolling-hash near-dup/plagiarism sketch.
+
+    Formulated as posexplode + sliding window-min so each gram is
+    hashed exactly ONCE (an array-expression formulation would re-hash
+    the gram sequence per window under projection collapse). One
+    shuffle on doc_id; per-doc state is one document's gram sequence.
+    Docs shorter than k + w - 1 chars yield no fingerprint row.
+    Returns (doc_id, n_fp, fp_hash)."""
+    from pyspark.sql import Window
+
+    t = df.select(
+        F.col(id_col).alias("doc_id"), F.trim(F.col(text_col)).alias("__t")
+    )
+    grams = t.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"IF(length(__t) >= {k}, "
+                f"transform(sequence(1, length(__t) - {k - 1}), "
+                f"i -> md5(substring(__t, i, {k}))), "
+                f"array())"
+            )
+        ).alias("pos", "h"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    cnt = Window.partitionBy("doc_id")
+    mins = (
+        grams.withColumn("n", F.count(F.lit(1)).over(cnt))
+        .withColumn("mh", F.min("h").over(win))
+        .filter(F.col("pos") <= F.col("n") - w)
+    )
+    # collect_set dedups inside one partial/final aggregate — a separate
+    # distinct would cost a second shuffle on (doc_id, mh)
+    fps = F.array_sort(F.collect_set("mh"))
+    return mins.groupBy("doc_id").agg(
+        F.size(F.collect_set("mh")).alias("n_fp"),
+        F.md5(F.concat_ws("", fps)).alias("fp_hash"),
+    )
+
+
 def stopword_count(toks: Column, stopwords: list[str] | None = None) -> Column:
     sw = stopwords or DEFAULT_STOPWORDS
     return F.size(F.filter(toks, lambda t: t.isin(sw)))

@@ -32,8 +32,12 @@ from trace_data_pipeline_spark.datapipe.text import (
     mean_token_length,
     quality_score,
     stopword_count,
+    subword_count,
+    token_count,
     tokens,
+    winnow_fingerprints,
 )
+from trace_data_pipeline_spark.functions.scalars import round_ratio_half_up
 from trace_data_pipeline_spark.plans.catalog import register
 from trace_data_pipeline_spark.operators.parallelism import ensure_min_parallelism
 from trace_data_pipeline_spark.sources import load_table
@@ -571,3 +575,69 @@ def d13_ivf_topk(spark, sf_dir):
         "query_id", "neighbor_id", "cos_sim",
         F.col("rank").cast("long").alias("rank"),
     )
+
+
+@register(
+    "d14_subword_counts",
+    oracle=r"""
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\s+')) AS n_ws,
+           len(regexp_extract_all(trim(text), '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))
+             AS n_subword,
+           length(trim(text)) AS n_chars,
+           CAST((2 * len(regexp_extract_all(trim(text),
+                         '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) * 1000000
+                 + len(string_split_regex(trim(text), '\s+')))
+                // (2 * len(string_split_regex(trim(text), '\s+')))
+                AS DOUBLE) / 1000000 AS subword_per_ws
+    FROM documents
+    """,
+)
+def d14_subword_counts(spark, sf_dir):
+    """Token-cost accounting for LLM data curation: whitespace token
+    count vs BPE-ish subword count (letter runs / single digits /
+    single punctuation — the byte-pair pre-tokenization split) plus the
+    exact half-up subwords-per-word ratio. Pattern is Java-regex and
+    RE2 compatible so the oracle runs the identical expression."""
+    docs = _docs(spark, sf_dir)
+    t = F.trim(F.col("text"))
+    n_ws = token_count(tokens(F.col("text")))
+    n_sub = subword_count(t)
+    return docs.select(
+        "doc_id",
+        n_ws.alias("n_ws"),
+        n_sub.alias("n_subword"),
+        F.length(t).alias("n_chars"),
+        round_ratio_half_up(n_sub, n_ws, 6).alias("subword_per_ws"),
+    )
+
+
+@register(
+    "d15_winnow_fingerprint",
+    oracle="""
+    WITH t AS (SELECT doc_id, trim(text) AS t FROM documents),
+    g AS (
+      SELECT doc_id, i, md5(substr(t, CAST(i AS INTEGER), 8)) AS h,
+             length(t) - 7 AS n
+      FROM (SELECT doc_id, t, UNNEST(range(1, greatest(length(t) - 6, 1))) AS i
+            FROM t WHERE length(t) >= 8)
+    ),
+    m AS (
+      SELECT doc_id, i, n,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh
+      FROM g
+    ),
+    sel AS (SELECT DISTINCT doc_id, mh FROM m WHERE i <= n - 3)
+    SELECT doc_id, COUNT(*) AS n_fp,
+           md5(string_agg(mh, '' ORDER BY mh)) AS fp_hash
+    FROM sel GROUP BY doc_id
+    """,
+)
+def d15_winnow_fingerprint(spark, sf_dir):
+    """Rolling-hash document fingerprinting via winnowing (k=8 char
+    grams, window w=4): the MOSS sketch — any shared substring of
+    length >= 11 chars yields a shared fingerprint hash. Gram hashing
+    is one pass (posexplode + sliding window-min), one shuffle on
+    doc_id."""
+    return winnow_fingerprints(_docs(spark, sf_dir), "text", "doc_id", k=8, w=4)

@@ -103,3 +103,60 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         "media_id",
         F.explode(F.sequence(F.lit(0), n_frames)).alias("frame_idx"),
     ).withColumn("frame_ts_ms", F.col("frame_idx") * F.lit(every_ms))
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("out_width", T.IntegerType(), True),
+        T.StructField("out_height", T.IntegerType(), True),
+    ]
+)
+
+
+def _fake_resize(payload: bytes, w: int, h: int) -> bytes:
+    """Deterministic stand-in for decode→resize→re-encode: tags the
+    content hash with the target geometry. Swap for a real codec in
+    production; the operator contract (binary in, binary out, bounded
+    batches) is what's under test."""
+    digest = hashlib.md5(payload or b"").digest()
+    return digest + w.to_bytes(4, "big") + h.to_bytes(4, "big")
+
+
+def resize_images(media: DataFrame, max_side: int = 256, batch_size: int = 64) -> DataFrame:
+    """Aspect-preserving downscale plan. Target geometry is pure column
+    algebra (JVM, prunable, never upscales); only the pixel transform
+    crosses into Python, Arrow-batched with a small batch size because
+    decoded frames are orders of magnitude larger than their payloads.
+    Rows with no/degenerate geometry metadata pass through unresized."""
+    w = F.col("meta.width").cast("double")
+    h = F.col("meta.height").cast("double")
+    valid = w.isNotNull() & h.isNotNull() & (F.greatest(w, h) > 0)
+    scale = F.least(F.lit(1.0), F.lit(float(max_side)) / F.greatest(w, h))
+    sized = media.select(
+        "media_id",
+        "payload",
+        F.when(valid, F.greatest(F.round(w * scale).cast("int"), F.lit(1)))
+        .otherwise(F.col("meta.width"))
+        .alias("out_width"),
+        F.when(valid, F.greatest(F.round(h * scale).cast("int"), F.lit(1)))
+        .otherwise(F.col("meta.height"))
+        .alias("out_height"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[start : start + batch_size].copy()
+                chunk["payload"] = [
+                    _fake_resize(p, int(cw) if pd.notna(cw) else 0,
+                                 int(ch) if pd.notna(ch) else 0)
+                    if p is not None else None
+                    for p, cw, ch in zip(
+                        chunk["payload"], chunk["out_width"], chunk["out_height"]
+                    )
+                ]
+                yield chunk[["media_id", "payload", "out_width", "out_height"]]
+
+    return sized.mapInPandas(run, RESIZED_SCHEMA)

@@ -1,8 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 Backed by trace_data_pipeline_spark.plans — each catalog entry pairs a
-Spark plan builder with its DuckDB oracle SQL (None for operators SQL
-can't express; those get rows-only checks + golden tests in tests/).
+Spark plan builder with its DuckDB oracle SQL — every entry carries
+one (sequential kernels fold into recursive CTEs); golden tests pin
+the kernels besides.
 """
 
 from __future__ import annotations

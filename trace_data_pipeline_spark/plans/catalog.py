@@ -1,9 +1,9 @@
 """Query catalog — the driver contract's backing registry.
 
 Each entry pairs a Spark plan builder (spark, sf_dir) -> DataFrame with
-an equivalent ANSI-SQL oracle string for DuckDB (None for operators the
-oracle can't express — grouped-map state machines etc., which get
-rows-only checks plus golden unit tests in tests/).
+an equivalent ANSI-SQL oracle string for DuckDB — every current entry
+has one (even the W2 grouped-map state machine, folded as a recursive
+CTE); None would fall back to a rows-only check.
 
 Design rules for oracle parity (floating point):
 - every computed float column is ROUNDed identically on both sides;

@@ -12,8 +12,11 @@ always defined), and medians/gates are bit-exact double algebra in both
 engines, so the comparison needs NO rounding at all.
 
 w2 is a sequential state machine (lookahead scan, blame reassignment,
-cooldown) — not expressible in SQL; it gets the rows-only check here
-and golden unit tests in tests/test_error_correction.py.
+cooldown) — beyond DataFrame algebra, but still foldable: its oracle
+runs the identical scan as a DuckDB RECURSIVE CTE (state = cursor,
+cooldown bound, flag list; one recursion step per loop iteration), so
+w2 and the full p1 composite are value-hash-checked like everything
+else, plus golden unit tests in tests/test_error_correction.py.
 """
 
 from __future__ import annotations
@@ -99,6 +102,159 @@ FROM gated
 )
 
 
+
+# ---- W2 state machine as a DuckDB recursive CTE -----------------------
+#
+# The bounce-back filter is a per-id sequential scan with variable
+# advance (lookahead bounce, blame reassignment, plateau extension, par
+# runs, cooldown). It is still expressible as a *recursive* SQL
+# fold: state = (cursor i, cooldown bound, flag list); one recursion
+# step mirrors one iteration of the kernel loop, bit-for-bit (same
+# constants, same EPS slop, numpy-median formula written out). The
+# machine below expects a CTE named w2src(user_id, event_id, ts, p)
+# and yields w2flags(event_id, filtered_error).
+_W2_MACHINE = r"""
+w2ord AS (
+  SELECT user_id, event_id, p,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i
+  FROM w2src
+),
+w2arr AS (
+  SELECT user_id,
+         list(p ORDER BY i) AS ps,
+         list(event_id ORDER BY i) AS eids,
+         COUNT(*)::BIGINT AS n
+  FROM w2ord GROUP BY user_id
+),
+w2pre AS (
+  SELECT user_id, ps, eids, n,
+         list_transform(range(1, n + 1), i ->
+           CASE WHEN i = 1 THEN NULL ELSE ps[i] - ps[i - 1] END) AS ds,
+         list_transform(range(1, n + 1), i ->
+           CASE WHEN i = 1 THEN NULL ELSE (
+             CASE WHEN len(list_distinct(ps[greatest(1, i - 6):i - 1])) % 2 = 1
+                  THEN list_sort(list_distinct(ps[greatest(1, i - 6):i - 1]))
+                       [(len(list_distinct(ps[greatest(1, i - 6):i - 1])) + 1) // 2]
+                  ELSE (list_sort(list_distinct(ps[greatest(1, i - 6):i - 1]))
+                        [len(list_distinct(ps[greatest(1, i - 6):i - 1])) // 2]
+                      + list_sort(list_distinct(ps[greatest(1, i - 6):i - 1]))
+                        [len(list_distinct(ps[greatest(1, i - 6):i - 1])) // 2 + 1]) / 2.0
+             END) END) AS bases
+  FROM w2arr
+),
+w2st AS (
+  SELECT user_id, 1::BIGINT AS i, (-1)::BIGINT AS cd,
+         list_transform(range(1, n + 1), x -> 0::TINYINT) AS flags,
+         0::BIGINT AS step
+  FROM w2pre
+  UNION ALL
+  SELECT user_id,
+         CASE WHEN skip OR NOT cand THEN i + 1
+              WHEN stop_at IS NOT NULL THEN stop_at + 1
+              WHEN par_hit AND run_len >= 3 THEN run_end + 1
+              ELSE i + 1 END,
+         CASE WHEN NOT skip AND cand AND stop_at IS NOT NULL AND par_hit
+                THEN greatest(cd, stop_at + 2)
+              WHEN NOT skip AND cand AND stop_at IS NULL AND par_hit AND run_len >= 3
+                THEN greatest(cd, run_end + 2)
+              ELSE cd END,
+         CASE WHEN NOT skip AND cand AND stop_at IS NOT NULL THEN
+                list_transform(range(1, n + 1), x ->
+                  CASE WHEN x = start_idx AND flag_start THEN 1::TINYINT
+                       WHEN x > start_idx AND x <= least(stop_at, start_idx + 5) THEN
+                         CASE WHEN par_hit THEN
+                                (CASE WHEN abs(ps[x] - 100.0) <= 1e-8
+                                      THEN 1::TINYINT ELSE flags[x] END)
+                              WHEN x < first_fail THEN 1::TINYINT
+                              ELSE flags[x] END
+                       ELSE flags[x] END)
+              WHEN NOT skip AND cand AND stop_at IS NULL AND par_hit AND run_len >= 3 THEN
+                list_transform(range(1, n + 1), x ->
+                  CASE WHEN x >= i AND x <= run_end THEN 1::TINYINT ELSE flags[x] END)
+              ELSE flags END,
+         step + 1
+  FROM (
+    SELECT *,
+           ((NOT par_hit) OR abs(ps[start_idx] - 100.0) <= 1e-8) AS flag_start,
+           COALESCE(list_min(list_filter(range(start_idx + 1,
+                                               least(stop_at, start_idx + 5) + 1),
+             k -> NOT (bases[start_idx] IS NOT NULL
+                       AND abs(ps[k] - bases[start_idx]) >= 8.75 - 1e-12))),
+             9223372036854775807) AS first_fail
+    FROM (
+      SELECT *,
+             CASE WHEN cand AND stop_at IS NOT NULL AND i > 1
+                       AND bases[i - 1] IS NOT NULL AND bases[i] IS NOT NULL
+                       AND (abs(ps[i - 1] - bases[i - 1]) - abs(ps[i] - bases[i]))
+                           >= (5.0 - 1e-12)
+                       AND abs(ps[i - 1] - bases[i - 1]) >= (8.75 - 1e-12)
+                  THEN i - 1 ELSE i END AS start_idx
+      FROM (
+        SELECT *,
+               CASE WHEN cand AND NOT par_only THEN
+                 list_min(list_filter(range(i + 1, least(n, i + 5) + 1), j ->
+                   (ds[i] IS NOT NULL AND ds[j] IS NOT NULL
+                    AND sign(ds[j]) = -sign(ds[i])
+                    AND abs(ds[j]) >= 34.0 - 1e-12)
+                   OR (bases[i] IS NOT NULL
+                       AND abs(ps[j] - bases[i]) <= 8.75 + 1e-12)))
+               ELSE NULL END AS stop_at,
+               COALESCE(list_min(list_filter(range(i + 1, n + 1),
+                 k -> NOT (abs(ps[k] - 100.0) <= 1e-8))), n + 1) - 1 AS run_end,
+               COALESCE(list_min(list_filter(range(i + 1, n + 1),
+                 k -> NOT (abs(ps[k] - 100.0) <= 1e-8))), n + 1) - 1 - i + 1 AS run_len
+        FROM (
+          SELECT *,
+                 (par_hit AND NOT jump) AS par_only,
+                 (NOT skip AND (jump OR far OR par_hit)) AS cand
+          FROM (
+            SELECT w2st.user_id, w2st.i, w2st.cd, w2st.flags, w2st.step,
+                   w2pre.ps, w2pre.ds, w2pre.bases, w2pre.n,
+                   (w2st.i <= w2st.cd
+                    AND NOT (abs(w2pre.ps[w2st.i] - 100.0) <= 1e-8)) AS skip,
+                   (w2pre.ds[w2st.i] IS NOT NULL
+                    AND abs(w2pre.ds[w2st.i]) >= 34.0 - 1e-12) AS jump,
+                   (w2pre.bases[w2st.i] IS NOT NULL
+                    AND abs(w2pre.ps[w2st.i] - 100.0) <= 1e-8
+                    AND abs(w2pre.ps[w2st.i] - w2pre.bases[w2st.i])
+                        >= 8.75 - 1e-12) AS par_hit,
+                   (w2pre.bases[w2st.i] IS NOT NULL
+                    AND abs(w2pre.ps[w2st.i] - w2pre.bases[w2st.i])
+                        >= 34.0 - 1e-12) AS far
+            FROM w2st JOIN w2pre USING (user_id)
+            WHERE w2st.i <= w2pre.n
+          ) l1x
+        ) l1a
+      ) l1
+    ) l2
+  ) l3
+),
+w2fin AS (
+  SELECT user_id, flags,
+         row_number() OVER (PARTITION BY user_id ORDER BY step DESC) AS rn
+  FROM w2st
+),
+w2flags AS (
+  SELECT UNNEST(w2pre.eids) AS event_id,
+         UNNEST(w2fin.flags)::INT AS filtered_error
+  FROM w2fin JOIN w2pre USING (user_id)
+  WHERE w2fin.rn = 1
+)"""
+
+_W2_ORACLE = (
+    r"""
+WITH RECURSIVE w2src AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN event_id % 97 = 0 THEN value * 100 ELSE value END AS p
+  FROM events
+),
+"""
+    + _W2_MACHINE
+    + "\nSELECT event_id, filtered_error FROM w2flags"
+)
+
+
+
 def _corrupted_events(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     return ev.select(
@@ -134,12 +290,13 @@ def w1_decimal_shift(spark, sf_dir):
     )
 
 
-@register("w2_bounce_back", oracle=None)
+@register("w2_bounce_back", oracle=_W2_ORACLE)
 def w2_bounce_back(spark, sf_dir):
     """W2 bounce-back filter on the corrupted series: per-id sequential
     state machine (lookahead bounce scan, blame reassignment, par runs,
-    cooldown) as an applyInPandas grouped map. Not SQL-expressible —
-    rows-only check here; semantics pinned by golden tests."""
+    cooldown) as an applyInPandas grouped map. Oracle = the same scan
+    as a recursive CTE (_W2_MACHINE) — bit-exact, no rounding; plus
+    golden tests."""
     out = bounce_back_filter(
         _corrupted_events(spark, sf_dir),
         id_col="user_id",
@@ -149,7 +306,6 @@ def w2_bounce_back(spark, sf_dir):
     return out.select(
         "event_id", F.col("filtered_error").cast("int").alias("filtered_error")
     )
-
 
 _P0_ORACLE = (
     _W1_CTE
@@ -173,6 +329,43 @@ SELECT user_id, strftime(d, '%Y-%m-%d') AS d,
        CAST((2 * SUM(CAST(round(cp * 1000, 0) AS BIGINT)) * 10000
              + 1000 * COUNT(*)) // (2000 * COUNT(*)) AS DOUBLE) / 10000 AS prc_ew
 FROM ranked GROUP BY 1, 2
+"""
+)
+
+
+_P1_ORACLE = (
+    _W1_CTE.replace("WITH base AS", "WITH RECURSIVE base AS", 1)
+    + r""",
+cleaned AS (
+  SELECT user_id, d, ts, event_id,
+         CASE WHEN dec_shift_flag = 1 THEN best_price ELSE p END AS cp
+  FROM gated
+),
+w2src AS (
+  SELECT user_id, event_id, ts, cp AS p FROM cleaned
+),
+"""
+    + _W2_MACHINE
+    + r""",
+surv AS (
+  SELECT c.user_id, c.d, c.ts, c.event_id, c.cp
+  FROM cleaned c JOIN w2flags f USING (event_id)
+  WHERE f.filtered_error = 0
+),
+ranked2 AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY user_id, d ORDER BY ts, event_id) AS ra,
+         row_number() OVER (PARTITION BY user_id, d ORDER BY ts DESC, event_id DESC) AS rd
+  FROM surv
+)
+SELECT user_id, strftime(d, '%Y-%m-%d') AS d,
+       COUNT(*) AS n_trades,
+       max(CASE WHEN ra = 1 THEN cp END) AS prc_first,
+       max(CASE WHEN rd = 1 THEN cp END) AS prc_last,
+       max(cp) AS prc_hi, min(cp) AS prc_lo,
+       CAST((2 * SUM(CAST(round(cp * 1000, 0) AS BIGINT)) * 10000
+             + 1000 * COUNT(*)) // (2000 * COUNT(*)) AS DOUBLE) / 10000 AS prc_ew
+FROM ranked2 GROUP BY 1, 2
 """
 )
 
@@ -226,12 +419,12 @@ def p0_stage0_panel(spark, sf_dir):
     )
 
 
-@register("p1_stage0_full", oracle=None)
+@register("p1_stage0_full", oracle=_P1_ORACLE)
 def p1_stage0_full(spark, sf_dir):
     """Full stage-0 chain including the sequential bounce-back filter
     (W2): corrupt → decimal-shift clean → bounce-back clean → daily
-    panel. Rows-only check (W2 is not SQL-expressible); each stage is
-    independently oracle- or golden-verified."""
+    panel — end-to-end value-hash-checked (W1 list-SQL + W2 recursive
+    CTE + panel aggregation composed into one oracle)."""
     cleaned = decimal_shift_corrector(
         _corrupted_events(spark, sf_dir),
         id_col="user_id",

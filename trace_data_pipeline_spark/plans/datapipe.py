@@ -641,3 +641,72 @@ def d15_winnow_fingerprint(spark, sf_dir):
     is one pass (posexplode + sliding window-min), one shuffle on
     doc_id."""
     return winnow_fingerprints(_docs(spark, sf_dir), "text", "doc_id", k=8, w=4)
+
+
+@register(
+    "s3_salted_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows,
+           SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS qty_cents,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price
+    FROM lineitem GROUP BY 1, 2
+    """,
+)
+def s3_salted_agg(spark, sf_dir):
+    """Skew-proof two-stage aggregation (`operators/skew.py`): the
+    group keys here have single-digit cardinality — the worst case for
+    a direct shuffle (every row of a hot key lands on one reducer).
+    Salting spreads each key over 16 partial groups, then re-aggregates;
+    sums accumulate in exact integer cents so the two-stage result is
+    bit-identical to the oracle's single-stage one."""
+    from trace_data_pipeline_spark.operators.skew import salted_aggregate
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "qc", F.round(F.col("l_quantity") * 100, 0).cast("long")
+    )
+    return salted_aggregate(
+        li,
+        keys=["l_returnflag", "l_linestatus"],
+        aggs={
+            "n_rows": ("qc", "count"),
+            "qty_cents": ("qc", "sum"),
+            "min_price": ("l_extendedprice", "min"),
+            "max_price": ("l_extendedprice", "max"),
+        },
+        salts=16,
+    )
+
+
+@register(
+    "s4_hot_cold_join",
+    oracle="""
+    SELECT l.l_orderkey AS okey, COUNT(*) AS n_lines,
+           MIN(o.o_totalprice) AS o_totalprice
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+def s4_hot_cold_join(spark, sf_dir):
+    """Hot/cold split join (`operators/skew.py::skewed_key_split_join`):
+    the heaviest join keys (diagnosed with top_frequent_keys — itself a
+    plan, broadcast into both legs) go through a broadcast join, the
+    long tail through a normal shuffle join; the union is provably the
+    plain join. At cluster scale this is the manual analog of AQE's
+    skew-join split, usable when the skew is known ahead of planning."""
+    from trace_data_pipeline_spark.operators.skew import (
+        skewed_key_split_join,
+        top_frequent_keys,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_orderkey", "l_orderkey"
+    )
+    hot = top_frequent_keys(li, ["l_orderkey"], top_n=5).select("l_orderkey")
+    joined = skewed_key_split_join(li, orders, keys=["l_orderkey"], hot_keys=hot)
+    return joined.groupBy(F.col("l_orderkey").alias("okey")).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.min("o_totalprice").alias("o_totalprice"),
+    )

@@ -1,0 +1,59 @@
+"""Day-count accrual fractions (reference: `stage1/helper_functions.py`
+day_count_basis ∈ {30/360, ACT/ACT, ACT/360, ACT/365} fed to QuantLib,
+`SURVEY.md` W10 row).
+
+All four bases are pure date/integer column algebra — no UDF, fully
+codegen'd, and bit-exact against any engine that does the same integer
+math (each division has exact integer operands, so the double result
+is correctly rounded and identical everywhere).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def thirty_360_us(start: Column, end: Column) -> Column:
+    """30/360 US (NASD): d1 clipped to 30; d2 clipped to 30 only when
+    d1 (after clipping) is 30 and d2 is 31."""
+    d1 = F.least(F.dayofmonth(start), F.lit(30))
+    d2 = F.when(
+        (F.dayofmonth(end) == 31) & (d1 == 30), F.lit(30)
+    ).otherwise(F.dayofmonth(end))
+    days = (
+        (F.year(end) - F.year(start)) * 360
+        + (F.month(end) - F.month(start)) * 30
+        + (d2 - d1)
+    )
+    return days.cast("double") / F.lit(360.0)
+
+
+def act_360(start: Column, end: Column) -> Column:
+    return F.datediff(end, start).cast("double") / F.lit(360.0)
+
+
+def act_365(start: Column, end: Column) -> Column:
+    return F.datediff(end, start).cast("double") / F.lit(365.0)
+
+
+def act_act_isda(start: Column, end: Column) -> Column:
+    """ACT/ACT ISDA: actual days falling in each calendar year divided
+    by that year's actual length (366 in leap years), summed over the
+    years the period touches. The year loop is a sequence aggregate —
+    bounded by the period's year span, still pure column algebra."""
+    return F.aggregate(
+        F.sequence(F.year(start), F.year(end)),
+        F.lit(0.0),
+        lambda acc, y: acc
+        + F.greatest(
+            F.lit(0),
+            F.datediff(
+                F.least(end, F.make_date(y + 1, F.lit(1), F.lit(1))),
+                F.greatest(start, F.make_date(y, F.lit(1), F.lit(1))),
+            ),
+        ).cast("double")
+        / F.when(
+            ((y % 4 == 0) & (y % 100 != 0)) | (y % 400 == 0), F.lit(366.0)
+        ).otherwise(F.lit(365.0)),
+    )

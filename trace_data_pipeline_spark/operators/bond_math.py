@@ -70,6 +70,44 @@ def _sums(
     return pv, dpv, wsum, csum
 
 
+def _solve_frame(
+    price: pd.Series, coupon_pp: pd.Series, n_periods: pd.Series, m: "np.ndarray"
+) -> pd.DataFrame:
+    """Shared solver: per-period Newton fit, annualized by the per-row
+    compounding frequency m (periods/year). Zero-coupon is the c = 0
+    special case — one cash flow at t = n."""
+    import numpy as np
+
+    p = price.to_numpy(dtype=float)
+    c = coupon_pp.to_numpy(dtype=float)
+    n = n_periods.to_numpy(dtype="int64")
+    valid = (n >= 1) & (p > 0.0) & (m >= 1)
+    n_max = int(n[valid].max()) if valid.any() else 0
+
+    y = np.full(p.size, Y0)
+    for _ in range(NEWTON_ITERS):
+        pv, dpv, _, _ = _sums(c, n, y, n_max)
+        with np.errstate(all="ignore"):
+            step = np.where(valid, (pv - p) / dpv, 0.0)
+        y = np.clip(y - step, Y_MIN, Y_MAX)
+    pv, _, wsum, csum = _sums(c, n, y, n_max)
+    with np.errstate(all="ignore"):
+        v = 1.0 / (1.0 + y)
+        mf = m.astype(float)
+        mac_years = wsum / pv / mf
+        out = pd.DataFrame(
+            {
+                "ytm": y * mf,
+                "mac_dur": mac_years,
+                "mod_dur": mac_years / (1.0 + y),
+                "convexity": csum * v * v / pv / (mf * mf),
+                "pv_residual": pv - p,
+            }
+        )
+    out.loc[~valid] = float("nan")
+    return out
+
+
 @F.pandas_udf(_SCHEMA)
 def bond_analytics(
     price: pd.Series, coupon_pp: pd.Series, n_periods: pd.Series
@@ -82,30 +120,14 @@ def bond_analytics(
     reference's NaN-on-failure contract."""
     import numpy as np
 
-    p = price.to_numpy(dtype=float)
-    c = coupon_pp.to_numpy(dtype=float)
-    n = n_periods.to_numpy(dtype="int64")
-    valid = (n >= 1) & (p > 0.0)
-    n_max = int(n[valid].max()) if valid.any() else 0
+    return _solve_frame(price, coupon_pp, n_periods, np.full(len(price), 2))
 
-    y = np.full(p.size, Y0)
-    for _ in range(NEWTON_ITERS):
-        pv, dpv, _, _ = _sums(c, n, y, n_max)
-        with np.errstate(all="ignore"):
-            step = np.where(valid, (pv - p) / dpv, 0.0)
-        y = np.clip(y - step, Y_MIN, Y_MAX)
-    pv, _, wsum, csum = _sums(c, n, y, n_max)
-    with np.errstate(all="ignore"):
-        v = 1.0 / (1.0 + y)
-        mac_years = wsum / pv / 2.0
-        out = pd.DataFrame(
-            {
-                "ytm": y * 2.0,
-                "mac_dur": mac_years,
-                "mod_dur": mac_years / (1.0 + y),
-                "convexity": csum * v * v / pv / 4.0,
-                "pv_residual": pv - p,
-            }
-        )
-    out.loc[~valid] = float("nan")
-    return out
+
+@F.pandas_udf(_SCHEMA)
+def bond_analytics_freq(
+    price: pd.Series, coupon_pp: pd.Series, n_periods: pd.Series, freq: pd.Series
+) -> pd.DataFrame:
+    """Frequency-general variant: freq = compounding periods/year (the
+    reference's interest_frequency {1,2,4,12}; pass c = 0 for the
+    zero-coupon {0,99} codes, with n in compounding periods)."""
+    return _solve_frame(price, coupon_pp, n_periods, freq.to_numpy(dtype="int64"))

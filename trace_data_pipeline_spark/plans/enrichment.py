@@ -10,6 +10,12 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from trace_data_pipeline_spark.functions.daycount import (
+    act_360,
+    act_365,
+    act_act_isda,
+    thirty_360_us,
+)
 from trace_data_pipeline_spark.functions.ordered import last_by
 from trace_data_pipeline_spark.functions.scalars import round_ratio_half_up
 from trace_data_pipeline_spark.operators.cleaning import correction_chain_resolution
@@ -322,3 +328,66 @@ def w8b_composite_ratings(spark, sf_dir):
         .otherwise((F.col("sp_composite") + F.col("mdy_composite")) / 2.0)
     )
     return comp.withColumn("comp_rating", mean_na)
+
+
+@register(
+    "w10b_daycount",
+    oracle="""
+    WITH pd AS (
+      SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS sdate,
+             CAST(l_shipdate AS DATE) + CAST(l_orderkey % 1100 AS INTEGER) AS edate
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber,
+           strftime(sdate, '%Y-%m-%d') AS sdate,
+           strftime(edate, '%Y-%m-%d') AS edate,
+           CAST(360 * (year(edate) - year(sdate))
+                + 30 * (month(edate) - month(sdate))
+                + (CASE WHEN day(edate) = 31
+                             AND least(day(sdate), 30) = 30 THEN 30
+                        ELSE day(edate) END
+                   - least(day(sdate), 30)) AS DOUBLE) / 360.0
+             AS f_30_360,
+           CAST(date_diff('day', sdate, edate) AS DOUBLE) / 360.0
+             AS f_act_360,
+           CAST(date_diff('day', sdate, edate) AS DOUBLE) / 365.0
+             AS f_act_365,
+           list_sum(list_transform(
+             range(year(sdate), year(edate) + 1),
+             y -> CAST(greatest(0, date_diff('day',
+                    greatest(sdate, make_date(y, 1, 1)),
+                    least(edate, make_date(y + 1, 1, 1)))) AS DOUBLE)
+                  / (CASE WHEN (y % 4 = 0 AND y % 100 != 0) OR y % 400 = 0
+                          THEN 366.0 ELSE 365.0 END)))
+             AS f_act_act
+    FROM pd
+    """,
+)
+def w10b_daycount(spark, sf_dir):
+    """W10 depth: the four day-count bases the reference feeds QuantLib
+    (`stage1/helper_functions.py` day_count_basis), as pure date/integer
+    column algebra over a deterministic accrual period (ship date plus
+    up to ~3 years, so the ACT/ACT ISDA per-year leap split has real
+    work) — 30/360 US clipping rules, ACT/360, ACT/365, ACT/ACT. No
+    UDF; bit-exact (integer operands, correctly-rounded divisions) so
+    the oracle needs no rounding."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = F.to_date("l_shipdate")
+    e = F.date_add(s, (F.col("l_orderkey") % 1100).cast("int"))
+    pd_ = li.select(
+        "l_orderkey", "l_linenumber", s.alias("sdate"), e.alias("edate")
+    )
+    s2, e2 = F.col("sdate"), F.col("edate")
+    out = pd_.select(
+        "l_orderkey",
+        "l_linenumber",
+        "sdate",
+        "edate",
+        thirty_360_us(s2, e2).alias("f_30_360"),
+        act_360(s2, e2).alias("f_act_360"),
+        act_365(s2, e2).alias("f_act_365"),
+        act_act_isda(s2, e2).alias("f_act_act"),
+    )
+    return out.withColumn(
+        "sdate", F.date_format("sdate", "yyyy-MM-dd")
+    ).withColumn("edate", F.date_format("edate", "yyyy-MM-dd"))

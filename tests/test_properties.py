@@ -86,3 +86,32 @@ def test_clean_mode_only_rescales(sp, series):
             assert c["rptd_pr"] == pytest.approx(f["suggested_price"])
         else:
             assert c["rptd_pr"] == f["rptd_pr"]
+
+texts = st.text(
+    alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd"), max_codepoint=127),
+    min_size=20,
+    max_size=120,
+)
+
+
+@given(shared=texts, pre_a=texts, pre_b=texts)
+@SLOW
+def test_winnowing_shared_substring_guarantee(sp, shared, pre_a, pre_b):
+    """The winnowing contract (k=8, w=4): two documents sharing a
+    substring of length >= k + w - 1 = 11 chars share at least one
+    selected fingerprint hash (Schleimer et al. theorem 1). Built by
+    planting `shared` into both docs after distinct prefixes."""
+    from trace_data_pipeline_spark.datapipe.text import winnow_fingerprints
+
+    docs = sp.createDataFrame(
+        [(1, pre_a + " " + shared), (2, pre_b + " " + shared)],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: set(r.fingerprints)
+        for r in winnow_fingerprints(docs, "text", "doc_id", k=8, w=4, as_sets=True)
+        .collect()
+    }
+    if len(shared) < 11 or 1 not in out or 2 not in out:
+        return  # too short to fall under the guarantee
+    assert out[1] & out[2], "shared >=11-char substring yielded no common fingerprint"

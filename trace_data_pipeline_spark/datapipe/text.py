@@ -49,7 +49,12 @@ def subword_count(text: Column) -> Column:
 
 
 def winnow_fingerprints(
-    df, text_col: str = "text", id_col: str = "doc_id", k: int = 8, w: int = 4
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+    as_sets: bool = False,
 ):
     """Winnowing document fingerprint (Schleimer, Wilkerson, Aiken,
     SIGMOD 2003): md5 every k-char gram, take the minimum hash in each
@@ -62,7 +67,8 @@ def winnow_fingerprints(
     the gram sequence per window under projection collapse). One
     shuffle on doc_id; per-doc state is one document's gram sequence.
     Docs shorter than k + w - 1 chars yield no fingerprint row.
-    Returns (doc_id, n_fp, fp_hash)."""
+    Returns (doc_id, n_fp, fp_hash), or (doc_id, fingerprints) with
+    as_sets=True (the raw selected-min sets, for pair intersection)."""
     from pyspark.sql import Window
 
     t = df.select(
@@ -89,6 +95,8 @@ def winnow_fingerprints(
     # collect_set dedups inside one partial/final aggregate — a separate
     # distinct would cost a second shuffle on (doc_id, mh)
     fps = F.array_sort(F.collect_set("mh"))
+    if as_sets:
+        return mins.groupBy("doc_id").agg(fps.alias("fingerprints"))
     return mins.groupBy("doc_id").agg(
         F.size(F.collect_set("mh")).alias("n_fp"),
         F.md5(F.concat_ws("", fps)).alias("fp_hash"),

@@ -704,7 +704,14 @@ def s4_hot_cold_join(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders").withColumnRenamed(
         "o_orderkey", "l_orderkey"
     )
-    hot = top_frequent_keys(li, ["l_orderkey"], top_n=5).select("l_orderkey")
+    # persist: the hot-key diagnostic feeds five broadcast sites; Spark
+    # has no cross-branch subplan reuse, so without it each branch
+    # re-scans and re-aggregates the fact table
+    hot = (
+        top_frequent_keys(li, ["l_orderkey"], top_n=5)
+        .select("l_orderkey")
+        .persist()
+    )
     joined = skewed_key_split_join(li, orders, keys=["l_orderkey"], hot_keys=hot)
     return joined.groupBy(F.col("l_orderkey").alias("okey")).agg(
         F.count(F.lit(1)).alias("n_lines"),

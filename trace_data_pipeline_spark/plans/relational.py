@@ -1023,3 +1023,73 @@ def s2_standard_normalize(spark, sf_dir):
         .alias("trc_st"),
         F.coalesce("side_a", "side_b").alias("rpt_side_cd"),
     )
+
+
+@register(
+    "r1_audit_report",
+    oracle="""
+    WITH c AS (
+      SELECT COUNT(*) AS c0,
+             SUM(CASE WHEN l_extendedprice > 0 THEN 1 ELSE 0 END) AS c1,
+             SUM(CASE WHEN l_extendedprice > 0 AND l_quantity > 0
+                       AND l_quantity <= 45 THEN 1 ELSE 0 END) AS c2,
+             SUM(CASE WHEN l_extendedprice > 0 AND l_quantity > 0
+                       AND l_quantity <= 45 AND l_discount < 0.08
+                      THEN 1 ELSE 0 END) AS c3
+      FROM lineitem
+    )
+    SELECT * FROM (
+      SELECT 1 AS stage_no, 'price_positive' AS stage, c0 AS rows_before,
+             c1 AS rows_after, c0 - c1 AS removed,
+             CAST((2 * (c0 - c1) * 1000000 + c0) // (2 * c0) AS DOUBLE)
+               / 1000000 AS removed_frac
+      FROM c
+      UNION ALL
+      SELECT 2, 'quantity_band', c1, c2, c1 - c2,
+             CAST((2 * (c1 - c2) * 1000000 + c1) // (2 * c1) AS DOUBLE) / 1000000
+      FROM c
+      UNION ALL
+      SELECT 3, 'discount_cap', c2, c3, c2 - c3,
+             CAST((2 * (c2 - c3) * 1000000 + c2) // (2 * c2) AS DOUBLE) / 1000000
+      FROM c
+    ) t
+    """,
+)
+def r1_audit_report(spark, sf_dir):
+    """Audit-report table (the content of the reference's
+    `_build_error_files.py` per-stage removal tables, minus LaTeX):
+    per filter stage, rows before/after, removed, and the exact
+    half-up removal fraction — computed in ONE conditional aggregate
+    over one scan (no per-stage actions; the reference re-counts after
+    every filter), then unpivoted via an inline struct array."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p1 = F.col("l_extendedprice") > 0
+    p2 = p1 & (F.col("l_quantity") > 0) & (F.col("l_quantity") <= 45)
+    p3 = p2 & (F.col("l_discount") < 0.08)
+    cnt = lambda p: F.sum(F.when(p, 1).otherwise(0))  # noqa: E731
+    agg = li.agg(
+        F.count(F.lit(1)).alias("c0"),
+        cnt(p1).alias("c1"),
+        cnt(p2).alias("c2"),
+        cnt(p3).alias("c3"),
+    )
+    stages = F.array(
+        *[
+            F.struct(
+                F.lit(no).alias("stage_no"),
+                F.lit(name).alias("stage"),
+                F.col(b).alias("rows_before"),
+                F.col(a).alias("rows_after"),
+                (F.col(b) - F.col(a)).alias("removed"),
+                round_ratio_half_up(F.col(b) - F.col(a), F.col(b), 6).alias(
+                    "removed_frac"
+                ),
+            )
+            for no, name, b, a in [
+                (1, "price_positive", "c0", "c1"),
+                (2, "quantity_band", "c1", "c2"),
+                (3, "discount_cap", "c2", "c3"),
+            ]
+        ]
+    )
+    return agg.select(F.inline(stages))

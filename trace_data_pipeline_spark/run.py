@@ -1,0 +1,98 @@
+"""Pipeline runner — the Spark analog of the reference's
+`run_pipeline.sh` orchestration (stage 0 extract/clean → daily panel →
+stage 1 enrichment), as one Spark application instead of an SGE job
+chain.
+
+    python -m trace_data_pipeline_spark.run \
+        --sf-dir /root/testdata/sf0.001 --out /tmp/out \
+        --stages stage0 --format parquet
+
+Each stage writes snappy parquet (or gzip csv) to `<out>/<name>/` and
+prints an audit line per output. Where the reference chains three SGE
+jobs with `-hold_jid` and spills temp chunks between them, the Spark
+plan is one lazy DAG per stage — the scheduler overlaps everything a
+single job chain would serialize.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+from trace_data_pipeline_spark.plans import get_catalog
+from trace_data_pipeline_spark.session import get_spark
+
+# stage -> ordered catalog entries (each independently oracle-checked)
+STAGES: dict[str, list[str]] = {
+    # stage 0: clean the corrupted tape end-to-end and emit the panel
+    "stage0": ["w1_decimal_shift", "w2_bounce_back", "p1_stage0_full"],
+    # stage 1: enrichment + analytics over the daily panel
+    "stage1": [
+        "j10_enrichment_join",
+        "j11_asof_backward",
+        "j15_range_join",
+        "w8b_composite_ratings",
+        "w9_curve_interp",
+        "w10_bond_analytics",
+        "a8_pooled_stats",
+        "a11_winsorize",
+        "r1_audit_report",
+    ],
+    # training-data pipeline over documents/embeddings
+    "datapipe": [
+        "d1_exact_dedup",
+        "d4_minhash_lsh_pairs",
+        "d7_text_stats",
+        "d8_lang_id",
+        "d13_ivf_topk",
+        "d14_subword_counts",
+        "d15_winnow_fingerprint",
+    ],
+}
+
+
+def run_stage(spark, stage: str, sf_dir: str, out: str, fmt: str) -> list[dict]:
+    catalog = get_catalog()
+    results = []
+    for name in STAGES[stage]:
+        t0 = time.perf_counter()
+        df = catalog[name].builder(spark, sf_dir)
+        path = f"{out}/{stage}/{name}"
+        writer = df.write.mode("overwrite")
+        if fmt == "parquet":
+            writer.option("compression", "snappy").parquet(path)
+        else:
+            writer.option("compression", "gzip").option("header", True).csv(path)
+        results.append(
+            {
+                "stage": stage,
+                "query": name,
+                "path": path,
+                "secs": round(time.perf_counter() - t0, 3),
+            }
+        )
+    return results
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--sf-dir", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument(
+        "--stages",
+        default="stage0,stage1,datapipe",
+        help="comma list from: " + ",".join(STAGES),
+    )
+    ap.add_argument("--format", choices=["parquet", "csv"], default="parquet")
+    ap.add_argument("--cpus", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    spark = get_spark(app_name="trace-pipeline-run", cpus=args.cpus)
+    for stage in args.stages.split(","):
+        for line in run_stage(spark, stage.strip(), args.sf_dir, args.out, args.format):
+            print(json.dumps(line))
+
+
+if __name__ == "__main__":
+    main()

@@ -38,6 +38,13 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode(
         "overwrite"
     ).save()
+    # ...and the Python worker pool, so the first Arrow-UDF query isn't
+    # billed for ~32 interpreter spawns the later ones reuse
+    import pandas as pd  # noqa: F401
+
+    spark.range(1_000).repartition(int(spark.conf.get("spark.sql.shuffle.partitions"))).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in sorted(catalog):

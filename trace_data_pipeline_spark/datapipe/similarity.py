@@ -214,3 +214,37 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def quantize_int8(
+    vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric int8 quantization — the storage path for embedding
+    columns at corpus scale (4x smaller than float32, 8x than float64):
+    scale = max|e| / 127, q_i = clamp(floor(e_i/scale + 0.5), ±127).
+    floor(x + 0.5) is used instead of round() because it is the same
+    IEEE op in every engine (round's tie behavior is not), making the
+    reconstruction-error column bit-comparable. Sequential fold for the
+    error sum — associativity is not assumed."""
+    e = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(e, F.abs)) / F.lit(127.0)
+    q = F.transform(
+        e,
+        lambda x: F.greatest(
+            F.lit(-127.0), F.least(F.lit(127.0), F.floor(x / scale + 0.5))
+        ),
+    )
+    recon_err = F.sqrt(
+        F.aggregate(
+            F.zip_with(e, q, lambda a, b: (a - b * scale) * (a - b * scale)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    n_sat = F.size(F.filter(q, lambda x: F.abs(x) == 127.0))
+    return vectors.select(
+        F.col(id_col),
+        scale.alias("scale"),
+        F.round(recon_err, 6).alias("recon_err_l2"),
+        n_sat.alias("n_saturated"),
+    )

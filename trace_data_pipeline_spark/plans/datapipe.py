@@ -717,3 +717,42 @@ def s4_hot_cold_join(spark, sf_dir):
         F.count(F.lit(1)).alias("n_lines"),
         F.min("o_totalprice").alias("o_totalprice"),
     )
+
+
+@register(
+    "d16_embedding_quantize",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      FROM e
+    ),
+    q AS (
+      SELECT vec_id, v, scale,
+             list_transform(v, x ->
+               greatest(-127.0, least(127.0, floor(x / scale + 0.5)))) AS qv
+      FROM s
+    )
+    SELECT vec_id, scale,
+           ROUND(sqrt(list_reduce(
+             list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, len(v) + 1),
+                 i -> (v[i] - qv[i] * scale) * (v[i] - qv[i] * scale))),
+             (acc, x) -> acc + x)), 6) AS recon_err_l2,
+           len(list_filter(qv, x -> abs(x) = 127.0)) AS n_saturated
+    FROM q
+    """,
+)
+def d16_embedding_quantize(spark, sf_dir):
+    """Embedding storage path: symmetric int8 quantization with
+    per-vector scale, reconstruction L2 error (sequential fold — no
+    associativity assumed) and saturation count. floor(x+0.5) not
+    round(): identical IEEE ops in both engines."""
+    from trace_data_pipeline_spark.datapipe.similarity import quantize_int8
+
+    return quantize_int8(_emb(spark, sf_dir))

@@ -192,3 +192,35 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
     assert got.astype("int64").equals(want.astype("int64")), (
         f"stream sessions != batch sessions\n{got.head()}\n{want.head()}"
     )
+
+
+def test_foreachbatch_sink_is_idempotent(spark, tmp_path):
+    """Exactly-once recipe: per-batch-id overwrite directories. A
+    replayed micro-batch (at-least-once delivery) rewrites its own
+    partition instead of appending duplicates."""
+    from trace_data_pipeline_spark.streaming.sinks import idempotent_parquet_writer
+
+    ev = load_table(spark, TEST_SF_DIR, "events").select("ts", "user_id", "value")
+    src = os.path.join(str(tmp_path), "fb_drops")
+    for i in range(2):
+        ev.filter(F.col("user_id") % 2 == i).write.mode("overwrite").parquet(
+            os.path.join(src, f"drop_{i}.parquet")
+        )
+    out = os.path.join(str(tmp_path), "fb_out")
+    writer = idempotent_parquet_writer(out)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "*"))
+    )
+    q = stream.writeStream.foreachBatch(writer).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.read.parquet(out)
+    n_first = got.count()
+    assert n_first == ev.count()
+    # simulate an at-least-once redelivery of batch 0
+    writer(ev.filter(F.col("user_id") % 2 == 0), 0)
+    assert spark.read.parquet(out).count() == n_first

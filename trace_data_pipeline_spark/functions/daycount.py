@@ -57,3 +57,19 @@ def act_act_isda(start: Column, end: Column) -> Column:
             ((y % 4 == 0) & (y % 100 != 0)) | (y % 400 == 0), F.lit(366.0)
         ).otherwise(F.lit(365.0)),
     )
+
+
+def coupon_bracket(
+    settle: Column, maturity: Column, period_months: Column, max_periods: int = 250
+) -> tuple[Column, Column]:
+    """(last, next) coupon dates around settlement, from the backward
+    schedule anchored at maturity (the reference's QuantLib
+    `Schedule(..., DateGeneration.Backward)`). Generated as a bounded
+    month-step sequence + array min/max — no UDF, no iteration state.
+    Callers keep maturity day-of-month <= 28 so month-end clamping
+    never differs between engines."""
+    js = F.sequence(F.lit(0), F.lit(max_periods))
+    dates = F.transform(js, lambda j: F.add_months(maturity, -(period_months * j)))
+    last_cpn = F.array_max(F.filter(dates, lambda d: d <= settle))
+    next_cpn = F.array_min(F.filter(dates, lambda d: d > settle))
+    return last_cpn, next_cpn

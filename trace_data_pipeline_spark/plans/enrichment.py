@@ -14,6 +14,7 @@ from trace_data_pipeline_spark.functions.daycount import (
     act_360,
     act_365,
     act_act_isda,
+    coupon_bracket,
     thirty_360_us,
 )
 from trace_data_pipeline_spark.functions.ordered import last_by
@@ -391,3 +392,106 @@ def w10b_daycount(spark, sf_dir):
     return out.withColumn(
         "sdate", F.date_format("sdate", "yyyy-MM-dd")
     ).withColumn("edate", F.date_format("edate", "yyyy-MM-dd"))
+
+
+@register(
+    "w10d_accrued",
+    oracle="""
+    WITH bonds AS (
+      SELECT o_orderkey,
+             DATE '2020-03-15' + CAST(o_orderkey % 365 AS INTEGER) AS settle,
+             DATE '2030-06-15' + (INTERVAL 1 MONTH * CAST(o_orderkey % 120 AS INTEGER))
+               AS maturity,
+             CAST(CASE o_orderkey % 3 WHEN 0 THEN 12 WHEN 1 THEN 6 ELSE 3 END
+                  AS INTEGER) AS pm,
+             CAST(2 + o_orderkey % 7 AS DOUBLE) / 100.0 AS c_annual,
+             60.0 + CAST(o_orderkey * 37 % 800 AS DOUBLE) / 10.0 AS prclean
+      FROM orders
+    ),
+    sched AS (
+      SELECT *,
+             list_max(list_filter(
+               list_transform(range(0, 251),
+                 j -> CAST(maturity - INTERVAL 1 MONTH * (pm * j) AS DATE)),
+               d -> d <= settle)) AS last_cpn,
+             list_min(list_filter(
+               list_transform(range(0, 251),
+                 j -> CAST(maturity - INTERVAL 1 MONTH * (pm * j) AS DATE)),
+               d -> d > settle)) AS next_cpn
+      FROM bonds
+    )
+    SELECT o_orderkey,
+           strftime(last_cpn, '%Y-%m-%d') AS last_cpn,
+           strftime(next_cpn, '%Y-%m-%d') AS next_cpn,
+           CAST(360 * (year(settle) - year(last_cpn))
+                + 30 * (month(settle) - month(last_cpn))
+                + (CASE WHEN day(settle) = 31
+                             AND least(day(last_cpn), 30) = 30 THEN 30
+                        ELSE day(settle) END
+                   - least(day(last_cpn), 30)) AS DOUBLE) / 360.0
+             AS f_30_360,
+           CAST(date_diff('day', last_cpn, settle) AS DOUBLE) / 365.0 AS f_act_365,
+           ROUND(c_annual * 100.0
+                 * CAST(360 * (year(settle) - year(last_cpn))
+                        + 30 * (month(settle) - month(last_cpn))
+                        + (CASE WHEN day(settle) = 31
+                                     AND least(day(last_cpn), 30) = 30 THEN 30
+                                ELSE day(settle) END
+                           - least(day(last_cpn), 30)) AS DOUBLE) / 360.0, 8)
+             AS accrued,
+           ROUND(prclean + c_annual * 100.0
+                 * CAST(360 * (year(settle) - year(last_cpn))
+                        + 30 * (month(settle) - month(last_cpn))
+                        + (CASE WHEN day(settle) = 31
+                                     AND least(day(last_cpn), 30) = 30 THEN 30
+                                ELSE day(settle) END
+                           - least(day(last_cpn), 30)) AS DOUBLE) / 360.0, 8)
+             AS prfull
+    FROM sched
+    """,
+)
+def w10d_accrued(spark, sf_dir):
+    """W10 depth: the accrued-interest / dirty-price columns of the
+    reference's analytics output (acclast / prfull): backward coupon
+    schedule from maturity (array algebra, no UDF), 30/360 accrual
+    fraction since the last coupon, accrued = annual coupon x fraction,
+    dirty = clean + accrued. Maturity day-of-month is 15 so month-step
+    clamping cannot differ between engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    pm = (
+        F.when(F.col("o_orderkey") % 3 == 0, 12)
+        .when(F.col("o_orderkey") % 3 == 1, 6)
+        .otherwise(3)
+        .cast("int")
+    )
+    bonds = orders.select(
+        "o_orderkey",
+        F.date_add(F.lit("2020-03-15").cast("date"), (F.col("o_orderkey") % 365).cast("int")).alias("settle"),
+        F.add_months(F.lit("2030-06-15").cast("date"), (F.col("o_orderkey") % 120).cast("int")).alias("maturity"),
+        pm.alias("pm"),
+        ((2 + F.col("o_orderkey") % 7).cast("double") / 100.0).alias("c_annual"),
+        (60.0 + (F.col("o_orderkey") * 37 % 800).cast("double") / 10.0).alias("prclean"),
+    )
+    last_cpn, next_cpn = coupon_bracket(
+        F.col("settle"), F.col("maturity"), F.col("pm"), max_periods=250
+    )
+    sched = bonds.select(
+        "o_orderkey", "settle", "c_annual", "prclean",
+        last_cpn.alias("last_cpn"),
+        next_cpn.alias("next_cpn"),
+    )
+    f30 = thirty_360_us(F.col("last_cpn"), F.col("settle"))
+    f365 = act_365(F.col("last_cpn"), F.col("settle"))
+    accrued = F.col("c_annual") * 100.0 * f30
+    out = sched.select(
+        "o_orderkey",
+        "last_cpn",
+        "next_cpn",
+        f30.alias("f_30_360"),
+        f365.alias("f_act_365"),
+        F.round(accrued, 8).alias("accrued"),
+        F.round(F.col("prclean") + accrued, 8).alias("prfull"),
+    )
+    return out.withColumn(
+        "last_cpn", F.date_format("last_cpn", "yyyy-MM-dd")
+    ).withColumn("next_cpn", F.date_format("next_cpn", "yyyy-MM-dd"))

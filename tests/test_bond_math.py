@@ -47,3 +47,26 @@ def test_invalid_inputs_yield_nan(spark):
     rows = _solve(spark, [(0.0, 0.02, 10), (100.0, 0.02, 0)])
     for r in rows:
         assert r["ytm"] is None or r["ytm"] != r["ytm"]
+
+
+def test_t2_settlement_weekend_roll(spark):
+    from pyspark.sql import functions as F
+
+    from trace_data_pipeline_spark.functions.daycount import add_business_days
+
+    cases = spark.createDataFrame(
+        [
+            ("2024-01-02",),  # Tue -> Thu
+            ("2024-01-04",),  # Thu -> Mon (rolls over the weekend)
+            ("2024-01-05",),  # Fri -> Tue
+            ("2024-01-06",),  # Sat -> Tue (first +1 lands Sun -> Mon, then Tue)
+        ],
+        "d string",
+    ).select(F.col("d").cast("date").alias("d"))
+    got = [
+        str(r.s)
+        for r in cases.select(add_business_days(F.col("d"), 2).alias("s"))
+        .orderBy("s")
+        .collect()
+    ]
+    assert got == ["2024-01-04", "2024-01-08", "2024-01-09", "2024-01-09"]

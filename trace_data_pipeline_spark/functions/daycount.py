@@ -73,3 +73,18 @@ def coupon_bracket(
     last_cpn = F.array_max(F.filter(dates, lambda d: d <= settle))
     next_cpn = F.array_min(F.filter(dates, lambda d: d > settle))
     return last_cpn, next_cpn
+
+
+def add_business_days(start: Column, n: int = 2) -> Column:
+    """Trade date + n business days (weekend roll only — the reference's
+    T+2 settlement uses the NYSE calendar; holiday lists join in via
+    the F9 calendar semi-join when exact parity with it matters).
+    dayofweek: 1=Sunday..7=Saturday. Bounded fold, pure column algebra."""
+    d = start
+    for _ in range(n):
+        d = F.date_add(d, 1)
+        # land on Sat -> +2, Sun -> +1
+        d = F.when(F.dayofweek(d) == 7, F.date_add(d, 2)).otherwise(
+            F.when(F.dayofweek(d) == 1, F.date_add(d, 1)).otherwise(d)
+        )
+    return d

@@ -18,6 +18,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from trace_data_pipeline_spark.operators.caching import release_caches  # noqa: E402
 from trace_data_pipeline_spark.plans import get_catalog  # noqa: E402
 from trace_data_pipeline_spark.session import get_spark  # noqa: E402
 
@@ -52,6 +53,9 @@ def main() -> None:
         catalog[name].builder(spark, SF_DIR).write.format("noop").mode(
             "overwrite"
         ).save()
+        # drop this query's tracked caches before timing the next one —
+        # keeps numbers independent and the session leak-free
+        release_caches()
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)

@@ -45,9 +45,42 @@ def _assert_no_negative_zero(df: pd.DataFrame, side: str, name: str) -> None:
             assert not bad.any(), f"{name}: {side} column {c!r} contains -0.0"
 
 
+def _render(df: pd.DataFrame) -> pd.DataFrame:
+    """String rendering with dtypes PRESERVED — the driver's value hash
+    is rendering-sensitive, so an int64 `123` vs a float64 `123.0` is a
+    mismatch even though the float-canonical compare passes (round 1:
+    DuckDB SUM(BIGINT)→HUGEINT→float64 broke two driver rows that the
+    float-coerced check waved through)."""
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        col = df[c]
+        if pd.api.types.is_datetime64_any_dtype(col):
+            df[c] = col.astype("datetime64[us]").astype(str)
+        else:
+            df[c] = col.astype(str)
+    return df
+
+
+def _canon_order(df: pd.DataFrame):
+    """Row order of the float-canonical sort (so both checks compare
+    the same row alignment)."""
+    coerced = df[sorted(df.columns)].copy()
+    for c in coerced.columns:
+        col = coerced[c]
+        if pd.api.types.is_datetime64_any_dtype(col):
+            coerced[c] = col.astype("datetime64[us]").astype(str)
+        elif pd.api.types.is_numeric_dtype(col):
+            coerced[c] = col.astype("float64")
+        else:
+            coerced[c] = col.astype(object)
+    return coerced.sort_values(list(coerced.columns), na_position="last").index
+
+
 def assert_parity(spark_df, oracle_pdf: pd.DataFrame, name: str = "") -> None:
-    a = canon(spark_df.toPandas())
-    b = canon(oracle_pdf)
+    a_raw = spark_df.toPandas()
+    b_raw = oracle_pdf
+    a = canon(a_raw)
+    b = canon(b_raw)
     _assert_no_negative_zero(a, "spark", name)
     _assert_no_negative_zero(b, "oracle", name)
     assert sorted(a.columns) == sorted(b.columns), (
@@ -55,3 +88,16 @@ def assert_parity(spark_df, oracle_pdf: pd.DataFrame, name: str = "") -> None:
     )
     assert len(a) == len(b), f"{name}: row count {len(a)} vs oracle {len(b)}"
     pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True, obj=name)
+    # second gate: driver-style rendering equality (dtype-sensitive)
+    ar = _render(a_raw.loc[_canon_order(a_raw)].reset_index(drop=True))
+    br = _render(b_raw.loc[_canon_order(b_raw)].reset_index(drop=True))
+    neq = ar.ne(br)
+    if neq.any().any():
+        cols = [c for c in ar.columns if neq[c].any()]
+        samples = {
+            c: (ar[c][neq[c]].iloc[0], br[c][neq[c]].iloc[0]) for c in cols[:4]
+        }
+        raise AssertionError(
+            f"{name}: rendering mismatch (spark vs oracle dtype/format) in "
+            f"columns {cols}; first diffs {samples}"
+        )

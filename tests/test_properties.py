@@ -94,6 +94,38 @@ texts = st.text(
 )
 
 
+keys = st.tuples(
+    st.integers(min_value=0, max_value=9_200_000_000),  # documented a1 bound
+    st.integers(min_value=0, max_value=7),
+    st.integers(min_value=0, max_value=99_999_999),
+)
+
+
+@given(rows=st.lists(keys, min_size=2, max_size=12, unique=True))
+@SLOW
+def test_a1_tiebreak_packing_is_order_exact(sp, rows):
+    """The a1 packed tiebreak (okey*10 + line)*1e8 + cents must order
+    identically to the lexicographic tuple (okey, line, cents) for every
+    orderkey inside the documented ~9.2e9 bound — i.e. the packing stays
+    inside int64 and is strictly monotone, so min_by/max_by pick the
+    true first/last row even at adversarial key magnitudes."""
+    import pyspark.sql.functions as F
+
+    from trace_data_pipeline_spark.functions.ordered import first_by, last_by
+
+    df = sp.createDataFrame(rows, "okey long, line long, cents long")
+    pack = (F.col("okey") * 10 + F.col("line")) * F.lit(100000000) + F.col("cents")
+    got = df.agg(
+        first_by(F.col("okey"), pack).alias("first_okey"),
+        first_by(F.col("cents"), pack).alias("first_cents"),
+        last_by(F.col("okey"), pack).alias("last_okey"),
+        last_by(F.col("cents"), pack).alias("last_cents"),
+    ).collect()[0]
+    lo, hi = min(rows), max(rows)
+    assert (got["first_okey"], got["first_cents"]) == (lo[0], lo[2])
+    assert (got["last_okey"], got["last_cents"]) == (hi[0], hi[2])
+
+
 @given(shared=texts, pre_a=texts, pre_b=texts)
 @SLOW
 def test_winnowing_shared_substring_guarantee(sp, shared, pre_a, pre_b):

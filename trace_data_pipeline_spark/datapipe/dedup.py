@@ -20,6 +20,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from trace_data_pipeline_spark.datapipe.text import tokens
+from trace_data_pipeline_spark.operators.caching import tracked_persist
 
 
 def exact_dedup_clusters(
@@ -70,7 +71,7 @@ def ngram_jaccard_pairs(
     list|² per gram, not |docs|². Returns (a, b, jaccard) with a < b."""
     # persist: the shingle index feeds both probe sides AND the size
     # aggregate — without it Spark re-tokenizes the corpus three times
-    grams = doc_shingles(docs, text_col, id_col, n).persist()
+    grams = tracked_persist(doc_shingles(docs, text_col, id_col, n))
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     g1 = grams.select(F.col("doc_id").alias("a"), "gram")
     g2 = grams.select(F.col("doc_id").alias("b"), "gram")
@@ -153,7 +154,7 @@ def minhash_lsh_pairs(
     exact Jaccard verification of ONLY the candidates. The verify join
     re-uses the shingle inverted index restricted to candidate pairs."""
     sigs = minhash_signatures(docs, text_col, id_col, n, num_hashes)
-    banded = lsh_bands(sigs, num_hashes, bands).persist()
+    banded = tracked_persist(lsh_bands(sigs, num_hashes, bands))
     b1 = banded.select(F.col("doc_id").alias("a"), "band_idx", "band_hash")
     b2 = banded.select(F.col("doc_id").alias("b"), "band_idx", "band_hash")
     candidates = (
@@ -161,9 +162,9 @@ def minhash_lsh_pairs(
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
         .dropDuplicates()
-        .persist()
     )
-    grams = doc_shingles(docs, text_col, id_col, n).persist()
+    candidates = tracked_persist(candidates)
+    grams = tracked_persist(doc_shingles(docs, text_col, id_col, n))
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     # restrict the inverted index to candidate docs, then semi-filter the
     # gram join down to candidate PAIRS — verification cost scales with

@@ -69,7 +69,17 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join with the big side's hot keys spread over `salts`
     partitions; the small side is replicated ×salts (explode of a
-    literal range — cheap for dimension-sized frames)."""
+    literal range — cheap for dimension-sized frames).
+
+    Only big-side-preserving joins are valid: a small-side-preserving
+    `how` ('right'/'full') would emit each unmatched small-side row
+    once PER SALT (it exists in all replicas and matches in none)."""
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(
+            f"salted_join cannot preserve the small side: how={how!r} "
+            "would duplicate unmatched small-side rows once per salt; "
+            "use inner/left/left_semi/left_anti"
+        )
     big_s = with_salt(big, salts)
     small_s = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))

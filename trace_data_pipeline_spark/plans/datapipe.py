@@ -38,6 +38,7 @@ from trace_data_pipeline_spark.datapipe.text import (
     winnow_fingerprints,
 )
 from trace_data_pipeline_spark.functions.scalars import round_ratio_half_up
+from trace_data_pipeline_spark.operators.caching import tracked_persist
 from trace_data_pipeline_spark.plans.catalog import register
 from trace_data_pipeline_spark.operators.parallelism import ensure_min_parallelism
 from trace_data_pipeline_spark.sources import load_table
@@ -648,7 +649,8 @@ def d15_winnow_fingerprint(spark, sf_dir):
     oracle="""
     SELECT l_returnflag, l_linestatus,
            COUNT(*) AS n_rows,
-           SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS qty_cents,
+           CAST(SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT)
+             AS qty_cents,
            MIN(l_extendedprice) AS min_price,
            MAX(l_extendedprice) AS max_price
     FROM lineitem GROUP BY 1, 2
@@ -707,10 +709,8 @@ def s4_hot_cold_join(spark, sf_dir):
     # persist: the hot-key diagnostic feeds five broadcast sites; Spark
     # has no cross-branch subplan reuse, so without it each branch
     # re-scans and re-aggregates the fact table
-    hot = (
-        top_frequent_keys(li, ["l_orderkey"], top_n=5)
-        .select("l_orderkey")
-        .persist()
+    hot = tracked_persist(
+        top_frequent_keys(li, ["l_orderkey"], top_n=5).select("l_orderkey")
     )
     joined = skewed_key_split_join(li, orders, keys=["l_orderkey"], hot_keys=hot)
     return joined.groupBy(F.col("l_orderkey").alias("okey")).agg(

@@ -185,7 +185,8 @@ def f6_f7_join_screens(spark, sf_dir):
     oracle="""
     SELECT user_id,
            COUNT(*) AS n_obs,
-           SUM(CASE WHEN value > 150 THEN 1 ELSE 0 END) AS n_flagged,
+           CAST(SUM(CASE WHEN value > 150 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged,
            strftime(min(CAST(ts AS DATE)), '%Y-%m-%d') AS first_date,
            strftime(max(CAST(ts AS DATE)), '%Y-%m-%d') AS last_date,
            CAST((2 * SUM(CASE WHEN value > 150 THEN 1 ELSE 0 END) * 1000000

@@ -89,7 +89,12 @@ def a1_daily_panel(spark, sf_dir):
     # (l_orderkey, l_linenumber) is NOT unique in the synthetic data, so
     # the report-sequence key alone isn't total — append the price cents
     # to make first/last deterministic (ties on the full key carry equal
-    # values, so the selection is then well-defined)
+    # values, so the selection is then well-defined).
+    # Overflow bound: the packed long is (okey*10 + line)*1e8 + cents, so
+    # it is exact while l_orderkey < 2^63/1e9 ≈ 9.2e9 — TPC-H orderkeys
+    # reach 6e6·sf, i.e. safe through ~sf1500 / ~150 TB; beyond that,
+    # switch first_by/last_by to a struct ordering key (see
+    # tests/test_parity.py::test_a1_tiebreak_packing_is_order_exact).
     tiebreak = (F.col("l_orderkey") * 10 + F.col("l_linenumber")) * F.lit(
         100000000
     ) + F.round(p * 100, 0).cast("long")
@@ -1030,12 +1035,13 @@ def s2_standard_normalize(spark, sf_dir):
     oracle="""
     WITH c AS (
       SELECT COUNT(*) AS c0,
-             SUM(CASE WHEN l_extendedprice > 0 THEN 1 ELSE 0 END) AS c1,
-             SUM(CASE WHEN l_extendedprice > 0 AND l_quantity > 0
-                       AND l_quantity <= 45 THEN 1 ELSE 0 END) AS c2,
-             SUM(CASE WHEN l_extendedprice > 0 AND l_quantity > 0
+             CAST(SUM(CASE WHEN l_extendedprice > 0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN l_extendedprice > 0 AND l_quantity > 0
+                       AND l_quantity <= 45 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+             CAST(SUM(CASE WHEN l_extendedprice > 0 AND l_quantity > 0
                        AND l_quantity <= 45 AND l_discount < 0.08
-                      THEN 1 ELSE 0 END) AS c3
+                      THEN 1 ELSE 0 END) AS BIGINT) AS c3
       FROM lineitem
     )
     SELECT * FROM (

@@ -20,6 +20,7 @@ import argparse
 import json
 import time
 
+from trace_data_pipeline_spark.operators.caching import release_caches
 from trace_data_pipeline_spark.plans import get_catalog
 from trace_data_pipeline_spark.session import get_spark
 
@@ -64,6 +65,8 @@ def run_stage(spark, stage: str, sf_dir: str, out: str, fmt: str) -> list[dict]:
             writer.option("compression", "snappy").parquet(path)
         else:
             writer.option("compression", "gzip").option("header", True).csv(path)
+        # free any caches the entry persisted for multi-consumer reuse
+        release_caches()
         results.append(
             {
                 "stage": stage,

@@ -35,9 +35,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
         # reader rejects outright; read it as raw long nanos and truncate
         # to microseconds (DuckDB's ns->us cast truncates identically).
+        # `div` keeps the quotient in integer arithmetic — `/` promotes to
+        # double, whose 2^53 mantissa misrounds epoch-ns (~1.7e18) by 1us.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        return df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

@@ -78,7 +78,9 @@ def streaming_sessionize(
                     closed.append((uid, start, last, n, first_ev))
                     start, last, n, first_ev = t, t, 1, ev
                 else:
-                    last = t
+                    # max(): an out-of-order event inside the gap must
+                    # extend the session, never rewind its end bound
+                    last = max(last, t)
                     n += 1
                     if ev < first_ev:
                         first_ev = ev

@@ -64,11 +64,23 @@ def coupon_bracket(
 ) -> tuple[Column, Column]:
     """(last, next) coupon dates around settlement, from the backward
     schedule anchored at maturity (the reference's QuantLib
-    `Schedule(..., DateGeneration.Backward)`). Generated as a bounded
-    month-step sequence + array min/max — no UDF, no iteration state.
-    Callers keep maturity day-of-month <= 28 so month-end clamping
-    never differs between engines."""
-    js = F.sequence(F.lit(0), F.lit(max_periods))
+    `Schedule(..., DateGeneration.Backward)`). Closed form, O(1) per
+    row: the bracketing period index is `months_between/period` up to a
+    sub-month day-of-month error, so probing the four indices around
+    `floor(months_between(maturity, settle)/pm)` always contains the
+    true bracket (mm/pm lies in (j_last-1-1/pm, j_last+1/pm], hence
+    j_last ∈ {j0..j0+2} and j_next = j_last-1 ≥ j0-1). Out-of-range
+    probes clamp to the schedule bounds [0, max_periods] — extra
+    *valid* schedule dates can never displace a max(≤settle)/min(>settle)
+    selection, and the clamp reproduces the bounded-schedule null
+    semantics (settle before D(max_periods) → last=null, next=earliest
+    generated date). Callers keep maturity day-of-month <= 28 so
+    month-end clamping never differs between engines."""
+    j0 = F.floor(F.months_between(maturity, settle) / period_months).cast("int")
+    js = F.transform(
+        F.array(F.lit(-1), F.lit(0), F.lit(1), F.lit(2)),
+        lambda dj: F.greatest(F.lit(0), F.least(F.lit(max_periods), j0 + dj)),
+    )
     dates = F.transform(js, lambda j: F.add_months(maturity, -(period_months * j)))
     last_cpn = F.array_max(F.filter(dates, lambda d: d <= settle))
     next_cpn = F.array_min(F.filter(dates, lambda d: d > settle))

@@ -54,6 +54,7 @@ def get_catalog() -> dict[str, Query]:
         enrichment,
         errorcorrection,
         relational,
+        stage1,
     )
 
     return dict(_REGISTRY)

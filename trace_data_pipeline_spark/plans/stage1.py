@@ -1,0 +1,679 @@
+"""Stage-1 end-to-end composite: FISD merge → as-of ratings →
+composites → curve spread → bond analytics → final screens (Table 2)
+→ within-date winsorization.
+
+Mirrors the reference's `stage1/stage1_pipeline.py` step chain
+(`run_all_steps`, :2978-3002):
+
+  F12 date cutoff            :242-247
+  step4_merge_fisd (F13)     :330-404   valid_accrued_vars
+  step6_merge_ratings (J12)  :851-956   as-of ratings + W8 composites
+  step5 analytics + W9 curve             ytm / credit spread
+  step9_final_filters (F15)  :1742-1806  prc_high / prc_dip flags
+  step10a Table 2 (F14)      :1860-1944  sequential filter counts
+  winsorization (A11)        :1950-1960  within-date clip
+
+Synthetic mapping: `events` is the trade tape (user_id ~ cusip_id,
+value ~ price). The FISD dimension and the ratings history derive
+deterministically from user_id / trade cents so both engines compute
+identical inputs. Every float that crosses an engine boundary is
+either exact integer arithmetic (prices via `round_ratio_half_up`),
+a correctly-rounded division of exact operands (tenors /365.25), or
+a replayed fixed iteration (the Newton solver, proven bit-stable by
+the w10 family).
+
+Scale notes: the FISD dimension broadcasts; the as-of join is the
+linear union+window pattern (one shuffle on user_id); every window
+partitions by user_id, reusing that shuffle; the winsorize bounds
+aggregate to |dates| rows and broadcast back; the Newton solve is an
+Arrow-batched pandas UDF applied AFTER the row filters (hand-pushed
+predicate — Catalyst cannot push filters through a UDF).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from trace_data_pipeline_spark.functions.scalars import round_ratio_half_up
+from trace_data_pipeline_spark.operators.analytics import (
+    piecewise_linear,
+    winsorize_by_group,
+)
+from trace_data_pipeline_spark.operators.asof import asof_join
+from trace_data_pipeline_spark.operators.filters import AuditLedger, filter_with_log
+from trace_data_pipeline_spark.plans.catalog import register
+from trace_data_pipeline_spark.sources import load_table
+
+
+@dataclass(frozen=True)
+class Stage1Settings:
+    """Knobs mirroring `stage1/_stage1_settings.py` / `config.py`
+    (DATE_CUT_OFF, FINAL_FILTER_CONFIG, winsor bounds). Defaults
+    reproduce exactly the oracle-checked p2 chain."""
+
+    # F12 (reference DATE_CUT_OFF, stage1_pipeline.py:242)
+    cutoff_date: str = "2024-01-20"
+    # F13 valid_accrued_vars (stage1_pipeline.py:382-401)
+    freq_exclusions: tuple[int, ...] = (-1, 13, 16)
+    # Table-2 filter 3 (stage1_pipeline.py:1898)
+    min_maturity_years: float = 1.0
+    # distressed spike screen (stand-in for the W7 flag column)
+    spike_threshold: float = 75.0
+    # step9 defaults (stage1_pipeline.py:1742)
+    dip_window: tuple[str, str] = ("2024-01-08", "2024-01-14")
+    dip_threshold: float = 35.0
+    price_threshold: float = 300.0
+    # winsorization (stage1_pipeline.py:1950-1960)
+    apply_winsor: bool = True
+    winsor_lower: float = 0.005
+    winsor_upper: float = 0.995
+
+
+_S = Stage1Settings()  # the oracle-checked defaults
+
+# treasury-style curve nodes shared with w9_curve_interp
+_XS = (1.0, 2.0, 5.0, 7.0, 10.0, 20.0, 30.0)
+_YS = (0.04, 0.042, 0.045, 0.047, 0.05, 0.055, 0.06)
+
+
+# --------------------------------------------------------------- Spark chain
+
+
+def _panel(spark: SparkSession, sf_dir: str, s: Stage1Settings) -> DataFrame:
+    """Daily panel (the stage-0 output stand-in): per (user_id, day)
+    trade count + exact 6-dp equal-weighted price, after the F12 date
+    cutoff. Prices go through integer cents so both engines agree."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return (
+        ev.filter(F.to_date("ts") <= F.lit(s.cutoff_date).cast("date"))
+        .groupBy("user_id", F.to_date("ts").alias("d"))
+        .agg(
+            F.count(F.lit(1)).alias("n_trades"),
+            round_ratio_half_up(F.sum(cents), F.count(F.lit(1)) * 100, 6).alias(
+                "pr"
+            ),
+        )
+    )
+
+
+def _fisd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic FISD issue dimension derived from user_id (reference
+    fisd columns, stage1_pipeline.py:345-352): offering/dated dates,
+    maturity, interest_frequency (with the invalid -1/13/16 codes),
+    annual coupon. One row per user — broadcasts."""
+    uid = F.col("user_id")
+    offering = F.date_add(
+        F.lit("2021-06-01").cast("date"), (uid * 793 % 1100).cast("int")
+    )
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("user_id").distinct().select(
+        "user_id",
+        offering.alias("offering_date"),
+        F.when(uid % 13 == 0, F.lit(None).cast("date"))
+        .otherwise(offering)
+        .alias("dated_date"),
+        F.date_add(F.lit("2023-09-01").cast("date"), (uid * 1597 % 4000).cast("int")).alias(
+            "maturity"
+        ),
+        F.when(uid % 9 == 0, -1)
+        .when(uid % 9 == 1, 13)
+        .when(uid % 9 == 2, 16)
+        .when(uid % 9 == 3, 1)
+        .when(uid % 9 == 4, 2)
+        .when(uid % 9 == 5, 4)
+        .when(uid % 9 == 6, 12)
+        .otherwise(2)
+        .alias("freq"),
+        (2 + uid % 7).cast("double").alias("coupon"),
+    )
+
+
+def _merged(spark: SparkSession, sf_dir: str, s: Stage1Settings) -> DataFrame:
+    """step4 FISD merge + tenor derivations (stage1_pipeline.py:365-378):
+    broadcast left join, bond_maturity / bond_age in /365.25 years, and
+    the valid_accrued_vars predicate as a column (`accrued_ok`) so the
+    Table-2 report can count it without a second scan."""
+    panel = _panel(spark, sf_dir, s)
+    merged = panel.join(F.broadcast(_fisd(spark, sf_dir)), "user_id", "left")
+    bm = F.datediff(F.col("maturity"), F.col("d")).cast("double") / 365.25
+    ba = F.datediff(F.col("d"), F.col("offering_date")).cast("double") / 365.25
+    accrued_ok = (
+        (bm > 0)
+        & (ba > 0)
+        & F.col("dated_date").isNotNull()
+        & ~F.col("freq").isin(*s.freq_exclusions)
+    )
+    return (
+        merged.withColumn("bond_maturity", bm)
+        .withColumn("bond_age", ba)
+        .withColumn("accrued_ok", accrued_ok)
+    )
+
+
+def _ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic rating history: one observation per (user, day) from
+    'purchase' events (last by time), numeric S&P / Moody's levels
+    derived from the trade cents with deterministic nulls."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = Window.partitionBy("user_id", F.to_date("ts")).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    obs = (
+        ev.select(
+            "user_id",
+            F.to_date("ts").alias("rd"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+            F.row_number().over(w).alias("__rn"),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    sp = F.when(F.col("cents") % 7 == 0, F.lit(None)).otherwise(
+        1 + F.col("cents") % 22
+    )
+    mdy = F.when(F.col("cents") % 5 == 0, F.lit(None)).otherwise(
+        1 + F.col("cents") % 21
+    )
+    return obs.select(
+        "user_id", "rd", sp.alias("sp_num"), mdy.alias("mdy_num")
+    )
+
+
+def _enriched(
+    spark: SparkSession, sf_dir: str, acc: DataFrame, s: Stage1Settings
+) -> DataFrame:
+    """step6 ratings merge + step9 flags on the accrued-surviving frame:
+    backward as-of rating attach (whole-row semantics via a struct value
+    — per-column last-non-null would mix rating vintages), W8 composite
+    levels, the spike (distressed stand-in), dip-window and high-price
+    flags. All windows partition by user_id and order by the (unique)
+    panel date."""
+    rat = _ratings(spark, sf_dir).select(
+        "user_id",
+        F.col("rd").alias("d"),
+        F.struct("sp_num", "mdy_num").alias("__rat"),
+    )
+    rated = asof_join(acc, rat, on="d", by="user_id", value_cols=["__rat"])
+    rated = (
+        rated.withColumn("sp_num", F.col("__rat.sp_num"))
+        .withColumn("mdy_num", F.col("__rat.mdy_num"))
+        .drop("__rat")
+    )
+    mdy_adj = F.when(F.col("mdy_num") >= 21, F.lit(22)).otherwise(F.col("mdy_num"))
+    comp = rated.withColumn("mdy_adj", mdy_adj).withColumn(
+        "sp_composite", F.coalesce("sp_num", "mdy_adj")
+    ).withColumn("mdy_composite", F.coalesce("mdy_adj", "sp_num"))
+
+    w_u = Window.partitionBy("user_id").orderBy("d")
+    lag_pr = F.lag("pr").over(w_u)
+    lead_pr = F.lead("pr").over(w_u)
+    spike = (
+        ((F.col("pr") - lag_pr) * (F.col("pr") - lead_pr) > 0)
+        & (F.abs(F.col("pr") - lag_pr) > s.spike_threshold)
+        & (F.abs(F.col("pr") - lead_pr) > s.spike_threshold)
+    )
+    lo, hi = s.dip_window
+    in_dip = F.col("d").between(F.lit(lo).cast("date"), F.lit(hi).cast("date"))
+    w_dip = Window.partitionBy(F.col("user_id"), in_dip).orderBy("d")
+    dip = (
+        in_dip
+        & (F.row_number().over(w_dip) == 2)
+        & (F.abs(F.col("pr") - F.lag("pr").over(w_dip)) > s.dip_threshold)
+    )
+    return (
+        comp.withColumn(
+            "flag_refined_any", F.when(spike, 1).otherwise(0)
+        )
+        .withColumn("prc_dip", F.when(dip, 1).otherwise(0))
+        .withColumn(
+            "prc_high", (F.col("pr") > s.price_threshold).cast("int")
+        )
+    )
+
+
+# ordered Table-2 screens (stage1_pipeline.py:1886-1944); each predicate
+# is row-local on the flagged frame, so sequential filters == one pass
+def _screens(s: Stage1Settings) -> list[tuple[str, F.Column]]:
+    return [
+        ("valid_rating", F.col("sp_num").isNotNull() | F.col("mdy_num").isNotNull()),
+        ("valid_maturity", F.col("bond_maturity") >= s.min_maturity_years),
+        ("distressed_errors", F.col("flag_refined_any") != 1),
+        ("dip_window_filter", F.col("prc_dip") != 1),
+        ("high_prc", F.col("prc_high") != 1),
+    ]
+
+
+def _screened(
+    enriched: DataFrame, s: Stage1Settings, ledger: AuditLedger | None = None
+) -> DataFrame:
+    df = enriched
+    for stage, pred in _screens(s):
+        df = filter_with_log(df, pred, stage, ledger)
+    return df
+
+
+def _analytics(screened: DataFrame, s: Stage1Settings) -> DataFrame:
+    """step5: Newton price→yield on the surviving rows (Arrow pandas
+    UDF, same fixed 25-step iteration as the w10 family) + the W9
+    interpolated curve → credit spread. Rounded at 6 dp on both sides
+    of the oracle; `+ 0.0` maps IEEE -0.0 to +0.0."""
+    from trace_data_pipeline_spark.operators.bond_math import bond_analytics_freq
+
+    m = F.col("freq").cast("int")
+    nper = (
+        F.least(F.lit(200), F.greatest(F.lit(1), F.floor(F.col("bond_maturity") * m)))
+        .cast("int")
+    )
+    cpp = F.col("coupon") / (F.lit(100.0) * m)
+    solved = screened.withColumn(
+        "__r", bond_analytics_freq(F.col("pr"), cpp, nper, m)
+    )
+    curve = piecewise_linear(F.col("bond_maturity"), list(_XS), list(_YS))
+    return solved.withColumn(
+        "ytm6", F.round(F.col("__r.ytm"), 6) + 0.0
+    ).withColumn(
+        "spread6", F.round(F.col("__r.ytm") - curve, 6) + 0.0
+    ).drop("__r")
+
+
+def _final_select(df: DataFrame) -> DataFrame:
+    comp_rating = (F.col("sp_composite") + F.col("mdy_composite")) / 2.0
+    return df.select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("d"),
+        "n_trades",
+        "pr",
+        "sp_composite",
+        "mdy_composite",
+        comp_rating.alias("comp_rating"),
+        F.round("bond_maturity", 6).alias("bond_maturity"),
+        (F.round("ytm_w", 6) + 0.0).alias("ytm_w"),
+        (F.round("spread_w", 6) + 0.0).alias("spread_w"),
+    )
+
+
+def build_stage1(
+    spark: SparkSession,
+    sf_dir: str,
+    settings: Stage1Settings = _S,
+    ledger: AuditLedger | None = None,
+) -> DataFrame:
+    """Assemble the full stage-1 chain per the switchboard (the Spark
+    `run_all_steps`). Defaults == the p2_stage1_full oracle chain;
+    toggled-off winsorization passes the rounded raw columns through."""
+    merged = _merged(spark, sf_dir, settings)
+    acc = filter_with_log(
+        merged.drop("accrued_ok"),
+        (F.col("bond_maturity") > 0)
+        & (F.col("bond_age") > 0)
+        & F.col("dated_date").isNotNull()
+        & ~F.col("freq").isin(*settings.freq_exclusions),
+        "valid_accrued_vars",
+        ledger,
+    )
+    enriched = _enriched(spark, sf_dir, acc, settings)
+    screened = _screened(enriched, settings, ledger)
+    solved = _analytics(screened, settings)
+    if settings.apply_winsor:
+        solved = winsorize_by_group(
+            solved,
+            "ytm6",
+            ["d"],
+            settings.winsor_lower,
+            settings.winsor_upper,
+            out_col="ytm_w",
+        )
+        solved = winsorize_by_group(
+            solved,
+            "spread6",
+            ["d"],
+            settings.winsor_lower,
+            settings.winsor_upper,
+            out_col="spread_w",
+        )
+    else:
+        solved = solved.withColumn("ytm_w", F.col("ytm6")).withColumn(
+            "spread_w", F.col("spread6")
+        )
+    return _final_select(solved)
+
+
+# ------------------------------------------------------------- oracle SQL
+
+_CF = "(CASE WHEN t = n THEN c * 100 + 100 ELSE c * 100 END)"
+
+
+def _curve_case_sql(var: str) -> str:
+    """The W9 piecewise-linear curve as a CASE chain whose literals are
+    the exact float64 values Spark's `piecewise_linear` uses (slopes
+    spelled as repr'd differences so both engines evaluate identical
+    expressions)."""
+    parts = [f"CASE WHEN {var} < {_XS[0]!r} THEN {_YS[0]!r}"]
+    for i in range(1, len(_XS)):
+        x0, x1, y0, y1 = _XS[i - 1], _XS[i], _YS[i - 1], _YS[i]
+        parts.append(
+            f"WHEN {var} >= {x0!r} AND {var} < {x1!r} "
+            f"THEN {y0!r} + ({var} - {x0!r}) * {(y1 - y0)!r} / {(x1 - x0)!r}"
+        )
+    parts.append(f"ELSE {_YS[-1]!r} END")
+    return "\n         ".join(parts)
+
+
+_BASE_CTES = f"""
+panel AS (
+  SELECT user_id, CAST(ts AS DATE) AS d, COUNT(*) AS n_trades,
+         CAST((2 * SUM(CAST(round(value * 100, 0) AS BIGINT)) * 1000000
+               + 100 * COUNT(*)) // (200 * COUNT(*)) AS DOUBLE) / 1000000 AS pr
+  FROM events
+  WHERE CAST(ts AS DATE) <= DATE '{_S.cutoff_date}'
+  GROUP BY 1, 2
+),
+fisd AS (
+  SELECT user_id,
+         DATE '2021-06-01' + CAST(user_id * 793 % 1100 AS INTEGER) AS offering_date,
+         CASE WHEN user_id % 13 = 0 THEN NULL
+              ELSE DATE '2021-06-01' + CAST(user_id * 793 % 1100 AS INTEGER)
+         END AS dated_date,
+         DATE '2023-09-01' + CAST(user_id * 1597 % 4000 AS INTEGER) AS maturity,
+         CASE CAST(user_id % 9 AS INTEGER)
+              WHEN 0 THEN -1 WHEN 1 THEN 13 WHEN 2 THEN 16 WHEN 3 THEN 1
+              WHEN 4 THEN 2 WHEN 5 THEN 4 WHEN 6 THEN 12 ELSE 2 END AS freq,
+         CAST(2 + user_id % 7 AS DOUBLE) AS coupon
+  FROM (SELECT DISTINCT user_id FROM events)
+),
+merged AS (
+  SELECT p.user_id, p.d, p.n_trades, p.pr,
+         f.offering_date, f.dated_date, f.maturity, f.freq, f.coupon,
+         CAST(date_diff('day', p.d, f.maturity) AS DOUBLE) / 365.25 AS bond_maturity,
+         CAST(date_diff('day', f.offering_date, p.d) AS DOUBLE) / 365.25 AS bond_age
+  FROM panel p LEFT JOIN fisd f ON p.user_id = f.user_id
+),
+acc AS (
+  SELECT * FROM merged
+  WHERE bond_maturity > 0 AND bond_age > 0 AND dated_date IS NOT NULL
+    AND freq NOT IN {tuple(_S.freq_exclusions)}
+)"""
+
+_ENRICH_CTES = f"""
+rat AS (
+  SELECT user_id, rd,
+         CASE WHEN cents % 7 = 0 THEN NULL ELSE 1 + cents % 22 END AS sp_num,
+         CASE WHEN cents % 5 = 0 THEN NULL ELSE 1 + cents % 21 END AS mdy_num
+  FROM (
+    SELECT user_id, CAST(ts AS DATE) AS rd,
+           CAST(round(value * 100, 0) AS BIGINT) AS cents,
+           row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE event_type = 'purchase'
+  ) WHERE rn = 1
+),
+rated AS (
+  SELECT a.*, r.sp_num, r.mdy_num
+  FROM acc a ASOF LEFT JOIN rat r
+    ON a.user_id = r.user_id AND a.d >= r.rd
+),
+comp AS (
+  SELECT *,
+         COALESCE(sp_num, mdy_adj) AS sp_composite,
+         COALESCE(mdy_adj, sp_num) AS mdy_composite
+  FROM (SELECT *, CASE WHEN mdy_num >= 21 THEN 22 ELSE mdy_num END AS mdy_adj
+        FROM rated)
+),
+flagged AS (
+  SELECT *,
+         CASE WHEN (pr - lag_pr) * (pr - lead_pr) > 0
+                   AND abs(pr - lag_pr) > {_S.spike_threshold!r}
+                   AND abs(pr - lead_pr) > {_S.spike_threshold!r}
+              THEN 1 ELSE 0 END AS flag_refined_any,
+         CASE WHEN in_dip AND rnw = 2 AND abs(pr - lag_w) > {_S.dip_threshold!r}
+              THEN 1 ELSE 0 END AS prc_dip,
+         CASE WHEN pr > {_S.price_threshold!r} THEN 1 ELSE 0 END AS prc_high
+  FROM (
+    SELECT *,
+           lag(pr)  OVER (PARTITION BY user_id ORDER BY d) AS lag_pr,
+           lead(pr) OVER (PARTITION BY user_id ORDER BY d) AS lead_pr,
+           (d BETWEEN DATE '{_S.dip_window[0]}'
+                  AND DATE '{_S.dip_window[1]}') AS in_dip,
+           row_number() OVER (
+             PARTITION BY user_id,
+                          (d BETWEEN DATE '{_S.dip_window[0]}'
+                                 AND DATE '{_S.dip_window[1]}')
+             ORDER BY d) AS rnw,
+           lag(pr) OVER (
+             PARTITION BY user_id,
+                          (d BETWEEN DATE '{_S.dip_window[0]}'
+                                 AND DATE '{_S.dip_window[1]}')
+             ORDER BY d) AS lag_w
+    FROM comp)
+)"""
+
+_SCREEN_CTES = f"""
+s1 AS (SELECT * FROM flagged WHERE sp_num IS NOT NULL OR mdy_num IS NOT NULL),
+s2 AS (SELECT * FROM s1 WHERE bond_maturity >= {_S.min_maturity_years!r}),
+s3 AS (SELECT * FROM s2 WHERE flag_refined_any != 1),
+s4 AS (SELECT * FROM s3 WHERE prc_dip != 1),
+s5 AS (SELECT * FROM s4 WHERE prc_high != 1)"""
+
+
+@register(
+    "f12_f13_accrued_screen",
+    oracle=f"""
+    WITH {_BASE_CTES.lstrip()}
+    SELECT user_id, strftime(d, '%Y-%m-%d') AS d, n_trades, pr,
+           CAST(freq AS BIGINT) AS freq,
+           ROUND(bond_maturity, 6) AS bond_maturity,
+           ROUND(bond_age, 6) AS bond_age
+    FROM acc
+    """,
+)
+def f12_f13_accrued_screen(spark, sf_dir):
+    """F12+F13 (`stage1_pipeline.py:242-247, 382-404`): the date-cutoff
+    panel merged with the FISD dimension, screened to rows with valid
+    accrued-interest inputs (positive residual maturity and age, a
+    dated date, a payable frequency code)."""
+    merged = _merged(spark, sf_dir, _S)
+    acc = merged.filter(F.col("accrued_ok"))
+    return acc.select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("d"),
+        "n_trades",
+        "pr",
+        F.col("freq").cast("long").alias("freq"),
+        F.round("bond_maturity", 6).alias("bond_maturity"),
+        F.round("bond_age", 6).alias("bond_age"),
+    )
+
+
+@register(
+    "f14_final_screens",
+    oracle=f"""
+    WITH {_BASE_CTES.lstrip()},
+    {_ENRICH_CTES.lstrip()},
+    {_SCREEN_CTES.lstrip()}
+    SELECT user_id, strftime(d, '%Y-%m-%d') AS d, n_trades, pr,
+           CAST(sp_composite AS BIGINT) AS sp_composite,
+           CAST(mdy_composite AS BIGINT) AS mdy_composite
+    FROM s5
+    """,
+)
+def f14_final_screens(spark, sf_dir):
+    """F14 (`stage1_pipeline.py:1886-1944`): the sequential Table-2
+    screen chain — valid rating, minimum maturity, distressed flag,
+    dip-window flag, high-price flag — applied after the as-of rating
+    merge and flag computation."""
+    merged = _merged(spark, sf_dir, _S)
+    acc = merged.filter(F.col("accrued_ok"))
+    enriched = _enriched(spark, sf_dir, acc, _S)
+    out = _screened(enriched, _S)
+    return out.select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("d"),
+        "n_trades",
+        "pr",
+        F.col("sp_composite").cast("long").alias("sp_composite"),
+        F.col("mdy_composite").cast("long").alias("mdy_composite"),
+    )
+
+
+@register(
+    "t2_filter_report",
+    oracle=f"""
+    WITH {_BASE_CTES.lstrip()},
+    {_ENRICH_CTES.lstrip()},
+    counts0 AS (
+      SELECT COUNT(*) AS n_start,
+             CAST(SUM(CASE WHEN bond_maturity > 0 AND bond_age > 0
+                            AND dated_date IS NOT NULL
+                            AND freq NOT IN {tuple(_S.freq_exclusions)}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_acc
+      FROM merged
+    ),
+    preds AS (
+      SELECT (sp_num IS NOT NULL OR mdy_num IS NOT NULL) AS p1,
+             bond_maturity >= {_S.min_maturity_years!r} AS p2,
+             flag_refined_any != 1 AS p3,
+             prc_dip != 1 AS p4,
+             prc_high != 1 AS p5
+      FROM flagged
+    ),
+    counts1 AS (
+      SELECT CAST(SUM(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN p1 AND p2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+             CAST(SUM(CASE WHEN p1 AND p2 AND p3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+             CAST(SUM(CASE WHEN p1 AND p2 AND p3 AND p4 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c4,
+             CAST(SUM(CASE WHEN p1 AND p2 AND p3 AND p4 AND p5 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c5
+      FROM preds
+    ),
+    rows_ AS (
+      SELECT 0 AS stage_idx, 'start' AS stage, n_start AS n_before,
+             n_start AS n_after FROM counts0
+      UNION ALL SELECT 1, 'valid_accrued_vars', n_start, n_acc FROM counts0
+      UNION ALL SELECT 2, 'valid_rating', n_acc, c1 FROM counts0, counts1
+      UNION ALL SELECT 3, 'valid_maturity', c1, c2 FROM counts1
+      UNION ALL SELECT 4, 'distressed_errors', c2, c3 FROM counts1
+      UNION ALL SELECT 5, 'dip_window_filter', c3, c4 FROM counts1
+      UNION ALL SELECT 6, 'high_prc', c4, c5 FROM counts1
+      UNION ALL SELECT 7, 'overall', n_start, c5 FROM counts0, counts1
+    )
+    SELECT r.stage_idx, r.stage, r.n_before, r.n_after,
+           r.n_before - r.n_after AS n_removed,
+           CAST((2 * (r.n_before - r.n_after) * 100 * 1000000 + c0.n_start)
+                // (2 * c0.n_start) AS DOUBLE) / 1000000 AS pct_of_start
+    FROM rows_ r, counts0 c0
+    """,
+)
+def t2_filter_report(spark, sf_dir):
+    """Table 2 (`stage1_pipeline.py:1860-1944`): sequential filter
+    record — before/after/removed counts and the share of the starting
+    rows removed, one row per screen plus start and overall. Computed
+    as survival-flag sums in TWO scans (pre-filter frame + flagged
+    frame), not one count-action per filter."""
+    merged = _merged(spark, sf_dir, _S)
+    counts0 = merged.agg(
+        F.count(F.lit(1)).alias("n_start"),
+        F.sum(F.col("accrued_ok").cast("long")).alias("n_acc"),
+    )
+    acc = merged.filter(F.col("accrued_ok"))
+    enriched = _enriched(spark, sf_dir, acc, _S)
+    preds = _screens(_S)
+    cum, cols = None, []
+    for i, (_, pred) in enumerate(preds, start=1):
+        cum = pred if cum is None else (cum & pred)
+        cols.append(F.sum(cum.cast("long")).alias(f"c{i}"))
+    counts1 = enriched.agg(*cols)
+    # 1-row × 1-row combine: broadcast → BroadcastNestedLoopJoin, never
+    # a CartesianProduct (test_plan_shapes bans the latter)
+    both = counts0.crossJoin(F.broadcast(counts1))
+    stages = (
+        "stack(8, "
+        "0L, 'start', n_start, n_start, "
+        "1L, 'valid_accrued_vars', n_start, n_acc, "
+        "2L, 'valid_rating', n_acc, c1, "
+        "3L, 'valid_maturity', c1, c2, "
+        "4L, 'distressed_errors', c2, c3, "
+        "5L, 'dip_window_filter', c3, c4, "
+        "6L, 'high_prc', c4, c5, "
+        "7L, 'overall', n_start, c5"
+        ") AS (stage_idx, stage, n_before, n_after)"
+    )
+    rows = both.selectExpr("n_start", stages)
+    return rows.select(
+        "stage_idx",
+        "stage",
+        "n_before",
+        "n_after",
+        (F.col("n_before") - F.col("n_after")).alias("n_removed"),
+        round_ratio_half_up(
+            (F.col("n_before") - F.col("n_after")) * 100, F.col("n_start"), 6
+        ).alias("pct_of_start"),
+    )
+
+
+_P2_ORACLE = f"""
+WITH RECURSIVE {_BASE_CTES.lstrip()},
+{_ENRICH_CTES.lstrip()},
+{_SCREEN_CTES.lstrip()},
+bonds AS (
+  SELECT user_id, d, n_trades, pr, sp_composite, mdy_composite, bond_maturity,
+         CAST(freq AS INTEGER) AS m,
+         CAST(least(200, greatest(1, CAST(floor(bond_maturity * freq) AS BIGINT)))
+              AS INTEGER) AS n,
+         coupon / (100.0 * freq) AS c,
+         pr AS p
+  FROM s5
+),
+it AS (
+  SELECT user_id, d, m, n, c, p, 0 AS k, CAST(0.03 AS DOUBLE) AS y FROM bonds
+  UNION ALL
+  SELECT user_id, d, m, n, c, p, k + 1,
+         least(greatest(
+           y - (list_sum(list_transform(range(1, n + 1),
+                  t -> {_CF} * power(1.0 / (1.0 + y), t))) - p)
+             / list_sum(list_transform(range(1, n + 1),
+                  t -> -t * {_CF} * power(1.0 / (1.0 + y), t + 1))),
+           -0.9), 10.0) AS y
+  FROM it WHERE k < 25
+),
+solved AS (
+  SELECT b.*, ROUND(i.y * b.m, 6) + 0.0 AS ytm6,
+         ROUND(i.y * b.m - ({_curve_case_sql("b.bond_maturity")}), 6) + 0.0
+           AS spread6
+  FROM bonds b JOIN it i
+    ON b.user_id = i.user_id AND b.d = i.d AND i.k = 25
+),
+bounds AS (
+  SELECT d,
+         quantile_cont(ytm6, {_S.winsor_lower!r}) AS ylo,
+         quantile_cont(ytm6, {_S.winsor_upper!r}) AS yhi,
+         quantile_cont(spread6, {_S.winsor_lower!r}) AS slo,
+         quantile_cont(spread6, {_S.winsor_upper!r}) AS shi
+  FROM solved GROUP BY 1
+)
+SELECT s.user_id, strftime(s.d, '%Y-%m-%d') AS d, s.n_trades, s.pr,
+       CAST(s.sp_composite AS BIGINT) AS sp_composite,
+       CAST(s.mdy_composite AS BIGINT) AS mdy_composite,
+       (s.sp_composite + s.mdy_composite) / 2.0 AS comp_rating,
+       ROUND(s.bond_maturity, 6) AS bond_maturity,
+       ROUND(LEAST(GREATEST(s.ytm6, b.ylo), b.yhi), 6) + 0.0 AS ytm_w,
+       ROUND(LEAST(GREATEST(s.spread6, b.slo), b.shi), 6) + 0.0 AS spread_w
+FROM solved s JOIN bounds b ON s.d = b.d
+"""
+
+
+@register("p2_stage1_full", oracle=_P2_ORACLE)
+def p2_stage1_full(spark, sf_dir):
+    """The stage-1 `run_all_steps` composite
+    (`stage1_pipeline.py:2978-3002`): panel → FISD merge →
+    valid-accrued screen → as-of ratings + composites → Table-2
+    screens → Newton price→yield + curve spread → within-date
+    winsorization. One end-to-end value-hash-checked plan proving the
+    stage-1 operators compose."""
+    return build_stage1(spark, sf_dir, _S)

@@ -28,16 +28,11 @@ from trace_data_pipeline_spark.session import get_spark
 STAGES: dict[str, list[str]] = {
     # stage 0: clean the corrupted tape end-to-end and emit the panel
     "stage0": ["w1_decimal_shift", "w2_bounce_back", "p1_stage0_full"],
-    # stage 1: enrichment + analytics over the daily panel
+    # stage 1: the end-to-end composite (FISD merge → as-of ratings →
+    # screens → analytics → winsorize) + its Table-2 filter record
     "stage1": [
-        "j10_enrichment_join",
-        "j11_asof_backward",
-        "j15_range_join",
-        "w8b_composite_ratings",
-        "w9_curve_interp",
-        "w10_bond_analytics",
-        "a8_pooled_stats",
-        "a11_winsorize",
+        "p2_stage1_full",
+        "t2_filter_report",
         "r1_audit_report",
     ],
     # training-data pipeline over documents/embeddings

@@ -70,3 +70,40 @@ def test_t2_settlement_weekend_roll(spark):
         .collect()
     ]
     assert got == ["2024-01-04", "2024-01-08", "2024-01-09", "2024-01-09"]
+
+
+def test_t2_calendar_roll_differs_on_holiday_straddle(spark):
+    """Golden: Thursday 2024-01-11 T+2 — the weekend-only fold lands on
+    Monday 2024-01-15; the calendar-aware roll sees that Monday as a
+    holiday and settles Tuesday 2024-01-16."""
+    import pyspark.sql.functions as F
+
+    from trace_data_pipeline_spark.functions.daycount import add_business_days
+    from trace_data_pipeline_spark.operators.temporal import (
+        add_business_days_calendar,
+    )
+
+    trades = spark.createDataFrame(
+        [("2024-01-11",), ("2024-01-10",)], ["trade_d"]
+    ).select(F.col("trade_d").cast("date"))
+    cal = (
+        spark.range(0, 40)
+        .select(
+            F.date_add(F.lit("2024-01-01").cast("date"), F.col("id").cast("int"))
+            .alias("session_date")
+        )
+        .filter(
+            ~F.dayofweek("session_date").isin(1, 7)
+            & (F.col("session_date") != F.lit("2024-01-15").cast("date"))
+        )
+    )
+    got = {
+        str(r["trade_d"]): (str(r["settle_dt"]), str(r["weekend_only"]))
+        for r in add_business_days_calendar(trades, "trade_d", cal, n=2)
+        .withColumn("weekend_only", add_business_days(F.col("trade_d"), 2))
+        .collect()
+    }
+    # Wed 01-10: both roll to Fri 01-12 — no holiday in the way
+    assert got["2024-01-10"] == ("2024-01-12", "2024-01-12")
+    # Thu 01-11: weekend-only says Mon 01-15; the calendar skips the holiday
+    assert got["2024-01-11"] == ("2024-01-16", "2024-01-15")

@@ -65,3 +65,46 @@ def resample_ffill(
     for c in value_cols:
         joined = joined.withColumn(c, F.last(c, ignorenulls=True).over(w))
     return joined
+
+
+def add_business_days_calendar(
+    df: DataFrame,
+    date_col: str,
+    calendar: DataFrame,
+    n: int = 2,
+    cal_date_col: str = "session_date",
+    out_col: str = "settle_dt",
+) -> DataFrame:
+    """T+n settlement against an explicit trading calendar (the
+    reference's QuantLib NYSE `advance(trade, n, Days)` with holiday
+    awareness, `stage1/helper_functions.py:44-255`) — unlike the
+    weekend-only `functions.daycount.add_business_days` fold, this
+    rolls over holidays too.
+
+    Build: consecutive sessions define half-open intervals
+    [s_i, s_{i+1}); any trade date inside one settles at lead(s, n)
+    of the interval's start — covers both on-session trades and
+    weekend/holiday trade dates with the same expression. The interval
+    table is |calendar| rows and broadcasts; the fact side streams
+    through one BroadcastNestedLoopJoin (no shuffle).
+
+    Trade dates at/after the last n sessions get a null settle — feed
+    a calendar extending past the data's horizon."""
+    sess = calendar.select(
+        F.to_date(cal_date_col).alias("__s")
+    ).distinct()
+    # |calendar| is dimension-sized (252 rows/year); the single-partition
+    # window is deliberate
+    w = Window.orderBy("__s")
+    iv = sess.select(
+        "__s",
+        F.lead("__s", 1).over(w).alias("__next"),
+        F.lead("__s", n).over(w).alias(out_col),
+    )
+    d = F.to_date(date_col)
+    joined = df.join(
+        F.broadcast(iv),
+        (d >= F.col("__s")) & ((d < F.col("__next")) | F.col("__next").isNull()),
+        "left",
+    )
+    return joined.drop("__s", "__next")

@@ -496,3 +496,60 @@ def w10d_accrued(spark, sf_dir):
     return out.withColumn(
         "last_cpn", F.date_format("last_cpn", "yyyy-MM-dd")
     ).withColumn("next_cpn", F.date_format("next_cpn", "yyyy-MM-dd"))
+
+
+@register(
+    "w11_settlement_t2",
+    oracle="""
+    WITH days AS (
+      SELECT DATE '2024-01-01' + CAST(i AS INTEGER) AS s FROM range(0, 75) t(i)
+    ),
+    sess AS (
+      SELECT s FROM days
+      WHERE isodow(s) < 6
+        AND s NOT IN (DATE '2024-01-15', DATE '2024-01-25')
+    ),
+    iv AS (
+      SELECT s, lead(s, 1) OVER (ORDER BY s) AS nxt,
+             lead(s, 2) OVER (ORDER BY s) AS settle
+      FROM sess
+    )
+    SELECT e.event_id, strftime(CAST(e.ts AS DATE), '%Y-%m-%d') AS trade_d,
+           strftime(iv.settle, '%Y-%m-%d') AS settle_dt
+    FROM events e LEFT JOIN iv
+      ON CAST(e.ts AS DATE) >= iv.s
+     AND (CAST(e.ts AS DATE) < iv.nxt OR iv.nxt IS NULL)
+    """,
+)
+def w11_settlement_t2(spark, sf_dir):
+    """T+2 settlement against a holiday-aware trading calendar
+    (reference: QuantLib NYSE advance(trade, 2, Days),
+    `stage1/helper_functions.py:44-255`): weekday sessions minus two
+    synthetic holidays (Jan 15 / Jan 25 — MLK-day-shaped), trades
+    rolled to the second session strictly after the trade date via the
+    broadcast interval join in `add_business_days_calendar`."""
+    from trace_data_pipeline_spark.operators.temporal import (
+        add_business_days_calendar,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.to_date("ts").alias("trade_d")
+    )
+    cal = (
+        spark.range(0, 75)
+        .select(
+            F.date_add(F.lit("2024-01-01").cast("date"), F.col("id").cast("int")).alias(
+                "session_date"
+            )
+        )
+        .filter(
+            ~F.dayofweek("session_date").isin(1, 7)
+            & ~F.col("session_date").isin("2024-01-15", "2024-01-25")
+        )
+    )
+    out = add_business_days_calendar(ev, "trade_d", cal, n=2)
+    return out.select(
+        "event_id",
+        F.date_format("trade_d", "yyyy-MM-dd").alias("trade_d"),
+        F.date_format("settle_dt", "yyyy-MM-dd").alias("settle_dt"),
+    )

@@ -224,3 +224,63 @@ def test_foreachbatch_sink_is_idempotent(spark, tmp_path):
     # simulate an at-least-once redelivery of batch 0
     writer(ev.filter(F.col("user_id") % 2 == 0), 0)
     assert spark.read.parquet(out).count() == n_first
+
+
+def test_kafka_wire_decode_batch_and_stream(spark, tmp_path):
+    """The Kafka wire-format decode is transport-independent: the same
+    decode runs on a batch frame and on a file-backed stream, and
+    malformed messages null out instead of failing."""
+    import json
+
+    import pyspark.sql.functions as F
+
+    from trace_data_pipeline_spark.streaming.kafka import decode_json_events
+
+    msgs = [
+        json.dumps(
+            {"event_id": i, "ts": f"2024-01-01 00:00:0{i}", "user_id": i % 3,
+             "event_type": "click", "value": 1.5 * i, "props": "{}"}
+        )
+        for i in range(5)
+    ] + ["{not json"]
+    batch = spark.createDataFrame(
+        [(m.encode(),) for m in msgs], "value binary"
+    )
+    got = decode_json_events(batch).collect()
+    assert len(got) == 6
+    ok = [r for r in got if r["event_id"] is not None]
+    assert len(ok) == 5 and {r["user_id"] for r in ok} == {0, 1, 2}
+    assert got[-1]["event_id"] is None  # malformed → nulls, not a crash
+
+    # same decode over a streaming source
+    src = tmp_path / "wire"
+    src.mkdir()
+    (src / "a.txt").write_text("\n".join(msgs))
+    stream = (
+        spark.readStream.format("text")
+        .load(str(src))
+        .select(F.col("value").cast("binary").alias("value"))
+    )
+    q = (
+        decode_json_events(stream)
+        .writeStream.format("memory")
+        .queryName("kafka_wire")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM kafka_wire").collect()
+    finally:
+        q.stop()
+    assert len(rows) == 6
+    assert sorted(r["event_id"] for r in rows if r["event_id"] is not None) == list(range(5))
+
+
+def test_kafka_source_raises_clearly_without_connector(spark):
+    import pytest as _pytest
+
+    from trace_data_pipeline_spark.streaming.kafka import kafka_json_stream
+
+    with _pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        kafka_json_stream(spark, "trades", "localhost:9092")

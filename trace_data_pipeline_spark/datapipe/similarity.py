@@ -248,3 +248,82 @@ def quantize_int8(
         F.round(recon_err, 6).alias("recon_err_l2"),
         n_sat.alias("n_saturated"),
     )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook_source: DataFrame,
+    n_subspaces: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Product-quantization encode (Jégou/Douze/Schmid, "Product
+    Quantization for Nearest Neighbor Search"): split each vector into
+    M contiguous subvectors; per subspace, snap to the nearest codebook
+    centroid (L2², deterministic id tiebreak). Returns one row per
+    vector with code_0..code_{M-1} and the total reconstruction error.
+
+    Scale shape: the codebook is M·K rows and BROADCASTS; the corpus
+    explodes to N·M subvector rows and meets the codebook on a
+    broadcast hash equi-join keyed by subspace index — never a cross
+    join of full vectors. The encoded form is M small ints per vector
+    (vs `dim` floats) — the memory shape that makes billion-scale ANN
+    tables fit.
+
+    Float discipline: distances accumulate left-to-right in float64
+    (identical operand order to the oracle's list_sum), and the M
+    per-subspace errors are added in fixed subspace order — never a
+    shuffle-order-dependent SUM."""
+    sub_len = dim // n_subspaces
+
+    def subvecs(col: Column, alias: str) -> Column:
+        return F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice(col, m * sub_len + 1, sub_len).alias(alias),
+                    )
+                    for m in range(n_subspaces)
+                ]
+            )
+        )
+
+    subs = corpus.select(
+        F.col(id_col).alias("vec_id"), subvecs(F.col(vec_col), "sv").alias("x")
+    ).select("vec_id", "x.m", "x.sv")
+    cents = codebook_source.select(
+        F.col(id_col).alias("cid"), subvecs(F.col(vec_col), "cv").alias("x")
+    ).select("cid", "x.m", "x.cv")
+
+    d2 = F.lit(0.0)
+    for i in range(sub_len):
+        diff = F.get(F.col("sv"), i).cast("double") - F.get(
+            F.col("cv"), i
+        ).cast("double")
+        d2 = d2 + diff * diff
+
+    pairs = subs.join(F.broadcast(cents), "m").withColumn("__d2", d2)
+    w = Window.partitionBy("vec_id", "m").orderBy(
+        F.col("__d2").asc(), F.col("cid").asc()
+    )
+    best = pairs.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") == 1
+    )
+    aggs = []
+    for m in range(n_subspaces):
+        aggs.append(
+            F.min(F.when(F.col("m") == m, F.col("cid"))).alias(f"code_{m}")
+        )
+        aggs.append(
+            F.min(F.when(F.col("m") == m, F.col("__d2"))).alias(f"__e{m}")
+        )
+    coded = best.groupBy("vec_id").agg(*aggs)
+    err = F.lit(0.0)
+    for m in range(n_subspaces):
+        err = err + F.col(f"__e{m}")
+    return coded.withColumn("recon_err", F.round(err, round_dp)).drop(
+        *[f"__e{m}" for m in range(n_subspaces)]
+    )

@@ -756,3 +756,56 @@ def d16_embedding_quantize(spark, sf_dir):
     from trace_data_pipeline_spark.datapipe.similarity import quantize_int8
 
     return quantize_int8(_emb(spark, sf_dir))
+
+
+_PQ_SUBS = "\n  UNION ALL ".join(
+    f"SELECT vec_id, {m} AS m, e[{m * 16 + 1}:{m * 16 + 16}] AS sv FROM v"
+    for m in range(4)
+)
+
+@register(
+    "d17_pq_encode",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    sub AS (
+      {_PQ_SUBS}
+    ),
+    cent AS (SELECT vec_id AS cid, m, sv AS cv FROM sub WHERE vec_id % 100 = 0),
+    pairs AS (
+      SELECT s.vec_id, s.m, c.cid,
+             list_sum(list_transform(range(1, 17),
+               i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))) AS d2
+      FROM sub s JOIN cent c USING (m)
+    ),
+    best AS (
+      SELECT vec_id, m, cid, d2 FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                     ORDER BY d2, cid) AS rn
+        FROM pairs) WHERE rn = 1
+    )
+    SELECT vec_id,
+           CAST(MIN(CASE WHEN m = 0 THEN cid END) AS BIGINT) AS code_0,
+           CAST(MIN(CASE WHEN m = 1 THEN cid END) AS BIGINT) AS code_1,
+           CAST(MIN(CASE WHEN m = 2 THEN cid END) AS BIGINT) AS code_2,
+           CAST(MIN(CASE WHEN m = 3 THEN cid END) AS BIGINT) AS code_3,
+           ROUND(MIN(CASE WHEN m = 0 THEN d2 END)
+                 + MIN(CASE WHEN m = 1 THEN d2 END)
+                 + MIN(CASE WHEN m = 2 THEN d2 END)
+                 + MIN(CASE WHEN m = 3 THEN d2 END), 6) AS recon_err
+    FROM best GROUP BY 1
+    """,
+)
+def d17_pq_encode(spark, sf_dir):
+    """Product quantization (the compressed-vector scale path next to
+    d16's int8 rows): 4 subspaces x 16 dims, deterministic codebook
+    (every 100th vector's subvectors), nearest-centroid codes + total
+    reconstruction error. Codebook broadcasts; the corpus meets it on
+    a broadcast hash equi-join keyed by subspace."""
+    from trace_data_pipeline_spark.datapipe.similarity import pq_encode
+
+    emb = _emb(spark, sf_dir)
+    codebook = emb.filter(F.col("vec_id") % 100 == 0)
+    return pq_encode(emb, codebook, n_subspaces=4, dim=64)

@@ -617,8 +617,7 @@ def t2_filter_report(spark, sf_dir):
     )
 
 
-_P2_ORACLE = f"""
-WITH RECURSIVE {_BASE_CTES.lstrip()},
+_P2_CTES = f"""{_BASE_CTES.lstrip()},
 {_ENRICH_CTES.lstrip()},
 {_SCREEN_CTES.lstrip()},
 bonds AS (
@@ -656,16 +655,19 @@ bounds AS (
          quantile_cont(spread6, {_S.winsor_lower!r}) AS slo,
          quantile_cont(spread6, {_S.winsor_upper!r}) AS shi
   FROM solved GROUP BY 1
-)
-SELECT s.user_id, strftime(s.d, '%Y-%m-%d') AS d, s.n_trades, s.pr,
-       CAST(s.sp_composite AS BIGINT) AS sp_composite,
-       CAST(s.mdy_composite AS BIGINT) AS mdy_composite,
-       (s.sp_composite + s.mdy_composite) / 2.0 AS comp_rating,
-       ROUND(s.bond_maturity, 6) AS bond_maturity,
-       ROUND(LEAST(GREATEST(s.ytm6, b.ylo), b.yhi), 6) + 0.0 AS ytm_w,
-       ROUND(LEAST(GREATEST(s.spread6, b.slo), b.shi), 6) + 0.0 AS spread_w
-FROM solved s JOIN bounds b ON s.d = b.d
-"""
+),
+final AS (
+  SELECT s.user_id, strftime(s.d, '%Y-%m-%d') AS d, s.n_trades, s.pr,
+         CAST(s.sp_composite AS BIGINT) AS sp_composite,
+         CAST(s.mdy_composite AS BIGINT) AS mdy_composite,
+         (s.sp_composite + s.mdy_composite) / 2.0 AS comp_rating,
+         ROUND(s.bond_maturity, 6) AS bond_maturity,
+         ROUND(LEAST(GREATEST(s.ytm6, b.ylo), b.yhi), 6) + 0.0 AS ytm_w,
+         ROUND(LEAST(GREATEST(s.spread6, b.slo), b.shi), 6) + 0.0 AS spread_w
+  FROM solved s JOIN bounds b ON s.d = b.d
+)"""
+
+_P2_ORACLE = f"WITH RECURSIVE {_P2_CTES}\nSELECT * FROM final"
 
 
 @register("p2_stage1_full", oracle=_P2_ORACLE)
@@ -677,3 +679,91 @@ def p2_stage1_full(spark, sf_dir):
     winsorization. One end-to-end value-hash-checked plan proving the
     stage-1 operators compose."""
     return build_stage1(spark, sf_dir, _S)
+
+
+# rating-category split used by Tables 3-8 (reference: IG = numeric
+# S&P 1-10, defaulted = 22 ('D'), everything else non-investment grade)
+_CLASS_SQL = ("CASE WHEN sp_composite <= 10 THEN 'IG' "
+              "WHEN sp_composite >= 22 THEN 'DEF' ELSE 'NIG' END")
+
+
+def _classed(df: DataFrame) -> DataFrame:
+    cls = (
+        F.when(F.col("sp_composite") <= 10, "IG")
+        .when(F.col("sp_composite") >= 22, "DEF")
+        .otherwise("NIG")
+    )
+    return df.withColumn("rating_class", cls)
+
+
+@register(
+    "r3_availability_by_rating",
+    oracle=f"""
+    WITH RECURSIVE {_P2_CTES},
+    classed AS (SELECT *, {_CLASS_SQL} AS rating_class FROM final)
+    SELECT rating_class,
+           COUNT(*) AS n_bond_days,
+           COUNT(DISTINCT user_id) AS n_bonds,
+           COUNT(DISTINCT d) AS n_days,
+           MIN(d) AS first_d,
+           MAX(d) AS last_d
+    FROM classed GROUP BY 1
+    """,
+)
+def r3_availability_by_rating(spark, sf_dir):
+    """Table 3 (`stage1_pipeline.py:2103-2110`): data availability by
+    rating category over the final stage-1 panel — bond-days, distinct
+    bonds, distinct sessions, coverage window. Composes on the p2
+    chain; dates compare as ISO strings so min/max are engine-neutral."""
+    out = _classed(build_stage1(spark, sf_dir, _S))
+    return out.groupBy("rating_class").agg(
+        F.count(F.lit(1)).alias("n_bond_days"),
+        F.countDistinct("user_id").alias("n_bonds"),
+        F.countDistinct("d").alias("n_days"),
+        F.min("d").alias("first_d"),
+        F.max("d").alias("last_d"),
+    )
+
+
+@register(
+    "r2_descriptive_by_rating",
+    oracle=f"""
+    WITH RECURSIVE {_P2_CTES},
+    classed AS (SELECT *, {_CLASS_SQL} AS rating_class FROM final),
+    long_ AS (
+      SELECT rating_class, 'pr' AS var, pr AS value FROM classed
+      UNION ALL
+      SELECT rating_class, 'ytm_w', ytm_w FROM classed
+      UNION ALL
+      SELECT rating_class, 'spread_w', spread_w FROM classed
+    )
+    SELECT rating_class, var,
+           COUNT(value) AS n,
+           ROUND(AVG(value), 4) + 0.0 AS mean,
+           ROUND(stddev_samp(value), 4) + 0.0 AS std,
+           ROUND(quantile_cont(value, 0.05), 4) + 0.0 AS q05,
+           ROUND(quantile_cont(value, 0.5), 4) + 0.0 AS q50,
+           ROUND(quantile_cont(value, 0.95), 4) + 0.0 AS q95
+    FROM long_ GROUP BY 1, 2
+    """,
+)
+def r2_descriptive_by_rating(spark, sf_dir):
+    """Tables 4-7 (`stage1_pipeline.py:2113-2224`): pooled descriptive
+    statistics per rating category over the winsorized panel — the A8
+    stat block applied per class x variable after a stack unpivot.
+    Same float discipline as a8 (AVG/std/exact quantiles rounded 4,
+    -0.0 normalized)."""
+    classed = _classed(build_stage1(spark, sf_dir, _S))
+    long_ = classed.selectExpr(
+        "rating_class",
+        "stack(3, 'pr', pr, 'ytm_w', ytm_w, 'spread_w', spread_w)"
+        " AS (var, value)",
+    )
+    return long_.groupBy("rating_class", "var").agg(
+        F.count("value").alias("n"),
+        (F.round(F.avg("value"), 4) + 0.0).alias("mean"),
+        (F.round(F.stddev_samp("value"), 4) + 0.0).alias("std"),
+        (F.round(F.percentile(F.col("value"), F.lit(0.05)), 4) + 0.0).alias("q05"),
+        (F.round(F.percentile(F.col("value"), F.lit(0.5)), 4) + 0.0).alias("q50"),
+        (F.round(F.percentile(F.col("value"), F.lit(0.95)), 4) + 0.0).alias("q95"),
+    )

@@ -147,3 +147,14 @@ def test_winnowing_shared_substring_guarantee(sp, shared, pre_a, pre_b):
     if len(shared) < 11 or 1 not in out or 2 not in out:
         return  # too short to fall under the guarantee
     assert out[1] & out[2], "shared >=11-char substring yielded no common fingerprint"
+
+
+def test_pq_encode_rejects_indivisible_dim(sp):
+    """dim % n_subspaces != 0 must be an error, not silent tail-drop."""
+    from trace_data_pipeline_spark.datapipe.similarity import pq_encode
+
+    vecs = sp.createDataFrame(
+        [(1, [0.0] * 10)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_encode(vecs, vecs, n_subspaces=4, dim=10)

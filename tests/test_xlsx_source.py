@@ -49,7 +49,8 @@ def _make_xlsx(path: str) -> None:
     # data: a pre-start row, two observations, a gap, one more, one junk date
     data = [
         (19991231, [9.9] * 7),          # before start_date -> filtered
-        (20240101, [3.5, 3.6, 3.7, 3.8, 3.9, 4.0, 4.1]),
+        (20240101, [1.0, 1.1, 1.2, 1.3, 1.4, 1.5, 1.6]),  # superseded dup
+        (20240101, [3.5, 3.6, 3.7, 3.8, 3.9, 4.0, 4.1]),  # last-per-day wins
         (20240102, [4.0, 4.1, 4.2, 4.3, 4.4, 4.5, 4.6]),
         # 03/04 missing -> forward-filled from 0102
         (20240105, [4.5, 4.6, 4.7, 4.8, 4.9, 5.0, 5.1]),
@@ -80,7 +81,7 @@ def test_read_xlsx_rows(xlsx_path):
     rows = read_xlsx_rows(xlsx_path)
     assert rows[8] == _HEADERS  # header row, shared strings resolved
     assert rows[9][0] == 19991231 and rows[10][0] == 20240101
-    assert rows[10][1] == 3.5
+    assert rows[10][1] == 1.0 and rows[11][1] == 3.5  # raw dup preserved
     assert rows[-1][0] == "not-a-date"
 
 

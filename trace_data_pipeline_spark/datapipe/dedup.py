@@ -59,6 +59,40 @@ def doc_shingles(
     )
 
 
+def doc_gram_sets(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(doc_id, grams, n_grams) with the distinct shingles kept as one
+    ARRAY per doc — a single shuffle-free projection. Docs with fewer
+    than n tokens (empty gram set) are dropped, matching the exploded
+    form where they simply produce no rows.
+
+    This is the scale-friendly carrier for the minhash family: keeping
+    the set per-doc lets signatures and band hashes be computed as pure
+    column algebra (array_min over transform), so the only shuffles
+    left in LSH dedup are the band-bucket join itself and the candidate
+    verification joins."""
+    sets = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(word_ngrams(tokens(F.col(text_col)), n)).alias("grams"),
+    )
+    return sets.filter(F.size("grams") >= 1).withColumn(
+        "n_grams", F.size("grams")
+    )
+
+
+def _sig_cols(grams: Column, num_hashes: int) -> list[Column]:
+    """MinHash signature columns from a gram ARRAY: for seed s,
+    sig_s = min(md5(s|gram)) — identical values to the exploded
+    groupBy-min formulation, with zero shuffle."""
+    return [
+        F.array_min(
+            F.transform(grams, lambda g: F.md5(F.concat_ws("|", F.lit(s), g)))
+        ).alias(f"sig_{s}")
+        for s in range(num_hashes)
+    ]
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -69,10 +103,12 @@ def ngram_jaccard_pairs(
     """All-pairs n-gram Jaccard via a gram-keyed self-join (inverted
     index): pairs only meet on shared shingles, so cost is Σ|posting
     list|² per gram, not |docs|². Returns (a, b, jaccard) with a < b."""
-    # persist: the shingle index feeds both probe sides AND the size
-    # aggregate — without it Spark re-tokenizes the corpus three times
-    grams = tracked_persist(doc_shingles(docs, text_col, id_col, n))
-    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    # persist: the gram-set projection feeds both probe sides AND the
+    # size lookup — without it Spark re-tokenizes the corpus three times.
+    # Sizes come straight from the array (no groupBy shuffle).
+    sets = tracked_persist(doc_gram_sets(docs, text_col, id_col, n))
+    sizes = sets.select("doc_id", "n_grams")
+    grams = sets.select("doc_id", F.explode("grams").alias("gram"))
     g1 = grams.select(F.col("doc_id").alias("a"), "gram")
     g2 = grams.select(F.col("doc_id").alias("b"), "gram")
     inter = (
@@ -104,41 +140,32 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per doc: for seed s, sig_s = min(md5(s|gram)) as
     a hex string (lexicographic min of a uniform hash ≡ a permutation
-    minimum). Output: (doc_id, sig_0..sig_{k-1})."""
-    grams = doc_shingles(docs, text_col, id_col, n)
-    # all k hashes as COLUMNS of one projection + a single hash
-    # aggregate — k× less shuffle volume than exploding a seed column,
-    # and map-side partial mins do most of the work
-    hashed = grams.select(
-        "doc_id",
-        *[
-            F.md5(F.concat_ws("|", F.lit(s), F.col("gram"))).alias(f"h{s}")
-            for s in range(num_hashes)
-        ],
-    )
-    return hashed.groupBy("doc_id").agg(
-        *[F.min(f"h{s}").alias(f"sig_{s}") for s in range(num_hashes)]
-    )
+    minimum). Output: (doc_id, sig_0..sig_{k-1}).
+
+    Computed as array_min over the per-doc gram set — one shuffle-free
+    projection (the earlier explode + k-column hash aggregate paid a
+    full shuffle for the same values)."""
+    sets = doc_gram_sets(docs, text_col, id_col, n)
+    return sets.select("doc_id", *_sig_cols(F.col("grams"), num_hashes))
 
 
 def lsh_bands(sigs: DataFrame, num_hashes: int = 16, bands: int = 4) -> DataFrame:
     """Band the signature: band hash = md5 over its rows' concatenation.
-    (doc_id, band_idx, band_hash)."""
+    (doc_id, band_idx, band_hash). One explode projection — a per-band
+    union would re-scan the signature frame `bands` times."""
     rows_per_band = num_hashes // bands
-    parts = []
+    entries = []
     for b in range(bands):
         cols = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        parts.append(
-            sigs.select(
-                "doc_id",
+        entries.append(
+            F.struct(
                 F.lit(b).alias("band_idx"),
                 F.md5(F.concat_ws("|", *cols)).alias("band_hash"),
             )
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return sigs.select(
+        "doc_id", F.explode(F.array(*entries)).alias("__e")
+    ).select("doc_id", "__e.band_idx", "__e.band_hash")
 
 
 def minhash_lsh_pairs(
@@ -151,10 +178,20 @@ def minhash_lsh_pairs(
     verify_threshold: float = 0.4,
 ) -> DataFrame:
     """MinHash+LSH near-dup detection: band-collision candidates, then
-    exact Jaccard verification of ONLY the candidates. The verify join
-    re-uses the shingle inverted index restricted to candidate pairs."""
-    sigs = minhash_signatures(docs, text_col, id_col, n, num_hashes)
-    banded = tracked_persist(lsh_bands(sigs, num_hashes, bands))
+    exact Jaccard verification of ONLY the candidates.
+
+    Scale shape: the gram-set projection is computed once and persisted;
+    signatures and band hashes are shuffle-free column algebra over it.
+    Only two joins shuffle: the band-bucket self-join (keyed so only
+    colliding docs meet) and the candidate→gram-set lookups, where the
+    candidate side is collision-sized — AQE broadcasts it at runtime, so
+    the corpus-sized set frame never reshuffles. Verification is
+    array_intersect on the two gram sets — identical counts to the
+    inverted-index join, without its four extra shuffles; the arrays it
+    ships are bounded by document length."""
+    sets = tracked_persist(doc_gram_sets(docs, text_col, id_col, n))
+    sigs = sets.select("doc_id", *_sig_cols(F.col("grams"), num_hashes))
+    banded = lsh_bands(sigs, num_hashes, bands)
     b1 = banded.select(F.col("doc_id").alias("a"), "band_idx", "band_hash")
     b2 = banded.select(F.col("doc_id").alias("b"), "band_idx", "band_hash")
     candidates = (
@@ -163,30 +200,20 @@ def minhash_lsh_pairs(
         .select("a", "b")
         .dropDuplicates()
     )
-    candidates = tracked_persist(candidates)
-    grams = tracked_persist(doc_shingles(docs, text_col, id_col, n))
-    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    # restrict the inverted index to candidate docs, then semi-filter the
-    # gram join down to candidate PAIRS — verification cost scales with
-    # the candidates, not the corpus
-    ga = grams.select(F.col("doc_id").alias("a"), "gram").join(
-        candidates.select("a").distinct(), "a", "left_semi"
+    sa = sets.select(
+        F.col("doc_id").alias("a"),
+        F.col("grams").alias("__ga"),
+        F.col("n_grams").alias("na"),
     )
-    gb = grams.select(F.col("doc_id").alias("b"), "gram").join(
-        candidates.select("b").distinct(), "b", "left_semi"
+    sb = sets.select(
+        F.col("doc_id").alias("b"),
+        F.col("grams").alias("__gb"),
+        F.col("n_grams").alias("nb"),
     )
-    inter = (
-        ga.join(gb, "gram")
-        .filter(F.col("a") < F.col("b"))
-        .join(candidates, ["a", "b"], "left_semi")
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("a"), F.col("n_grams").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("b"), F.col("n_grams").alias("nb"))
     jac = (
-        inter.join(sa, "a")
+        candidates.join(sa, "a")
         .join(sb, "b")
+        .withColumn("n_inter", F.size(F.array_intersect("__ga", "__gb")))
         .withColumn(
             "jaccard",
             F.col("n_inter").cast("double")

@@ -55,19 +55,32 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k cosine neighbors (self excluded): broadcast the query
     set against the corpus, one window per query for the top-k cut.
-    Returns (query_id, neighbor_id, cos_sim, rank)."""
+    Returns (query_id, neighbor_id, cos_sim, rank).
+
+    Norms are computed once per ROW in the pre-join projections (they
+    can't collapse across the join), so each of the Q·N pairs pays one
+    dot product instead of three — same float values, 3× less work."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        norm_f64(F.col(vec_col), dim).alias("__qn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        norm_f64(F.col(vec_col), dim).alias("__cn"),
     )
     scored = (
         F.broadcast(q)
         .crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
-            "cos_sim", F.round(cosine(F.col("__qv"), F.col("__cv"), dim), round_dp)
+            "cos_sim",
+            F.round(
+                dot_f64(F.col("__qv"), F.col("__cv"), dim)
+                / (F.col("__qn") * F.col("__cn")),
+                round_dp,
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -126,12 +139,28 @@ def lsh_cosine_pairs(
     """Embedding near-dup detection at scale: bucket join (same sign
     pattern) → exact cosine verify. One shuffle on the bucket key."""
     b = random_hyperplane_buckets(vectors, planes, id_col, vec_col)
-    b1 = b.select(F.col(id_col).alias("a"), F.col(vec_col).alias("__va"), "bucket")
-    b2 = b.select(F.col(id_col).alias("b"), F.col(vec_col).alias("__vb"), "bucket")
+    # norms once per row before the self-join — each colliding pair
+    # then pays a single dot product
+    b = b.withColumn("__n", norm_f64(F.col(vec_col), dim))
+    b1 = b.select(
+        F.col(id_col).alias("a"), F.col(vec_col).alias("__va"),
+        F.col("__n").alias("__na"), "bucket",
+    )
+    b2 = b.select(
+        F.col(id_col).alias("b"), F.col(vec_col).alias("__vb"),
+        F.col("__n").alias("__nb"), "bucket",
+    )
     return (
         b1.join(b2, "bucket")
         .filter(F.col("a") < F.col("b"))
-        .withColumn("cos_sim", F.round(cosine(F.col("__va"), F.col("__vb"), dim), 6))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                dot_f64(F.col("__va"), F.col("__vb"), dim)
+                / (F.col("__na") * F.col("__nb")),
+                6,
+            ),
+        )
         .filter(F.col("cos_sim") >= threshold)
         .select("a", "b", "cos_sim")
     )
@@ -149,10 +178,18 @@ def assign_clusters(
     would cascade into different candidate sets). Centroids broadcast;
     one narrow pass over the corpus."""
     c = centroids.select(
-        F.col(id_col).alias("__cid"), F.col(vec_col).alias("__ce")
+        F.col(id_col).alias("__cid"),
+        F.col(vec_col).alias("__ce"),
+        norm_f64(F.col(vec_col)).alias("__cen"),
     )
-    scored = vectors.crossJoin(F.broadcast(c)).withColumn(
-        "__sim", F.round(cosine(F.col(vec_col), F.col("__ce")), round_dp)
+    v = vectors.withColumn("__vn", norm_f64(F.col(vec_col)))
+    scored = v.crossJoin(F.broadcast(c)).withColumn(
+        "__sim",
+        F.round(
+            dot_f64(F.col(vec_col), F.col("__ce"))
+            / (F.col("__vn") * F.col("__cen")),
+            round_dp,
+        ),
     )
     w = Window.partitionBy(id_col).orderBy(
         F.col("__sim").desc(), F.col("__cid")
@@ -180,12 +217,25 @@ def ivf_topk(
     the cluster id, so it shuffles once and AQE handles bucket skew."""
     corpus_assigned = assign_clusters(corpus, centroids, id_col, vec_col)
     c = centroids.select(
-        F.col(id_col).alias("__cid"), F.col(vec_col).alias("__ce")
+        F.col(id_col).alias("__cid"),
+        F.col(vec_col).alias("__ce"),
+        norm_f64(F.col(vec_col)).alias("__cen"),
     )
     q_probes = (
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            norm_f64(F.col(vec_col)).alias("__qn"),
+        )
         .crossJoin(F.broadcast(c))
-        .withColumn("__sim", F.round(cosine(F.col("__qv"), F.col("__ce")), 6))
+        .withColumn(
+            "__sim",
+            F.round(
+                dot_f64(F.col("__qv"), F.col("__ce"))
+                / (F.col("__qn") * F.col("__cen")),
+                6,
+            ),
+        )
     )
     wq = Window.partitionBy("query_id").orderBy(
         F.col("__sim").desc(), F.col("__cid")
@@ -193,18 +243,24 @@ def ivf_topk(
     probes = (
         q_probes.withColumn("__rn", F.row_number().over(wq))
         .filter(F.col("__rn") <= n_probe)
-        .select("query_id", "__qv", F.col("__cid").alias("cluster"))
+        .select("query_id", "__qv", "__qn", F.col("__cid").alias("cluster"))
     )
     cand = probes.join(
         corpus_assigned.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("__cv"),
+            norm_f64(F.col(vec_col)).alias("__cvn"),
             "cluster",
         ),
         "cluster",
     ).filter(F.col("query_id") != F.col("neighbor_id"))
     scored = cand.withColumn(
-        "cos_sim", F.round(cosine(F.col("__qv"), F.col("__cv")), 6)
+        "cos_sim",
+        F.round(
+            dot_f64(F.col("__qv"), F.col("__cv"))
+            / (F.col("__qn") * F.col("__cvn")),
+            6,
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
@@ -276,6 +332,12 @@ def pq_encode(
     (identical operand order to the oracle's list_sum), and the M
     per-subspace errors are added in fixed subspace order — never a
     shuffle-order-dependent SUM."""
+    if dim % n_subspaces != 0:
+        raise ValueError(
+            f"dim={dim} not divisible by n_subspaces={n_subspaces}: "
+            "trailing dimensions would be silently dropped from codes "
+            "and recon_err"
+        )
     sub_len = dim // n_subspaces
 
     def subvecs(col: Column, alias: str) -> Column:

@@ -62,44 +62,51 @@ def winnow_fingerprints(
     substring of length >= k + w - 1 contributes a shared fingerprint —
     the standard rolling-hash near-dup/plagiarism sketch.
 
-    Formulated as posexplode + sliding window-min so each gram is
-    hashed exactly ONCE (an array-expression formulation would re-hash
-    the gram sequence per window under projection collapse). One
-    shuffle on doc_id; per-doc state is one document's gram sequence.
+    Formulated as ZERO-shuffle column algebra: the gram-hash array is
+    bound once per row through a `transform(array(hs), a -> ...)` let
+    binding (the lambda variable pins the evaluated array, so each gram
+    is hashed exactly once even though CollapseProject would otherwise
+    inline and re-hash it per window), then every length-w window takes
+    array_min over a slice. Per-doc state is one document's gram
+    sequence, exactly as in the exploded window formulation — but with
+    no shuffle and no per-doc sort at all.
     Docs shorter than k + w - 1 chars yield no fingerprint row.
     Returns (doc_id, n_fp, fp_hash), or (doc_id, fingerprints) with
     as_sets=True (the raw selected-min sets, for pair intersection)."""
-    from pyspark.sql import Window
-
     t = df.select(
         F.col(id_col).alias("doc_id"), F.trim(F.col(text_col)).alias("__t")
     )
-    grams = t.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                f"IF(length(__t) >= {k}, "
-                f"transform(sequence(1, length(__t) - {k - 1}), "
-                f"i -> md5(substring(__t, i, {k}))), "
-                f"array())"
-            )
-        ).alias("pos", "h"),
+    hs = F.expr(
+        f"IF(length(__t) >= {k}, "
+        f"transform(sequence(1, length(__t) - {k - 1}), "
+        f"i -> md5(substring(__t, i, {k}))), "
+        f"array())"
     )
-    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
-    cnt = Window.partitionBy("doc_id")
-    mins = (
-        grams.withColumn("n", F.count(F.lit(1)).over(cnt))
-        .withColumn("mh", F.min("h").over(win))
-        .filter(F.col("pos") <= F.col("n") - w)
+    # sequence(1, 0) would DESCEND — guard the short-doc branch
+    window_mins = F.get(
+        F.transform(
+            F.array(hs),
+            lambda a: F.when(
+                F.size(a) >= w,
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(a) - F.lit(w - 1)),
+                        lambda j: F.array_min(F.slice(a, j, w)),
+                    )
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        ),
+        0,
     )
-    # collect_set dedups inside one partial/final aggregate — a separate
-    # distinct would cost a second shuffle on (doc_id, mh)
-    fps = F.array_sort(F.collect_set("mh"))
+    rows = t.select("doc_id", F.array_sort(window_mins).alias("__fps")).filter(
+        F.size("__fps") >= 1
+    )
     if as_sets:
-        return mins.groupBy("doc_id").agg(fps.alias("fingerprints"))
-    return mins.groupBy("doc_id").agg(
-        F.size(F.collect_set("mh")).alias("n_fp"),
-        F.md5(F.concat_ws("", fps)).alias("fp_hash"),
+        return rows.select("doc_id", F.col("__fps").alias("fingerprints"))
+    return rows.select(
+        "doc_id",
+        F.size("__fps").alias("n_fp"),
+        F.md5(F.concat_ws("", "__fps")).alias("fp_hash"),
     )
 
 

@@ -9,36 +9,36 @@ long-lived session those caches accumulate.
 `tracked_persist` registers every cache it creates; the driver of the
 session (bench.py between queries, run.py at pipeline end, a notebook
 user at will) calls `release_caches()` once the consuming actions are
-done. Weak references keep the registry from pinning frames the caller
-already dropped.
+done. The registry holds STRONG references on purpose: the persisting
+call site is usually a catalog builder whose local Python wrapper dies
+on return, while the JVM CacheManager entry survives — a weakref would
+be dead before release time and the cache would leak for the session
+lifetime. The registry is the lifecycle owner; `release_caches()` pops
+(and thereby drops) every reference it releases.
 """
 
 from __future__ import annotations
 
-import weakref
-
 from pyspark.sql import DataFrame
 
-_TRACKED: list[weakref.ref] = []
+_TRACKED: list[DataFrame] = []
 
 
 def tracked_persist(df: DataFrame) -> DataFrame:
     """`df.persist()` + registration for later `release_caches()`."""
     df = df.persist()
-    _TRACKED.append(weakref.ref(df))
+    _TRACKED.append(df)
     return df
 
 
 def release_caches() -> int:
-    """Unpersist every still-alive tracked frame; returns how many."""
+    """Unpersist every tracked frame; returns how many were released."""
     released = 0
     while _TRACKED:
-        ref = _TRACKED.pop()
-        df = ref()
-        if df is not None:
-            try:
-                df.unpersist()
-                released += 1
-            except Exception:  # session already stopped — nothing to free
-                pass
+        df = _TRACKED.pop()
+        try:
+            df.unpersist()
+            released += 1
+        except Exception:  # session already stopped — nothing to free
+            pass
     return released

@@ -32,14 +32,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects outright; read it as raw long nanos and truncate
-        # to microseconds (DuckDB's ns->us cast truncates identically).
-        # `div` keeps the quotient in integer arithmetic — `/` promotes to
-        # double, whose 2^53 mantissa misrounds epoch-ns (~1.7e18) by 1us.
+        # events.ts is parquet TIMESTAMP(NANOS). Spark <=4.0 only reads it
+        # with the legacy nanosAsLong conf (raw long nanos we truncate to
+        # microseconds ourselves — `div` keeps the quotient integral; `/`
+        # promotes to double whose 2^53 mantissa misrounds epoch-ns by
+        # 1us). Spark >=4.1 reads NANOS natively as TIMESTAMP_NTZ with the
+        # same truncation DuckDB's ns->us cast applies, and ignores the
+        # conf — branch on the schema that actually comes back.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
+            return df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

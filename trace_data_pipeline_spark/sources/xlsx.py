@@ -145,6 +145,12 @@ def liu_wu_curve(
                 vals.append(None)
         records.append((d, *vals))
 
+    # the reference's resample('D').last() keeps only the LAST observation
+    # per day; duplicate sheet dates must collapse before the spine join or
+    # they multiply rows downstream
+    by_date = {rec[0]: rec for rec in records}
+    records = [by_date[d] for d in sorted(by_date)]
+
     cols = ["trd_exctn_dt", *_MATURITY_MAP.values()]
     schema = "trd_exctn_dt date, " + ", ".join(
         f"{c} double" for c in _MATURITY_MAP.values()

@@ -107,3 +107,60 @@ def test_t2_calendar_roll_differs_on_holiday_straddle(spark):
     assert got["2024-01-10"] == ("2024-01-12", "2024-01-12")
     # Thu 01-11: weekend-only says Mon 01-15; the calendar skips the holiday
     assert got["2024-01-11"] == ("2024-01-16", "2024-01-15")
+
+
+def test_full_record_branches(spark):
+    """w10e operator: coupon row, zero-coupon row, bond-None row, and
+    the accrued identity accall = acclast + accpmt."""
+    from pyspark.sql import functions as F
+
+    from trace_data_pipeline_spark.operators.bond_record import (
+        RECORD_COLS,
+        attach_full_record,
+    )
+
+    rows = [
+        # F semiannual 4%: regular coupon bond
+        (1, "F", "2", 4.0, "30/360", "2030-06-15", 96, "2024-03-11", 95.0),
+        # Z zero-coupon below par
+        (2, "Z", "0", 0.0, "ACT/365", "2032-06-15", 96, "2024-03-11", 70.0),
+        # F, no coupon, priced above par -> bond None -> all-null
+        (3, "F", "0", 0.0, "ACT/360", "2030-06-15", 96, "2024-03-11", 120.0),
+        # F, no coupon, below par -> zero-eligible
+        (4, "F", "99", 0.0, "ACT/ACT", "2031-06-15", 96, "2024-03-11", 80.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "k int, ctype string, ifreq string, c_pct double, dcb string,"
+        " maturity string, hist_m int, trade_d string, p double",
+    ).select(
+        "k", "ctype", "ifreq", "c_pct", "dcb",
+        F.col("maturity").cast("date").alias("maturity"),
+        "hist_m",
+        F.col("trade_d").cast("date").alias("trade_d"),
+        "p",
+    )
+    got = {
+        r["k"]: r
+        for r in attach_full_record(df).select("k", *RECORD_COLS).collect()
+    }
+    cpn = got[1]
+    assert cpn["ytm"] is not None and cpn["ytm"] > 0.04  # priced below par
+    assert abs(cpn["prclean"] - 95.0) < 1e-4  # round-trip of input price
+    assert abs(cpn["prfull"] - (95.0 + cpn["acclast"])) < 1e-4
+    assert cpn["acclast"] > 0  # mid-period settle accrues
+    assert abs(cpn["accall"] - (cpn["acclast"] + cpn["accpmt"])) < 1e-9
+    assert 0 < cpn["mod_dur"] < cpn["mac_dur"]
+
+    zero = got[2]
+    assert zero["acclast"] == 0.0 and zero["accpmt"] == 0.0
+    assert zero["ytm"] is not None and zero["ytm"] > 0
+    # zero-coupon Macaulay duration == time to maturity in years (~8.26)
+    assert 8.0 < zero["mac_dur"] < 8.6
+    assert abs(zero["prclean"] - 70.0) < 1e-4
+
+    none_row = got[3]
+    assert all(none_row[c] is None for c in RECORD_COLS)
+
+    zf = got[4]
+    assert zf["ytm"] is not None and zf["acclast"] == 0.0

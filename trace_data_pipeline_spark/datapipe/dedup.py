@@ -228,23 +228,59 @@ def simhash_bits(
 ) -> DataFrame:
     """SimHash: per token, md5 → first bits/4 hex digits → ±1 votes per
     bit position; sign of the weighted sum per position. Output:
-    (doc_id, simhash) as a bit string. Frequency-weighted (tokens
-    exploded, not distinct), one aggregate."""
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(tokens(F.col(text_col))).alias("tok"),
-    ).withColumn("h", F.md5(F.col("tok")))
-    digit_val = [
-        (F.conv(F.substring(F.col("h"), d + 1, 1), 16, 10).cast("int"))
-        for d in range(bits // 4)
-    ]
-    vote_exprs = []
-    for b in range(bits):
-        d, shift = divmod(b, 4)
-        bit = F.shiftright(digit_val[d], 3 - shift).bitwiseAND(F.lit(1))
-        vote_exprs.append(F.sum(bit * 2 - 1).alias(f"v{b}"))
-    votes = toks.groupBy("doc_id").agg(*vote_exprs)
-    bit_chars = [
-        F.when(F.col(f"v{b}") > 0, F.lit("1")).otherwise(F.lit("0")) for b in range(bits)
-    ]
-    return votes.select("doc_id", F.concat(*bit_chars).alias("simhash"))
+    (doc_id, simhash) as a bit string. Frequency-weighted (all tokens,
+    not distinct).
+
+    One shuffle-free fold per doc: the votes accumulate in a single
+    `bits`-slot int array via aggregate/zip_with (the earlier
+    explode + 64-named-sum-column aggregate paid a shuffle and a very
+    large generated aggregate class for the same values). md5 runs once
+    per token via a transform(array(md5)) let binding."""
+    ndigits = bits // 4
+
+    def tok_votes(t: Column) -> Column:
+        # ±1 vote per bit position for one token; digits MSB-first
+        return F.get(
+            F.transform(
+                F.array(F.md5(t)),
+                lambda h: F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(1), F.lit(ndigits)),
+                        lambda d: F.get(
+                            F.transform(
+                                F.array(
+                                    F.conv(h.substr(d, F.lit(1)), 16, 10).cast(
+                                        "int"
+                                    )
+                                ),
+                                lambda v: F.array(
+                                    (v / 8).cast("int") % 2 * 2 - 1,
+                                    (v / 4).cast("int") % 2 * 2 - 1,
+                                    (v / 2).cast("int") % 2 * 2 - 1,
+                                    v % 2 * 2 - 1,
+                                ),
+                            ),
+                            0,
+                        ),
+                    )
+                ),
+            ),
+            0,
+        )
+
+    votes = F.aggregate(
+        tokens(F.col(text_col)),
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, t: F.zip_with(acc, tok_votes(t), lambda a, b: a + b),
+    )
+    simhash = F.concat_ws(
+        "",
+        F.transform(
+            votes, lambda v: F.when(v > 0, F.lit("1")).otherwise(F.lit("0"))
+        ),
+    )
+    # null text produced no exploded rows in the aggregate formulation —
+    # keep dropping those docs rather than emitting a null hash
+    return docs.filter(tokens(F.col(text_col)).isNotNull()).select(
+        F.col(id_col).alias("doc_id"), simhash.alias("simhash")
+    )

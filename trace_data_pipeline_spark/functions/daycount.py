@@ -87,6 +87,21 @@ def coupon_bracket(
     return last_cpn, next_cpn
 
 
+def dcf_by_basis(basis: Column, start: Column, end: Column) -> Column:
+    """Per-row day-count routing (reference:
+    `stage1/helper_functions.py:83-93` mapping day_count_basis to a
+    QuantLib day counter): '30/360' or '' → 30/360 US bond basis,
+    'ACT/ACT' → ACT/ACT ISDA, 'ACT/360', and 'ACT/365'/'ACT/366' →
+    ACT/365 fixed. Pure column algebra — the CASE costs nothing and
+    every branch is the bit-exact engine-portable fraction."""
+    return (
+        F.when(basis.isin("30/360", ""), thirty_360_us(start, end))
+        .when(basis == "ACT/ACT", act_act_isda(start, end))
+        .when(basis == "ACT/360", act_360(start, end))
+        .when(basis.isin("ACT/365", "ACT/366"), act_365(start, end))
+    )
+
+
 def add_business_days(start: Column, n: int = 2) -> Column:
     """Trade date + n business days (weekend roll only — the reference's
     T+2 settlement uses the NYSE calendar; holiday lists join in via

@@ -46,51 +46,86 @@ _SCHEMA = StructType(
 
 
 def _sums(
-    c: "np.ndarray", n: "np.ndarray", y: "np.ndarray", n_max: int
+    c: "np.ndarray",
+    n: "np.ndarray",
+    y: "np.ndarray",
+    n_max: int,
+    q: "np.ndarray | None" = None,
 ) -> tuple["np.ndarray", "np.ndarray", "np.ndarray", "np.ndarray"]:
     """Row-vectorized, per-row t-SEQUENTIAL accumulation of the four
     discounted-flow sums (the t-order matters for parity with the
-    oracle's list_sum; rows with t > n contribute exact zeros)."""
+    oracle's list_sum; rows with t > n contribute exact zeros).
+
+    `q` is the fractional time (in periods) from settlement to the FIRST
+    remaining flow: flow t is discounted at exponent t - 1 + q, weighted
+    by t - 1 + q, with convexity weight (t - 1 + q)(t + q). q = 1 (flow
+    dates on the period grid) reproduces the whole-period t, t(t+1)
+    weights exactly."""
     import numpy as np
 
     m = y.size
+    if q is None:
+        q = np.ones(m)
     v = 1.0 / (1.0 + y)
     pv = np.zeros(m)
     dpv = np.zeros(m)
     wsum = np.zeros(m)
     csum = np.zeros(m)
-    vp = np.ones(m)
-    for t in range(1, n_max + 1):
-        vp = vp * v  # v^t
-        cf = np.where(t == n, c * 100.0 + 100.0, np.where(t < n, c * 100.0, 0.0))
-        pv += cf * vp
-        dpv += -t * cf * (vp * v)
-        wsum += t * cf * vp
-        csum += t * (t + 1) * cf * vp
+    with np.errstate(all="ignore"):
+        vq = np.power(v, q)  # v^q; v^(t-1+q) accumulates from here
+        vp = vq / v
+        for t in range(1, n_max + 1):
+            vp = vp * v  # v^(t-1+q)
+            tau = t - 1.0 + q
+            cf = np.where(
+                t == n, c * 100.0 + 100.0, np.where(t < n, c * 100.0, 0.0)
+            )
+            pv += cf * vp
+            dpv += -tau * cf * (vp * v)
+            wsum += tau * cf * vp
+            csum += tau * (tau + 1.0) * cf * vp
     return pv, dpv, wsum, csum
 
 
 def _solve_frame(
-    price: pd.Series, coupon_pp: pd.Series, n_periods: pd.Series, m: "np.ndarray"
+    price: pd.Series,
+    coupon_pp: pd.Series,
+    n_periods: pd.Series,
+    m: "np.ndarray",
+    q: "np.ndarray | None" = None,
 ) -> pd.DataFrame:
     """Shared solver: per-period Newton fit, annualized by the per-row
     compounding frequency m (periods/year). Zero-coupon is the c = 0
-    special case — one cash flow at t = n."""
+    special case — one cash flow at t = n. With `q`, the price being fit
+    is the DIRTY price and flows sit at fractional period offsets
+    t - 1 + q from settlement (q = remaining fraction of the current
+    coupon period)."""
     import numpy as np
 
     p = price.to_numpy(dtype=float)
     c = coupon_pp.to_numpy(dtype=float)
     n = n_periods.to_numpy(dtype="int64")
-    valid = (n >= 1) & (p > 0.0) & (m >= 1)
+    valid = (n >= 1) & (p > 0.0) & (m >= 1) & np.isfinite(p)
+    if q is not None:
+        # q ≤ 1 for coupon bonds mid-period; a zero-coupon row passes its
+        # whole remaining life (in periods) as q with n = 1
+        valid &= np.isfinite(q) & (q > 0.0)
     n_max = int(n[valid].max()) if valid.any() else 0
 
-    y = np.full(p.size, Y0)
+    if q is None:
+        y = np.full(p.size, Y0)
+    else:
+        # frequency-scaled seed: 0.03 PER PERIOD is a 36%/yr start for
+        # monthly bonds and Newton can bounce off the clamp; 0.06/m is
+        # the same seed at m = 2 (so the whole-period contract is
+        # unchanged) and keeps high-frequency rows in the basin
+        y = 0.06 / m.astype(float)
     for _ in range(NEWTON_ITERS):
-        pv, dpv, _, _ = _sums(c, n, y, n_max)
+        pv, dpv, _, _ = _sums(c, n, y, n_max, q)
         with np.errstate(all="ignore"):
             step = np.where(valid, (pv - p) / dpv, 0.0)
         y = np.clip(y - step, Y_MIN, Y_MAX)
-    pv, _, wsum, csum = _sums(c, n, y, n_max)
+    pv, _, wsum, csum = _sums(c, n, y, n_max, q)
     with np.errstate(all="ignore"):
         v = 1.0 / (1.0 + y)
         mf = m.astype(float)
@@ -131,3 +166,27 @@ def bond_analytics_freq(
     reference's interest_frequency {1,2,4,12}; pass c = 0 for the
     zero-coupon {0,99} codes, with n in compounding periods)."""
     return _solve_frame(price, coupon_pp, n_periods, freq.to_numpy(dtype="int64"))
+
+
+@F.pandas_udf(_SCHEMA)
+def bond_analytics_frac(
+    dirty: pd.Series,
+    coupon_pp: pd.Series,
+    n_periods: pd.Series,
+    freq: pd.Series,
+    q_frac: pd.Series,
+) -> pd.DataFrame:
+    """Mid-period variant for the unified W10 record (reference:
+    `stage1/helper_functions.py:44-255` prices off SettlementDate inside
+    a coupon period): fits the DIRTY price with remaining flows at
+    fractional period offsets t - 1 + q (q = day-count fraction of the
+    current period still to run). The returned pv_residual is
+    dirty-price residual; clean price = dirty - accrued is recovered by
+    the caller as column algebra."""
+    return _solve_frame(
+        dirty,
+        coupon_pp,
+        n_periods,
+        freq.to_numpy(dtype="int64"),
+        q_frac.to_numpy(dtype=float),
+    )

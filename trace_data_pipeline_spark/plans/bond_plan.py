@@ -175,3 +175,233 @@ def w10c_bond_freqs(spark, sf_dir):
         F.round(F.col("r.convexity"), 6).alias("convexity"),
         (F.round(F.col("r.pv_residual"), 6) + 0.0).alias("pv_residual"),
     )
+
+
+def _dcf_sql(d1: str, d2: str) -> str:
+    """DuckDB day-count fraction routed by the `dcb` column — mirrors
+    `functions/daycount.py:dcf_by_basis` branch for branch."""
+    return f"""CASE dcb
+      WHEN '30/360' THEN
+        CAST(360 * (year({d2}) - year({d1}))
+             + 30 * (month({d2}) - month({d1}))
+             + (CASE WHEN day({d2}) = 31
+                          AND least(day({d1}), 30) = 30 THEN 30
+                     ELSE day({d2}) END
+                - least(day({d1}), 30)) AS DOUBLE) / 360.0
+      WHEN 'ACT/ACT' THEN
+        list_sum(list_transform(
+          range(year({d1}), year({d2}) + 1),
+          y -> CAST(greatest(0, date_diff('day',
+                 greatest({d1}, make_date(y, 1, 1)),
+                 least({d2}, make_date(y + 1, 1, 1)))) AS DOUBLE)
+               / (CASE WHEN (y % 4 = 0 AND y % 100 != 0) OR y % 400 = 0
+                       THEN 366.0 ELSE 365.0 END)))
+      WHEN 'ACT/360' THEN
+        CAST(date_diff('day', {d1}, {d2}) AS DOUBLE) / 360.0
+      ELSE
+        CAST(date_diff('day', {d1}, {d2}) AS DOUBLE) / 365.0
+    END"""
+
+
+_CFQ = "(CASE WHEN t = n THEN c * 100 + 100 ELSE c * 100 END)"
+_BD1 = (
+    "CASE WHEN isodow(trade_d + 1) = 6 THEN trade_d + 3 "
+    "WHEN isodow(trade_d + 1) = 7 THEN trade_d + 2 ELSE trade_d + 1 END"
+)
+
+_W10E_ORACLE = rf"""
+WITH RECURSIVE base AS (
+  SELECT o_orderkey,
+    CASE WHEN o_orderkey % 7 = 0 THEN 'Z' ELSE 'F' END AS ctype,
+    CASE o_orderkey % 6 WHEN 0 THEN '1' WHEN 1 THEN '2' WHEN 2 THEN '4'
+                        WHEN 3 THEN '12' WHEN 4 THEN '0' ELSE '99' END AS ifreq,
+    CASE WHEN o_orderkey % 7 = 0 THEN CAST(0.0 AS DOUBLE)
+         WHEN o_orderkey % 6 IN (4, 5) AND o_orderkey % 13 = 0
+           THEN CAST(0.0 AS DOUBLE)
+         ELSE CAST(2 + o_orderkey % 7 AS DOUBLE) END AS c_pct,
+    CASE o_orderkey % 4 WHEN 0 THEN '30/360' WHEN 1 THEN 'ACT/ACT'
+                        WHEN 2 THEN 'ACT/360' ELSE 'ACT/365' END AS dcb,
+    CAST(DATE '2030-06-15'
+         + INTERVAL 1 MONTH * CAST(o_orderkey % 120 AS INTEGER) AS DATE)
+      AS maturity,
+    CAST(84 + 12 * (o_orderkey % 10) AS INTEGER) AS hist_m,
+    DATE '2024-01-01' + CAST(o_orderkey % 365 AS INTEGER) AS trade_d,
+    60.0 + CAST(o_orderkey * 37 % 800 AS DOUBLE) / 10.0 AS p
+  FROM orders
+),
+st0 AS (SELECT *, ({_BD1}) AS s1 FROM base),
+st AS (
+  SELECT * EXCLUDE (s1),
+         CASE WHEN isodow(s1 + 1) = 6 THEN s1 + 3
+              WHEN isodow(s1 + 1) = 7 THEN s1 + 2 ELSE s1 + 1 END AS settle
+  FROM st0
+),
+cls AS (
+  SELECT *,
+    (ctype = 'Z' OR (ctype = 'F' AND c_pct = 0.0 AND p < 100.0)) AS is_zero,
+    CASE ifreq WHEN '1' THEN 1 WHEN '2' THEN 2 WHEN '4' THEN 4
+               WHEN '12' THEN 12
+               ELSE (CASE WHEN c_pct > 0 THEN 2 ELSE NULL END) END AS m_c
+  FROM st
+),
+par0 AS (
+  SELECT *,
+    (is_zero OR (ctype = 'F' AND c_pct > 0)) AS valid,
+    CASE WHEN is_zero THEN 1 ELSE m_c END AS m,
+    CASE WHEN is_zero THEN NULL ELSE 12 // m_c END AS pm
+  FROM cls
+),
+sched AS (
+  SELECT *,
+    CASE WHEN is_zero OR NOT valid THEN NULL ELSE
+      list_max(list_filter(
+        list_transform(range(0, 251),
+          j -> CAST(maturity - INTERVAL 1 MONTH * (pm * j) AS DATE)),
+        d -> d <= settle)) END AS last_cpn,
+    CASE WHEN is_zero OR NOT valid THEN NULL ELSE
+      list_min(list_filter(
+        list_transform(range(0, 251),
+          j -> CAST(maturity - INTERVAL 1 MONTH * (pm * j) AS DATE)),
+        d -> d > settle)) END AS next_cpn
+  FROM par0
+),
+par AS (
+  SELECT *,
+    CASE WHEN is_zero THEN CAST(0.0 AS DOUBLE)
+         ELSE c_pct * ({_dcf_sql('last_cpn', 'settle')}) END AS acclast_r,
+    CASE WHEN is_zero THEN CAST(1.0 AS DOUBLE) * ({_dcf_sql('settle', 'maturity')})
+         ELSE ({_dcf_sql('settle', 'next_cpn')})
+              / ({_dcf_sql('last_cpn', 'next_cpn')}) END AS q,
+    CASE WHEN is_zero THEN 1 ELSE
+      ((year(maturity) - year(last_cpn)) * 12
+       + (month(maturity) - month(last_cpn))) // pm END AS n,
+    CASE WHEN is_zero THEN 0 ELSE
+      hist_m // pm
+      - ((year(maturity) - year(last_cpn)) * 12
+         + (month(maturity) - month(last_cpn))) // pm END AS n_paid,
+    CASE WHEN is_zero THEN CAST(0.0 AS DOUBLE)
+         ELSE c_pct / (100.0 * m) END AS c
+  FROM sched
+),
+parf AS (
+  SELECT o_orderkey, valid, m, q, n, c, acclast_r,
+         CASE WHEN is_zero THEN CAST(0.0 AS DOUBLE)
+              ELSE CAST(n_paid AS DOUBLE) * c_pct / m END AS accpmt_r,
+         p + acclast_r AS pd
+  FROM par
+),
+it AS (
+  SELECT o_orderkey, m, q, n, c, pd, 0 AS k,
+         CAST(0.06 AS DOUBLE) / m AS y
+  FROM parf WHERE valid
+  UNION ALL
+  SELECT o_orderkey, m, q, n, c, pd, k + 1,
+         least(greatest(
+           y - (list_sum(list_transform(range(1, n + 1),
+                  t -> {_CFQ} * power(1.0 / (1.0 + y),
+                                      CAST(t AS DOUBLE) - 1.0 + q))) - pd)
+             / list_sum(list_transform(range(1, n + 1),
+                  t -> -(CAST(t AS DOUBLE) - 1.0 + q) * {_CFQ}
+                       * power(1.0 / (1.0 + y), CAST(t AS DOUBLE) + q))),
+           -0.9), 10.0) AS y
+  FROM it WHERE k < 25
+),
+fin AS (
+  SELECT o_orderkey, m, q, n, c, pd, y,
+         list_sum(list_transform(range(1, n + 1),
+            t -> {_CFQ} * power(1.0 / (1.0 + y),
+                                CAST(t AS DOUBLE) - 1.0 + q))) AS pv,
+         list_sum(list_transform(range(1, n + 1),
+            t -> (CAST(t AS DOUBLE) - 1.0 + q) * {_CFQ}
+                 * power(1.0 / (1.0 + y),
+                         CAST(t AS DOUBLE) - 1.0 + q))) AS wsum,
+         list_sum(list_transform(range(1, n + 1),
+            t -> (CAST(t AS DOUBLE) - 1.0 + q) * (CAST(t AS DOUBLE) + q)
+                 * {_CFQ}
+                 * power(1.0 / (1.0 + y),
+                         CAST(t AS DOUBLE) - 1.0 + q))) AS csum
+  FROM it WHERE k = 25
+),
+conv AS (
+  -- the reference's try/except RuntimeError → all-NaN contract: a
+  -- row whose Newton fit did not converge yields NULL analytics
+  SELECT *, (abs(pv - pd) <= 1e-6) AS ok FROM fin
+)
+SELECT b.o_orderkey,
+       CASE WHEN f.ok THEN ROUND(f.y * f.m, 6) + 0.0 END AS ytm,
+       CASE WHEN f.ok
+            THEN ROUND(f.pd + (f.pv - f.pd) - pf.acclast_r, 6) END
+         AS prclean,
+       CASE WHEN f.ok THEN ROUND(f.pd + (f.pv - f.pd), 6) END AS prfull,
+       CASE WHEN f.ok THEN ROUND(pf.acclast_r, 6) END AS acclast,
+       CASE WHEN f.ok THEN ROUND(pf.accpmt_r, 6) END AS accpmt,
+       CASE WHEN f.ok THEN ROUND(pf.acclast_r + pf.accpmt_r, 6) END
+         AS accall,
+       CASE WHEN f.ok THEN ROUND(f.wsum / f.pv / f.m, 6) END AS mac_dur,
+       CASE WHEN f.ok THEN ROUND(f.wsum / f.pv / f.m / (1.0 + f.y), 6) END
+         AS mod_dur,
+       CASE WHEN f.ok
+            THEN ROUND(f.csum * (1.0 / (1.0 + f.y)) * (1.0 / (1.0 + f.y))
+                       / f.pv / (f.m * f.m), 6) END AS convexity
+FROM base b
+JOIN parf pf USING (o_orderkey)
+LEFT JOIN conv f USING (o_orderkey)
+"""
+
+
+@register("w10e_full_record", oracle=_W10E_ORACLE)
+def w10e_full_record(spark, sf_dir):
+    """W10 unified: the reference's full 9-output analytics record
+    (`stage1/helper_functions.py:44-255` GetNewVarsPy) in ONE call —
+    ytm, prclean, prfull, acclast, accpmt, accall, mac_dur, mod_dur,
+    convexity — with per-row day_count_basis routing (30/360, ACT/ACT,
+    ACT/360, ACT/365), per-row interest_frequency (1/2/4/12, plus the
+    0/99 missing codes defaulting to semiannual when coupon > 0),
+    coupon_type Z / zero-eligible-F zero-coupon handling (annual
+    compounding, single flow), T+2 weekend-rolled settlement, and the
+    bond-None → all-null contract for F bonds with no coupon priced
+    at/above par.
+
+    Spark shape: everything except the Newton solve is codegen'd column
+    algebra over one projection (settlement roll, backward coupon
+    bracket via the O(1) probe, day-count CASE routing, accrued trio);
+    the solver is one Arrow-batched pandas UDF fitting the DIRTY price
+    with flows at fractional period offsets. One scan, zero shuffles,
+    zero joins. The oracle replays the identical arithmetic in DuckDB
+    (recursive-CTE Newton, list-algebra schedule)."""
+    from trace_data_pipeline_spark.operators.bond_record import (
+        RECORD_COLS,
+        attach_full_record,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    base = orders.select(
+        "o_orderkey",
+        F.when(k % 7 == 0, "Z").otherwise("F").alias("ctype"),
+        F.when(k % 6 == 0, "1")
+        .when(k % 6 == 1, "2")
+        .when(k % 6 == 2, "4")
+        .when(k % 6 == 3, "12")
+        .when(k % 6 == 4, "0")
+        .otherwise("99")
+        .alias("ifreq"),
+        F.when(k % 7 == 0, F.lit(0.0))
+        .when((k % 6).isin(4, 5) & (k % 13 == 0), F.lit(0.0))
+        .otherwise((2 + k % 7).cast("double"))
+        .alias("c_pct"),
+        F.when(k % 4 == 0, "30/360")
+        .when(k % 4 == 1, "ACT/ACT")
+        .when(k % 4 == 2, "ACT/360")
+        .otherwise("ACT/365")
+        .alias("dcb"),
+        F.add_months(
+            F.lit("2030-06-15").cast("date"), (k % 120).cast("int")
+        ).alias("maturity"),
+        (84 + 12 * (k % 10)).cast("int").alias("hist_m"),
+        F.date_add(
+            F.lit("2024-01-01").cast("date"), (k % 365).cast("int")
+        ).alias("trade_d"),
+        (60.0 + (k * 37 % 800).cast("double") / 10.0).alias("p"),
+    )
+    return attach_full_record(base).select("o_orderkey", *RECORD_COLS)

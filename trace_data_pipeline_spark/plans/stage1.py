@@ -259,11 +259,15 @@ def _screened(
 
 
 def _analytics(screened: DataFrame, s: Stage1Settings) -> DataFrame:
-    """step5: Newton price→yield on the surviving rows (Arrow pandas
-    UDF, same fixed 25-step iteration as the w10 family) + the W9
-    interpolated curve → credit spread. Rounded at 6 dp on both sides
-    of the oracle; `+ 0.0` maps IEEE -0.0 to +0.0."""
-    from trace_data_pipeline_spark.operators.bond_math import bond_analytics_freq
+    """step5: Newton price→yield on the surviving rows + the W9
+    interpolated curve → credit spread. Routed through the UNIFIED W10
+    solver surface (`bond_analytics_frac`, the engine behind the
+    9-output w10e record) at q = 1 — stage-1's daily panel prices carry
+    no intra-period settlement context, so flows sit on the period grid
+    and the frequency-scaled Newton seed keeps monthly bonds in the
+    convergence basin. Rounded at 6 dp on both sides of the oracle;
+    `+ 0.0` maps IEEE -0.0 to +0.0."""
+    from trace_data_pipeline_spark.operators.bond_math import bond_analytics_frac
 
     m = F.col("freq").cast("int")
     nper = (
@@ -272,7 +276,7 @@ def _analytics(screened: DataFrame, s: Stage1Settings) -> DataFrame:
     )
     cpp = F.col("coupon") / (F.lit(100.0) * m)
     solved = screened.withColumn(
-        "__r", bond_analytics_freq(F.col("pr"), cpp, nper, m)
+        "__r", bond_analytics_frac(F.col("pr"), cpp, nper, m, F.lit(1.0))
     )
     curve = piecewise_linear(F.col("bond_maturity"), list(_XS), list(_YS))
     return solved.withColumn(
@@ -630,7 +634,8 @@ bonds AS (
   FROM s5
 ),
 it AS (
-  SELECT user_id, d, m, n, c, p, 0 AS k, CAST(0.03 AS DOUBLE) AS y FROM bonds
+  SELECT user_id, d, m, n, c, p, 0 AS k, CAST(0.06 AS DOUBLE) / m AS y
+  FROM bonds
   UNION ALL
   SELECT user_id, d, m, n, c, p, k + 1,
          least(greatest(

@@ -5,9 +5,11 @@ reader)."""
 from __future__ import annotations
 
 import os
+import time
 import zipfile
 
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from tests.conftest import TEST_SF_DIR
@@ -107,3 +109,83 @@ def test_scan_pushdown_reaches_parquet(spark):
     read = plan[plan.index("ReadSchema") :].splitlines()[0]
     assert "l_orderkey" in read and "l_extendedprice" in read
     assert "l_comment" not in read and "l_quantity" not in read
+
+# ---- S1/S2 live JDBC branch --------------------------------------------
+
+
+class TestJdbcScan:
+    """The config-only warehouse branch, exercised against Spark's
+    bundled embedded Derby (in-JVM, no network) — the same
+    `spark.read.jdbc` plan a real PostgreSQL/WRDS URL would produce."""
+
+    URL = "jdbc:derby:memory:trace_jdbc_test;create=true"
+    PROPS = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+
+    @pytest.fixture(scope="class")
+    def seeded(self, spark):
+        src = spark.range(0, 1000).select(
+            F.col("id").alias("trade_id"),
+            (F.col("id") % 50).alias("bond_id"),
+            (F.col("id") % 997).cast("double").alias("rptd_pr"),
+        )
+        src.write.format("jdbc").option("url", self.URL).option(
+            "dbtable", "enhanced"
+        ).option("driver", self.PROPS["driver"]).mode("overwrite").save()
+        return True
+
+    def test_partitioned_scan_and_pushdown(self, spark, seeded):
+        from trace_data_pipeline_spark.sources.registry import load_jdbc_table
+
+        df = load_jdbc_table(
+            spark,
+            self.URL,
+            "enhanced",
+            partition_column="trade_id",
+            lower_bound=0,
+            upper_bound=1000,
+            num_partitions=4,
+            properties=self.PROPS,
+        )
+        # range-partitioned into one JDBC query per partition
+        assert df.rdd.getNumPartitions() == 4
+        filtered = df.filter(F.col("rptd_pr") > 500.0).select(
+            "trade_id", "rptd_pr"
+        )
+        plan = filtered._jdf.queryExecution().executedPlan().toString()
+        # the predicate reaches the remote scan, not a post-scan Filter
+        assert "PushedFilters" in plan and "rptd_pr" in plan.split(
+            "PushedFilters"
+        )[1].split("]")[0]
+        assert filtered.count() == sum(
+            1 for i in range(1000) if i % 997 > 500
+        )
+
+    def test_load_table_routes_jdbc_urls(self, spark, seeded):
+        from trace_data_pipeline_spark.sources.registry import load_table
+
+        df = load_table(spark, self.URL.replace(";create=true", ""), "enhanced")
+        assert df.count() == 1000
+
+    def test_partition_options_validated(self, spark):
+        from trace_data_pipeline_spark.sources.registry import load_jdbc_table
+
+        with pytest.raises(ValueError, match="num_partitions"):
+            load_jdbc_table(
+                spark, self.URL, "enhanced", partition_column="trade_id"
+            )
+
+    def test_retry_exhaustion_raises(self, spark):
+        from trace_data_pipeline_spark.sources.registry import load_jdbc_table
+
+        t0 = time.monotonic()
+        with pytest.raises(Exception):
+            load_jdbc_table(
+                spark,
+                "jdbc:derby:memory:does_not_exist_db",
+                "nope",
+                properties=self.PROPS,
+                max_retries=3,
+                backoff_s=0.05,
+            )
+        # two sleeps (0.05 + 0.1) happened between the three attempts
+        assert time.monotonic() - t0 >= 0.15

@@ -80,3 +80,148 @@ def test_sample_frames_from_metadata(spark):
     rows = out.filter(F.col("media_id") == 1).orderBy("frame_idx").collect()
     assert [r.frame_ts_ms for r in rows] == [0, 1000, 2000, 3000]
     assert out.filter(F.col("media_id") == 2).count() == 1  # frame 0 only
+
+
+# ---- real PNG codec ----------------------------------------------------
+
+
+def test_png_decode_handmade_filters():
+    """Golden: a 3x3 grayscale PNG whose IDAT is hand-assembled with a
+    different filter on each scanline (Sub, Up, Paeth) — checks the
+    unfilter arithmetic against hand-computed pixel values, independent
+    of our encoder."""
+    import struct
+    import zlib
+
+    from trace_data_pipeline_spark.datapipe.png import SIGNATURE, decode_png
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    # target pixels (rows): (10,20,30) / (15,25,35) / (40,50,60)
+    # row0 Sub(1):   raw = 10, 20-10, 30-20        = 10,10,10
+    # row1 Up(2):    raw = 15-10, 25-20, 35-30     = 5,5,5
+    # row2 Paeth(4): a=left, b=up, c=up-left
+    #   x0: a=0,b=15,c=0 -> p=15 -> pred 15; raw = 40-15 = 25
+    #   x1: a=40,b=25,c=15 -> p=50: pa=10,pb=25,pc=35 -> pred a=40; raw=50-40=10
+    #   x2: a=50,b=35,c=25 -> p=60: pa=10,pb=25,pc=35 -> pred a=50; raw=60-50=10
+    raw = bytes([1, 10, 10, 10]) + bytes([2, 5, 5, 5]) + bytes([4, 25, 10, 10])
+    ihdr = struct.pack(">IIBBBBB", 3, 3, 8, 0, 0, 0, 0)
+    png = (
+        SIGNATURE + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+    w, h, ch, px = decode_png(png)
+    assert (w, h, ch) == (3, 3, 1)
+    assert list(px) == [10, 20, 30, 15, 25, 35, 40, 50, 60]
+
+
+def test_png_roundtrip_all_types_and_filters():
+    """encode→decode is identity for every supported color type and
+    every filter type."""
+    from trace_data_pipeline_spark.datapipe.png import decode_png, encode_png
+
+    w, h = 7, 5
+    for channels in (1, 2, 3, 4):
+        px = bytes(
+            (x * 7 + y * 13 + c * 29) % 256
+            for y in range(h) for x in range(w) for c in range(channels)
+        )
+        for ftype in range(5):
+            blob = encode_png(px, w, h, channels, filter_type=ftype)
+            gw, gh, gch, gpx = decode_png(blob)
+            assert (gw, gh, gch) == (w, h, channels), (channels, ftype)
+            assert bytes(gpx) == px, (channels, ftype)
+
+
+def test_png_palette_expansion():
+    import struct
+    import zlib
+
+    from trace_data_pipeline_spark.datapipe.png import SIGNATURE, decode_png
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # R, G, B entries
+    raw = bytes([0, 0, 1, 2, 0, 2, 1, 0])  # 2 rows of indices, filter 0
+    ihdr = struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0)
+    png = (
+        SIGNATURE + chunk(b"IHDR", ihdr) + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+    w, h, ch, px = decode_png(png)
+    assert (w, h, ch) == (3, 2, 3)
+    assert bytes(px[:9]) == bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+
+
+def test_decode_image_routes_png_and_rejects_others():
+    import pytest as _pytest
+
+    from trace_data_pipeline_spark.datapipe.multimodal import decode_image
+    from trace_data_pipeline_spark.datapipe.png import encode_png
+
+    blob = encode_png(bytes([1, 2, 3, 4]), 2, 2, 1)
+    assert decode_image(blob)[:3] == (2, 2, 1)
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0 not a png")
+
+
+def test_extract_features_real_png_kernel(spark):
+    """PNG rows produce measured pixel stats; non-PNG rows keep the
+    fake kernel."""
+    from trace_data_pipeline_spark.datapipe.multimodal import extract_features
+    from trace_data_pipeline_spark.datapipe.png import encode_png
+
+    px = bytes([0, 100, 200, 50])  # 2x2 grayscale
+    rows = [
+        (1, encode_png(px, 2, 2, 1), ("image/png", 2, 2, None)),
+        (2, b"not-an-image", ("application/octet-stream", None, None, None)),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, payload binary,"
+        " meta struct<mime:string,width:int,height:int,duration_ms:int>",
+    )
+    got = {r["media_id"]: r for r in extract_features(media).collect()}
+    f1 = got[1]["features"]
+    assert f1[:4] == [2.0, 2.0, 1.0, 4.0]
+    assert f1[4] == (0 + 100 + 200 + 50) / 4.0  # mean
+    assert (f1[5], f1[6]) == (0.0, 200.0)  # min, max
+    assert f1[7:] == [0.0] * 9  # absent channels
+    # fake path: md5-derived, first value is digest[0]/256
+    import hashlib
+
+    d = hashlib.md5(b"not-an-image").digest()
+    assert got[2]["features"][0] == pytest.approx(d[0] / 256.0)
+
+
+def test_resize_images_real_png_path(spark):
+    """PNG payloads come back as decodable PNGs at the target geometry
+    with nearest-neighbor-sampled pixels."""
+    from trace_data_pipeline_spark.datapipe.multimodal import resize_images
+    from trace_data_pipeline_spark.datapipe.png import decode_png, encode_png
+
+    w, h = 8, 4
+    px = bytes((x * 31 + y * 17) % 256 for y in range(h) for x in range(w))
+    rows = [(1, encode_png(px, w, h, 1), ("image/png", w, h, None))]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, payload binary,"
+        " meta struct<mime:string,width:int,height:int,duration_ms:int>",
+    )
+    out = resize_images(media, max_side=4).collect()[0]
+    assert (out["out_width"], out["out_height"]) == (4, 2)
+    gw, gh, gch, gpx = decode_png(bytes(out["payload"]))
+    assert (gw, gh, gch) == (4, 2, 1)
+    # nearest-neighbor: out(ox,oy) = src(ox*8//4, oy*4//2)
+    expected = bytes(
+        ((ox * 2) * 31 + (oy * 2) * 17) % 256 for oy in range(2) for ox in range(4)
+    )
+    assert bytes(gpx) == expected

@@ -284,3 +284,59 @@ def simhash_bits(
     return docs.filter(tokens(F.col(text_col)).isNotNull()).select(
         F.col(id_col).alias("doc_id"), simhash.alias("simhash")
     )
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "a",
+    dst: str = "b",
+    max_iter: int = 8,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph → one keeper per
+    cluster, fully distributed (no driver-side union-find, no collect).
+
+    Iterative min-label propagation with POINTER JUMPING: each round
+    takes the min label over neighbors, then follows the label one hop
+    (label ← label(label)), so the reachable-min distance roughly
+    doubles per round — max_iter=8 covers component diameters into the
+    hundreds, far beyond anything a near-dup cluster produces. Each
+    round is two keyed shuffles (neighbor join, jump join) and one
+    aggregate; `localCheckpoint` truncates the plan lineage each round
+    (on a production cluster, set a checkpoint dir and use reliable
+    `checkpoint()` instead for fault tolerance).
+
+    Returns (id_col, cluster_id) for EVERY node — singletons label
+    themselves; cluster_id = min member id, the dedup keeper."""
+    und = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    und = und.unionByName(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("u"), F.col(id_col).alias("label")
+    )
+    for _ in range(max_iter):
+        nbr = und.join(
+            labels.select(F.col("u").alias("v"), "label"), "v"
+        ).select("u", "label")
+        labels = (
+            labels.unionByName(nbr)
+            .groupBy("u")
+            .agg(F.min("label").alias("label"))
+        )
+        jump = labels.select(
+            F.col("u").alias("__ju"), F.col("label").alias("__jl")
+        )
+        labels = labels.join(
+            jump, labels["label"] == jump["__ju"], "left"
+        ).select(
+            "u",
+            F.least(
+                F.col("label"), F.coalesce(F.col("__jl"), F.col("label"))
+            ).alias("label"),
+        )
+        labels = labels.localCheckpoint(eager=True)
+    return labels.select(
+        F.col("u").alias(id_col), F.col("label").alias("cluster_id")
+    )

@@ -2,10 +2,12 @@
 
 Media are opaque `binary` columns with typed metadata structs. The
 Spark-side machinery — schemas, Arrow-batched mapInPandas operators,
-partition sizing — is real and tested; the codec kernels are stubbed
-(the container has no image/audio libraries) behind either a
-deterministic fake (for tests) or NotImplementedError (decode), each
-clearly marked.
+partition sizing — is real and tested. PNG payloads DECODE FOR REAL
+(stdlib zlib codec in `datapipe/png.py`): feature extraction measures
+actual pixels and resize re-samples and re-encodes them. Formats that
+need external codecs (JPEG/audio/video — not in this container) fall
+back to a clearly-marked deterministic fake kernel, with decode_image
+raising NotImplementedError at the documented boundary.
 
 At 100 TB the pattern is: keep binaries in their own column so parquet
 column pruning skips them unless requested; decode inside mapInPandas
@@ -54,26 +56,59 @@ FEATURES_SCHEMA = T.StructType(
 )
 
 
-def decode_image(payload: bytes) -> object:
-    """STUB: real image decode requires PIL/opencv, absent from this
-    container. The Spark plumbing around it is real; swap this body for
-    the real codec in production."""
-    raise NotImplementedError("image codecs not available in this environment")
+def decode_image(payload: bytes) -> tuple[int, int, int, bytearray]:
+    """Image decode → (width, height, channels, 8-bit pixels). PNG
+    decodes for real (stdlib zlib inflate + unfilter — see
+    `datapipe/png.py`); other formats need codecs this container does
+    not ship and raise NotImplementedError, the documented boundary."""
+    from trace_data_pipeline_spark.datapipe.png import decode_png, is_png
+
+    if is_png(payload):
+        return decode_png(payload)
+    raise NotImplementedError(
+        "only PNG decodes in this environment (no PIL/opencv)"
+    )
 
 
 def _fake_features(payload: bytes) -> list[float]:
-    """Deterministic stand-in feature extractor: md5-derived vector.
-    Clearly fake — exists so the distributed plumbing (batching,
-    schema, partitioning) is testable without codecs."""
+    """Deterministic stand-in feature extractor for NON-decodable
+    payloads: md5-derived vector. Clearly fake — keeps the distributed
+    plumbing (batching, schema, partitioning) testable for formats
+    without a codec."""
     digest = hashlib.md5(payload or b"").digest()
     # /256 (not /255): b·2⁻⁸ is exactly representable in float32 AND
     # float64, so features compare bit-exact across engines unrounded
     return [b / 256.0 for b in digest[:FEATURE_DIM]]
 
 
+def _png_features(payload: bytes) -> list[float]:
+    """REAL feature kernel for PNG payloads: decode, then fixed-size
+    pixel statistics — [w, h, channels, n_pixels] + per-channel
+    [mean, min, max] for up to 4 channels (absent channels → 0).
+    Integer sums divided once in float64 — exactly reproducible from
+    the pixel formula by any engine."""
+    w, h, ch, px = decode_image(payload)
+    n = w * h
+    feats = [float(w), float(h), float(ch), float(n)]
+    for c in range(4):
+        if c < ch:
+            vals = px[c :: ch] if ch > 1 else px
+            feats += [sum(vals) / n, float(min(vals)), float(max(vals))]
+        else:
+            feats += [0.0, 0.0, 0.0]
+    return feats
+
+
 def extract_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads via
-    mapInPandas — the real operator shape for any codec kernel."""
+    mapInPandas. Per-payload routing: PNG rows run the REAL
+    decode-and-measure kernel; anything else falls back to the
+    documented fake so the pipeline never hard-fails on a format
+    without a codec."""
+    from trace_data_pipeline_spark.datapipe.png import is_png
+
+    def featurize(p: bytes | None) -> list[float]:
+        return _png_features(p) if is_png(p) else _fake_features(p)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -85,7 +120,7 @@ def extract_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
                         "n_bytes": chunk["payload"].map(
                             lambda p: len(p) if p is not None else 0
                         ),
-                        "features": chunk["payload"].map(_fake_features),
+                        "features": chunk["payload"].map(featurize),
                     }
                 )
 
@@ -116,12 +151,28 @@ RESIZED_SCHEMA = T.StructType(
 
 
 def _fake_resize(payload: bytes, w: int, h: int) -> bytes:
-    """Deterministic stand-in for decode→resize→re-encode: tags the
-    content hash with the target geometry. Swap for a real codec in
-    production; the operator contract (binary in, binary out, bounded
-    batches) is what's under test."""
+    """Deterministic stand-in for decode→resize→re-encode on payloads
+    with no codec: tags the content hash with the target geometry. The
+    operator contract (binary in, binary out, bounded batches) is what's
+    under test for those formats."""
     digest = hashlib.md5(payload or b"").digest()
     return digest + w.to_bytes(4, "big") + h.to_bytes(4, "big")
+
+
+def _resize_payload(payload: bytes, w: int, h: int) -> bytes:
+    """PNG rows resize for REAL: decode → nearest-neighbor resample →
+    re-encode (all stdlib, `datapipe/png.py`); other formats keep the
+    documented fake."""
+    from trace_data_pipeline_spark.datapipe.png import (
+        encode_png,
+        is_png,
+        resize_nearest,
+    )
+
+    if is_png(payload) and w > 0 and h > 0:
+        sw, sh, ch, px = decode_image(payload)
+        return encode_png(resize_nearest(px, sw, sh, ch, w, h), w, h, ch)
+    return _fake_resize(payload, w, h)
 
 
 def resize_images(media: DataFrame, max_side: int = 256, batch_size: int = 64) -> DataFrame:
@@ -150,8 +201,8 @@ def resize_images(media: DataFrame, max_side: int = 256, batch_size: int = 64) -
             for start in range(0, len(pdf), batch_size):
                 chunk = pdf.iloc[start : start + batch_size].copy()
                 chunk["payload"] = [
-                    _fake_resize(p, int(cw) if pd.notna(cw) else 0,
-                                 int(ch) if pd.notna(ch) else 0)
+                    _resize_payload(p, int(cw) if pd.notna(cw) else 0,
+                                    int(ch) if pd.notna(ch) else 0)
                     if p is not None else None
                     for p, cw, ch in zip(
                         chunk["payload"], chunk["out_width"], chunk["out_height"]

@@ -470,6 +470,157 @@ def d12_media_features(spark, sf_dir):
     )
 
 
+@register(
+    "d12b_png_features",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id AS k,
+             CAST(8 + doc_id % 9 AS INTEGER) AS w,
+             CAST(8 + doc_id % 7 AS INTEGER) AS h,
+             CAST(CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN 1 WHEN 1 THEN 3
+                       WHEN 2 THEN 2 ELSE 4 END AS INTEGER) AS ch
+      FROM documents
+    ),
+    pix AS (
+      SELECT d.k, d.w, d.h, d.ch, cc.c,
+             (xx.x * 7 + yy.y * 13 + 29 * cc.c + d.k) % 256 AS v
+      FROM d, range(0, 4) cc(c), range(0, 17) xx(x), range(0, 15) yy(y)
+      WHERE cc.c < d.ch AND xx.x < d.w AND yy.y < d.h
+    ),
+    st AS (
+      SELECT k, w, h, ch, c, SUM(v) AS s, MIN(v) AS mn, MAX(v) AS mx
+      FROM pix GROUP BY 1, 2, 3, 4, 5
+    ),
+    feats AS (
+      SELECT k AS media_id, 0 AS idx, CAST(w AS DOUBLE) AS feature FROM d
+      UNION ALL SELECT k, 1, CAST(h AS DOUBLE) FROM d
+      UNION ALL SELECT k, 2, CAST(ch AS DOUBLE) FROM d
+      UNION ALL SELECT k, 3, CAST(w * h AS DOUBLE) FROM d
+      UNION ALL SELECT k, CAST(4 + 3 * c AS INTEGER),
+                 CAST(CAST(CAST(s AS DOUBLE) / (w * h) AS REAL) AS DOUBLE)
+        FROM st
+      UNION ALL SELECT k, CAST(5 + 3 * c AS INTEGER), CAST(mn AS DOUBLE)
+        FROM st
+      UNION ALL SELECT k, CAST(6 + 3 * c AS INTEGER), CAST(mx AS DOUBLE)
+        FROM st
+      UNION ALL
+        SELECT d.k, CAST(4 + 3 * cc.c + z.i AS INTEGER), CAST(0 AS DOUBLE)
+        FROM d, range(0, 4) cc(c), range(0, 3) z(i)
+        WHERE cc.c >= d.ch
+    )
+    SELECT media_id, CAST(idx AS INTEGER) AS idx, feature FROM feats
+    """,
+)
+def d12b_png_features(spark, sf_dir):
+    """Multimodal REAL-decode path: per doc, a PNG is synthesized from
+    a closed-form pixel formula (geometry and color type vary by id;
+    the scanline filter cycles through all five RFC 2083 types), then
+    `extract_features` decodes the actual bytes — stdlib inflate +
+    unfilter, `datapipe/png.py` — and measures pixel statistics. The
+    oracle recomputes the statistics straight from the pixel FORMULA,
+    so any decode defect (wrong unfilter, channel interleave, palette,
+    geometry) breaks the value hash. Payload synthesis and feature
+    extraction are separate Arrow-batched passes — the operator under
+    test sees only opaque binary."""
+    import pandas as pd
+
+    from trace_data_pipeline_spark.datapipe.multimodal import extract_features
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+
+    def synth(batches):
+        from trace_data_pipeline_spark.datapipe.png import encode_png
+
+        for pdf in batches:
+            payloads = []
+            for k in pdf["media_id"]:
+                k = int(k)
+                w, h = 8 + k % 9, 8 + k % 7
+                ch = [1, 3, 2, 4][k % 4]
+                px = bytes(
+                    (x * 7 + y * 13 + 29 * c + k) % 256
+                    for y in range(h)
+                    for x in range(w)
+                    for c in range(ch)
+                )
+                payloads.append(encode_png(px, w, h, ch, filter_type=k % 5))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(synth, "media_id long, payload binary")
+    feats = extract_features(media)
+    # n_bytes depends on the deflate stream, not on pixel content —
+    # excluded from the oracle-checked surface
+    return feats.select(
+        "media_id", F.posexplode("features").alias("idx", "f")
+    ).select("media_id", "idx", F.col("f").cast("double").alias("feature"))
+
+
+_D18_PAIR_CTES = """,
+cand AS (
+  SELECT DISTINCT b1.doc_id AS a, b2.doc_id AS b
+  FROM bands b1 JOIN bands b2 USING (band_idx, band_hash)
+  WHERE b1.doc_id < b2.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+inter AS (
+  SELECT g1.doc_id AS a, g2.doc_id AS b, count(*) AS n_inter
+  FROM grams g1 JOIN grams g2 USING (gram)
+  JOIN cand ON g1.doc_id = cand.a AND g2.doc_id = cand.b
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a, b FROM inter
+  JOIN sizes sa ON inter.a = sa.doc_id
+  JOIN sizes sb ON inter.b = sb.doc_id
+  WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.4
+),
+und AS (
+  SELECT a AS u, b AS v FROM pairs
+  UNION SELECT b AS u, a AS v FROM pairs
+),
+reach AS (
+  SELECT doc_id AS u, doc_id AS r FROM documents
+  UNION
+  SELECT e.u, rr.r FROM und e JOIN reach rr ON rr.u = e.v
+)
+SELECT u AS doc_id, MIN(r) AS cluster_id,
+       CAST(CASE WHEN MIN(r) = u THEN 1 ELSE 0 END AS INTEGER) AS is_keeper
+FROM reach GROUP BY u
+"""
+
+
+@register(
+    "d18_dedup_clusters",
+    oracle=_minhash_ctes().replace("WITH ", "WITH RECURSIVE ", 1)
+    + _D18_PAIR_CTES,
+)
+def d18_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTER consolidation: the d4 LSH pair graph collapsed
+    into connected components — every doc labeled with its cluster's
+    min id (the dedup keeper), singletons labeling themselves. This is
+    the surface a real dedup pipeline actually consumes: pairs only
+    say "these two match"; components decide which row survives.
+    Distributed min-label propagation with pointer jumping (bounded
+    rounds, lineage-checkpointed, no driver-side union-find); oracle =
+    transitive closure via a DuckDB recursive CTE over the identical
+    pair graph."""
+    from trace_data_pipeline_spark.datapipe.dedup import connected_components
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(
+        docs, n=3, num_hashes=_N_HASHES, bands=_BANDS, verify_threshold=0.4
+    )
+    cc = connected_components(
+        docs.select("doc_id"), pairs.select("a", "b"), max_iter=4
+    )
+    return cc.withColumn(
+        "is_keeper",
+        (F.col("doc_id") == F.col("cluster_id")).cast("int"),
+    )
+
+
 # ---- event-stream extras ------------------------------------------------
 
 

@@ -53,10 +53,11 @@ def main() -> None:
         catalog[name].builder(spark, SF_DIR).write.format("noop").mode(
             "overwrite"
         ).save()
-        # drop this query's tracked caches before timing the next one —
-        # keeps numbers independent and the session leak-free
-        release_caches()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # drop this query's tracked caches OUTSIDE its timed window —
+        # keeps numbers independent and the session leak-free without
+        # billing query N for its own cleanup
+        release_caches()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -39,6 +39,53 @@ def test_release_after_catalog_entry(spark, sf_dir):
     assert release_caches() >= 1
 
 
+def test_release_sweeps_local_checkpoint_blocks(spark):
+    """Eager localCheckpoints store RDD blocks DataFrame.unpersist can't
+    reach; release_caches must sweep them so a long-lived session (bench,
+    notebook) doesn't accumulate dead storage between queries."""
+    release_caches()
+    ck = spark.range(1000).localCheckpoint(eager=True)
+    ck.count()
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    assert jmap.size() >= 1
+    release_caches()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+
+
+def test_connected_components_converges_and_frees(spark):
+    """A 6-node path graph needs >1 propagation round; the loop must
+    converge, label every node with the component min, and leave no
+    persistent blocks behind except the returned frame's own checkpoint."""
+    from trace_data_pipeline_spark.datapipe.dedup import connected_components
+
+    release_caches()
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], ["doc_id"])
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)], ["a", "b"]
+    )
+    out = connected_components(nodes, edges, max_iter=8)
+    got = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 7: 7}
+    # only the final labels checkpoint may remain; the sweep clears it
+    release_caches()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+
+
+def test_connected_components_raises_when_not_converged(spark):
+    """max_iter too small for the component diameter must raise, not
+    silently split the cluster (ADVICE round 3)."""
+    from trace_data_pipeline_spark.datapipe.dedup import connected_components
+
+    n = 40
+    nodes = spark.createDataFrame([(i,) for i in range(1, n + 1)], ["doc_id"])
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], ["a", "b"]
+    )
+    with pytest.raises(ValueError, match="did not converge"):
+        connected_components(nodes, edges, max_iter=1)
+    release_caches()
+
+
 @pytest.fixture
 def sf_dir():
     from tests.conftest import TEST_SF_DIR

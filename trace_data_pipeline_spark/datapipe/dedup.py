@@ -99,16 +99,44 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.2,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """All-pairs n-gram Jaccard via a gram-keyed self-join (inverted
     index): pairs only meet on shared shingles, so cost is Σ|posting
-    list|² per gram, not |docs|². Returns (a, b, jaccard) with a < b."""
+    list|² per gram, not |docs|². Returns (a, b, jaccard) with a < b.
+
+    ``max_doc_freq`` is the hot-gram guard for corpus scale: a single
+    boilerplate shingle shared by F docs contributes F² join rows, so
+    one hot gram (a license header, a template footer) turns the index
+    quadratic. Grams whose posting list exceeds the cap are dropped
+    from INTERSECTION COUNTING ONLY — set sizes keep every gram, so a
+    capped pair's Jaccard is an under-estimate (recall trade-off:
+    near-dup pairs whose overlap is mostly boilerplate may fall below
+    the threshold; pairs sharing distinctive content are unaffected).
+    The cap bounds the join at Σ min(|posting|, L)² — linear in corpus
+    size for fixed L. None disables the guard (exact semantics)."""
     # persist: the gram-set projection feeds both probe sides AND the
     # size lookup — without it Spark re-tokenizes the corpus three times.
     # Sizes come straight from the array (no groupBy shuffle).
     sets = tracked_persist(doc_gram_sets(docs, text_col, id_col, n))
     sizes = sets.select("doc_id", "n_grams")
     grams = sets.select("doc_id", F.explode("grams").alias("gram"))
+    if max_doc_freq is not None:
+        # hot-gram set via groupBy count (map-side partial agg — skew-
+        # safe even when one gram dominates, unlike a window over the
+        # gram partition) then a broadcast anti-join: the hot set is
+        # tiny by construction, so no full-row shuffle is added
+        hot = (
+            grams.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_doc_freq)
+            .select("gram")
+        )
+        # persist the capped rows: they feed BOTH probe sides, and the
+        # two branches would otherwise each re-run the count + anti-join
+        grams = tracked_persist(
+            grams.join(F.broadcast(hot), "gram", "left_anti")
+        )
     g1 = grams.select(F.col("doc_id").alias("a"), "gram")
     g2 = grams.select(F.col("doc_id").alias("b"), "gram")
     inter = (
@@ -286,6 +314,22 @@ def simhash_bits(
     )
 
 
+def _persistent_rdd_ids(sc) -> set[int]:
+    """Ids of all RDDs currently holding storage blocks (includes the
+    RDDs backing eager localCheckpoints, which DataFrame.unpersist can't
+    reach)."""
+    return {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+
+def _unpersist_rdd_ids(sc, ids: set[int]) -> None:
+    """Free the storage blocks of the given RDD ids (non-blocking)."""
+    jmap = sc._jsc.getPersistentRDDs()
+    for rid in ids:
+        rdd = jmap.get(rid)
+        if rdd is not None:
+            rdd.unpersist(False)
+
+
 def connected_components(
     nodes: DataFrame,
     edges: DataFrame,
@@ -300,43 +344,88 @@ def connected_components(
     Iterative min-label propagation with POINTER JUMPING: each round
     takes the min label over neighbors, then follows the label one hop
     (label ← label(label)), so the reachable-min distance roughly
-    doubles per round — max_iter=8 covers component diameters into the
-    hundreds, far beyond anything a near-dup cluster produces. Each
-    round is two keyed shuffles (neighbor join, jump join) and one
-    aggregate; `localCheckpoint` truncates the plan lineage each round
-    (on a production cluster, set a checkpoint dir and use reliable
-    `checkpoint()` instead for fault tolerance).
+    doubles per round. The loop exits as soon as a round changes no
+    label (exact check: anti-equality join of consecutive label frames,
+    co-partitioned on u so it reuses the round's own shuffle layout);
+    if labels are still moving after ``max_iter`` rounds the function
+    raises rather than silently splitting a component.
+
+    Resource discipline — this runs inside long-lived sessions:
+    - the symmetric edge list is persisted once (it is collision-sized,
+      tiny next to the corpus) and unpersisted on exit; without this the
+      whole LSH candidate pipeline re-executes every round;
+    - each round's `localCheckpoint(eager=True)` truncates lineage, and
+      the PREVIOUS round's checkpoint blocks are freed immediately (the
+      RDD ids are diffed around the checkpoint call, because
+      DataFrame.unpersist cannot reach checkpoint storage). On a
+      production cluster, set a checkpoint dir and use reliable
+      `checkpoint()` instead for fault tolerance.
 
     Returns (id_col, cluster_id) for EVERY node — singletons label
     themselves; cluster_id = min member id, the dedup keeper."""
-    und = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    und = und.unionByName(
-        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
+    sc = nodes.sparkSession.sparkContext
+    # symmetrize via explode, NOT a self-union: a union's two branches
+    # are separate subtrees, so an un-persisted edge pipeline (e.g. the
+    # whole LSH candidate computation) would execute twice just to
+    # materialize the reversed copy
+    und = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+                F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+            )
+        ).alias("__e")
+    ).select("__e.u", "__e.v").persist()
     labels = nodes.select(
         F.col(id_col).alias("u"), F.col(id_col).alias("label")
     )
-    for _ in range(max_iter):
-        nbr = und.join(
-            labels.select(F.col("u").alias("v"), "label"), "v"
-        ).select("u", "label")
-        labels = (
-            labels.unionByName(nbr)
-            .groupBy("u")
-            .agg(F.min("label").alias("label"))
-        )
-        jump = labels.select(
-            F.col("u").alias("__ju"), F.col("label").alias("__jl")
-        )
-        labels = labels.join(
-            jump, labels["label"] == jump["__ju"], "left"
-        ).select(
-            "u",
-            F.least(
-                F.col("label"), F.coalesce(F.col("__jl"), F.col("label"))
-            ).alias("label"),
-        )
-        labels = labels.localCheckpoint(eager=True)
+    ckpt_ids: set[int] = set()
+    try:
+        for it in range(max_iter):
+            nbr = und.join(
+                labels.select(F.col("u").alias("v"), "label"), "v"
+            ).select("u", "label")
+            merged = (
+                labels.unionByName(nbr)
+                .groupBy("u")
+                .agg(F.min("label").alias("label"))
+            )
+            jump = merged.select(
+                F.col("u").alias("__ju"), F.col("label").alias("__jl")
+            )
+            new = merged.join(
+                jump, merged["label"] == jump["__ju"], "left"
+            ).select(
+                "u",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("__jl"), F.col("label"))
+                ).alias("label"),
+            )
+            # lazy checkpoint: the changed-count below scans every
+            # partition of `new`, so the SAME job both materializes the
+            # checkpoint and decides convergence — one job per round
+            # instead of an eager-checkpoint job plus a count job
+            before = _persistent_rdd_ids(sc)
+            new = new.localCheckpoint(eager=False)
+            changed = (
+                new.alias("n")
+                .join(labels.alias("o"), "u")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            new_ckpt_ids = _persistent_rdd_ids(sc) - before
+            _unpersist_rdd_ids(sc, ckpt_ids)
+            labels, ckpt_ids = new, new_ckpt_ids
+            if changed == 0:
+                break
+        else:
+            raise ValueError(
+                f"connected_components did not converge in {max_iter} "
+                "rounds — component diameter exceeds the pointer-jumping "
+                "reach; raise max_iter"
+            )
+    finally:
+        und.unpersist()
     return labels.select(
         F.col("u").alias(id_col), F.col("label").alias("cluster_id")
     )

@@ -32,13 +32,32 @@ def tracked_persist(df: DataFrame) -> DataFrame:
 
 
 def release_caches() -> int:
-    """Unpersist every tracked frame; returns how many were released."""
+    """Unpersist every tracked frame, then sweep any remaining
+    persistent RDD blocks (e.g. eager-localCheckpoint storage, which
+    DataFrame.unpersist cannot reach); returns how many tracked frames
+    were released. The sweep keeps a long-lived session leak-free even
+    when an operator's checkpoint lineage outlives its query."""
     released = 0
+    spark = None
     while _TRACKED:
         df = _TRACKED.pop()
         try:
+            spark = df.sparkSession
             df.unpersist()
             released += 1
         except Exception:  # session already stopped — nothing to free
             pass
+    try:
+        if spark is None:
+            from pyspark.sql import SparkSession
+
+            spark = SparkSession.getActiveSession()
+        if spark is not None:
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            for rid in list(jmap.keySet().toArray()):
+                rdd = jmap.get(rid)
+                if rdd is not None:
+                    rdd.unpersist(False)
+    except Exception:  # session stopped mid-sweep — nothing to free
+        pass
     return released

@@ -26,15 +26,28 @@ def ensure_min_parallelism(df: DataFrame, num_partitions: int | None = None) -> 
 
     A small compressed parquet file yields one input split, so every
     downstream expression runs single-threaded regardless of core
-    count. Round-robin repartition IFF the plan is narrower than the
+    count. Round-robin repartition IFF the scan is narrower than the
     target; at production scale the scan already exceeds it and this is
     a no-op — no shuffle is ever forced onto an already-wide scan.
+
+    Width is estimated from ``df.inputFiles()`` (driver-side file
+    listing, no job): files >= target means at least that many splits.
+    The earlier ``df.rdd.getNumPartitions()`` probe forced a full
+    plan→RDD conversion on EVERY call — a measurable per-query toll.
+    A multi-gigabyte single file is under-counted (it would split by
+    ``spark.sql.files.maxPartitionBytes``), costing one avoidable
+    shuffle — acceptable, since at that size the downstream CPU work
+    the widening feeds dwarfs it.
     """
     if num_partitions is None:
         num_partitions = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
-    if df.rdd.getNumPartitions() >= num_partitions:
+    try:
+        width = len(df.inputFiles())
+    except Exception:  # non-file-backed plan — assume narrow
+        width = 0
+    if width >= num_partitions:
         return df
     return df.repartition(num_partitions)
 

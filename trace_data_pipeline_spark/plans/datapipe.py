@@ -121,15 +121,22 @@ def d1_exact_dedup(spark, sf_dir):
     return exact_dedup_clusters(docs)
 
 
+_D2_MAX_DOC_FREQ = 256
+
+
 @register(
     "d2_ngram_jaccard_pairs",
     oracle="WITH "
     + _GRAMS_CTE
-    + """,
+    + f""",
     sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+    capped AS (
+      SELECT doc_id, gram FROM grams
+      QUALIFY count(*) OVER (PARTITION BY gram) <= {_D2_MAX_DOC_FREQ}
+    ),
     inter AS (
       SELECT g1.doc_id AS a, g2.doc_id AS b, count(*) AS n_inter
-      FROM grams g1 JOIN grams g2 USING (gram)
+      FROM capped g1 JOIN capped g2 USING (gram)
       WHERE g1.doc_id < g2.doc_id
       GROUP BY 1, 2
     )
@@ -142,9 +149,15 @@ def d1_exact_dedup(spark, sf_dir):
 )
 def d2_ngram_jaccard_pairs(spark, sf_dir):
     """N-gram Jaccard near-dup pairs via a shingle inverted index —
-    pairs meet only on shared grams, never a full cross join."""
+    pairs meet only on shared grams, never a full cross join. Hot grams
+    (posting list > 256 docs) are excluded from intersection counting
+    (the oracle applies the identical cap), bounding join fan-out at
+    Σ min(|posting|, 256)² — the guard that keeps one boilerplate
+    shingle from going quadratic at corpus scale."""
     docs = _docs(spark, sf_dir)
-    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    pairs = ngram_jaccard_pairs(
+        docs, n=3, threshold=0.2, max_doc_freq=_D2_MAX_DOC_FREQ
+    )
     return pairs.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -613,7 +626,7 @@ def d18_dedup_clusters(spark, sf_dir):
         docs, n=3, num_hashes=_N_HASHES, bands=_BANDS, verify_threshold=0.4
     )
     cc = connected_components(
-        docs.select("doc_id"), pairs.select("a", "b"), max_iter=4
+        docs.select("doc_id"), pairs.select("a", "b"), max_iter=8
     )
     return cc.withColumn(
         "is_keeper",

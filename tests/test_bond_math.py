@@ -164,3 +164,49 @@ def test_full_record_branches(spark):
 
     zf = got[4]
     assert zf["ytm"] is not None and zf["acclast"] == 0.0
+
+
+def test_full_record_degrades_to_null_not_job_failure(spark):
+    """ADVICE round 3: rows the reference would raise on (unknown basis
+    / unknown frequency) and rows past the bounded backward schedule
+    (monthly bond >250 months to maturity -> null coupon bracket) must
+    produce the all-null record — never a partial record, never a
+    failed job from NaN hitting the Arrow int64 cast."""
+    from pyspark.sql import functions as F
+
+    from trace_data_pipeline_spark.operators.bond_record import (
+        RECORD_COLS,
+        attach_full_record,
+    )
+
+    rows = [
+        # monthly coupon, ~36 years to maturity: 432 periods > the
+        # 250-period backward window -> last_cpn null -> __n null
+        (1, "F", "12", 5.0, "30/360", "2060-06-15", 480, "2024-03-11", 95.0),
+        # unrecognized day-count basis
+        (2, "F", "2", 4.0, "BUS/252", "2030-06-15", 96, "2024-03-11", 95.0),
+        # unrecognized interest frequency code
+        (3, "F", "6", 4.0, "30/360", "2030-06-15", 96, "2024-03-11", 95.0),
+        # control: a healthy coupon row in the same frame still solves
+        (4, "F", "2", 4.0, "30/360", "2030-06-15", 96, "2024-03-11", 95.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "k int, ctype string, ifreq string, c_pct double, dcb string,"
+        " maturity string, hist_m int, trade_d string, p double",
+    ).select(
+        "k", "ctype", "ifreq", "c_pct", "dcb",
+        F.col("maturity").cast("date").alias("maturity"),
+        "hist_m",
+        F.col("trade_d").cast("date").alias("trade_d"),
+        "p",
+    )
+    got = {
+        r["k"]: r
+        for r in attach_full_record(df).select("k", *RECORD_COLS).collect()
+    }
+    for k in (1, 2, 3):
+        assert all(got[k][c] is None for c in RECORD_COLS), (
+            f"row {k} must be the ALL-null record, got {got[k]}"
+        )
+    assert got[4]["ytm"] is not None and got[4]["prclean"] is not None

@@ -189,3 +189,29 @@ class TestJdbcScan:
             )
         # two sleeps (0.05 + 0.1) happened between the three attempts
         assert time.monotonic() - t0 >= 0.15
+
+    def test_zero_retries_rejected_up_front(self, spark):
+        """ADVICE round 3: max_retries <= 0 used to skip the attempt
+        loop and implicitly return None — must be a loud ValueError."""
+        from trace_data_pipeline_spark.sources.registry import load_jdbc_table
+
+        with pytest.raises(ValueError, match="max_retries"):
+            load_jdbc_table(spark, self.URL, "enhanced", max_retries=0)
+
+    def test_permanent_error_skips_backoff(self, spark, seeded):
+        """A missing table is not connection flakiness: it must raise on
+        the FIRST attempt, not after walking the backoff schedule."""
+        from trace_data_pipeline_spark.sources.registry import load_jdbc_table
+
+        t0 = time.monotonic()
+        with pytest.raises(Exception, match="(?i)does not exist"):
+            load_jdbc_table(
+                spark,
+                self.URL,
+                "no_such_table",
+                properties=self.PROPS,
+                max_retries=5,
+                backoff_s=5.0,
+            )
+        # no 5s backoff sleep happened
+        assert time.monotonic() - t0 < 4.0

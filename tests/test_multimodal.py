@@ -161,6 +161,47 @@ def test_png_palette_expansion():
     assert bytes(px[:9]) == bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
 
 
+def test_png_malformed_raises_value_error_not_struct_error():
+    """ADVICE round 3: the loud-ValueError contract must hold for (a) a
+    chunk truncated before its CRC and (b) a palette index past the end
+    of PLTE (which would silently corrupt pixels via bytearray slice
+    resize)."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from trace_data_pipeline_spark.datapipe.png import (
+        SIGNATURE,
+        decode_png,
+        encode_png,
+    )
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    # (a) truncated mid-chunk: dropping IEND (12 bytes) plus one byte
+    # of the preceding IDAT CRC leaves an intact chunk header whose
+    # declared span runs past the payload end
+    blob = encode_png(bytes([1, 2, 3, 4]), 2, 2, 1)
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_png(blob[:-13])
+
+    # (b) palette index 2 with a 2-entry PLTE
+    plte = bytes([255, 0, 0, 0, 255, 0])
+    raw = bytes([0, 0, 1, 2])  # one row, index 2 out of range
+    ihdr = struct.pack(">IIBBBBB", 3, 1, 8, 3, 0, 0, 0)
+    png = (
+        SIGNATURE + chunk(b"IHDR", ihdr) + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="palette index"):
+        decode_png(png)
+
+
 def test_decode_image_routes_png_and_rejects_others():
     import pytest as _pytest
 

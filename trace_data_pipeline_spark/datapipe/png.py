@@ -48,6 +48,11 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytearray]:
     plte = None
     while pos + 8 <= len(payload):
         (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        if pos + 12 + length > len(payload):
+            # truncated chunk: without this check the short CRC slice
+            # would surface as struct.error, not the loud-ValueError
+            # contract the decode path promises
+            raise ValueError("truncated chunk")
         ctype = payload[pos + 4 : pos + 8]
         data = payload[pos + 8 : pos + 8 + length]
         crc = payload[pos + 8 + length : pos + 12 + length]
@@ -105,6 +110,11 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytearray]:
     if color_type == 3:
         if plte is None:
             raise ValueError("palette image without PLTE")
+        # validate indices up front: a past-the-end palette index would
+        # otherwise produce a short slice whose bytearray slice-assign
+        # silently RESIZES the output buffer — corrupt pixels, no error
+        if max(out, default=0) * 3 + 3 > len(plte):
+            raise ValueError("palette index out of range")
         rgb = bytearray(width * height * 3)
         for i, idx in enumerate(out):
             rgb[3 * i : 3 * i + 3] = plte[3 * idx : 3 * idx + 3]

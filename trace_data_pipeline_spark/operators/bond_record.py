@@ -68,16 +68,30 @@ def attach_full_record(
 ) -> DataFrame:
     """Attach the 9 analytics columns (RECORD_COLS) to `df`."""
     p, c_pct = F.col(price), F.col(coupon_pct)
+    # the reference raises ValueError on an unrecognized interest
+    # frequency (helper_functions.py:104-109); here the row degrades to
+    # the all-null record instead of failing the job: only '0'/'99'/null
+    # take the semiannual default, anything else leaves m_c null, which
+    # __valid below folds in
     m_c = (
         F.when(F.col(ifreq) == "1", 1)
         .when(F.col(ifreq) == "2", 2)
         .when(F.col(ifreq) == "4", 4)
         .when(F.col(ifreq) == "12", 12)
-        .otherwise(F.when(c_pct > 0, 2))
+        .when(
+            F.col(ifreq).isNull() | F.col(ifreq).isin("0", "99"),
+            F.when(c_pct > 0, 2),
+        )
         .cast("int")
     )
     is_zero = (F.col(coupon_type) == "Z") | (
         (F.col(coupon_type) == "F") & (c_pct == 0.0) & (p < 100.0)
+    )
+    # unrecognized day-count basis (dcf_by_basis has no otherwise) must
+    # yield the all-null record, not a silently inconsistent partial one
+    # where null accrued/q coalesce into solver defaults
+    basis_ok = F.col(dcb).isin(
+        "30/360", "", "ACT/ACT", "ACT/360", "ACT/365", "ACT/366"
     )
     st = (
         df.withColumn("__settle", add_business_days(F.col(trade_d), 2))
@@ -85,7 +99,15 @@ def attach_full_record(
         .withColumn("__is_zero", is_zero)
         .withColumn(
             "__valid",
-            is_zero | ((F.col(coupon_type) == "F") & (c_pct > 0)),
+            basis_ok
+            & (
+                is_zero
+                | (
+                    (F.col(coupon_type) == "F")
+                    & (c_pct > 0)
+                    & m_c.isNotNull()
+                )
+            ),
         )
     )
     st = st.withColumn(
@@ -145,12 +167,16 @@ def attach_full_record(
         )
         .withColumn("__pd", p + F.col("__acclast"))
     )
+    # __n is null when settlement falls before the bounded backward
+    # schedule (coupon_bracket's 250-period window) — coalesce keeps the
+    # NaN out of the Arrow int64 cast (which would fail the whole job),
+    # and the gate below nulls the record for such rows
     solved = par.withColumn(
         "__r",
         bond_analytics_frac(
             F.coalesce(F.col("__pd"), p),
             F.coalesce(F.col("__c"), F.lit(0.0)),
-            F.when(F.col("__valid"), F.col("__n")).otherwise(F.lit(0)),
+            F.coalesce(F.when(F.col("__valid"), F.col("__n")), F.lit(0)),
             F.coalesce(F.col("__m"), F.lit(1)),
             F.coalesce(F.col("__q"), F.lit(1.0)),
         ),
@@ -158,7 +184,11 @@ def attach_full_record(
     # non-convergence gate: |pv residual| is ~1e-9 for a converged row
     # and astronomically large for a clamp-bounced one — the 1e-6 branch
     # can never flip between engines
-    v = F.col("__valid") & (F.abs(F.col("__r.pv_residual")) <= 1e-6)
+    v = (
+        F.col("__valid")
+        & F.col("__n").isNotNull()
+        & (F.abs(F.col("__r.pv_residual")) <= 1e-6)
+    )
     out = (
         solved.withColumn(
             "ytm", F.when(v, F.round(F.col("__r.ytm") * 1.0, 6) + 0.0)

@@ -56,7 +56,13 @@ def load_jdbc_table(
 
     The retry wrapper guards the DRIVER-side schema/connection step
     (executor-side task failures are already retried by Spark); backoff
-    doubles per attempt, mirroring the reference's wrapper."""
+    doubles per attempt, mirroring the reference's wrapper. Permanent
+    errors (bad SQL object / auth rejection, which surface as
+    SQLException subtypes whose message names the object or the
+    credential) are re-raised immediately — only connection-shaped
+    failures walk the backoff schedule."""
+    if max_retries < 1:
+        raise ValueError(f"max_retries must be >= 1, got {max_retries}")
     reader = (
         spark.read.format("jdbc")
         .option("url", url)
@@ -81,13 +87,26 @@ def load_jdbc_table(
     for attempt in range(max_retries):
         try:
             return reader.load()
-        except Exception:
-            if attempt == max_retries - 1:
+        except Exception as exc:
+            msg = str(exc).lower()
+            permanent = any(
+                s in msg
+                for s in (
+                    "does not exist",
+                    "unknown table",
+                    "access denied",
+                    "authentication failed",
+                    "password",
+                    "syntax error",
+                )
+            )
+            if permanent or attempt == max_retries - 1:
                 raise
             import time
 
             time.sleep(delay)
             delay *= 2.0
+    raise AssertionError("unreachable")  # loop always returns or raises
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

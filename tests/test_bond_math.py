@@ -166,6 +166,56 @@ def test_full_record_branches(spark):
     assert zf["ytm"] is not None and zf["acclast"] == 0.0
 
 
+def test_golden_textbook_vectors(spark):
+    """Golden pins against standard textbook bond mathematics (nominal
+    annual yield compounded m times/year — the reference's QuantLib
+    `stage1/helper_functions.py:44-255` convention), NOT against the
+    engine's own oracle replay:
+
+    1. 3y 10% semiannual priced 95.082676 -> ytm 12% (the classic
+       price-at-12%-yield worked example);
+    2. 10y 6% semiannual AT PAR -> ytm = coupon, Macaulay duration
+       (1+i)/i·(1-(1+i)^-n) periods = 7.661900 years (the par-bond
+       duration closed form);
+    3. 8y zero at 5% annual -> D = T years, D_mod = T/(1+y),
+       convexity = T(T+1)/(1+y)^2;
+    4. 5y 8% quarterly at 10% -> frequency generality.
+
+    All constants derive from the direct closed-form PV/weight sums —
+    an independent arithmetic path from the engine's Newton iteration."""
+    from pyspark.sql import functions as F
+
+    from trace_data_pipeline_spark.operators.bond_math import (
+        bond_analytics_freq,
+    )
+
+    rows = [
+        # (k, price, coupon_per_period, n_periods, m, exp_ytm, mac, mod, conv)
+        (1, 95.082676, 0.05, 6, 2, 0.12, 2.654846, 2.504572, 7.925044),
+        (2, 100.0, 0.03, 20, 2, 0.06, 7.661900, 7.438737, 68.774822),
+        (3, 67.683936, 0.0, 8, 1, 0.05, 8.0, 7.619048, 65.306122),
+        (4, 92.205419, 0.02, 20, 4, 0.10, 4.127793, 4.027116, 19.277919),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "k int, p double, c double, n int, m int,"
+        " e_ytm double, e_mac double, e_mod double, e_conv double",
+    )
+    got = {
+        r["k"]: r
+        for r in df.withColumn(
+            "r", bond_analytics_freq("p", "c", "n", "m")
+        ).select("k", "r.*").collect()
+    }
+    for k, _p, _c, _n, _m, e_ytm, e_mac, e_mod, e_conv in rows:
+        r = got[k]
+        assert abs(r["ytm"] - e_ytm) < 1e-6, (k, r["ytm"], e_ytm)
+        assert abs(r["mac_dur"] - e_mac) < 1e-5, (k, r["mac_dur"], e_mac)
+        assert abs(r["mod_dur"] - e_mod) < 1e-5, (k, r["mod_dur"], e_mod)
+        assert abs(r["convexity"] - e_conv) < 1e-4, (k, r["convexity"], e_conv)
+        assert abs(r["pv_residual"]) < 1e-6
+
+
 def test_full_record_degrades_to_null_not_job_failure(spark):
     """ADVICE round 3: rows the reference would raise on (unknown basis
     / unknown frequency) and rows past the bounded backward schedule

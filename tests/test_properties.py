@@ -95,7 +95,9 @@ texts = st.text(
 
 
 keys = st.tuples(
-    st.integers(min_value=0, max_value=9_200_000_000),  # documented a1 bound
+    # full int64 range: the struct ordering key has NO packing bound —
+    # the retired packed-long key overflowed past okey ~9.2e9
+    st.integers(min_value=0, max_value=2**63 - 1),
     st.integers(min_value=0, max_value=7),
     st.integers(min_value=0, max_value=99_999_999),
 )
@@ -103,23 +105,22 @@ keys = st.tuples(
 
 @given(rows=st.lists(keys, min_size=2, max_size=12, unique=True))
 @SLOW
-def test_a1_tiebreak_packing_is_order_exact(sp, rows):
-    """The a1 packed tiebreak (okey*10 + line)*1e8 + cents must order
-    identically to the lexicographic tuple (okey, line, cents) for every
-    orderkey inside the documented ~9.2e9 bound — i.e. the packing stays
-    inside int64 and is strictly monotone, so min_by/max_by pick the
-    true first/last row even at adversarial key magnitudes."""
+def test_a1_struct_tiebreak_is_order_exact(sp, rows):
+    """The a1 struct tiebreak (okey, line, cents) must order
+    lexicographically at ANY key magnitude — min_by/max_by over the
+    struct pick the true first/last row with orderkeys up to 2^63-1,
+    where the retired packed-long key silently overflowed."""
     import pyspark.sql.functions as F
 
     from trace_data_pipeline_spark.functions.ordered import first_by, last_by
 
     df = sp.createDataFrame(rows, "okey long, line long, cents long")
-    pack = (F.col("okey") * 10 + F.col("line")) * F.lit(100000000) + F.col("cents")
+    ocols = (F.col("okey"), F.col("line"), F.col("cents"))
     got = df.agg(
-        first_by(F.col("okey"), pack).alias("first_okey"),
-        first_by(F.col("cents"), pack).alias("first_cents"),
-        last_by(F.col("okey"), pack).alias("last_okey"),
-        last_by(F.col("cents"), pack).alias("last_cents"),
+        first_by(F.col("okey"), *ocols).alias("first_okey"),
+        first_by(F.col("cents"), *ocols).alias("first_cents"),
+        last_by(F.col("okey"), *ocols).alias("last_okey"),
+        last_by(F.col("cents"), *ocols).alias("last_cents"),
     ).collect()[0]
     lo, hi = min(rows), max(rows)
     assert (got["first_okey"], got["first_cents"]) == (lo[0], lo[2])

@@ -498,16 +498,28 @@ def w10d_accrued(spark, sf_dir):
     ).withColumn("next_cpn", F.date_format("next_cpn", "yyyy-MM-dd"))
 
 
-@register(
-    "w11_settlement_t2",
-    oracle="""
+def _w11_oracle() -> str:
+    """w11 oracle with the REAL NYSE closure list for the event window
+    (Jan-Mar 2024) embedded — generated from the same public ruleset
+    the engine uses, so engine and oracle can only agree if the rules
+    themselves are applied identically."""
+    import datetime as _dt
+
+    from trace_data_pipeline_spark.functions.nyse_calendar import nyse_holidays
+
+    hols = ", ".join(
+        f"DATE '{d.isoformat()}'"
+        for d in nyse_holidays(2024, 2024)
+        if _dt.date(2024, 1, 1) <= d <= _dt.date(2024, 3, 15)
+    )
+    return f"""
     WITH days AS (
       SELECT DATE '2024-01-01' + CAST(i AS INTEGER) AS s FROM range(0, 75) t(i)
     ),
     sess AS (
       SELECT s FROM days
       WHERE isodow(s) < 6
-        AND s NOT IN (DATE '2024-01-15', DATE '2024-01-25')
+        AND s NOT IN ({hols})
     ),
     iv AS (
       SELECT s, lead(s, 1) OVER (ORDER BY s) AS nxt,
@@ -519,15 +531,23 @@ def w10d_accrued(spark, sf_dir):
     FROM events e LEFT JOIN iv
       ON CAST(e.ts AS DATE) >= iv.s
      AND (CAST(e.ts AS DATE) < iv.nxt OR iv.nxt IS NULL)
-    """,
-)
+    """
+
+
+@register("w11_settlement_t2", oracle=_w11_oracle())
 def w11_settlement_t2(spark, sf_dir):
-    """T+2 settlement against a holiday-aware trading calendar
-    (reference: QuantLib NYSE advance(trade, 2, Days),
-    `stage1/helper_functions.py:44-255`): weekday sessions minus two
-    synthetic holidays (Jan 15 / Jan 25 — MLK-day-shaped), trades
-    rolled to the second session strictly after the trade date via the
-    broadcast interval join in `add_business_days_calendar`."""
+    """T+2 settlement against the REAL NYSE trading calendar (reference:
+    QuantLib NYSE advance(trade, 2, Days) via pandas_market_calendars,
+    `stage0/create_daily_enhanced_trace.py:1397-1456`): rule-derived
+    sessions for the event window (Jan 2024 closes New Year's Day and
+    MLK Day Jan 15), trades rolled to the second session strictly after
+    the trade date via the broadcast interval join in
+    `add_business_days_calendar`."""
+    import datetime as _dt
+
+    from trace_data_pipeline_spark.functions.nyse_calendar import (
+        nyse_sessions_df,
+    )
     from trace_data_pipeline_spark.operators.temporal import (
         add_business_days_calendar,
     )
@@ -535,18 +555,7 @@ def w11_settlement_t2(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", F.to_date("ts").alias("trade_d")
     )
-    cal = (
-        spark.range(0, 75)
-        .select(
-            F.date_add(F.lit("2024-01-01").cast("date"), F.col("id").cast("int")).alias(
-                "session_date"
-            )
-        )
-        .filter(
-            ~F.dayofweek("session_date").isin(1, 7)
-            & ~F.col("session_date").isin("2024-01-15", "2024-01-25")
-        )
-    )
+    cal = nyse_sessions_df(spark, _dt.date(2024, 1, 1), _dt.date(2024, 3, 15))
     out = add_business_days_calendar(ev, "trade_d", cal, n=2)
     return out.select(
         "event_id",

@@ -63,9 +63,11 @@ from trace_data_pipeline_spark.sources import load_table
            CAST((2 * SUM(CAST(round(l_extendedprice * l_quantity * 100, 0) AS BIGINT)) * 10000
                  + 100 * SUM(CAST(l_quantity AS BIGINT)))
                 // (200 * SUM(CAST(l_quantity AS BIGINT))) AS DOUBLE) / 10000 AS prc_vw_par,
-           MIN_BY(l_extendedprice, (l_orderkey * 10 + l_linenumber) * 100000000
+           MIN_BY(l_extendedprice, (CAST(l_orderkey AS HUGEINT) * 10 + l_linenumber)
+                  * 100000000
                   + CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS prc_first,
-           MAX_BY(l_extendedprice, (l_orderkey * 10 + l_linenumber) * 100000000
+           MAX_BY(l_extendedprice, (CAST(l_orderkey AS HUGEINT) * 10 + l_linenumber)
+                  * 100000000
                   + CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS prc_last,
            MAX(l_extendedprice) AS prc_hi,
            MIN(l_extendedprice) AS prc_lo,
@@ -89,15 +91,12 @@ def a1_daily_panel(spark, sf_dir):
     # (l_orderkey, l_linenumber) is NOT unique in the synthetic data, so
     # the report-sequence key alone isn't total — append the price cents
     # to make first/last deterministic (ties on the full key carry equal
-    # values, so the selection is then well-defined).
-    # Overflow bound: the packed long is (okey*10 + line)*1e8 + cents, so
-    # it is exact while l_orderkey < 2^63/1e9 ≈ 9.2e9 — TPC-H orderkeys
-    # reach 6e6·sf, i.e. safe through ~sf1500 / ~150 TB; beyond that,
-    # switch first_by/last_by to a struct ordering key (see
-    # tests/test_parity.py::test_a1_tiebreak_packing_is_order_exact).
-    tiebreak = (F.col("l_orderkey") * 10 + F.col("l_linenumber")) * F.lit(
-        100000000
-    ) + F.round(p * 100, 0).cast("long")
+    # values, so the selection is then well-defined). The engine orders
+    # by the lexicographic STRUCT (okey, line, cents) — no packed-long
+    # overflow bound at any scale; the DuckDB oracle packs into HUGEINT
+    # (its min_by takes no struct key), which is order-identical for
+    # line < 10 and cents < 1e8
+    # (tests/test_properties.py::test_a1_struct_tiebreak_is_order_exact).
     # exact fixed-point sums: prices are 2-decimal, quantities integer, so
     # the equal-/par-weighted means have true decimal ties at 4dp (e.g.
     # sum/8) — round_ratio_half_up keeps them reproducible across engines
@@ -112,8 +111,12 @@ def a1_daily_panel(spark, sf_dir):
         round_ratio_half_up(
             F.sum(pq_cents), F.sum(q.cast("long")) * 100, 4
         ).alias("prc_vw_par"),
-        first_by(p, tiebreak).alias("prc_first"),
-        last_by(p, tiebreak).alias("prc_last"),
+        first_by(p, F.col("l_orderkey"), F.col("l_linenumber"), cents).alias(
+            "prc_first"
+        ),
+        last_by(p, F.col("l_orderkey"), F.col("l_linenumber"), cents).alias(
+            "prc_last"
+        ),
         F.max(p).alias("prc_hi"),
         F.min(p).alias("prc_lo"),
         F.count(F.lit(1)).alias("trade_count"),
@@ -1028,6 +1031,147 @@ def s2_standard_normalize(spark, sf_dir):
         .alias("trc_st"),
         F.coalesce("side_a", "side_b").alias("rpt_side_cd"),
     )
+
+
+_P3_ORACLE = """
+    WITH coded AS (
+      SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_shipdate,
+             l_extendedprice,
+             CASE WHEN l_quantity > 45 THEN '5MM+'
+                  WHEN l_quantity > 40 THEN '1MM+'
+                  ELSE CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) END AS vol_tx,
+             CASE CAST(l_linenumber % 6 AS INT)
+                  WHEN 0 THEN 'G' WHEN 1 THEN 'M' WHEN 2 THEN 'H'
+                  WHEN 3 THEN 'N' WHEN 4 THEN 'I' ELSE 'O' END AS trc_st_raw
+      FROM lineitem
+    ),
+    norm AS (
+      SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_shipdate,
+             l_extendedprice,
+             CASE vol_tx WHEN '5MM+' THEN 5000000.0 WHEN '1MM+' THEN 1000000.0
+                  ELSE TRY_CAST(vol_tx AS DOUBLE) END AS volume,
+             CASE WHEN trc_st_raw IN ('G', 'M') THEN 'T'
+                  WHEN trc_st_raw IN ('H', 'N') THEN 'C'
+                  ELSE 'W' END AS trc_st
+      FROM coded
+    ),
+    after_cancel AS (
+      SELECT t.* FROM norm t
+      WHERE t.trc_st = 'T'
+        AND NOT EXISTS (
+          SELECT 1 FROM norm c
+          WHERE c.trc_st = 'C'
+            AND c.l_orderkey = t.l_orderkey AND c.l_partkey = t.l_partkey
+            AND c.volume = t.volume
+        )
+    ),
+    tseq AS (
+      SELECT *, row_number() OVER (PARTITION BY l_orderkey
+                                   ORDER BY l_shipdate, l_linenumber) AS seq
+      FROM after_cancel
+    ),
+    rseq AS (
+      SELECT l_orderkey, row_number() OVER (PARTITION BY l_orderkey
+                                            ORDER BY l_shipdate, l_linenumber) AS seq
+      FROM norm WHERE trc_st = 'W'
+    ),
+    surv AS (
+      SELECT t.* FROM tseq t
+      WHERE NOT EXISTS (
+        SELECT 1 FROM rseq r
+        WHERE r.l_orderkey = t.l_orderkey AND r.seq = t.seq
+      )
+    )
+    SELECT l_suppkey, strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS d,
+           COUNT(*) AS n_trades,
+           MIN_BY(l_extendedprice,
+                  (CAST(l_orderkey AS HUGEINT) * 10 + l_linenumber) * 100000000
+                  + CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS prc_first,
+           MAX_BY(l_extendedprice,
+                  (CAST(l_orderkey AS HUGEINT) * 10 + l_linenumber) * 100000000
+                  + CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS prc_last,
+           MAX(l_extendedprice) AS prc_hi,
+           MIN(l_extendedprice) AS prc_lo,
+           CAST((2 * SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) * 10000
+                 + 100 * COUNT(*)) // (200 * COUNT(*)) AS DOUBLE) / 10000 AS prc_ew,
+           ROUND(CAST(SUM(CAST(l_extendedprice * volume AS DECIMAL(28,6))) AS DOUBLE)
+                 / CAST(SUM(CAST(volume AS DECIMAL(28,6))) AS DOUBLE), 4) AS prc_vw,
+           CAST(SUM(CAST(volume AS DECIMAL(28,6))) AS DOUBLE) AS qvolume
+    FROM surv GROUP BY 1, 2
+    """
+
+
+@register("p3_standard_full", oracle=_P3_ORACLE)
+def p3_standard_full(spark, sf_dir):
+    """Standard/144A end-to-end composite (SURVEY §3.2, mirroring
+    `create_daily_standard_trace.py:576-1000` the way p1 mirrors the
+    Enhanced chain): S2 decode/fold normalization → cancel removal
+    (multi-key anti-join against trc_st='C') → J6 sequence-matched
+    reversal removal (i-th 'W' row knocks out the i-th surviving trade
+    per group) → order-sensitive daily panel with exact fixed-point
+    means and decimal-accumulated value weighting.
+
+    One lazy plan: normalization is a projection fused into the scan,
+    the cancel anti-join broadcasts its (small) cancel side under AQE,
+    the sequence windows share one hash partitioning on l_orderkey, and
+    the panel is a single hash aggregate — no materialization
+    boundaries, nothing driver-side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    norm = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        "l_shipdate",
+        "l_extendedprice",
+        F.when(F.col("l_quantity") > 45, 5000000.0)
+        .when(F.col("l_quantity") > 40, 1000000.0)
+        .otherwise(
+            F.col("l_quantity").cast("long").cast("string").try_cast("double")
+        )
+        .alias("volume"),
+        F.when((F.col("l_linenumber") % 6).isin(0, 1), "T")
+        .when((F.col("l_linenumber") % 6).isin(2, 3), "C")
+        .otherwise("W")
+        .alias("trc_st"),
+    )
+    trades = norm.filter(F.col("trc_st") == "T")
+    cancels = norm.filter(F.col("trc_st") == "C")
+    reversals = norm.filter(F.col("trc_st") == "W")
+    after_cancel = anti_join_keys(
+        trades, cancels, ["l_orderkey", "l_partkey", "volume"]
+    )
+    surv = sequence_match_removal(
+        after_cancel,
+        reversals,
+        keys=["l_orderkey"],
+        trade_order=["l_shipdate", "l_linenumber"],
+        reversal_order=["l_shipdate", "l_linenumber"],
+    )
+    p = F.col("l_extendedprice")
+    cents = F.round(p * 100, 0).cast("long")
+    vol_dec = F.col("volume").cast("decimal(28,6)")
+    pv_dec = (p * F.col("volume")).cast("decimal(28,6)")
+    n = F.count(F.lit(1))
+    panel = surv.groupBy(
+        "l_suppkey", F.date_format("l_shipdate", "yyyy-MM-dd").alias("d")
+    ).agg(
+        n.alias("n_trades"),
+        first_by(p, F.col("l_orderkey"), F.col("l_linenumber"), cents).alias(
+            "prc_first"
+        ),
+        last_by(p, F.col("l_orderkey"), F.col("l_linenumber"), cents).alias(
+            "prc_last"
+        ),
+        F.max(p).alias("prc_hi"),
+        F.min(p).alias("prc_lo"),
+        round_ratio_half_up(F.sum(cents), n * 100, 4).alias("prc_ew"),
+        F.round(
+            F.sum(pv_dec).cast("double") / F.sum(vol_dec).cast("double"), 4
+        ).alias("prc_vw"),
+        F.sum(vol_dec).cast("double").alias("qvolume"),
+    )
+    return panel
 
 
 @register(

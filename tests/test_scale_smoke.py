@@ -1,0 +1,105 @@
+"""sf1 scale smoke: the SCALE.md contracts asserted on an actual 10×
+data point, not just plan shapes.
+
+Generates sf1 (~10× sf0.1) into .scale/sf1 by unioning ten
+key-shifted copies of the sf0.1 tables:
+
+- shifts are multiples of every modulus the plans take of the key
+  (events: event_id % 97 corruption; orders: the w10e % 7/6/13/4/120
+  field derivations), so the VALUE DISTRIBUTIONS are preserved exactly
+  and the workload is a faithful 10× of sf0.1, not a different mix;
+- each document copy gets a per-copy token suffix so clones are NOT
+  near-duplicates of each other — otherwise every doc would sit in a
+  10-clone LSH cluster and d4/d18 would measure a quadratically harder
+  workload than 10× the original corpus;
+- user_id/doc_id shifts create 10× GROUPS of unchanged size — the
+  right scaling shape for grouped-map (W1/W2) and window stages.
+
+The assertion is a generous linearity bound (wall ≤ 25× the sf0.1
+time + 10 s fixed-cost allowance, against the 10× data growth): its
+job is to catch catastrophic super-linearity (an accidental cross
+join, a driver collect, a quadratic posting list), not to benchmark.
+Numbers are appended to SCALE.md by hand from the printed report.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF01 = "/root/testdata/sf0.1"
+SF1 = os.path.join(REPO, ".scale", "sf1")
+COPIES = 10
+
+# per-table (shift column, shift unit) — units are multiples of every
+# modulus applied to that key anywhere in the catalog, and larger than
+# the max key at sf0.1, so copies neither collide nor change any mix
+SHIFTS = {
+    "events": {"event_id": 97 * 1_000_000, "user_id": 10_000_000},
+    "orders": {"o_orderkey": 10_920 * 1_000},
+    "documents": {"doc_id": 10_000_000},
+}
+
+QUERIES = ("p1_stage0_full", "w1_decimal_shift", "w2_bounce_back",
+           "w10e_full_record", "d4_minhash_lsh_pairs", "d18_dedup_clusters")
+
+
+def _generate_sf1(spark) -> None:
+    from pyspark.sql import functions as F
+
+    from trace_data_pipeline_spark.sources import load_table
+
+    os.makedirs(SF1, exist_ok=True)
+    for table, shifts in SHIFTS.items():
+        dst = os.path.join(SF1, f"{table}.parquet")
+        if os.path.exists(dst):
+            continue
+        src = load_table(spark, SF01, table)
+        copies = []
+        for i in range(COPIES):
+            c = src
+            for col, unit in shifts.items():
+                c = c.withColumn(col, F.col(col) + F.lit(i * unit))
+            if table == "documents":
+                # suffix every token so copy i shares no 3-gram shingle
+                # with copy j — clones must not be near-dups
+                c = c.withColumn(
+                    "text", F.regexp_replace("text", r"(\S+)", f"$1x{i}")
+                )
+            copies.append(c)
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionByName(c)
+        out.write.mode("overwrite").parquet(dst)
+
+
+@pytest.mark.slow
+def test_sf1_linear_scaling(spark):
+    from trace_data_pipeline_spark.operators.caching import release_caches
+    from trace_data_pipeline_spark.plans import get_catalog
+
+    _generate_sf1(spark)
+    catalog = get_catalog()
+
+    def run(name, sf_dir):
+        t0 = time.perf_counter()
+        catalog[name].builder(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        dt = time.perf_counter() - t0
+        release_caches()
+        return dt
+
+    report = {}
+    for name in QUERIES:
+        t01 = run(name, SF01)
+        t1 = run(name, SF1)
+        report[name] = (round(t01, 2), round(t1, 2), round(t1 / t01, 1))
+        assert t1 <= 25.0 * t01 + 10.0, (
+            f"{name}: sf1 took {t1:.1f}s vs sf0.1 {t01:.1f}s — "
+            f"super-linear blowup ({t1 / t01:.0f}× for 10× data)"
+        )
+    print("\nSCALE_SMOKE " + repr(report))

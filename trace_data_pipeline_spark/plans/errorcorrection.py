@@ -391,6 +391,141 @@ def _daily_panel(cleaned, price_col):
     )
 
 
+_R2_ORACLE = (
+    _W1_CTE.replace("WITH base AS", "WITH RECURSIVE base AS", 1)
+    + r""",
+w2src AS (
+  SELECT user_id, event_id, ts, p FROM gated WHERE dec_shift_flag = 0
+),
+"""
+    + _W2_MACHINE
+    + r""",
+s2 AS (
+  SELECT g.user_id, g.ts, g.event_id, g.p
+  FROM gated g JOIN w2flags f USING (event_id)
+  WHERE g.dec_shift_flag = 0 AND f.filtered_error = 0
+),
+w3seq AS (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         abs(p - lag(p) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+           > 50.0 AS jump
+  FROM s2
+),
+w3f AS (
+  SELECT event_id, rn,
+         min(CASE WHEN rn <= 3 AND jump THEN rn END)
+           OVER (PARTITION BY user_id) AS fj
+  FROM w3seq
+),
+w3 AS (
+  SELECT event_id,
+         CASE WHEN fj IS NOT NULL AND rn < fj THEN 1 ELSE 0 END AS initial_error
+  FROM w3f
+),
+counts AS (
+  SELECT (SELECT count(*) FROM gated) AS c0,
+         (SELECT count(*) FROM gated WHERE dec_shift_flag = 0) AS c1,
+         (SELECT count(*) FROM s2) AS c2,
+         (SELECT count(*) FROM w3 WHERE initial_error = 0) AS c3
+)
+SELECT * FROM (
+  SELECT 1 AS stage_no, 'decimal_shift' AS stage, c0 AS rows_before,
+         c1 AS rows_after, c0 - c1 AS removed,
+         CAST((2 * (c0 - c1) * 1000000 + c0) // (2 * c0) AS DOUBLE)
+           / 1000000 AS removed_frac
+  FROM counts
+  UNION ALL
+  SELECT 2, 'bounce_back', c1, c2, c1 - c2,
+         CAST((2 * (c1 - c2) * 1000000 + c1) // (2 * c1) AS DOUBLE) / 1000000
+  FROM counts
+  UNION ALL
+  SELECT 3, 'initial_price', c2, c3, c2 - c3,
+         CAST((2 * (c2 - c3) * 1000000 + c2) // (2 * c2) AS DOUBLE) / 1000000
+  FROM counts
+)
+"""
+)
+
+
+@register("r2_error_checks", oracle=_R2_ORACLE)
+def r2_error_checks(spark, sf_dir):
+    """Flag-only `error_checks` composite (the reference's secondary
+    entry point: re-run the pipeline keeping flagged rows to build the
+    per-stage removal audit tables,
+    `stage0/create_daily_enhanced_trace.py:2402-2780` +
+    `stage0/_build_error_files.py:407+`, minus the LaTeX/plots): W1
+    decimal-shift, W2 bounce-back, and W3 initial-price errors all run
+    in mode='flag', chained so each stage screens the previous stage's
+    survivors, then ONE conditional aggregate over the joined flag
+    frames produces the three-row removal table with exact half-up
+    fractions — no per-stage driver actions, no recounting scans."""
+    from trace_data_pipeline_spark.functions.scalars import (
+        round_ratio_half_up,
+    )
+    from trace_data_pipeline_spark.operators.windows import (
+        initial_price_error_filter,
+    )
+
+    src = _corrupted_events(spark, sf_dir)
+    f1 = decimal_shift_corrector(
+        src,
+        id_col="user_id",
+        date_col="d",
+        price_col="p",
+        order_cols=("ts", "event_id"),
+        mode="flag",
+    )
+    s1 = f1.filter(F.col("dec_shift_flag") == 0)
+    f2 = bounce_back_filter(
+        s1.select("user_id", "d", "ts", "event_id", "p"),
+        id_col="user_id",
+        price_col="p",
+        order_cols=("ts", "event_id"),
+        mode="flag",
+    )
+    s2 = f2.filter(F.col("filtered_error") == 0)
+    f3 = initial_price_error_filter(
+        s2,
+        "p",
+        ["user_id"],
+        ["ts", "event_id"],
+        mode="flag",
+    )
+    flags = (
+        f1.select("event_id", "dec_shift_flag")
+        .join(f2.select("event_id", "filtered_error"), "event_id", "left")
+        .join(f3.select("event_id", "initial_error"), "event_id", "left")
+    )
+    cnt = lambda p: F.sum(F.when(p, 1).otherwise(0))  # noqa: E731
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("c0"),
+        cnt(F.col("dec_shift_flag") == 0).alias("c1"),
+        cnt(F.col("filtered_error") == 0).alias("c2"),
+        cnt(F.col("initial_error") == 0).alias("c3"),
+    )
+    stages = F.array(
+        *[
+            F.struct(
+                F.lit(no).alias("stage_no"),
+                F.lit(name).alias("stage"),
+                F.col(b).alias("rows_before"),
+                F.col(a).alias("rows_after"),
+                (F.col(b) - F.col(a)).alias("removed"),
+                round_ratio_half_up(F.col(b) - F.col(a), F.col(b), 6).alias(
+                    "removed_frac"
+                ),
+            )
+            for no, name, b, a in [
+                (1, "decimal_shift", "c0", "c1"),
+                (2, "bounce_back", "c1", "c2"),
+                (3, "initial_price", "c2", "c3"),
+            ]
+        ]
+    )
+    return agg.select(F.inline(stages))
+
+
 @register("p0_stage0_panel", oracle=_P0_ORACLE)
 def p0_stage0_panel(spark, sf_dir):
     """Composite stage-0 slice (SURVEY §3.1): corrupt → decimal-shift

@@ -634,6 +634,171 @@ def d18_dedup_clusters(spark, sf_dir):
     )
 
 
+def _d19_oracle() -> str:
+    bucket_bits = " || ".join(
+        "(CASE WHEN list_dot_product(e, ["
+        + ", ".join(repr(x) for x in p)
+        + "]) >= 0.0 THEN '1' ELSE '0' END)"
+        for p in _PLANES
+    )
+    return f"""
+    WITH RECURSIVE v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), b AS (SELECT vec_id, e, {bucket_bits} AS bucket FROM v),
+    pairs AS (
+      SELECT b1.vec_id AS a, b2.vec_id AS b
+      FROM b b1 JOIN b b2 USING (bucket)
+      WHERE b1.vec_id < b2.vec_id
+        AND list_dot_product(b1.e, b2.e)
+            / (sqrt(list_dot_product(b1.e, b1.e))
+               * sqrt(list_dot_product(b2.e, b2.e))) >= 0.2
+    ),
+    und AS (
+      SELECT a AS u, b AS w FROM pairs
+      UNION SELECT b AS u, a AS w FROM pairs
+    ),
+    reach AS (
+      SELECT vec_id AS u, vec_id AS r FROM embeddings
+      UNION
+      SELECT e.u, rr.r FROM und e JOIN reach rr ON rr.u = e.w
+    )
+    SELECT u AS vec_id, MIN(r) AS cluster_id,
+           CAST(CASE WHEN MIN(r) = u THEN 1 ELSE 0 END AS INTEGER) AS is_keeper
+    FROM reach GROUP BY u
+    """
+
+
+@register("d19_semantic_dedup_clusters", oracle=_d19_oracle())
+def d19_semantic_dedup_clusters(spark, sf_dir):
+    """Embedding-space (semantic) dedup consolidated to CLUSTERS: the
+    d11 hyperplane-LSH cosine pair graph collapsed by distributed
+    connected components — every vector labeled with its cluster's min
+    id (the keeper), singletons labeling themselves. This is the
+    embedding-side twin of d18's shingle-based clusters: the surface a
+    semantic-dedup pipeline consumes when near-dup *pairs* must become
+    keep/drop decisions. Same scale shape as d11 + d18: bucketed
+    candidate generation (one shuffle), min-label propagation with
+    pointer jumping and per-round checkpoint hygiene."""
+    from trace_data_pipeline_spark.datapipe.dedup import connected_components
+
+    emb = _emb(spark, sf_dir)
+    pairs = lsh_cosine_pairs(emb, _PLANES, threshold=0.2)
+    cc = connected_components(
+        emb.select("vec_id"),
+        pairs.select("a", "b"),
+        id_col="vec_id",
+        max_iter=8,
+    )
+    return cc.withColumn(
+        "is_keeper", (F.col("vec_id") == F.col("cluster_id")).cast("int")
+    )
+
+
+@register(
+    "d20_vocab_topk",
+    oracle="WITH "
+    + _TOKS_CTE
+    + """,
+    tok AS (SELECT UNNEST(t) AS token FROM toks),
+    cnt AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY 1),
+    ranked AS (
+      SELECT token, n,
+             row_number() OVER (ORDER BY n DESC, token) AS rank
+      FROM cnt
+    )
+    SELECT token, n, rank FROM ranked WHERE rank <= 50
+    """,
+)
+def d20_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary head: top-50 tokens by frequency with a
+    deterministic (count DESC, token ASC) tiebreak — the first step of
+    vocabulary construction / frequency-based tokenizer training over a
+    training corpus. Counting is one hash aggregate with map-side
+    partial combine (token keys, uniform); the final rank runs on the
+    VOCABULARY (distinct tokens), not the corpus — at 100 TB the token
+    count stream is what shrinks in the partial agg, and the top-k
+    window over vocab-sized data is a single narrow stage."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+    cnt = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    rank = F.row_number().over(Window.orderBy(F.desc("n"), F.asc("token")))
+    return (
+        cnt.withColumn("rank", rank)
+        .filter(F.col("rank") <= 50)
+        .select("token", "n", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+@register(
+    "d21_quality_rules",
+    oracle="WITH "
+    + _TOKS_CTE
+    + f""",
+    stats AS (
+      SELECT doc_id,
+             len(t) AS n_ws,
+             CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+               / len(t) AS mwl,
+             CAST(len(list_filter(t, x -> x IN
+                  ({_sql_str_list(DEFAULT_STOPWORDS)}))) AS DOUBLE)
+               / len(t) AS stop_frac,
+             CAST(length(regexp_replace(trim(text), '[^0-9]', '', 'g'))
+                  AS DOUBLE) / length(trim(text)) AS digit_frac
+      FROM toks JOIN documents USING (doc_id)
+    )
+    SELECT doc_id,
+           CASE WHEN n_ws < 20 THEN 'word_count'
+                WHEN mwl < 2.0 OR mwl > 5.0 THEN 'mean_word_length'
+                WHEN stop_frac < 0.03 THEN 'stopword_fraction'
+                WHEN digit_frac > 0.2 THEN 'digit_fraction'
+           END AS fail_rule,
+           CAST(CASE WHEN n_ws >= 20 AND mwl BETWEEN 2.0 AND 5.0
+                      AND stop_frac >= 0.03 AND digit_frac <= 0.2
+                THEN 1 ELSE 0 END AS INTEGER) AS keep
+    FROM stats
+    """,
+)
+def d21_quality_rules(spark, sf_dir):
+    """Gopher/C4-style document quality GATE: the rule chain a training
+    pipeline applies before a document enters the corpus — minimum word
+    count, mean-word-length band, stopword-fraction floor, digit-
+    fraction ceiling — emitting keep + the FIRST failing rule name
+    (the curation audit column). Thresholds are documented constants
+    chosen to split this corpus both ways; all four statistics are one
+    shuffle-free projection of token-array algebra, and the double
+    comparisons use identical operands in both engines so boundary
+    cases cannot flip."""
+    docs = _docs(spark, sf_dir)
+    t = tokens(F.col("text"))
+    txt = F.trim(F.col("text"))
+    n_ws = F.size(t)
+    mwl = mean_token_length(t)
+    stop_frac = stopword_count(t).cast("double") / n_ws
+    digit_frac = (
+        F.length(F.regexp_replace(txt, "[^0-9]", "")).cast("double")
+        / F.length(txt)
+    )
+    fail = (
+        F.when(n_ws < 20, "word_count")
+        .when((mwl < 2.0) | (mwl > 5.0), "mean_word_length")
+        .when(stop_frac < 0.03, "stopword_fraction")
+        .when(digit_frac > 0.2, "digit_fraction")
+    )
+    keep = (
+        (n_ws >= 20)
+        & (mwl >= 2.0)
+        & (mwl <= 5.0)
+        & (stop_frac >= 0.03)
+        & (digit_frac <= 0.2)
+    )
+    return docs.select(
+        "doc_id", fail.alias("fail_rule"), keep.cast("int").alias("keep")
+    )
+
+
 # ---- event-stream extras ------------------------------------------------
 
 

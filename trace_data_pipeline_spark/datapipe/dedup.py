@@ -106,45 +106,67 @@ def ngram_jaccard_pairs(
     list|² per gram, not |docs|². Returns (a, b, jaccard) with a < b.
 
     ``max_doc_freq`` is the hot-gram guard for corpus scale: a single
-    boilerplate shingle shared by F docs contributes F² join rows, so
+    boilerplate shingle shared by F docs contributes F² pair rows, so
     one hot gram (a license header, a template footer) turns the index
     quadratic. Grams whose posting list exceeds the cap are dropped
     from INTERSECTION COUNTING ONLY — set sizes keep every gram, so a
     capped pair's Jaccard is an under-estimate (recall trade-off:
     near-dup pairs whose overlap is mostly boilerplate may fall below
     the threshold; pairs sharing distinctive content are unaffected).
-    The cap bounds the join at Σ min(|posting|, L)² — linear in corpus
-    size for fixed L. None disables the guard (exact semantics)."""
-    # persist: the gram-set projection feeds both probe sides AND the
-    # size lookup — without it Spark re-tokenizes the corpus three times.
+    The cap bounds pair generation at Σ min(|posting|, L)² — linear in
+    corpus size for fixed L. None disables the guard (exact semantics).
+
+    Physical shape: with the cap on, the index is POSTING LISTS —
+    groupBy(gram) collects the (bounded, ≤ L-element) doc list, the cap
+    is a free array-size filter on the aggregate, and co-occurring
+    pairs explode from each list with NO join at all; then one (a, b)
+    count aggregate. Two shuffles total (posting build, pair count) vs
+    the self-join's three, and the hot-gram work is dropped before it
+    is ever generated. With the cap off, posting lists are unbounded
+    (one hot gram = one giant array = executor OOM), so the uncapped
+    path keeps the classic gram-keyed self-join, which degrades to
+    shuffle skew rather than memory failure."""
+    # persist: the gram-set projection feeds the probe side(s) AND the
+    # size lookup — without it Spark re-tokenizes the corpus per use.
     # Sizes come straight from the array (no groupBy shuffle).
     sets = tracked_persist(doc_gram_sets(docs, text_col, id_col, n))
     sizes = sets.select("doc_id", "n_grams")
     grams = sets.select("doc_id", F.explode("grams").alias("gram"))
     if max_doc_freq is not None:
-        # hot-gram set via groupBy count (map-side partial agg — skew-
-        # safe even when one gram dominates, unlike a window over the
-        # gram partition) then a broadcast anti-join: the hot set is
-        # tiny by construction, so no full-row shuffle is added
-        hot = (
-            grams.groupBy("gram")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .filter(F.col("__df") > max_doc_freq)
-            .select("gram")
+        posting = grams.groupBy("gram").agg(
+            F.array_sort(F.collect_list("doc_id")).alias("ds")
         )
-        # persist the capped rows: they feed BOTH probe sides, and the
-        # two branches would otherwise each re-run the count + anti-join
-        grams = tracked_persist(
-            grams.join(F.broadcast(hot), "gram", "left_anti")
+        kept = posting.filter(
+            (F.size("ds") >= 2) & (F.size("ds") <= max_doc_freq)
         )
-    g1 = grams.select(F.col("doc_id").alias("a"), "gram")
-    g2 = grams.select(F.col("doc_id").alias("b"), "gram")
-    inter = (
-        g1.join(g2, "gram")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+        # all (a < b) pairs of each sorted posting list, generated
+        # in-place by a two-level transform — no self-join
+        pair_structs = F.flatten(
+            F.transform(
+                F.col("ds"),
+                lambda x, i: F.transform(
+                    F.slice(
+                        F.col("ds"), i + 2, F.size("ds") - i - 1
+                    ),
+                    lambda y: F.struct(x.alias("a"), y.alias("b")),
+                ),
+            )
+        )
+        inter = (
+            kept.select(F.explode(pair_structs).alias("__p"))
+            .select("__p.a", "__p.b")
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    else:
+        g1 = grams.select(F.col("doc_id").alias("a"), "gram")
+        g2 = grams.select(F.col("doc_id").alias("b"), "gram")
+        inter = (
+            g1.join(g2, "gram")
+            .filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
     sa = sizes.select(F.col("doc_id").alias("a"), F.col("n_grams").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("b"), F.col("n_grams").alias("nb"))
     jac = (

@@ -73,6 +73,11 @@ grams AS (
 _N_HASHES = 16
 _BANDS = 4
 
+_COS = (
+    "round(list_dot_product({a}, {b})"
+    " / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
 
 def _minhash_ctes() -> str:
     sig_cols = ",\n         ".join(
@@ -696,6 +701,75 @@ def d19_semantic_dedup_clusters(spark, sf_dir):
 
 
 @register(
+    "d22_kmeans_step",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    cent AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id % 125 = 0),
+    ca AS (
+      SELECT v.vec_id, v.e, cent.cid,
+             {_COS.format(a="v.e", b="cent.ce")} AS s
+      FROM v CROSS JOIN cent
+    ),
+    assigned AS (
+      SELECT vec_id, e, cid AS cluster FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY s DESC, cid) AS rn FROM ca)
+      WHERE rn = 1
+    )
+    SELECT cluster, CAST(t.i AS INT) AS dim,
+           -- floor(), NOT integer '//': means can be NEGATIVE and
+           -- DuckDB's // truncates toward zero while the engine's
+           -- half-up formula floors toward -inf
+           CAST(floor((2 * SUM(CAST(round(e[CAST(t.i + 1 AS INTEGER)] * 1000000,
+                                          0) AS BIGINT)) * 1000000
+                       + 1000000 * COUNT(*))
+                      / (2000000.0 * COUNT(*))) AS DOUBLE)
+             / 1000000 AS mu,
+           COUNT(*) AS n_members
+    FROM assigned CROSS JOIN range(0, 64) t(i)
+    GROUP BY 1, 2
+    """,
+)
+def d22_kmeans_step(spark, sf_dir):
+    """One Lloyd iteration of k-means centroid TRAINING (the refinement
+    step that turns d13's deterministic coarse centroids into trained
+    IVF centroids): assign every vector to its nearest centroid by
+    rounded cosine (centroid-id tiebreak — membership must not flip on
+    ulp noise), then recompute each centroid as the per-dimension mean
+    of its members. Emits (cluster, dim, mu, n_members) — the updated
+    codebook in long form.
+
+    Scale/parity shape: assignment is a broadcast cross join against
+    the dimension-sized centroid set + one narrow argmax window; the
+    update is ONE hash aggregate after posexplode (map-side combine on
+    (cluster, dim) keys). Components are quantized to exact micro
+    integers before summing and the mean is the exact half-up ratio —
+    float sums are order-dependent across engines, integer sums are
+    not, so the iteration is bit-stable under any partitioning (the
+    property that makes a multi-round training loop reproducible on a
+    cluster)."""
+    from trace_data_pipeline_spark.datapipe.similarity import assign_clusters
+
+    emb = _emb(spark, sf_dir)
+    centroids = emb.filter(F.col("vec_id") % 125 == 0)
+    assigned = assign_clusters(emb, centroids)
+    comp = assigned.select(
+        "cluster",
+        F.posexplode(F.col("embedding")).alias("dim", "__x"),
+    ).withColumn(
+        "__micro", F.round(F.col("__x").cast("double") * 1000000, 0).cast("long")
+    )
+    n = F.count(F.lit(1))
+    return comp.groupBy("cluster", "dim").agg(
+        round_ratio_half_up(F.sum("__micro"), n * 1000000, 6).alias("mu"),
+        n.alias("n_members"),
+    )
+
+
+@register(
     "d20_vocab_topk",
     oracle="WITH "
     + _TOKS_CTE
@@ -841,12 +915,6 @@ def s1_sessionize(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         F.min("event_id").alias("first_event"),
     )
-
-
-_COS = (
-    "round(list_dot_product({a}, {b})"
-    " / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
-)
 
 
 @register(

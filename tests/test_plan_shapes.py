@@ -65,3 +65,45 @@ def test_flagship_aggregate_is_single_pass(spark):
     assert "partial_min_by" in plan  # map-side combine present
     assert plan.count("Exchange hashpartitioning") == 1
     assert "SortMergeJoin" not in plan and "Window" not in plan
+
+
+def test_vocab_topk_combines_map_side(spark):
+    """d20: token counting must partially aggregate BEFORE the shuffle
+    (the corpus shrinks to its vocabulary in the map stage); the top-k
+    rank runs over the aggregate, never the raw token stream."""
+    plan = _plan(spark, "d20_vocab_topk")
+    assert "partial_count" in plan
+    assert plan.index("Window") < plan.index("partial_count")  # topmost
+
+
+def test_kmeans_step_broadcasts_centroids(spark):
+    """d22: the assignment side must broadcast the dimension-sized
+    centroid set (never shuffle the corpus onto a centroid key), the
+    argmax must use the group-limit pushdown, and the update must be a
+    partial+final integer-sum aggregate."""
+    plan = _plan(spark, "d22_kmeans_step")
+    assert "BroadcastNestedLoopJoin" in plan  # corpus × broadcast centroids
+    assert "WindowGroupLimit" in plan  # nearest-centroid argmax pushdown
+    assert "partial_sum" in plan  # map-side combine on (cluster, dim)
+
+
+def test_capped_jaccard_has_no_gram_self_join(spark):
+    """d2 (capped): pairs must explode from bounded posting lists —
+    the gram-keyed self-join (whose skew a hot gram amplifies) must be
+    gone; only the two doc-id size lookups may join, and they build
+    broadcast."""
+    plan = _plan(spark, "d2_ngram_jaccard_pairs")
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert "collect_list" in plan  # posting-list aggregate
+    assert "explode(flatten(transform" in plan  # in-place pair generation
+
+
+def test_standard_composite_broadcasts_removal_sides(spark):
+    """p3: the cancel/reversal removal sides are collision-sized next
+    to the trade stream — both anti/removal joins must build broadcast,
+    and the two sequence windows must share the l_orderkey
+    partitioning (one exchange each side, no extra reshuffle)."""
+    plan = _plan(spark, "p3_standard_full")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window [row_number()") == 2

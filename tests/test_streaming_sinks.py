@@ -194,6 +194,49 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
     )
 
 
+def test_streaming_dedup_drops_redelivered_rows(spark, tmp_path):
+    """At-least-once replay: drop 2 re-delivers half of drop 1's rows.
+    The watermarked stream dedup must emit exactly the batch
+    dropDuplicates result — each event_id once, no replayed row."""
+    from trace_data_pipeline_spark.streaming.dedup import streaming_exact_dedup
+
+    ev = load_table(spark, TEST_SF_DIR, "events").select(
+        "ts", "user_id", "event_id"
+    )
+    half = ev.filter(F.col("event_id") % 2 == 0)
+    drops = [ev, half]  # drop 1: everything; drop 2: redelivery of half
+    src = os.path.join(str(tmp_path), "dedup_drops")
+    for i, d in enumerate(drops):
+        p = os.path.join(src, f"drop_{i}.parquet")
+        d.write.mode("overwrite").parquet(p)
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (1_000_000 + i, 1_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "*"))
+    )
+    q = (
+        streaming_exact_dedup(stream, ("event_id",), "ts", "2 hours")
+        .writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT event_id FROM dedup_test").toPandas()
+    n_events = ev.count()
+    assert len(got) == n_events, (
+        f"stream emitted {len(got)} rows, batch distinct has {n_events}"
+    )
+    assert got["event_id"].is_unique
+
+
 def test_foreachbatch_sink_is_idempotent(spark, tmp_path):
     """Exactly-once recipe: per-batch-id overwrite directories. A
     replayed micro-batch (at-least-once delivery) rewrites its own

@@ -127,6 +127,59 @@ def test_a1_struct_tiebreak_is_order_exact(sp, rows):
     assert (got["last_okey"], got["last_cents"]) == (hi[0], hi[2])
 
 
+graph_edges = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=18),
+        st.integers(min_value=1, max_value=18),
+    ).filter(lambda e: e[0] != e[1]),
+    min_size=0,
+    max_size=30,
+)
+
+
+@given(edges=graph_edges)
+@SLOW
+def test_connected_components_matches_union_find(sp, edges):
+    """Distributed min-label propagation == a driver-side union-find on
+    ANY random graph (chains, stars, cliques, self-contradictory
+    duplicates, isolated nodes) — every node labeled with its
+    component's minimum id."""
+    from trace_data_pipeline_spark.datapipe.dedup import connected_components
+
+    n_nodes = 18
+    parent = list(range(n_nodes + 1))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    want = {}
+    for u in range(1, n_nodes + 1):
+        root = find(u)
+        want.setdefault(root, []).append(u)
+    expect = {
+        u: min(members) for members in want.values() for u in members
+    }
+
+    nodes_df = sp.createDataFrame(
+        [(i,) for i in range(1, n_nodes + 1)], ["doc_id"]
+    )
+    edges_df = (
+        sp.createDataFrame(edges, ["a", "b"])
+        if edges
+        else sp.createDataFrame([], "a long, b long")
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(nodes_df, edges_df, max_iter=8).collect()
+    }
+    assert got == expect
+
+
 @given(shared=texts, pre_a=texts, pre_b=texts)
 @SLOW
 def test_winnowing_shared_substring_guarantee(sp, shared, pre_a, pre_b):

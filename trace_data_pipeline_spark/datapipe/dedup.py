@@ -116,16 +116,16 @@ def ngram_jaccard_pairs(
     The cap bounds pair generation at Σ min(|posting|, L)² — linear in
     corpus size for fixed L. None disables the guard (exact semantics).
 
-    Physical shape: with the cap on, the index is POSTING LISTS —
-    groupBy(gram) collects the (bounded, ≤ L-element) doc list, the cap
-    is a free array-size filter on the aggregate, and co-occurring
-    pairs explode from each list with NO join at all; then one (a, b)
-    count aggregate. Two shuffles total (posting build, pair count) vs
-    the self-join's three, and the hot-gram work is dropped before it
-    is ever generated. With the cap off, posting lists are unbounded
-    (one hot gram = one giant array = executor OOM), so the uncapped
-    path keeps the classic gram-keyed self-join, which degrades to
-    shuffle skew rather than memory failure."""
+    Physical shape: with the cap on, the index is POSTING LISTS. Hot
+    grams are identified FIRST by a fixed-buffer count aggregate and
+    removed via a broadcast anti-join, so no aggregation buffer ever
+    holds more than L doc ids; the survivors' posting lists are then
+    collected (provably ≤ L elements) and co-occurring pairs explode
+    from each list in place — no gram-keyed join at all, then one
+    (a, b) count aggregate. With the cap off, posting lists are
+    unbounded (one hot gram = one giant array = executor OOM), so the
+    uncapped path keeps the classic gram-keyed self-join, which
+    degrades to shuffle skew rather than memory failure."""
     # persist: the gram-set projection feeds the probe side(s) AND the
     # size lookup — without it Spark re-tokenizes the corpus per use.
     # Sizes come straight from the array (no groupBy shuffle).
@@ -133,11 +133,24 @@ def ngram_jaccard_pairs(
     sizes = sets.select("doc_id", "n_grams")
     grams = sets.select("doc_id", F.explode("grams").alias("gram"))
     if max_doc_freq is not None:
-        posting = grams.groupBy("gram").agg(
-            F.array_sort(F.collect_list("doc_id")).alias("ds")
+        # pass 1 — doc-freq COUNT (fixed-width buffers, skew-safe via
+        # map-side partial agg) → tiny hot-gram set → broadcast
+        # anti-join. Filtering BEFORE collect_list matters: collecting
+        # first would materialize the full unbounded posting array for
+        # a hot gram in the aggregation buffer — the very OOM mode the
+        # cap exists to prevent
+        hot = (
+            grams.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_doc_freq)
+            .select("gram")
         )
-        kept = posting.filter(
-            (F.size("ds") >= 2) & (F.size("ds") <= max_doc_freq)
+        capped = grams.join(F.broadcast(hot), "gram", "left_anti")
+        # pass 2 — posting lists, now provably bounded by the cap
+        kept = (
+            capped.groupBy("gram")
+            .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+            .filter(F.size("ds") >= 2)
         )
         # all (a < b) pairs of each sorted posting list, generated
         # in-place by a two-level transform — no self-join
@@ -398,6 +411,14 @@ def connected_components(
             )
         ).alias("__e")
     ).select("__e.u", "__e.v").persist()
+    # materialize the edge cache (and any upstream tracked_persist
+    # caches in the edge pipeline) BEFORE the first RDD-id snapshot:
+    # SQL caches only register in getPersistentRDDs at first
+    # materialization, so if round 1's convergence job were the first
+    # to touch them, their ids would land in that round's checkpoint
+    # diff and round 2 would unpersist the edge list — re-running the
+    # whole candidate pipeline every round after that
+    und.count()
     labels = nodes.select(
         F.col(id_col).alias("u"), F.col(id_col).alias("label")
     )
@@ -441,6 +462,10 @@ def connected_components(
             if changed == 0:
                 break
         else:
+            # free the final round's checkpoint blocks before raising —
+            # a caller that catches and retries with higher max_iter
+            # must not accumulate one dead round of storage per attempt
+            _unpersist_rdd_ids(sc, ckpt_ids)
             raise ValueError(
                 f"connected_components did not converge in {max_iter} "
                 "rounds — component diameter exceeds the pointer-jumping "

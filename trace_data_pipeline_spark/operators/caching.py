@@ -36,7 +36,15 @@ def release_caches() -> int:
     persistent RDD blocks (e.g. eager-localCheckpoint storage, which
     DataFrame.unpersist cannot reach); returns how many tracked frames
     were released. The sweep keeps a long-lived session leak-free even
-    when an operator's checkpoint lineage outlives its query."""
+    when an operator's checkpoint lineage outlives its query.
+
+    CONTRACT: call at a query boundary, after every result you intend
+    to reuse has been fully consumed. The sweep frees localCheckpoint
+    blocks of frames the caller may still hold — such a frame has
+    truncated lineage and CANNOT be recomputed, so its next action
+    fails with a missing-block error (a plain `.persist()`-ed frame
+    merely re-materializes). bench.py between queries and run.py at
+    pipeline end satisfy this; do not call it mid-query."""
     released = 0
     spark = None
     while _TRACKED:

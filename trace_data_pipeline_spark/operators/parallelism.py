@@ -30,23 +30,55 @@ def ensure_min_parallelism(df: DataFrame, num_partitions: int | None = None) -> 
     target; at production scale the scan already exceeds it and this is
     a no-op — no shuffle is ever forced onto an already-wide scan.
 
-    Width is estimated from ``df.inputFiles()`` (driver-side file
-    listing, no job): files >= target means at least that many splits.
-    The earlier ``df.rdd.getNumPartitions()`` probe forced a full
-    plan→RDD conversion on EVERY call — a measurable per-query toll.
-    A multi-gigabyte single file is under-counted (it would split by
-    ``spark.sql.files.maxPartitionBytes``), costing one avoidable
-    shuffle — acceptable, since at that size the downstream CPU work
-    the widening feeds dwarfs it.
+    Width is estimated from ``df.inputFiles()`` plus the session's
+    split parameters (driver-side listing + stat, no job): Spark
+    bin-packs small files into splits of ``maxPartitionBytes`` (each
+    file also billed ``openCostInBytes``), so the scan's partition
+    count is ≈ ceil((Σsize + n·openCost) / maxPartitionBytes) — a raw
+    ``len(inputFiles())`` would OVER-count exactly the
+    many-small-files case this function exists to fix (40 tiny files =
+    a 2-partition scan after packing). Files whose size can't be
+    stat'ed locally fall back to one split each (conservative: may
+    skip a widening, never forces a useless one). Non-file plans
+    (JDBC, createDataFrame, cached frames) fall back to the
+    ``df.rdd.getNumPartitions()`` probe — it pays a plan→RDD
+    conversion, but only for the rare non-file caller, not on every
+    parquet-scan query as the pre-round-4 code did. A multi-gigabyte
+    single file IS split-estimated correctly by the byte math.
     """
+    import os
+    from urllib.parse import urlparse
+
     if num_partitions is None:
         num_partitions = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
     try:
-        width = len(df.inputFiles())
-    except Exception:  # non-file-backed plan — assume narrow
-        width = 0
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if files:
+        conf = df.sparkSession.conf
+        max_bytes = int(conf.get("spark.sql.files.maxPartitionBytes", str(128 << 20)))
+        open_cost = int(conf.get("spark.sql.files.openCostInBytes", str(4 << 20)))
+        total = 0
+        for f in files:
+            p = urlparse(f)
+            path = p.path if p.scheme in ("", "file") else None
+            try:
+                size = os.path.getsize(path) if path else None
+            except OSError:
+                size = None
+            # unknown size (remote FS): bill one open-cost — at worst
+            # this UNDER-estimates width and widens unnecessarily once
+            total += open_cost + (size if size is not None else 0)
+        width = max(1, -(-total // max_bytes))  # ceil division
+    else:
+        # non-file-backed plan: the only honest probe is the RDD one
+        try:
+            width = df.rdd.getNumPartitions()
+        except Exception:
+            width = 0
     if width >= num_partitions:
         return df
     return df.repartition(num_partitions)

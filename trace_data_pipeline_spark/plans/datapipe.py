@@ -426,9 +426,9 @@ def _lsh_oracle() -> str:
                     * sqrt(list_dot_product(b2.e, b2.e))), 6) AS cos_sim
     FROM b b1 JOIN b b2 USING (bucket)
     WHERE b1.vec_id < b2.vec_id
-      AND list_dot_product(b1.e, b2.e)
-          / (sqrt(list_dot_product(b1.e, b1.e))
-             * sqrt(list_dot_product(b2.e, b2.e))) >= 0.2
+      AND round(list_dot_product(b1.e, b2.e)
+                / (sqrt(list_dot_product(b1.e, b1.e))
+                   * sqrt(list_dot_product(b2.e, b2.e))), 6) >= 0.2
     """
 
 
@@ -655,9 +655,12 @@ def _d19_oracle() -> str:
       SELECT b1.vec_id AS a, b2.vec_id AS b
       FROM b b1 JOIN b b2 USING (bucket)
       WHERE b1.vec_id < b2.vec_id
-        AND list_dot_product(b1.e, b2.e)
-            / (sqrt(list_dot_product(b1.e, b1.e))
-               * sqrt(list_dot_product(b2.e, b2.e))) >= 0.2
+        -- threshold the 6dp-ROUNDED cosine exactly as the engine does:
+        -- a raw-cosine threshold flips boundary pairs between engines,
+        -- and one flipped pair relabels whole clusters downstream
+        AND round(list_dot_product(b1.e, b2.e)
+                  / (sqrt(list_dot_product(b1.e, b1.e))
+                     * sqrt(list_dot_product(b2.e, b2.e))), 6) >= 0.2
     ),
     und AS (
       SELECT a AS u, b AS w FROM pairs

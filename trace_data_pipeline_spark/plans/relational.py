@@ -1067,12 +1067,16 @@ _P3_ORACLE = """
     ),
     tseq AS (
       SELECT *, row_number() OVER (PARTITION BY l_orderkey
-                                   ORDER BY l_shipdate, l_linenumber) AS seq
+                                   ORDER BY l_shipdate, l_linenumber,
+                                            l_extendedprice, l_partkey,
+                                            l_suppkey, volume) AS seq
       FROM after_cancel
     ),
     rseq AS (
       SELECT l_orderkey, row_number() OVER (PARTITION BY l_orderkey
-                                            ORDER BY l_shipdate, l_linenumber) AS seq
+                                            ORDER BY l_shipdate, l_linenumber,
+                                                     l_extendedprice, l_partkey,
+                                                     l_suppkey, volume) AS seq
       FROM norm WHERE trc_st = 'W'
     ),
     surv AS (
@@ -1141,12 +1145,20 @@ def p3_standard_full(spark, sf_dir):
     after_cancel = anti_join_keys(
         trades, cancels, ["l_orderkey", "l_partkey", "volume"]
     )
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic data
+    # (see the a1 tiebreak note), so the sequence order appends every
+    # value-bearing column — rows still tied are full duplicates and
+    # therefore interchangeable under removal
+    seq_order = [
+        "l_shipdate", "l_linenumber", "l_extendedprice", "l_partkey",
+        "l_suppkey", "volume",
+    ]
     surv = sequence_match_removal(
         after_cancel,
         reversals,
         keys=["l_orderkey"],
-        trade_order=["l_shipdate", "l_linenumber"],
-        reversal_order=["l_shipdate", "l_linenumber"],
+        trade_order=seq_order,
+        reversal_order=seq_order,
     )
     p = F.col("l_extendedprice")
     cents = F.round(p * 100, 0).cast("long")

@@ -88,15 +88,26 @@ def load_jdbc_table(
         try:
             return reader.load()
         except Exception as exc:
+            # heuristic classification by message — covers the common
+            # Postgres/MySQL/Derby/Oracle phrasings for missing objects
+            # and rejected credentials; anything unrecognized is treated
+            # as transient and retried (the safe default). Deliberately
+            # NO bare "password"/"not found" substrings: those also
+            # appear in transient connection-reset / DNS messages.
             msg = str(exc).lower()
             permanent = any(
                 s in msg
                 for s in (
                     "does not exist",
+                    "doesn't exist",
                     "unknown table",
+                    "unknown database",
+                    "no such table",
+                    "table or view not found",
                     "access denied",
+                    "permission denied",
                     "authentication failed",
-                    "password",
+                    "invalid username",
                     "syntax error",
                 )
             )

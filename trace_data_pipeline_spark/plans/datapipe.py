@@ -876,6 +876,111 @@ def d21_quality_rules(spark, sf_dir):
     )
 
 
+# conservative patterns that parse identically under Java regex (Spark)
+# and RE2 (DuckDB): no backreferences, no lookaround, explicit classes
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_URL_RE = r"https?://[A-Za-z0-9./_%?=&#-]+"
+
+
+@register(
+    "d23_pii_redaction",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(text, '{_URL_RE}')) AS n_urls,
+           md5(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{_URL_RE}', '<URL>', 'g')) AS clean_hash
+    FROM documents
+    """,
+)
+def d23_pii_redaction(spark, sf_dir):
+    """PII/URL scrubbing — the redaction pass a training corpus gets
+    before tokenization: count and replace e-mail addresses and URLs
+    with typed placeholder tokens, emitting the redacted-content hash
+    (the dedup key AFTER scrubbing — two docs differing only in the
+    redacted spans collapse). Patterns are restricted to the Java∩RE2
+    common dialect so the oracle runs the identical expressions; the
+    whole op is one shuffle-free projection."""
+    docs = _docs(spark, sf_dir)
+    t = F.col("text")
+    clean = F.regexp_replace(
+        F.regexp_replace(t, _EMAIL_RE, "<EMAIL>"), _URL_RE, "<URL>"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(_EMAIL_RE), F.lit(0))).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all(t, F.lit(_URL_RE), F.lit(0))).alias(
+            "n_urls"
+        ),
+        F.md5(clean).alias("clean_hash"),
+    )
+
+
+_D24_CTX = 256  # context-window capacity in whitespace tokens
+
+
+@register(
+    "d24_token_pack",
+    oracle="WITH "
+    + _TOKS_CTE
+    + f""",
+    sized AS (
+      SELECT doc_id, len(t) AS n_tok FROM toks
+    ),
+    pos AS (
+      SELECT doc_id, n_tok,
+             SUM(n_tok) OVER (ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum
+      FROM sized
+    )
+    SELECT doc_id, n_tok,
+           CAST((cum - n_tok) // {_D24_CTX} AS BIGINT) AS pack_id,
+           CAST((cum - n_tok) % {_D24_CTX} AS BIGINT) AS pack_offset,
+           CAST(CASE WHEN (cum - n_tok) // {_D24_CTX} = (cum - 1) // {_D24_CTX}
+                THEN 0 ELSE 1 END AS INTEGER) AS spans_boundary
+    FROM pos
+    """,
+)
+def d24_token_pack(spark, sf_dir):
+    """Concat-and-chunk sequence packing — the GPT-style pretraining
+    layout: documents are concatenated in a deterministic order
+    (doc_id) and cut into fixed {_D24_CTX}-token context windows. Each
+    doc gets its window index (pack_id), its token offset inside the
+    window, and a flag when it straddles a window boundary (the rows a
+    packing-aware loader masks across). The running total is ONE
+    global cumulative window over doc-id order — at 100 TB the scan is
+    per-doc token COUNTS (two longs a row, not text), and a
+    vocabulary-sized running sum is the documented cost of a global
+    packing order; per-shard packing (partitionBy(shard) windows)
+    drops the single-partition stage when global order isn't required."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    sized = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tok")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pos = sized.withColumn("cum", F.sum("n_tok").over(w))
+    start = F.col("cum") - F.col("n_tok")
+    return pos.select(
+        "doc_id",
+        "n_tok",
+        F.floor(start / _D24_CTX).cast("long").alias("pack_id"),
+        (start % _D24_CTX).cast("long").alias("pack_offset"),
+        (
+            F.floor(start / _D24_CTX)
+            != F.floor((F.col("cum") - 1) / _D24_CTX)
+        )
+        .cast("int")
+        .alias("spans_boundary"),
+    )
+
+
 # ---- event-stream extras ------------------------------------------------
 
 

@@ -1098,9 +1098,18 @@ _P3_ORACLE = """
            MIN(l_extendedprice) AS prc_lo,
            CAST((2 * SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) * 10000
                  + 100 * COUNT(*)) // (200 * COUNT(*)) AS DOUBLE) / 10000 AS prc_ew,
-           ROUND(CAST(SUM(CAST(l_extendedprice * volume AS DECIMAL(28,6))) AS DOUBLE)
-                 / CAST(SUM(CAST(volume AS DECIMAL(28,6))) AS DOUBLE), 4) AS prc_vw,
-           CAST(SUM(CAST(volume AS DECIMAL(28,6))) AS DOUBLE) AS qvolume
+           -- UNROUNDED quotient of exact integer sums: p·volume has 2
+           -- decimals (volume is integral), so cents sums are exact
+           -- BIGINTs in any order and the double division is identical
+           -- in both engines. ROUND(double, 4) is NOT portable here —
+           -- Spark rounds the exact BigDecimal of the double, DuckDB
+           -- rounds in float arithmetic, and at sf0.1 real groups land
+           -- on 4dp boundaries and flip (display rounding belongs to
+           -- the presentation layer)
+           CAST(SUM(CAST(round(l_extendedprice * volume * 100, 0) AS BIGINT))
+                AS DOUBLE)
+             / CAST(SUM(CAST(volume AS BIGINT)) * 100 AS DOUBLE) AS prc_vw,
+           CAST(SUM(CAST(volume AS BIGINT)) AS DOUBLE) AS qvolume
     FROM surv GROUP BY 1, 2
     """
 
@@ -1162,8 +1171,8 @@ def p3_standard_full(spark, sf_dir):
     )
     p = F.col("l_extendedprice")
     cents = F.round(p * 100, 0).cast("long")
-    vol_dec = F.col("volume").cast("decimal(28,6)")
-    pv_dec = (p * F.col("volume")).cast("decimal(28,6)")
+    pv_cents = F.round(p * F.col("volume") * 100, 0).cast("long")
+    vol_l = F.col("volume").cast("long")
     n = F.count(F.lit(1))
     panel = surv.groupBy(
         "l_suppkey", F.date_format("l_shipdate", "yyyy-MM-dd").alias("d")
@@ -1178,10 +1187,13 @@ def p3_standard_full(spark, sf_dir):
         F.max(p).alias("prc_hi"),
         F.min(p).alias("prc_lo"),
         round_ratio_half_up(F.sum(cents), n * 100, 4).alias("prc_ew"),
-        F.round(
-            F.sum(pv_dec).cast("double") / F.sum(vol_dec).cast("double"), 4
+        # unrounded exact-integer-sum quotient — see the oracle comment:
+        # ROUND(double, 4) tie-breaks differently across engines
+        (
+            F.sum(pv_cents).cast("double")
+            / (F.sum(vol_l) * 100).cast("double")
         ).alias("prc_vw"),
-        F.sum(vol_dec).cast("double").alias("qvolume"),
+        F.sum(vol_l).cast("double").alias("qvolume"),
     )
     return panel
 

@@ -885,36 +885,51 @@ _URL_RE = r"https?://[A-Za-z0-9./_%?=&#-]+"
 @register(
     "d23_pii_redaction",
     oracle=f"""
+    WITH clean AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                            '{_URL_RE}', '<URL>', 'g') AS c
+      FROM documents
+    )
     SELECT doc_id,
-           len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
-           len(regexp_extract_all(text, '{_URL_RE}')) AS n_urls,
-           md5(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
-                              '{_URL_RE}', '<URL>', 'g')) AS clean_hash
-    FROM documents
+           len(regexp_extract_all(c, '<EMAIL>')) AS n_emails,
+           len(regexp_extract_all(c, '<URL>')) AS n_urls,
+           md5(c) AS clean_hash
+    FROM clean
     """,
 )
 def d23_pii_redaction(spark, sf_dir):
     """PII/URL scrubbing — the redaction pass a training corpus gets
-    before tokenization: count and replace e-mail addresses and URLs
-    with typed placeholder tokens, emitting the redacted-content hash
-    (the dedup key AFTER scrubbing — two docs differing only in the
-    redacted spans collapse). Patterns are restricted to the Java∩RE2
-    common dialect so the oracle runs the identical expressions; the
-    whole op is one shuffle-free projection."""
+    before tokenization: replace e-mail addresses then URLs with typed
+    placeholder tokens, emitting the redacted-content hash (the dedup
+    key AFTER scrubbing — two docs differing only in the redacted
+    spans collapse). Counts are of PLACEHOLDERS IN THE OUTPUT, so they
+    are consistent with clean_hash by construction — counting matches
+    on the raw text would disagree with the redacted result whenever
+    the passes interact (e.g. 'http://user@host.com', where the email
+    pass consumes what the URL pattern would have matched; source text
+    is assumed not to contain the placeholder tokens themselves).
+    Patterns are restricted to the Java∩RE2 common dialect so the
+    oracle runs the identical expressions; the whole op is one
+    shuffle-free projection."""
     docs = _docs(spark, sf_dir)
-    t = F.col("text")
     clean = F.regexp_replace(
-        F.regexp_replace(t, _EMAIL_RE, "<EMAIL>"), _URL_RE, "<URL>"
+        F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
+        _URL_RE,
+        "<URL>",
     )
     return docs.select(
         "doc_id",
-        F.size(F.regexp_extract_all(t, F.lit(_EMAIL_RE), F.lit(0))).alias(
+        clean.alias("__c"),
+    ).select(
+        "doc_id",
+        F.size(F.regexp_extract_all("__c", F.lit("<EMAIL>"), F.lit(0))).alias(
             "n_emails"
         ),
-        F.size(F.regexp_extract_all(t, F.lit(_URL_RE), F.lit(0))).alias(
+        F.size(F.regexp_extract_all("__c", F.lit("<URL>"), F.lit(0))).alias(
             "n_urls"
         ),
-        F.md5(clean).alias("clean_hash"),
+        F.md5("__c").alias("clean_hash"),
     )
 
 
@@ -947,15 +962,16 @@ _D24_CTX = 256  # context-window capacity in whitespace tokens
 def d24_token_pack(spark, sf_dir):
     """Concat-and-chunk sequence packing — the GPT-style pretraining
     layout: documents are concatenated in a deterministic order
-    (doc_id) and cut into fixed {_D24_CTX}-token context windows. Each
-    doc gets its window index (pack_id), its token offset inside the
-    window, and a flag when it straddles a window boundary (the rows a
-    packing-aware loader masks across). The running total is ONE
-    global cumulative window over doc-id order — at 100 TB the scan is
-    per-doc token COUNTS (two longs a row, not text), and a
-    vocabulary-sized running sum is the documented cost of a global
-    packing order; per-shard packing (partitionBy(shard) windows)
-    drops the single-partition stage when global order isn't required."""
+    (doc_id) and cut into fixed context windows of ``_D24_CTX`` (256)
+    whitespace tokens. Each doc gets its window index (pack_id), its
+    token offset inside the window, and a flag when it straddles a
+    window boundary (the rows a packing-aware loader masks across).
+    The running total is ONE global cumulative window over doc-id
+    order — at 100 TB the scan is per-doc token COUNTS (two longs a
+    row, not text), and a vocabulary-sized running sum is the
+    documented cost of a global packing order; per-shard packing
+    (partitionBy(shard) windows) drops the single-partition stage when
+    global order isn't required."""
     from pyspark.sql import Window
 
     docs = _docs(spark, sf_dir)
@@ -967,14 +983,22 @@ def d24_token_pack(spark, sf_dir):
     )
     pos = sized.withColumn("cum", F.sum("n_tok").over(w))
     start = F.col("cum") - F.col("n_tok")
+
+    def int_div(x, d):
+        # exact for ANY divisor: the numerator is a multiple of d, so
+        # the (correctly rounded) double quotient is the true integer.
+        # A bare floor(x / d) is exact only for power-of-two d — a
+        # silent trap if the window size is ever retuned
+        return ((x - x % d) / d).cast("long")
+
     return pos.select(
         "doc_id",
         "n_tok",
-        F.floor(start / _D24_CTX).cast("long").alias("pack_id"),
+        int_div(start, _D24_CTX).alias("pack_id"),
         (start % _D24_CTX).cast("long").alias("pack_offset"),
         (
-            F.floor(start / _D24_CTX)
-            != F.floor((F.col("cum") - 1) / _D24_CTX)
+            int_div(start, _D24_CTX)
+            != int_div(F.col("cum") - 1, _D24_CTX)
         )
         .cast("int")
         .alias("spans_boundary"),

@@ -87,6 +87,23 @@ def test_kmeans_step_broadcasts_centroids(spark):
     assert "partial_sum" in plan  # map-side combine on (cluster, dim)
 
 
+def test_universe_screens_push_filters_and_prune_columns(spark):
+    """f10: the chained screens must reach the parquet scan as
+    PushedFilters (range, not-equal, not-null), and the scan must read
+    ONLY the referenced columns — a scan fetching all of `part` for a
+    1-column projection would multiply 100 TB I/O by the table width."""
+    plan = _plan(spark, "f10_universe_screens")
+    scan = plan[plan.index("FileScan") :]
+    head = scan[:1200]
+    assert "PushedFilters: [" in head
+    pushed = head.split("PushedFilters: [")[1].split("]")[0]
+    assert "p_size" in pushed and "IsNotNull" in pushed
+    read_schema = head.split("ReadSchema: ")[1].splitlines()[0]
+    assert "p_name" in read_schema  # regex screen (not pushable) needs it
+    assert "p_comment" not in read_schema  # unused column pruned
+    assert "p_mfgr" not in read_schema
+
+
 def test_capped_jaccard_has_no_gram_self_join(spark):
     """d2 (capped): pairs must explode from bounded posting lists —
     the gram-keyed self-join (whose skew a hot gram amplifies) must be

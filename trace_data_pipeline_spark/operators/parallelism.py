@@ -20,6 +20,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+_SIZE_SUFFIX = {
+    "b": 1, "k": 1 << 10, "kb": 1 << 10, "m": 1 << 20, "mb": 1 << 20,
+    "g": 1 << 30, "gb": 1 << 30, "t": 1 << 40, "tb": 1 << 40,
+}
+
+
+def _parse_bytes(v: str) -> int:
+    """Spark size-conf values come back suffixed ('4194304b', '128m',
+    '1g') — a bare int() raises on them."""
+    s = str(v).strip().lower()
+    for suf in sorted(_SIZE_SUFFIX, key=len, reverse=True):
+        if s.endswith(suf):
+            return int(float(s[: -len(suf)])) * _SIZE_SUFFIX[suf]
+    return int(float(s))
+
+
 def ensure_min_parallelism(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """Widen a narrow scan before CPU-heavy derivation (tokenize,
     shingle, hash, vector math).
@@ -59,8 +75,12 @@ def ensure_min_parallelism(df: DataFrame, num_partitions: int | None = None) -> 
         files = []
     if files:
         conf = df.sparkSession.conf
-        max_bytes = int(conf.get("spark.sql.files.maxPartitionBytes", str(128 << 20)))
-        open_cost = int(conf.get("spark.sql.files.openCostInBytes", str(4 << 20)))
+        max_bytes = _parse_bytes(
+            conf.get("spark.sql.files.maxPartitionBytes", str(128 << 20))
+        )
+        open_cost = _parse_bytes(
+            conf.get("spark.sql.files.openCostInBytes", str(4 << 20))
+        )
         total = 0
         for f in files:
             p = urlparse(f)

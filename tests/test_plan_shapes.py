@@ -58,13 +58,16 @@ def test_range_join_is_broadcast_nlj(spark):
 
 
 def test_flagship_aggregate_is_single_pass(spark):
-    """A1 is ONE partial+final aggregate over the scan (SortAggregate:
-    the min_by struct keys are unhashable) — exactly one shuffle, no
-    window, no join."""
+    """A1 is ONE partial+final HASH aggregate over the scan — exactly
+    one shuffle, no window, no join, and no SortAggregate demotion: the
+    order-sensitive first/last ride a plain min/max over the packed
+    decimal tiebreak key (a min_by over a struct key would silently
+    sort the fact table twice)."""
     plan = _plan(spark, "a1_daily_panel")
-    assert "partial_min_by" in plan  # map-side combine present
+    assert "partial_min" in plan  # map-side combine present
     assert plan.count("Exchange hashpartitioning") == 1
     assert "SortMergeJoin" not in plan and "Window" not in plan
+    assert "HashAggregate" in plan and "SortAggregate" not in plan
 
 
 def test_vocab_topk_combines_map_side(spark):

@@ -95,32 +95,40 @@ texts = st.text(
 
 
 keys = st.tuples(
-    # full int64 range: the struct ordering key has NO packing bound —
-    # the retired packed-long key overflowed past okey ~9.2e9
+    # okey: FULL int64 range — the first packed component is unbudgeted
+    # (it's the one that grows with data scale; the retired packed-LONG
+    # key overflowed past okey ~9.2e9, the decimal(38,0) key cannot).
+    # line/cents: their documented digit budgets' full domains.
     st.integers(min_value=0, max_value=2**63 - 1),
-    st.integers(min_value=0, max_value=7),
-    st.integers(min_value=0, max_value=99_999_999),
+    st.integers(min_value=0, max_value=9_999),
+    st.integers(min_value=0, max_value=10**12 - 1),
 )
 
 
 @given(rows=st.lists(keys, min_size=2, max_size=12, unique=True))
 @SLOW
-def test_a1_struct_tiebreak_is_order_exact(sp, rows):
-    """The a1 struct tiebreak (okey, line, cents) must order
-    lexicographically at ANY key magnitude — min_by/max_by over the
-    struct pick the true first/last row with orderkeys up to 2^63-1,
-    where the retired packed-long key silently overflowed."""
+def test_a1_packed_tiebreak(sp, rows):
+    """The a1 packed-decimal tiebreak (okey, line, cents) must order
+    lexicographically across the whole documented domain — okey over the
+    full int64 range, line < 1e4, cents < 1e12 — while keeping the
+    aggregate a HashAggregate (pinned in test_plan_shapes)."""
     import pyspark.sql.functions as F
 
-    from trace_data_pipeline_spark.functions.ordered import first_by, last_by
+    from trace_data_pipeline_spark.functions.ordered import (
+        first_by,
+        last_by,
+        packed_order_key,
+    )
 
     df = sp.createDataFrame(rows, "okey long, line long, cents long")
-    ocols = (F.col("okey"), F.col("line"), F.col("cents"))
+    key = packed_order_key(
+        (F.col("okey"), 19), (F.col("line"), 4), (F.col("cents"), 12)
+    )
     got = df.agg(
-        first_by(F.col("okey"), *ocols).alias("first_okey"),
-        first_by(F.col("cents"), *ocols).alias("first_cents"),
-        last_by(F.col("okey"), *ocols).alias("last_okey"),
-        last_by(F.col("cents"), *ocols).alias("last_cents"),
+        first_by(F.col("okey"), key).alias("first_okey"),
+        first_by(F.col("cents"), key).alias("first_cents"),
+        last_by(F.col("okey"), key).alias("last_okey"),
+        last_by(F.col("cents"), key).alias("last_cents"),
     ).collect()[0]
     lo, hi = min(rows), max(rows)
     assert (got["first_okey"], got["first_cents"]) == (lo[0], lo[2])

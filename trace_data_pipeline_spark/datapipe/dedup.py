@@ -72,13 +72,21 @@ def doc_gram_sets(
     column algebra (array_min over transform), so the only shuffles
     left in LSH dedup are the band-bucket join itself and the candidate
     verification joins."""
-    sets = docs.select(
+    # Drop short docs via the CHEAP precondition (token count >= n ⟺
+    # the gram array is non-empty), NOT via size(grams) >= 1: Catalyst
+    # pushes filters below the widening round-robin exchange, and a
+    # filter that embeds the whole shingle expression would run the
+    # tokenize+ngram+distinct work single-threaded in the narrow scan
+    # stage (and again above the exchange for the projection) — the
+    # measured cost was ~10 s of the d-family's wall-clock at sf0.1.
+    # The token-count filter pushes down at split() cost only, while
+    # the expensive gram projection stays above the exchange, spread
+    # over all cores.
+    sets = docs.filter(F.size(tokens(F.col(text_col))) >= n).select(
         F.col(id_col).alias("doc_id"),
         F.array_distinct(word_ngrams(tokens(F.col(text_col)), n)).alias("grams"),
     )
-    return sets.filter(F.size("grams") >= 1).withColumn(
-        "n_grams", F.size("grams")
-    )
+    return sets.withColumn("n_grams", F.size("grams"))
 
 
 def _sig_cols(grams: Column, num_hashes: int) -> list[Column]:
@@ -343,8 +351,11 @@ def simhash_bits(
         ),
     )
     # null text produced no exploded rows in the aggregate formulation —
-    # keep dropping those docs rather than emitting a null hash
-    return docs.filter(tokens(F.col(text_col)).isNotNull()).select(
+    # keep dropping those docs rather than emitting a null hash.
+    # tokens(x) IS NULL ⟺ x IS NULL, so filter on the raw column: it
+    # pushes into the parquet scan as an IsNotNull instead of paying a
+    # per-row split below the widening exchange
+    return docs.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("doc_id"), simhash.alias("simhash")
     )
 
@@ -380,16 +391,23 @@ def connected_components(
     takes the min label over neighbors, then follows the label one hop
     (label ← label(label)), so the reachable-min distance roughly
     doubles per round. The loop exits as soon as a round changes no
-    label (exact check: anti-equality join of consecutive label frames,
-    co-partitioned on u so it reuses the round's own shuffle layout);
-    if labels are still moving after ``max_iter`` rounds the function
-    raises rather than silently splitting a component.
+    label; if labels are still moving after ``max_iter`` rounds the
+    function raises rather than silently splitting a component.
+
+    Scale shape: the iteration runs ONLY over edge-incident nodes — the
+    near-dup subgraph, which is collision-sized at any corpus scale —
+    never over the full node set; singletons join their self-label back
+    in a single pass at the end. Convergence detection is FUSED into
+    the propagation: each round carries the previous label alongside
+    the new one, so "did anything change" is a filter+count on the
+    round's own output — no extra join, and the count action is the
+    same job that materializes the round's checkpoint.
 
     Resource discipline — this runs inside long-lived sessions:
     - the symmetric edge list is persisted once (it is collision-sized,
       tiny next to the corpus) and unpersisted on exit; without this the
       whole LSH candidate pipeline re-executes every round;
-    - each round's `localCheckpoint(eager=True)` truncates lineage, and
+    - each round is lazily localCheckpoint'ed to truncate lineage, and
       the PREVIOUS round's checkpoint blocks are freed immediately (the
       RDD ids are diffed around the checkpoint call, because
       DataFrame.unpersist cannot reach checkpoint storage). On a
@@ -418,20 +436,31 @@ def connected_components(
     # to touch them, their ids would land in that round's checkpoint
     # diff and round 2 would unpersist the edge list — re-running the
     # whole candidate pipeline every round after that
-    und.count()
-    labels = nodes.select(
-        F.col(id_col).alias("u"), F.col(id_col).alias("label")
-    )
+    n_edges = und.count()
+    # iterate over INCIDENT nodes only: every non-incident node is its
+    # own singleton cluster by definition and never changes, so pulling
+    # the corpus-sized node frame through every propagation round would
+    # be pure waste — at 100 TB the incident set is the near-dup
+    # subgraph, orders of magnitude smaller than the corpus
+    labels = und.select("u").distinct().withColumn("label", F.col("u"))
     ckpt_ids: set[int] = set()
+    converged = n_edges == 0
     try:
-        for it in range(max_iter):
+        for _ in range(max_iter):
+            if converged:
+                break
             nbr = und.join(
                 labels.select(F.col("u").alias("v"), "label"), "v"
             ).select("u", "label")
+            # carry the previous label ("old") through the min-merge:
+            # each u appears exactly once in the labels branch, so
+            # max(old) recovers it and the convergence check needs no
+            # extra join against the previous round
             merged = (
-                labels.unionByName(nbr)
+                labels.select("u", "label", F.col("label").alias("old"))
+                .unionByName(nbr.withColumn("old", F.lit(None).cast(nbr.schema["label"].dataType.simpleString())))
                 .groupBy("u")
-                .agg(F.min("label").alias("label"))
+                .agg(F.min("label").alias("label"), F.max("old").alias("old"))
             )
             jump = merged.select(
                 F.col("u").alias("__ju"), F.col("label").alias("__jl")
@@ -443,25 +472,19 @@ def connected_components(
                 F.least(
                     F.col("label"), F.coalesce(F.col("__jl"), F.col("label"))
                 ).alias("label"),
+                "old",
             )
             # lazy checkpoint: the changed-count below scans every
             # partition of `new`, so the SAME job both materializes the
             # checkpoint and decides convergence — one job per round
-            # instead of an eager-checkpoint job plus a count job
             before = _persistent_rdd_ids(sc)
             new = new.localCheckpoint(eager=False)
-            changed = (
-                new.alias("n")
-                .join(labels.alias("o"), "u")
-                .filter(F.col("n.label") != F.col("o.label"))
-                .count()
-            )
+            changed = new.filter(F.col("label") != F.col("old")).count()
             new_ckpt_ids = _persistent_rdd_ids(sc) - before
             _unpersist_rdd_ids(sc, ckpt_ids)
-            labels, ckpt_ids = new, new_ckpt_ids
-            if changed == 0:
-                break
-        else:
+            labels, ckpt_ids = new.select("u", "label"), new_ckpt_ids
+            converged = changed == 0
+        if not converged:
             # free the final round's checkpoint blocks before raising —
             # a caller that catches and retries with higher max_iter
             # must not accumulate one dead round of storage per attempt
@@ -471,8 +494,18 @@ def connected_components(
                 "rounds — component diameter exceeds the pointer-jumping "
                 "reach; raise max_iter"
             )
+        # singletons label themselves; incident nodes take their
+        # converged component label. The label side is collision-sized —
+        # AQE broadcasts it at runtime, so the corpus never reshuffles.
+        return nodes.select(F.col(id_col)).join(
+            labels.select(
+                F.col("u").alias(id_col), F.col("label").alias("cluster_id")
+            ),
+            id_col,
+            "left",
+        ).select(
+            F.col(id_col),
+            F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("cluster_id"),
+        )
     finally:
         und.unpersist()
-    return labels.select(
-        F.col("u").alias(id_col), F.col("label").alias("cluster_id")
-    )

@@ -98,8 +98,13 @@ def winnow_fingerprints(
         ),
         0,
     )
-    rows = t.select("doc_id", F.array_sort(window_mins).alias("__fps")).filter(
-        F.size("__fps") >= 1
+    # short-doc drop via the CHEAP precondition (a fingerprint exists
+    # iff len(trim(text)) >= k + w - 1), NOT size(__fps) >= 1: Catalyst
+    # substitutes the alias and pushes the filter below the widening
+    # exchange, which would run the whole winnow expression
+    # single-threaded in the narrow scan stage and again above it
+    rows = t.filter(F.length("__t") >= k + w - 1).select(
+        "doc_id", F.array_sort(window_mins).alias("__fps")
     )
     if as_sets:
         return rows.select("doc_id", F.col("__fps").alias("fingerprints"))

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from trace_data_pipeline_spark.functions.ordered import first_by, last_by
+from trace_data_pipeline_spark.functions.ordered import first_by, last_by, ts_seq_key
 from trace_data_pipeline_spark.operators.distressed import ultra_distressed_filter
 from trace_data_pipeline_spark.plans.catalog import register
 from trace_data_pipeline_spark.sources import load_table
@@ -159,8 +159,8 @@ def w7_ultra_distressed(spark, sf_dir):
     daily = base.groupBy("user_id", "d").agg(
         F.max("p").alias("pr_hi"),
         F.min("p").alias("pr_lo"),
-        first_by("p", F.col("ts"), F.col("event_id")).alias("pr_first"),
-        last_by("p", F.col("ts"), F.col("event_id")).alias("pr_last"),
+        first_by("p", ts_seq_key("ts", "event_id")).alias("pr_first"),
+        last_by("p", ts_seq_key("ts", "event_id")).alias("pr_last"),
     )
     flagged = ultra_distressed_filter(
         daily,

@@ -17,7 +17,7 @@ from trace_data_pipeline_spark.functions.daycount import (
     coupon_bracket,
     thirty_360_us,
 )
-from trace_data_pipeline_spark.functions.ordered import last_by
+from trace_data_pipeline_spark.functions.ordered import last_by, ts_seq_key
 from trace_data_pipeline_spark.functions.scalars import round_ratio_half_up
 from trace_data_pipeline_spark.operators.cleaning import correction_chain_resolution
 from trace_data_pipeline_spark.operators.temporal import forward_extend, resample_ffill
@@ -237,7 +237,7 @@ def a14_resample_ffill(spark, sf_dir):
     reference's resample('D').last().ffill() for the yield curve)."""
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy("user_id", F.to_date("ts").alias("d")).agg(
-        last_by("value", F.col("ts"), F.col("event_id")).alias("value")
+        last_by("value", ts_seq_key("ts", "event_id")).alias("value")
     )
     filled = resample_ffill(
         daily,

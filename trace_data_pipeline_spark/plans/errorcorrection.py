@@ -374,15 +374,15 @@ def _daily_panel(cleaned, price_col):
     """A1-style daily aggregation over a cleaned trade frame, with the
     exact fixed-point mean discipline (corrected prices have ≤3
     decimals, so mills are integers)."""
-    from trace_data_pipeline_spark.functions.ordered import first_by, last_by
+    from trace_data_pipeline_spark.functions.ordered import first_by, last_by, ts_seq_key
     from trace_data_pipeline_spark.functions.scalars import round_ratio_half_up
 
     cp = F.col(price_col)
     mills = F.round(cp * 1000, 0).cast("long")
     return cleaned.groupBy("user_id", "d").agg(
         F.count(F.lit(1)).alias("n_trades"),
-        first_by(cp, F.col("ts"), F.col("event_id")).alias("prc_first"),
-        last_by(cp, F.col("ts"), F.col("event_id")).alias("prc_last"),
+        first_by(cp, ts_seq_key("ts", "event_id")).alias("prc_first"),
+        last_by(cp, ts_seq_key("ts", "event_id")).alias("prc_last"),
         F.max(cp).alias("prc_hi"),
         F.min(cp).alias("prc_lo"),
         round_ratio_half_up(F.sum(mills), F.count(F.lit(1)) * 1000, 4).alias(

@@ -12,7 +12,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from trace_data_pipeline_spark.functions.ordered import first_by, last_by
+from trace_data_pipeline_spark.functions.ordered import first_by, last_by, packed_order_key
+
 from trace_data_pipeline_spark.functions.scalars import (
     round_ratio_half_up,
     seconds_after_midnight,
@@ -47,6 +48,32 @@ from trace_data_pipeline_spark.operators.windows import (
 )
 from trace_data_pipeline_spark.plans.catalog import register
 from trace_data_pipeline_spark.sources import load_table
+
+
+def _li_tiebreak(cents):
+    """Report-sequence tiebreak for the lineitem panels, packed into one
+    decimal(38,0) so the panel stays a codegen'd HashAggregate (struct
+    keys demote min_by aggregates to SortAggregate). Budgets: okey spans
+    the full bigint domain, line < 1e4, price cents < 1e12 — property-
+    tested at the bounds in tests/test_properties.py."""
+    return packed_order_key(
+        (F.col("l_orderkey"), 19),
+        (F.col("l_linenumber").cast("long"), 4),
+        (cents, 12),
+    )
+
+
+def _packed_price(agg_key):
+    """Price cents are the LOW 12 digits of the packed tiebreak key, so
+    the order-sensitive first/last price is min/max of the KEY with an
+    arithmetic unpack — no min_by/max_by at all (their agg buffer
+    carries value + ordering and costs ~2× a plain decimal min in the
+    a1 ablation). Exact reconstruction: cents < 1e12 < 2^53, and
+    double(cents)/100 rounds to the identical double as the source
+    2-decimal price."""
+    pow12 = F.lit(str(10**12)).cast("decimal(20,0)")
+    return (agg_key % pow12).cast("double") / F.lit(100.0)
+
 
 # ---------------------------------------------------------------- A1/A2
 
@@ -91,32 +118,33 @@ def a1_daily_panel(spark, sf_dir):
     # (l_orderkey, l_linenumber) is NOT unique in the synthetic data, so
     # the report-sequence key alone isn't total — append the price cents
     # to make first/last deterministic (ties on the full key carry equal
-    # values, so the selection is then well-defined). The engine orders
-    # by the lexicographic STRUCT (okey, line, cents) — no packed-long
-    # overflow bound at any scale; the DuckDB oracle packs into HUGEINT
-    # (its min_by takes no struct key), which is order-identical for
-    # line < 10 and cents < 1e8
-    # (tests/test_properties.py::test_a1_struct_tiebreak_is_order_exact).
+    # values, so the selection is then well-defined). The tiebreak packs
+    # into ONE decimal(38,0) (okey over the FULL bigint domain — the
+    # dimension that grows with data scale — then line < 1e4, cents <
+    # 1e12): a struct key would be totally ordered too, but min_by over
+    # a struct demotes the whole panel to SortAggregate (measured 3×);
+    # the packed decimal keeps the single codegen'd HashAggregate. The
+    # DuckDB oracle packs into HUGEINT, order-identical on the shared
+    # domain (tests/test_properties.py::test_a1_packed_tiebreak).
     # exact fixed-point sums: prices are 2-decimal, quantities integer, so
     # the equal-/par-weighted means have true decimal ties at 4dp (e.g.
     # sum/8) — round_ratio_half_up keeps them reproducible across engines
     cents = F.round(p * 100, 0).cast("long")
     pq_cents = F.round(p * q * 100, 0).cast("long")
     n = F.count(F.lit(1))
-    return li.groupBy(
-        F.col("l_suppkey"), F.date_format("l_shipdate", "yyyy-MM").alias("month")
+    # group on the TRUNCATED month and render the "yyyy-MM" string AFTER
+    # aggregation: the Java date formatter costs ~0.5 s over the 600k-row
+    # fact scan but microseconds over the aggregated panel
+    panel = li.groupBy(
+        F.col("l_suppkey"), F.date_trunc("month", F.col("l_shipdate")).alias("__m")
     ).agg(
         round_ratio_half_up(F.sum(cents), n * 100, 4).alias("prc_ew"),
         F.round(F.sum(p * dv) / F.sum(dv), 4).alias("prc_vw"),
         round_ratio_half_up(
             F.sum(pq_cents), F.sum(q.cast("long")) * 100, 4
         ).alias("prc_vw_par"),
-        first_by(p, F.col("l_orderkey"), F.col("l_linenumber"), cents).alias(
-            "prc_first"
-        ),
-        last_by(p, F.col("l_orderkey"), F.col("l_linenumber"), cents).alias(
-            "prc_last"
-        ),
+        _packed_price(F.min(_li_tiebreak(cents))).alias("prc_first"),
+        _packed_price(F.max(_li_tiebreak(cents))).alias("prc_last"),
         F.max(p).alias("prc_hi"),
         F.min(p).alias("prc_lo"),
         F.count(F.lit(1)).alias("trade_count"),
@@ -125,6 +153,12 @@ def a1_daily_panel(spark, sf_dir):
         # engines/partitionings, so ROUND(float_sum, 2) can flip the last
         # digit; decimal(28,6) makes the sum associative and reproducible
         F.round(F.sum(dv.cast("decimal(28,6)")), 2).cast("double").alias("dvolume"),
+    )
+    return panel.select(
+        "l_suppkey",
+        F.date_format("__m", "yyyy-MM").alias("month"),
+        "prc_ew", "prc_vw", "prc_vw_par", "prc_first", "prc_last",
+        "prc_hi", "prc_lo", "trade_count", "qvolume", "dvolume",
     )
 
 
@@ -1175,15 +1209,11 @@ def p3_standard_full(spark, sf_dir):
     vol_l = F.col("volume").cast("long")
     n = F.count(F.lit(1))
     panel = surv.groupBy(
-        "l_suppkey", F.date_format("l_shipdate", "yyyy-MM-dd").alias("d")
+        "l_suppkey", F.date_trunc("day", F.col("l_shipdate")).alias("__d")
     ).agg(
         n.alias("n_trades"),
-        first_by(p, F.col("l_orderkey"), F.col("l_linenumber"), cents).alias(
-            "prc_first"
-        ),
-        last_by(p, F.col("l_orderkey"), F.col("l_linenumber"), cents).alias(
-            "prc_last"
-        ),
+        _packed_price(F.min(_li_tiebreak(cents))).alias("prc_first"),
+        _packed_price(F.max(_li_tiebreak(cents))).alias("prc_last"),
         F.max(p).alias("prc_hi"),
         F.min(p).alias("prc_lo"),
         round_ratio_half_up(F.sum(cents), n * 100, 4).alias("prc_ew"),
@@ -1195,7 +1225,12 @@ def p3_standard_full(spark, sf_dir):
         ).alias("prc_vw"),
         F.sum(vol_l).cast("double").alias("qvolume"),
     )
-    return panel
+    return panel.select(
+        "l_suppkey",
+        F.date_format("__d", "yyyy-MM-dd").alias("d"),
+        "n_trades", "prc_first", "prc_last", "prc_hi", "prc_lo",
+        "prc_ew", "prc_vw", "qvolume",
+    )
 
 
 @register(

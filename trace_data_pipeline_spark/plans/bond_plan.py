@@ -16,6 +16,14 @@ from pyspark.sql import functions as F
 from trace_data_pipeline_spark.operators.bond_math import bond_analytics
 from trace_data_pipeline_spark.plans.catalog import register
 from trace_data_pipeline_spark.sources import load_table
+from trace_data_pipeline_spark.operators.parallelism import ensure_min_parallelism
+
+
+def _orders(spark, sf_dir):
+    """orders scan widened before the Arrow-batched Newton solve — a
+    single compressed parquet split would serialize the whole numeric
+    kernel on one core (the same rationale as datapipe._docs)."""
+    return ensure_min_parallelism(load_table(spark, sf_dir, "orders"))
 
 _CF = "(CASE WHEN t = n THEN c * 100 + 100 ELSE c * 100 END)"
 
@@ -69,7 +77,7 @@ def w10_bond_analytics(spark, sf_dir):
     60–139.9), via the Arrow-batched closed-form engine. Value-hash
     checked against a DuckDB recursive-CTE replay of the same Newton
     iteration."""
-    orders = load_table(spark, sf_dir, "orders")
+    orders = _orders(spark, sf_dir)
     bonds = orders.select(
         "o_orderkey",
         (1 + F.col("o_orderkey") % 20).cast("int").alias("n"),
@@ -146,7 +154,7 @@ def w10c_bond_freqs(spark, sf_dir):
     by m."""
     from trace_data_pipeline_spark.operators.bond_math import bond_analytics_freq
 
-    orders = load_table(spark, sf_dir, "orders")
+    orders = _orders(spark, sf_dir)
     m = (
         F.when(F.col("o_orderkey") % 4 == 0, 1)
         .when(F.col("o_orderkey") % 4 == 1, 2)
@@ -374,7 +382,7 @@ def w10e_full_record(spark, sf_dir):
         attach_full_record,
     )
 
-    orders = load_table(spark, sf_dir, "orders")
+    orders = _orders(spark, sf_dir)
     k = F.col("o_orderkey")
     base = orders.select(
         "o_orderkey",

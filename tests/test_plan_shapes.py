@@ -127,3 +127,21 @@ def test_standard_composite_broadcasts_removal_sides(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert plan.count("Window [row_number()") == 2
+
+def test_pq_adc_lut_broadcasts(spark):
+    """d25: the per-query lookup table and the codebook must BROADCAST —
+    the corpus-code side may never reshuffle on the (m, code) key, and
+    the only exchange below the rank window is the (query, vector)
+    partial aggregate."""
+    plan = _plan(spark, "d25_pq_adc_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """d26: the benchmark gram set must broadcast; the corpus gram
+    stream collapses in a single partial-agg shuffle (no shuffle keyed
+    on the gram itself, so hot boilerplate grams cannot skew)."""
+    plan = _plan(spark, "d26_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

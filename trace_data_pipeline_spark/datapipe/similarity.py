@@ -389,3 +389,111 @@ def pq_encode(
     return coded.withColumn("recon_err", F.round(err, round_dp)).drop(
         *[f"__e{m}" for m in range(n_subspaces)]
     )
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebook_source: DataFrame,
+    k: int = 5,
+    n_subspaces: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes (Jégou/Douze/
+    Schmid §IV): the query keeps its full float vector, the corpus is
+    represented ONLY by its `pq_encode` codes, and
+    dist(q, x̂) = Σ_m ‖q_m − c[code_m]‖² via a per-query lookup table.
+    Completes the PQ scale path the d17 encoder starts: the scan touches
+    M small ints per corpus vector instead of `dim` floats.
+
+    Scale shape: the LUT (queries × M·K centroid subvectors) is tiny at
+    any corpus size and BROADCASTS; codes explode to N·M rows and meet
+    it on a broadcast hash join keyed by (m, code) — the corpus never
+    reshuffles until the (query, vector) partial aggregate, which
+    map-combines N·M·Q down to N·Q before the only exchange. Exhaustive
+    over codes by design (the per-candidate cost is what PQ compresses);
+    bound the candidate set with IVF (d13) for the combined IVFADC.
+
+    Float discipline: each LUT entry accumulates left-to-right in
+    float64; the M per-subspace terms add in fixed subspace order via
+    conditional mins (never a shuffle-order SUM), so distances are
+    bit-identical to the oracle and rank ties only at true equality
+    (broken by neighbor id)."""
+    if dim % n_subspaces != 0:
+        raise ValueError(
+            f"dim={dim} not divisible by n_subspaces={n_subspaces}"
+        )
+    sub_len = dim // n_subspaces
+
+    def subvecs(col: Column, alias: str) -> Column:
+        return F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice(col, m * sub_len + 1, sub_len).alias(alias),
+                    )
+                    for m in range(n_subspaces)
+                ]
+            )
+        )
+
+    qsubs = queries.select(
+        F.col(id_col).alias("query_id"), subvecs(F.col(vec_col), "qv").alias("x")
+    ).select("query_id", "x.m", "x.qv")
+    cents = codebook_source.select(
+        F.col(id_col).alias("cid"), subvecs(F.col(vec_col), "cv").alias("x")
+    ).select("cid", "x.m", "x.cv")
+
+    d2 = F.lit(0.0)
+    for i in range(sub_len):
+        diff = F.get(F.col("qv"), i).cast("double") - F.get(
+            F.col("cv"), i
+        ).cast("double")
+        d2 = d2 + diff * diff
+    lut = qsubs.join(F.broadcast(cents), "m").select(
+        "query_id", "m", "cid", d2.alias("__d2")
+    )
+
+    exploded = codes.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"), F.col(f"code_{m}").alias("cid")
+                    )
+                    for m in range(n_subspaces)
+                ]
+            )
+        ).alias("x"),
+    ).select("neighbor_id", "x.m", "x.cid")
+
+    parts = exploded.join(F.broadcast(lut), ["m", "cid"])
+    aggs = [
+        F.min(F.when(F.col("m") == m, F.col("__d2"))).alias(f"__a{m}")
+        for m in range(n_subspaces)
+    ]
+    dist = parts.groupBy("query_id", "neighbor_id").agg(*aggs)
+    adc = F.lit(0.0)
+    for m in range(n_subspaces):
+        adc = adc + F.col(f"__a{m}")
+    dist = dist.withColumn("__adc", adc).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__adc").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        dist.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.round(F.col("__adc"), round_dp) + F.lit(0.0)).alias("adc_dist"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -1338,3 +1338,133 @@ def d17_pq_encode(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     codebook = emb.filter(F.col("vec_id") % 100 == 0)
     return pq_encode(emb, codebook, n_subspaces=4, dim=64)
+
+
+@register(
+    "d25_pq_adc_topk",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    sub AS (
+      {_PQ_SUBS}
+    ),
+    cent AS (SELECT vec_id AS cid, m, sv AS cv FROM sub WHERE vec_id % 100 = 0),
+    pairs AS (
+      SELECT s.vec_id, s.m, c.cid,
+             list_sum(list_transform(range(1, 17),
+               i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))) AS d2
+      FROM sub s JOIN cent c USING (m)
+    ),
+    best AS (
+      SELECT vec_id, m, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                     ORDER BY d2, cid) AS rn
+        FROM pairs) WHERE rn = 1
+    ),
+    lut AS (
+      SELECT q.vec_id AS query_id, c.m, c.cid,
+             list_sum(list_transform(range(1, 17),
+               i -> (q.sv[i] - c.cv[i]) * (q.sv[i] - c.cv[i]))) AS d2
+      FROM (SELECT * FROM sub WHERE vec_id % 50 = 0) q JOIN cent c USING (m)
+    ),
+    dist AS (
+      SELECT l.query_id, b.vec_id AS neighbor_id,
+             MIN(CASE WHEN b.m = 0 THEN l.d2 END)
+             + MIN(CASE WHEN b.m = 1 THEN l.d2 END)
+             + MIN(CASE WHEN b.m = 2 THEN l.d2 END)
+             + MIN(CASE WHEN b.m = 3 THEN l.d2 END) AS adc
+      FROM best b JOIN lut l ON l.m = b.m AND l.cid = b.cid
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, adc,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc, neighbor_id) AS rank
+      FROM dist WHERE query_id != neighbor_id
+    )
+    SELECT query_id, neighbor_id, ROUND(adc, 6) + 0.0 AS adc_dist, rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def d25_pq_adc_topk(spark, sf_dir):
+    """PQ asymmetric-distance top-k (the search half of the d17
+    encoder): queries keep full vectors, the corpus is scanned as PQ
+    codes only, distances come from a broadcast per-query lookup table
+    keyed by (subspace, code) — M int lookups per corpus vector instead
+    of `dim` float multiplies. Combined with d13's IVF probing this is
+    the standard IVFADC billion-scale ANN layout."""
+    from trace_data_pipeline_spark.datapipe.similarity import (
+        pq_adc_topk,
+        pq_encode,
+    )
+
+    emb = _emb(spark, sf_dir)
+    codebook = emb.filter(F.col("vec_id") % 100 == 0)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    codes = pq_encode(emb, codebook, n_subspaces=4, dim=64)
+    return pq_adc_topk(
+        queries,
+        codes.select("vec_id", "code_0", "code_1", "code_2", "code_3"),
+        codebook,
+        k=5,
+        n_subspaces=4,
+        dim=64,
+    )
+
+
+@register(
+    "d26_decontaminate",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ),
+    grams8 AS (
+      SELECT DISTINCT doc_id,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+             t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7] AS gram
+      FROM (SELECT doc_id, t, UNNEST(range(1, len(t) - 6)) AS i FROM toks)
+    ),
+    bench AS (SELECT DISTINCT gram FROM grams8 WHERE doc_id % 97 = 0),
+    corpus AS (SELECT doc_id, gram FROM grams8 WHERE doc_id % 97 != 0)
+    SELECT c.doc_id,
+           COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated,
+           CAST(CASE WHEN SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) > 0
+                THEN 1 ELSE 0 END AS INTEGER) AS contaminated
+    FROM corpus c LEFT JOIN bench b ON c.gram = b.gram
+    GROUP BY 1
+    """,
+)
+def d26_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (the C4/GPT-3 training-set hygiene
+    step): flag corpus documents sharing any 8-token shingle with a
+    held-out benchmark set (here the deterministic doc_id % 97 slice).
+    Scale shape: the benchmark gram set is benchmark-sized — constant
+    in corpus scale — and BROADCASTS with a hit marker; corpus shingles
+    meet it on a broadcast left join and collapse in ONE partial-agg
+    shuffle per doc. The corpus never reshuffles on the gram key, so a
+    boilerplate-heavy hot gram cannot skew this plan."""
+    from trace_data_pipeline_spark.datapipe.dedup import doc_shingles
+
+    docs = _docs(spark, sf_dir)
+    grams = doc_shingles(docs, n=8)
+    bench = (
+        grams.filter(F.col("doc_id") % 97 == 0)
+        .select("gram")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    corpus = grams.filter(F.col("doc_id") % 97 != 0)
+    hit = F.coalesce(F.col("__hit"), F.lit(0))
+    return (
+        corpus.join(F.broadcast(bench), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(hit).alias("n_contaminated"),
+            F.max(hit).cast("int").alias("contaminated"),
+        )
+    )

@@ -764,11 +764,19 @@ def r2_descriptive_by_rating(spark, sf_dir):
         "stack(3, 'pr', pr, 'ytm_w', ytm_w, 'spread_w', spread_w)"
         " AS (var, value)",
     )
-    return long_.groupBy("rating_class", "var").agg(
+    agg = long_.groupBy("rating_class", "var").agg(
         F.count("value").alias("n"),
         (F.round(F.avg("value"), 4) + 0.0).alias("mean"),
         (F.round(F.stddev_samp("value"), 4) + 0.0).alias("std"),
-        (F.round(F.percentile(F.col("value"), F.lit(0.05)), 4) + 0.0).alias("q05"),
-        (F.round(F.percentile(F.col("value"), F.lit(0.5)), 4) + 0.0).alias("q50"),
-        (F.round(F.percentile(F.col("value"), F.lit(0.95)), 4) + 0.0).alias("q95"),
+        # one shared percentile buffer for all three quantiles (see
+        # operators/analytics.py::pooled_stats)
+        F.percentile(
+            F.col("value"), F.array(F.lit(0.05), F.lit(0.5), F.lit(0.95))
+        ).alias("__qs"),
+    )
+    return agg.select(
+        "rating_class", "var", "n", "mean", "std",
+        (F.round(F.get("__qs", 0), 4) + 0.0).alias("q05"),
+        (F.round(F.get("__qs", 1), 4) + 0.0).alias("q50"),
+        (F.round(F.get("__qs", 2), 4) + 0.0).alias("q95"),
     )

@@ -145,3 +145,26 @@ def test_decontaminate_broadcasts_benchmark(spark):
     plan = _plan(spark, "d26_decontaminate")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+@pytest.mark.parametrize(
+    "name, marker",
+    [
+        ("d3_minhash_bands", "array_distinct("),   # gram-set projection
+        ("d15_winnow_fingerprint", "md5("),        # winnow hash chain
+    ],
+)
+def test_heavy_text_exprs_stay_above_widening_exchange(spark, name, marker):
+    """The round-4 pushdown trap, pinned: Catalyst pushes filters below
+    the widening round-robin exchange, so a filter predicate embedding
+    the expensive text expression would run it single-threaded in the
+    narrow scan stage. The derivation marker must appear ONLY above the
+    exchange — the subtree below it may carry cheap preconditions
+    (split/length/IsNotNull) but never the derived arrays."""
+    plan = _plan(spark, name)
+    cut = plan.find("RoundRobinPartitioning")
+    assert cut != -1, f"{name} lost its widening exchange"
+    below = plan[cut:]
+    assert marker not in below, (
+        f"{name}: heavy expression pushed below the widening exchange"
+    )

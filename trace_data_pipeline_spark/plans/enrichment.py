@@ -21,6 +21,7 @@ from trace_data_pipeline_spark.functions.ordered import last_by, ts_seq_key
 from trace_data_pipeline_spark.functions.scalars import round_ratio_half_up
 from trace_data_pipeline_spark.operators.cleaning import correction_chain_resolution
 from trace_data_pipeline_spark.operators.temporal import forward_extend, resample_ffill
+from trace_data_pipeline_spark.operators.parallelism import ensure_min_parallelism
 from trace_data_pipeline_spark.plans.catalog import register
 from trace_data_pipeline_spark.sources import load_table
 
@@ -373,7 +374,9 @@ def w10b_daycount(spark, sf_dir):
     work) — 30/360 US clipping rules, ACT/360, ACT/365, ACT/ACT. No
     UDF; bit-exact (integer operands, correctly-rounded divisions) so
     the oracle needs no rounding."""
-    li = load_table(spark, sf_dir, "lineitem")
+    # widen the single-row-group scan: the day-count algebra is per-row
+    # (partition-independent bits), so spreading it is parity-free
+    li = ensure_min_parallelism(load_table(spark, sf_dir, "lineitem"))
     s = F.to_date("l_shipdate")
     e = F.date_add(s, (F.col("l_orderkey") % 1100).cast("int"))
     pd_ = li.select(
@@ -458,7 +461,7 @@ def w10d_accrued(spark, sf_dir):
     fraction since the last coupon, accrued = annual coupon x fraction,
     dirty = clean + accrued. Maturity day-of-month is 15 so month-step
     clamping cannot differ between engines."""
-    orders = load_table(spark, sf_dir, "orders")
+    orders = ensure_min_parallelism(load_table(spark, sf_dir, "orders"))
     pm = (
         F.when(F.col("o_orderkey") % 3 == 0, 12)
         .when(F.col("o_orderkey") % 3 == 1, 6)

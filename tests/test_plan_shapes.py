@@ -161,6 +161,9 @@ def test_heavy_text_exprs_stay_above_widening_exchange(spark, name, marker):
     narrow scan stage. The derivation marker must appear ONLY above the
     exchange — the subtree below it may carry cheap preconditions
     (split/length/IsNotNull) but never the derived arrays."""
+    # an InMemoryRelation left cached by an earlier test substitutes
+    # into this plan and hides the exchange — compile cache-free
+    spark.catalog.clearCache()
     plan = _plan(spark, name)
     cut = plan.find("RoundRobinPartitioning")
     assert cut != -1, f"{name} lost its widening exchange"
@@ -168,3 +171,12 @@ def test_heavy_text_exprs_stay_above_widening_exchange(spark, name, marker):
     assert marker not in below, (
         f"{name}: heavy expression pushed below the widening exchange"
     )
+
+
+def test_ivfadc_probes_and_lut_broadcast(spark):
+    """d27: the centroid set and the ADC lookup table must broadcast;
+    candidates meet probes on a cluster equi-join — no cartesian, no
+    SMJ of the corpus."""
+    plan = _plan(spark, "d27_ivfadc_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -220,3 +220,43 @@ def test_pq_encode_rejects_indivisible_dim(sp):
     )
     with pytest.raises(ValueError, match="not divisible"):
         pq_encode(vecs, vecs, n_subspaces=4, dim=10)
+
+
+def test_pq_adc_equals_exact_distance_to_reconstruction(sp):
+    """ADC's defining identity (Jégou et al. §IV): with full-vector
+    queries, the looked-up distance must EQUAL the exact L2² between
+    the query and the PQ *reconstruction* (codebook centroid per
+    subspace) of each database vector — independently of the DuckDB
+    oracle replay, which shares the engine's arithmetic."""
+    from trace_data_pipeline_spark.datapipe.similarity import (
+        pq_adc_topk,
+        pq_encode,
+    )
+
+    dim, m = 8, 4
+    rows = [
+        (i, [float(((i * 7 + j * 3) % 11) - 5) for j in range(dim)])
+        for i in range(12)
+    ]
+    vecs = sp.createDataFrame(rows, "vec_id long, embedding array<float>")
+    codebook = vecs.filter("vec_id % 4 = 0")  # 3 centroids
+    queries = vecs.filter("vec_id % 6 = 0")  # 2 queries
+    codes = pq_encode(vecs, codebook, n_subspaces=m, dim=dim)
+    got = {
+        (r.query_id, r.neighbor_id): r.adc_dist
+        for r in pq_adc_topk(
+            queries, codes, codebook, k=11, n_subspaces=m, dim=dim
+        ).collect()
+    }
+    cb = {r.vec_id: r.embedding for r in codebook.collect()}
+    code_rows = {r.vec_id: [r.code_0, r.code_1, r.code_2, r.code_3]
+                 for r in codes.collect()}
+    full = {r[0]: r[1] for r in rows}
+    sub = dim // m
+    for (qid, nid), adc in got.items():
+        q = full[qid]
+        recon = []
+        for mm, cid in enumerate(code_rows[nid]):
+            recon.extend(cb[cid][mm * sub:(mm + 1) * sub])
+        exact = sum((a - b) ** 2 for a, b in zip(q, recon))
+        assert abs(adc - exact) < 1e-6, (qid, nid, adc, exact)

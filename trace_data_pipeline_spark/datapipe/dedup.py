@@ -262,7 +262,10 @@ def minhash_lsh_pairs(
     ships are bounded by document length."""
     sets = tracked_persist(doc_gram_sets(docs, text_col, id_col, n))
     sigs = sets.select("doc_id", *_sig_cols(F.col("grams"), num_hashes))
-    banded = lsh_bands(sigs, num_hashes, bands)
+    # persist the banded frame (4 small rows/doc): the candidate
+    # SELF-join consumes it twice, and without the cache each side
+    # re-runs the k×|grams| md5 signature fold from the gram sets
+    banded = tracked_persist(lsh_bands(sigs, num_hashes, bands))
     b1 = banded.select(F.col("doc_id").alias("a"), "band_idx", "band_hash")
     b2 = banded.select(F.col("doc_id").alias("b"), "band_idx", "band_hash")
     candidates = (

@@ -497,3 +497,147 @@ def pq_adc_topk(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def ivfadc_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    codebook_source: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    n_subspaces: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """IVF + ADC combined (Jégou et al. §V — the billion-scale ANN
+    layout): corpus vectors live in coarse IVF buckets as PQ codes;
+    each query probes its n_probe nearest centroids and ADC-scores ONLY
+    those buckets through the broadcast (subspace, code) lookup table.
+    Per query the work is (N/n_clusters·n_probe) candidates × M int
+    lookups — both factors bounded independently of corpus scale.
+
+    Shuffle shape: coarse assignment is a narrow broadcast pass (d13),
+    codes come from the broadcast-codebook equi-join (d17), candidates
+    meet probes on a cluster equi-join (one shuffle, AQE splits hot
+    buckets), and the ADC sum is a partial aggregate before the only
+    remaining exchange. Determinism: probe membership uses the ROUNDED
+    cosine with centroid-id tiebreak (ulp noise must not flip candidate
+    sets); ADC distances accumulate in fixed subspace order."""
+    corpus_assigned = assign_clusters(corpus, centroids, id_col, vec_col)
+    codes = pq_encode(
+        corpus, codebook_source, n_subspaces=n_subspaces, dim=dim,
+        id_col=id_col, vec_col=vec_col,
+    )
+    coded = corpus_assigned.select(
+        F.col(id_col).alias("neighbor_id"), "cluster"
+    ).join(
+        codes.select(
+            F.col("vec_id").alias("neighbor_id"),
+            *[f"code_{m}" for m in range(n_subspaces)],
+        ),
+        "neighbor_id",
+    )
+
+    c = centroids.select(
+        F.col(id_col).alias("__cid"),
+        F.col(vec_col).alias("__ce"),
+        norm_f64(F.col(vec_col)).alias("__cen"),
+    )
+    q_probes = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            norm_f64(F.col(vec_col)).alias("__qn"),
+        )
+        .crossJoin(F.broadcast(c))
+        .withColumn(
+            "__sim",
+            F.round(
+                dot_f64(F.col("__qv"), F.col("__ce"))
+                / (F.col("__qn") * F.col("__cen")),
+                round_dp,
+            ),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("__sim").desc(), F.col("__cid")
+    )
+    probes = (
+        q_probes.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= n_probe)
+        .select("query_id", F.col("__cid").alias("cluster"))
+    )
+
+    sub_len = dim // n_subspaces
+
+    def subvecs(col: Column, alias: str) -> Column:
+        return F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice(col, m * sub_len + 1, sub_len).alias(alias),
+                    )
+                    for m in range(n_subspaces)
+                ]
+            )
+        )
+
+    qsubs = queries.select(
+        F.col(id_col).alias("query_id"), subvecs(F.col(vec_col), "qv").alias("x")
+    ).select("query_id", "x.m", "x.qv")
+    cents = codebook_source.select(
+        F.col(id_col).alias("cid"), subvecs(F.col(vec_col), "cv").alias("x")
+    ).select("cid", "x.m", "x.cv")
+    d2 = F.lit(0.0)
+    for i in range(sub_len):
+        diff = F.get(F.col("qv"), i).cast("double") - F.get(
+            F.col("cv"), i
+        ).cast("double")
+        d2 = d2 + diff * diff
+    lut = qsubs.join(F.broadcast(cents), "m").select(
+        "query_id", "m", "cid", d2.alias("__d2")
+    )
+
+    cand = probes.join(coded, "cluster").select(
+        "query_id",
+        "neighbor_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"), F.col(f"code_{m}").alias("cid")
+                    )
+                    for m in range(n_subspaces)
+                ]
+            )
+        ).alias("x"),
+    ).select("query_id", "neighbor_id", "x.m", "x.cid")
+    parts = cand.join(F.broadcast(lut), ["query_id", "m", "cid"])
+    aggs = [
+        F.min(F.when(F.col("m") == m, F.col("__d2"))).alias(f"__a{m}")
+        for m in range(n_subspaces)
+    ]
+    dist = parts.groupBy("query_id", "neighbor_id").agg(*aggs)
+    adc = F.lit(0.0)
+    for m in range(n_subspaces):
+        adc = adc + F.col(f"__a{m}")
+    dist = dist.withColumn("__adc", adc).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__adc").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        dist.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.round(F.col("__adc"), round_dp) + F.lit(0.0)).alias("adc_dist"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

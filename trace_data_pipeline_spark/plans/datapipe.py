@@ -1468,3 +1468,94 @@ def d26_decontaminate(spark, sf_dir):
             F.max(hit).cast("int").alias("contaminated"),
         )
     )
+
+
+@register(
+    "d27_ivfadc_topk",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    cent AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id % 125 = 0),
+    ca AS (
+      SELECT v.vec_id, v.e, cent.cid,
+             {_COS.format(a="v.e", b="cent.ce")} AS s
+      FROM v CROSS JOIN cent
+    ),
+    assigned AS (
+      SELECT vec_id, cid AS cluster FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY s DESC, cid) AS rn FROM ca)
+      WHERE rn = 1
+    ),
+    qp AS (
+      SELECT vec_id AS query_id, cid AS cluster FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY s DESC, cid) AS rn
+        FROM ca WHERE vec_id % 50 = 0)
+      WHERE rn <= 2
+    ),
+    sub AS (
+      {_PQ_SUBS}
+    ),
+    pcent AS (SELECT vec_id AS cid, m, sv AS cv FROM sub WHERE vec_id % 100 = 0),
+    ppairs AS (
+      SELECT s.vec_id, s.m, c.cid,
+             list_sum(list_transform(range(1, 17),
+               i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))) AS d2
+      FROM sub s JOIN pcent c USING (m)
+    ),
+    best AS (
+      SELECT vec_id, m, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                     ORDER BY d2, cid) AS rn
+        FROM ppairs) WHERE rn = 1
+    ),
+    lut AS (
+      SELECT q.vec_id AS query_id, c.m, c.cid,
+             list_sum(list_transform(range(1, 17),
+               i -> (q.sv[i] - c.cv[i]) * (q.sv[i] - c.cv[i]))) AS d2
+      FROM (SELECT * FROM sub WHERE vec_id % 50 = 0) q JOIN pcent c USING (m)
+    ),
+    dist AS (
+      SELECT qp.query_id, a.vec_id AS neighbor_id,
+             MIN(CASE WHEN b.m = 0 THEN l.d2 END)
+             + MIN(CASE WHEN b.m = 1 THEN l.d2 END)
+             + MIN(CASE WHEN b.m = 2 THEN l.d2 END)
+             + MIN(CASE WHEN b.m = 3 THEN l.d2 END) AS adc
+      FROM qp JOIN assigned a USING (cluster)
+      JOIN best b ON b.vec_id = a.vec_id
+      JOIN lut l ON l.query_id = qp.query_id AND l.m = b.m AND l.cid = b.cid
+      WHERE qp.query_id != a.vec_id
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, adc,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc, neighbor_id) AS rank
+      FROM dist
+    )
+    SELECT query_id, neighbor_id, ROUND(adc, 6) + 0.0 AS adc_dist, rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def d27_ivfadc_topk(spark, sf_dir):
+    """IVF + ADC combined — the full billion-scale ANN layout: coarse
+    IVF buckets (d13's assignment) hold PQ codes (d17's encoder); each
+    query probes its 2 nearest centroids and ADC-scores only those
+    buckets through the broadcast lookup table (d25). Per-query cost is
+    bounded by bucket size × M int lookups regardless of corpus size."""
+    from trace_data_pipeline_spark.datapipe.similarity import ivfadc_topk
+
+    emb = _emb(spark, sf_dir)
+    return ivfadc_topk(
+        emb.filter(F.col("vec_id") % 50 == 0),
+        emb,
+        emb.filter(F.col("vec_id") % 125 == 0),
+        emb.filter(F.col("vec_id") % 100 == 0),
+        k=5,
+        n_probe=2,
+        n_subspaces=4,
+        dim=64,
+    )

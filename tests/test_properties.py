@@ -260,3 +260,30 @@ def test_pq_adc_equals_exact_distance_to_reconstruction(sp):
             recon.extend(cb[cid][mm * sub:(mm + 1) * sub])
         exact = sum((a - b) ** 2 for a, b in zip(q, recon))
         assert abs(adc - exact) < 1e-6, (qid, nid, adc, exact)
+
+
+def test_packed_order_key_budget_overflow_raises(sp):
+    """Later components' digit budgets summing past 19 could overflow
+    decimal(38,0) into a silent null key — must raise at build time."""
+    import pyspark.sql.functions as F
+
+    from trace_data_pipeline_spark.functions.ordered import packed_order_key
+
+    with pytest.raises(ValueError, match="> 19"):
+        packed_order_key((F.col("a"), 19), (F.col("b"), 10), (F.col("c"), 10))
+
+
+def test_single_column_first_by_uses_key_directly(sp):
+    """A single order column must be used as the min_by key unchanged
+    (scalar keys keep the aggregate hash-based; wrapping it in a struct
+    would demote to SortAggregate)."""
+    import pyspark.sql.functions as F
+
+    from trace_data_pipeline_spark.functions.ordered import first_by, last_by
+
+    df = sp.createDataFrame([(1, 10.0), (2, 5.0), (3, 7.0)], "k long, v double")
+    agg = df.agg(first_by("v", F.col("k")).alias("f"), last_by("v", F.col("k")).alias("l"))
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "struct" not in plan
+    row = agg.collect()[0]
+    assert (row["f"], row["l"]) == (10.0, 7.0)

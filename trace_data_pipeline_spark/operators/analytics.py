@@ -88,6 +88,38 @@ def winsorize_by_group(
     return clipped.drop("__lo", "__hi")
 
 
+def winsorize_many_by_group(
+    df: DataFrame,
+    cols: Sequence[tuple[str, str]],
+    group_by: Sequence[str],
+    lower: float = 0.005,
+    upper: float = 0.995,
+) -> DataFrame:
+    """Winsorize SEVERAL columns in one pass: one bounds aggregate (a
+    single shared percentile buffer per column) and one broadcast join,
+    instead of chaining winsorize_by_group — whose nested
+    aggregate+join diamonds would re-execute the (possibly UDF-heavy)
+    input plan once per column. `cols` = (value, out_col) pairs."""
+    aggs = []
+    for i, (value, _) in enumerate(cols):
+        aggs.append(
+            F.percentile(
+                F.col(value), F.array(F.lit(lower), F.lit(upper))
+            ).alias(f"__b{i}")
+        )
+    bounds = df.groupBy(*group_by).agg(*aggs)
+    out = df.join(F.broadcast(bounds), list(group_by), "left")
+    for i, (value, out_col) in enumerate(cols):
+        out = out.withColumn(
+            out_col,
+            F.least(
+                F.greatest(F.col(value), F.get(f"__b{i}", 0)),
+                F.get(f"__b{i}", 1),
+            ),
+        )
+    return out.drop(*[f"__b{i}" for i in range(len(cols))])
+
+
 def concentration_metrics(
     df: DataFrame,
     entity: str,

@@ -40,8 +40,9 @@ from pyspark.sql import functions as F
 from trace_data_pipeline_spark.functions.scalars import round_ratio_half_up
 from trace_data_pipeline_spark.operators.analytics import (
     piecewise_linear,
-    winsorize_by_group,
+    winsorize_many_by_group,
 )
+from trace_data_pipeline_spark.operators.caching import tracked_persist
 from trace_data_pipeline_spark.operators.asof import asof_join
 from trace_data_pipeline_spark.operators.filters import AuditLedger, filter_with_log
 from trace_data_pipeline_spark.plans.catalog import register
@@ -325,21 +326,18 @@ def build_stage1(
     screened = _screened(enriched, settings, ledger)
     solved = _analytics(screened, settings)
     if settings.apply_winsor:
-        solved = winsorize_by_group(
+        # persist: the winsorize bounds aggregate AND the clip join both
+        # consume `solved`, and without the cache each consumer re-runs
+        # the whole screens+Newton chain (the chained two-column form
+        # executed it 4x). One bounds pass for BOTH columns, one
+        # broadcast join.
+        solved = tracked_persist(solved)
+        solved = winsorize_many_by_group(
             solved,
-            "ytm6",
+            [("ytm6", "ytm_w"), ("spread6", "spread_w")],
             ["d"],
             settings.winsor_lower,
             settings.winsor_upper,
-            out_col="ytm_w",
-        )
-        solved = winsorize_by_group(
-            solved,
-            "spread6",
-            ["d"],
-            settings.winsor_lower,
-            settings.winsor_upper,
-            out_col="spread_w",
         )
     else:
         solved = solved.withColumn("ytm_w", F.col("ytm6")).withColumn(

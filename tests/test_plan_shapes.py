@@ -180,3 +180,12 @@ def test_ivfadc_probes_and_lut_broadcast(spark):
     plan = _plan(spark, "d27_ivfadc_topk")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_incremental_dedup_broadcasts_batch(spark):
+    """d28: the batch side must broadcast into both probes (digest and
+    band) — the corpus is scanned, never reshuffled on a probe key, and
+    there is no corpus self-join anywhere."""
+    plan = _plan(spark, "d28_incremental_dedup")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

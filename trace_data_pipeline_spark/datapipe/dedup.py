@@ -512,3 +512,90 @@ def connected_components(
         )
     finally:
         und.unpersist()
+
+
+def incremental_dedup(
+    docs: DataFrame,
+    batch_pred,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    verify_threshold: float = 0.4,
+) -> DataFrame:
+    """Incremental-ingest dedup: decide keep/drop for an incoming BATCH
+    against the standing corpus (the steady-state shape of a production
+    pipeline — the corpus was deduped long ago; re-clustering it per
+    ingest would be quadratic nonsense). Two tests per batch doc:
+    exact (content digest seen in the corpus) and near (MinHash band
+    collision with a corpus doc whose verified Jaccard ≥ threshold).
+
+    Scale shape: the batch is small next to the corpus, so the batch
+    side BROADCASTS into both probes — the corpus is scanned once for
+    digests and once for band hashes, reshuffled on NEITHER; the
+    band probe is strictly batch×corpus (no corpus self-join anywhere),
+    and candidate verification joins the collision-sized pair set back
+    to the cached gram sets. Returns one row per batch doc:
+    (doc_id, exact_dup, near_dup, keep)."""
+    batch = docs.filter(batch_pred)
+    corpus = docs.filter(~batch_pred)
+
+    bh = batch.select(F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("__h"))
+    ch = corpus.select(F.md5(F.col(text_col)).alias("__h"))
+    exact_ids = ch.join(F.broadcast(bh), "__h").select("doc_id").distinct()
+
+    sets = tracked_persist(doc_gram_sets(docs, text_col, id_col, n))
+    sigs = sets.select("doc_id", *_sig_cols(F.col("grams"), num_hashes))
+    banded = lsh_bands(sigs, num_hashes, bands)
+    bids = batch.select(F.col(id_col).alias("doc_id"))
+    band_b = banded.join(F.broadcast(bids), "doc_id").select(
+        F.col("doc_id").alias("bd"), "band_idx", "band_hash"
+    )
+    band_c = banded.join(
+        F.broadcast(bids.withColumn("__b", F.lit(1))), "doc_id", "left"
+    ).filter(F.col("__b").isNull()).select(
+        F.col("doc_id").alias("cd"), "band_idx", "band_hash"
+    )
+    cand = (
+        band_c.join(F.broadcast(band_b), ["band_idx", "band_hash"])
+        .select("bd", "cd")
+        .dropDuplicates()
+    )
+    sa = sets.select(
+        F.col("doc_id").alias("bd"),
+        F.col("grams").alias("__ga"),
+        F.col("n_grams").alias("na"),
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("cd"),
+        F.col("grams").alias("__gb"),
+        F.col("n_grams").alias("nb"),
+    )
+    near_ids = (
+        cand.join(sa, "bd")
+        .join(sb, "cd")
+        .withColumn("__ni", F.size(F.array_intersect("__ga", "__gb")))
+        .withColumn(
+            "__j",
+            F.col("__ni").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("__ni")),
+        )
+        .filter(F.col("__j") >= verify_threshold)
+        .select(F.col("bd").alias("doc_id"))
+        .distinct()
+    )
+
+    out = (
+        batch.select(F.col(id_col).alias("doc_id"))
+        .join(exact_ids.withColumn("__e", F.lit(1)), "doc_id", "left")
+        .join(near_ids.withColumn("__n", F.lit(1)), "doc_id", "left")
+    )
+    e = F.coalesce(F.col("__e"), F.lit(0))
+    nn = F.coalesce(F.col("__n"), F.lit(0))
+    return out.select(
+        "doc_id",
+        e.alias("exact_dup"),
+        nn.alias("near_dup"),
+        (1 - F.greatest(e, nn)).alias("keep"),
+    )

@@ -1559,3 +1559,60 @@ def d27_ivfadc_topk(spark, sf_dir):
         n_subspaces=4,
         dim=64,
     )
+
+
+@register(
+    "d28_incremental_dedup",
+    oracle=_minhash_ctes()
+    + """,
+    corpus_h AS (
+      SELECT DISTINCT md5(text) AS h FROM documents WHERE source != 'src0'
+    ),
+    exact AS (
+      SELECT DISTINCT d.doc_id FROM documents d
+      JOIN corpus_h ch ON md5(d.text) = ch.h
+      WHERE d.source = 'src0'
+    ),
+    cand AS (
+      SELECT DISTINCT bb.doc_id AS bd, cb.doc_id AS cd
+      FROM bands bb JOIN bands cb USING (band_idx, band_hash)
+      JOIN documents db ON db.doc_id = bb.doc_id AND db.source = 'src0'
+      JOIN documents dc ON dc.doc_id = cb.doc_id AND dc.source != 'src0'
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS ng FROM grams GROUP BY 1),
+    inter AS (
+      SELECT c.bd, c.cd, COUNT(*) AS ni
+      FROM cand c JOIN grams ga ON ga.doc_id = c.bd
+      JOIN grams gb ON gb.doc_id = c.cd AND gb.gram = ga.gram
+      GROUP BY 1, 2
+    ),
+    near AS (
+      SELECT DISTINCT i.bd AS doc_id
+      FROM inter i JOIN sizes sa ON sa.doc_id = i.bd
+      JOIN sizes sb ON sb.doc_id = i.cd
+      WHERE CAST(i.ni AS DOUBLE) / (sa.ng + sb.ng - i.ni) >= 0.4
+    )
+    SELECT d.doc_id,
+           CAST(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS exact_dup,
+           CAST(CASE WHEN nr.doc_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS near_dup,
+           CAST(CASE WHEN e.doc_id IS NULL AND nr.doc_id IS NULL
+                THEN 1 ELSE 0 END AS INT) AS keep
+    FROM documents d
+    LEFT JOIN exact e ON e.doc_id = d.doc_id
+    LEFT JOIN near nr ON nr.doc_id = d.doc_id
+    WHERE d.source = 'src0'
+    """,
+)
+def d28_incremental_dedup(spark, sf_dir):
+    """Incremental-ingest dedup (the steady-state production shape):
+    the incoming batch (source src0) is screened against the standing
+    corpus by content digest AND cross-only MinHash-LSH — the corpus is
+    scanned, never self-joined, never re-clustered; the batch side
+    broadcasts into both probes. One keep/drop row per batch doc."""
+    from trace_data_pipeline_spark.datapipe.dedup import incremental_dedup
+
+    docs = _docs(spark, sf_dir)
+    return incremental_dedup(
+        docs, F.col("source") == "src0", n=3,
+        num_hashes=_N_HASHES, bands=_BANDS, verify_threshold=0.4,
+    )

@@ -327,3 +327,40 @@ def test_kafka_source_raises_clearly_without_connector(spark):
 
     with _pytest.raises(RuntimeError, match="spark-sql-kafka"):
         kafka_json_stream(spark, "trades", "localhost:9092")
+
+
+def test_streaming_incremental_dedup_keeps_corpus_clean(spark, tmp_path):
+    """Streamed ingest through incremental_dedup_sink: batch-internal
+    exact dups collapse, rows matching the standing corpus (exactly or
+    as LSH-verified near-dups) drop, survivors append and screen LATER
+    micro-batches — and a replayed batch adds nothing."""
+    from trace_data_pipeline_spark.streaming.dedup import incremental_dedup_sink
+
+    corpus = str(tmp_path / "corpus")
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    uniq = "one two three four five six seven eight nine ten eleven"
+    sink = incremental_dedup_sink(corpus, verify_threshold=0.4)
+
+    b0 = spark.createDataFrame(
+        [(1, base), (2, uniq), (3, base)],  # 3 = within-batch exact dup of 1
+        "doc_id long, text string",
+    )
+    sink(b0, 0)
+    got0 = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+    assert got0 == {1, 2}
+
+    b1 = spark.createDataFrame(
+        [
+            (10, base),                               # exact dup of corpus 1
+            (11, base + " extra"),                    # near-dup of corpus 1
+            (12, "totally different words here now"), # fresh
+        ],
+        "doc_id long, text string",
+    )
+    sink(b1, 1)
+    got1 = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+    assert got1 == {1, 2, 12}
+
+    sink(b1, 1)  # replay: exact matches of corpus rows, nothing added
+    got2 = [r.doc_id for r in spark.read.parquet(corpus).collect()]
+    assert sorted(got2) == [1, 2, 12]

@@ -35,3 +35,85 @@ def streaming_exact_dedup(
     return events.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
         list(id_cols)
     )
+
+
+def incremental_dedup_sink(
+    corpus_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    verify_threshold: float = 0.4,
+):
+    """foreachBatch sink for STREAMING corpus ingest: each micro-batch
+    is screened against the standing corpus parquet by the batch
+    `incremental_dedup` operator (content digest + cross-only
+    MinHash-LSH), and only the keepers append — so the corpus stays
+    dedup-clean as it grows, and later micro-batches are screened
+    against earlier survivors automatically.
+
+    Contract:
+    - within-batch EXACT duplicates collapse to the min id before the
+      corpus probe; within-batch NEAR duplicates are admitted together
+      (one micro-batch is one ingest unit — near-dup consolidation
+      across in-flight rows is the batch d18 operator's job);
+    - replayed micro-batches are self-idempotent: their rows are now
+      exact matches of corpus rows and drop out, so at-least-once
+      delivery cannot duplicate the corpus;
+    - the corpus is scanned per batch, never self-joined — the batch
+      side broadcasts (see `incremental_dedup`).
+
+    Returns the function to pass to `writeStream.foreachBatch`.
+    """
+    from pyspark.sql import functions as F
+
+    from trace_data_pipeline_spark.datapipe.dedup import incremental_dedup
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        # collapse within-batch exact duplicates to the min id (the
+        # deterministic keeper, matching d1)
+        w_first = (
+            batch_df.groupBy(F.md5(F.col(text_col)).alias("__h"))
+            .agg(F.min(F.col(id_col)).alias(id_col))
+            .select(id_col)
+        )
+        batch = batch_df.join(w_first, id_col, "left_semi")
+        try:
+            corpus = spark.read.parquet(corpus_path).select(
+                id_col, text_col
+            )
+        except Exception:
+            corpus = None
+        if corpus is None:
+            batch.write.mode("overwrite").parquet(corpus_path)
+            return
+        union = corpus.withColumn("__b", F.lit(False)).unionByName(
+            batch.select(id_col, text_col).withColumn("__b", F.lit(True))
+        )
+        flags = incremental_dedup(
+            union,
+            F.col("__b"),
+            text_col=text_col,
+            id_col=id_col,
+            n=n,
+            num_hashes=num_hashes,
+            bands=bands,
+            verify_threshold=verify_threshold,
+        )
+        keepers = flags.filter(F.col("keep") == 1).select(id_col)
+        try:
+            batch.join(keepers, id_col, "left_semi").write.mode(
+                "append"
+            ).parquet(corpus_path)
+        finally:
+            # the probe persists the union's gram sets per micro-batch —
+            # release them so a long-running stream holds no stale cache
+            from trace_data_pipeline_spark.operators.caching import (
+                release_caches,
+            )
+
+            release_caches()
+
+    return write_batch

@@ -1616,3 +1616,49 @@ def d28_incremental_dedup(spark, sf_dir):
         docs, F.col("source") == "src0", n=3,
         num_hashes=_N_HASHES, bands=_BANDS, verify_threshold=0.4,
     )
+
+
+# per-language keep fractions for the stratified-sampling entry (a data
+# mixture downsampling 'en' dominance); thresholds precomputed ONCE as
+# lowercase-hex literals shared verbatim by engine and oracle — keep
+# iff the first 6 md5 hex digits of the doc id compare <= threshold
+# (hex chars are ASCII-ordered, so the string compare is the uniform
+# [0,1) draw with no hex->int conversion to disagree on)
+_D29_FRACS = {"en": 0.30, "de": 0.75, "fr": 0.75, "es": 0.75, "zh": 1.00}
+_D29_THR = {
+    lang: format(max(0, int(f * 16**6) - 1), "06x")
+    for lang, f in _D29_FRACS.items()
+}
+
+
+def _d29_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN '{lang}' THEN '{thr}'" for lang, thr in _D29_THR.items()
+    )
+    return f"CASE lang {whens} ELSE '' END"
+
+
+@register(
+    "d29_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) <= {_d29_case_sql()}
+    """,
+)
+def d29_stratified_sample(spark, sf_dir):
+    """Deterministic stratified downsampling — the data-MIXING primitive
+    (set per-language keep fractions, e.g. dilute English dominance):
+    a doc survives iff the uniform hash draw of its ID falls under its
+    language's threshold. Hash-based (no RNG state), so the sample is
+    reproducible across runs, engines, partitionings, and cluster
+    sizes, and the decision is a shuffle-free projection+filter —
+    embarrassingly parallel at any corpus scale. Unknown languages
+    default to keep-nothing ('' threshold) so a new language entering
+    the corpus is a visible decision, not a silent 100% pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    h6 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6)
+    thr = F.lit("")
+    for lang, t in _D29_THR.items():
+        thr = F.when(F.col("lang") == lang, F.lit(t)).otherwise(thr)
+    return docs.filter(h6 <= thr).select("doc_id", "lang")

@@ -1662,3 +1662,103 @@ def d29_stratified_sample(spark, sf_dir):
     for lang, t in _D29_THR.items():
         thr = F.when(F.col("lang") == lang, F.lit(t)).otherwise(thr)
     return docs.filter(h6 <= thr).select("doc_id", "lang")
+
+
+_DOMAIN_RE = r"https?://([A-Za-z0-9.-]+)"
+
+
+@register(
+    "d30_domain_stats",
+    oracle=f"""
+    WITH hits AS (
+      SELECT doc_id, UNNEST(regexp_extract_all(text, '{_DOMAIN_RE}', 1)) AS domain
+      FROM documents
+    )
+    SELECT domain,
+           COUNT(*) AS n_mentions,
+           COUNT(DISTINCT doc_id) AS n_docs
+    FROM hits GROUP BY 1
+    """,
+)
+def d30_domain_stats(spark, sf_dir):
+    """Corpus composition by source domain (the curation dashboard
+    behind every web-scale dataset card): extract the host of every
+    URL mention, count mentions and distinct documents per domain.
+    One extract+explode projection and one partial-agg shuffle — a hot
+    domain (half the corpus linking one site) combines map-side, so
+    the key skew never concentrates rows. The pattern sits in the
+    Java∩RE2 common dialect (same matches in both engines)."""
+    docs = _docs(spark, sf_dir)
+    hits = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(_DOMAIN_RE), 1)
+        ).alias("domain"),
+    )
+    return hits.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_mentions"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
+_D18_GRAPH_CTES = _D18_PAIR_CTES[: _D18_PAIR_CTES.index("SELECT u AS doc_id")]
+
+
+@register(
+    "d31_cluster_representatives",
+    oracle=_minhash_ctes().replace("WITH ", "WITH RECURSIVE ", 1)
+    + _D18_GRAPH_CTES
+    + r""",
+    labeled AS (SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u),
+    tk AS (
+      SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS nt
+      FROM documents
+    )
+    SELECT l.cluster_id,
+           COUNT(*) AS cluster_size,
+           MIN_BY(l.doc_id,
+                  CAST(1000000 - tk.nt AS HUGEINT) * 10000000000000000000
+                  + l.doc_id) AS rep_doc_id
+    FROM labeled l JOIN tk ON tk.doc_id = l.doc_id
+    GROUP BY 1
+    """,
+)
+def d31_cluster_representatives(spark, sf_dir):
+    """Quality-aware keeper selection: instead of d18's min-id keeper,
+    each near-dup cluster elects the member with the MOST tokens (the
+    fullest copy — truncated scrapes lose), ties to the smallest id.
+    The election is ONE hash aggregate via the packed-decimal ordering
+    key ((1e6 - tokens) then id, both hash-buffer friendly — a struct
+    key would sort the corpus twice); the documented domain bound is
+    token count < 1e6, property-safe for any real document. Composes
+    the d4 pair graph + d18 components; the oracle replays the graph
+    with a recursive CTE and packs the same key in HUGEINT."""
+    from trace_data_pipeline_spark.datapipe.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+    from trace_data_pipeline_spark.functions.ordered import (
+        first_by,
+        packed_order_key,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(
+        docs, n=3, num_hashes=_N_HASHES, bands=_BANDS, verify_threshold=0.4
+    )
+    cc = connected_components(
+        docs.select("doc_id"), pairs.select("a", "b"), max_iter=8
+    )
+    nt = docs.select("doc_id", F.size(tokens(F.col("text"))).alias("__nt"))
+    key = packed_order_key(
+        ((F.lit(10**6) - F.col("__nt")).cast("long"), 7),
+        (F.col("doc_id"), 19),
+    )
+    return (
+        cc.join(nt, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            first_by(F.col("doc_id"), key).alias("rep_doc_id"),
+        )
+    )

@@ -63,3 +63,9 @@ def test_every_catalog_entry_is_documented_in_coverage():
     cov = open(os.path.join(repo, "COVERAGE.md")).read()
     missing = [n for n in get_catalog() if n not in cov]
     assert not missing, f"catalog entries missing from COVERAGE.md: {missing}"
+    # the README's headline count must match reality
+    readme = open(os.path.join(repo, "README.md")).read()
+    n = len(get_catalog())
+    assert f"All {n} catalog queries" in readme, (
+        f"README count stale: catalog has {n} entries"
+    )

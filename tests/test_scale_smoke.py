@@ -43,8 +43,15 @@ SHIFTS = {
     "documents": {"doc_id": 10_000_000},
 }
 
+# NOTE: the ANN entries (d10/d25/d27) are deliberately absent — their
+# synthetic query sets are corpus slices (vec_id % 50), so 10x data is
+# 10x queries AND 10x corpus = 100x scored pairs. That is an artifact
+# of the fixture, not a plan defect (real deployments hold the query
+# batch fixed as the corpus grows), and it would trip a linearity bound
+# that the shuffle-linear entries must satisfy.
 QUERIES = ("p1_stage0_full", "w1_decimal_shift", "w2_bounce_back",
-           "w10e_full_record", "d4_minhash_lsh_pairs", "d18_dedup_clusters")
+           "w10e_full_record", "d4_minhash_lsh_pairs", "d18_dedup_clusters",
+           "d28_incremental_dedup")
 
 
 def _generate_sf1(spark) -> None:

@@ -46,6 +46,24 @@ def main() -> None:
     spark.range(1_000).repartition(int(spark.conf.get("spark.sql.shuffle.partitions"))).mapInPandas(
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
+    # ...and the common physical shapes (hash agg, broadcast join,
+    # window) so the alphabetically-first catalog entries aren't billed
+    # for one-time executor/codegen warm-up the later ones skip
+    from pyspark.sql import Window, functions as F
+
+    wdf = spark.range(100_000).select(
+        (F.col("id") % 97).alias("k"), F.col("id").cast("double").alias("v")
+    )
+    dim = spark.range(97).select(F.col("id").alias("k"), F.lit("x").alias("t"))
+    (
+        wdf.join(F.broadcast(dim), "k")
+        .withColumn("r", F.row_number().over(Window.partitionBy("k").orderBy("v")))
+        .groupBy("k")
+        .agg(F.sum("v"), F.max("r"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
     def run_once(name: str) -> float:
         t0 = time.perf_counter()

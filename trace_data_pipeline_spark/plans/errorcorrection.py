@@ -595,3 +595,55 @@ def p1_stage0_full(spark, sf_dir):
         "prc_lo",
         "prc_ew",
     )
+
+
+@register(
+    "r4_flagged_series",
+    oracle=_W1_CTE
+    + r""",
+    w1 AS (
+      SELECT g.user_id, g.event_id, g.d, g.p, g.dec_shift_flag,
+             CASE WHEN g.dec_shift_flag = 1 THEN g.best_price ELSE g.p END
+               AS p_after
+      FROM gated g
+    ),
+    affected AS (SELECT DISTINCT user_id FROM w1 WHERE dec_shift_flag = 1)
+    SELECT w1.event_id, w1.user_id,
+           strftime(w1.d, '%Y-%m-%d') AS d,
+           w1.p AS p_before, w1.p_after,
+           CAST(w1.dec_shift_flag AS INTEGER) AS dec_shift_flag
+    FROM w1 JOIN affected USING (user_id)
+    """,
+)
+def r4_flagged_series(spark, sf_dir):
+    """The report entry point's before/after SERIES: for every entity
+    with at least one decimal-shift flag, the full price series with
+    original and corrected values side by side — the exact frame the
+    reference's error plots consume (`_build_error_files.py:407+`,
+    `_error_plot_helpers.py:456-903`; the engine emits the data, the
+    LaTeX/plot rendering is intentionally out of scope). The affected
+    set is flag-holders only, so the semi-join's build side is
+    collision-sized and broadcasts; the flag pass runs ONCE (flag mode
+    keeps every row, so no diamond)."""
+    f1 = decimal_shift_corrector(
+        _corrupted_events(spark, sf_dir),
+        id_col="user_id",
+        date_col="d",
+        price_col="p",
+        order_cols=("ts", "event_id"),
+        mode="flag",
+    )
+    affected = (
+        f1.filter(F.col("dec_shift_flag") == 1).select("user_id").distinct()
+    )
+    return (
+        f1.join(F.broadcast(affected), "user_id", "left_semi")
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("d", "yyyy-MM-dd").alias("d"),
+            F.col("p").alias("p_before"),
+            F.col("suggested_price").alias("p_after"),
+            F.col("dec_shift_flag").cast("int").alias("dec_shift_flag"),
+        )
+    )

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import json
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from tests.conftest import TEST_SF_DIR
@@ -69,3 +71,29 @@ def test_every_catalog_entry_is_documented_in_coverage():
     assert f"All {n} catalog queries" in readme, (
         f"README count stale: catalog has {n} entries"
     )
+
+
+@pytest.mark.slow
+def test_bench_emits_one_json_line():
+    """The driver parses bench.py stdout as ONE JSON line — a stray
+    print or progress bar on stdout breaks the round's BENCH record."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+               SPARK_GRAFT_CPUS="8")
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "bench.py")],
+        capture_output=True, text=True, timeout=900, env=env, cwd=repo,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [ln for ln in out.stdout.splitlines() if ln.strip()]
+    assert len(lines) == 1, f"stdout had {len(lines)} non-empty lines"
+    d = json.loads(lines[0])
+    assert set(d) >= {"metric", "value", "unit", "queries", "sf"}
+    from trace_data_pipeline_spark.plans import get_catalog
+
+    assert set(d["queries"]) == set(get_catalog())

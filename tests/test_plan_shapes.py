@@ -189,3 +189,14 @@ def test_incremental_dedup_broadcasts_batch(spark):
     plan = _plan(spark, "d28_incremental_dedup")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_monthly_signals_shuffles_twice_no_sortagg(spark):
+    """p4: the whole signal block rides TWO fact-table exchanges (the
+    bond partitioning serves the daily aggregate and all three lag
+    windows; the monthly rollup re-keys once); first/last selection is
+    scalar-keyed so no SortAggregate demotion."""
+    plan = _plan(spark, "p4_monthly_signals")
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "SortAggregate" not in plan
+    assert "CartesianProduct" not in plan

@@ -55,6 +55,7 @@ def get_catalog() -> dict[str, Query]:
         errorcorrection,
         relational,
         stage1,
+        stage2,
     )
 
     return dict(_REGISTRY)

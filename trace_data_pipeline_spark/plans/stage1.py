@@ -778,3 +778,55 @@ def r2_descriptive_by_rating(spark, sf_dir):
         (F.round(F.get("__qs", 1), 4) + 0.0).alias("q50"),
         (F.round(F.get("__qs", 2), 4) + 0.0).alias("q95"),
     )
+
+
+@register(
+    "p5_carry_value",
+    oracle=f"""
+    WITH RECURSIVE {_P2_CTES},
+    classed AS (SELECT *, {_CLASS_SQL} AS rating_class FROM final),
+    med AS (
+      SELECT rating_class, d, quantile_cont(spread_w, 0.5) AS ms
+      FROM classed GROUP BY 1, 2
+    )
+    SELECT c.user_id, c.d, c.rating_class,
+           ROUND((2 + c.user_id % 7) / c.pr * 100, 6) + 0.0 AS carry,
+           -- 7dp: spread_w is 6dp and an even-count median ends in an
+           -- exact half-digit, so the difference TERMINATES at 7dp —
+           -- rounding there is tie-free, while ROUND(.,6) ties on every
+           -- odd half and the engines break double-ties differently
+           ROUND(c.spread_w - m.ms, 7) + 0.0 AS value_sprd
+    FROM classed c JOIN med m
+      ON m.rating_class = c.rating_class AND m.d = c.d
+    """,
+)
+def p5_carry_value(spark, sf_dir):
+    """Stage-2 preview, carry + value signals over the stage-1 panel
+    (the CHANGELOG's unreleased "carry and value signals"): carry =
+    running yield (coupon/price x 100, the coupon derivation mirroring
+    the stage-1 FISD columns); value = winsorized credit spread minus
+    its (rating class, date) cross-sectional median — rich/cheap vs
+    peers. The panel is persisted because the median aggregate and the
+    demeaning join both consume it (the winsorize-diamond lesson); the
+    median side aggregates to |classes|x|dates| rows and broadcasts."""
+    from trace_data_pipeline_spark.operators.caching import tracked_persist
+
+    base = tracked_persist(_classed(build_stage1(spark, sf_dir, _S)))
+    med = base.groupBy("rating_class", "d").agg(
+        F.median("spread_w").alias("__ms")
+    )
+    coupon = (2 + F.col("user_id") % 7).cast("double")
+    return (
+        base.join(F.broadcast(med), ["rating_class", "d"])
+        .select(
+            "user_id",
+            "d",
+            "rating_class",
+            (F.round(coupon / F.col("pr") * 100, 6) + 0.0).alias("carry"),
+            # 7dp — tie-free because the 6dp spread minus a half-digit
+            # median terminates at the 7th decimal (see oracle comment)
+            (F.round(F.col("spread_w") - F.col("__ms"), 7) + 0.0).alias(
+                "value_sprd"
+            ),
+        )
+    )

@@ -364,3 +364,20 @@ def test_streaming_incremental_dedup_keeps_corpus_clean(spark, tmp_path):
     sink(b1, 1)  # replay: exact matches of corpus rows, nothing added
     got2 = [r.doc_id for r in spark.read.parquet(corpus).collect()]
     assert sorted(got2) == [1, 2, 12]
+
+
+def test_streaming_incremental_dedup_rejects_id_conflicts(spark, tmp_path):
+    """Same id + same text is a benign replay (dropped); same id with
+    DIFFERENT text would corrupt the id-keyed near-dup screen and must
+    raise instead of silently matching the wrong text."""
+    import pytest as _pytest
+
+    from trace_data_pipeline_spark.streaming.dedup import incremental_dedup_sink
+
+    corpus = str(tmp_path / "corpus")
+    sink = incremental_dedup_sink(corpus)
+    sink(spark.createDataFrame([(1, "alpha beta gamma delta")],
+                               "doc_id long, text string"), 0)
+    with _pytest.raises(ValueError, match="DIFFERENT text"):
+        sink(spark.createDataFrame([(1, "completely other words")],
+                                   "doc_id long, text string"), 1)

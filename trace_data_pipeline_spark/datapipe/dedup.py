@@ -20,7 +20,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from trace_data_pipeline_spark.datapipe.text import tokens
-from trace_data_pipeline_spark.operators.caching import tracked_persist
+from trace_data_pipeline_spark.operators.caching import (
+    persistent_rdd_ids as _persistent_rdd_ids,
+    tracked_persist,
+    unpersist_rdd_ids as _unpersist_rdd_ids,
+)
 
 
 def exact_dedup_clusters(
@@ -363,21 +367,6 @@ def simhash_bits(
     )
 
 
-def _persistent_rdd_ids(sc) -> set[int]:
-    """Ids of all RDDs currently holding storage blocks (includes the
-    RDDs backing eager localCheckpoints, which DataFrame.unpersist can't
-    reach)."""
-    return {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
-
-
-def _unpersist_rdd_ids(sc, ids: set[int]) -> None:
-    """Free the storage blocks of the given RDD ids (non-blocking)."""
-    jmap = sc._jsc.getPersistentRDDs()
-    for rid in ids:
-        rdd = jmap.get(rid)
-        if rdd is not None:
-            rdd.unpersist(False)
-
 
 def connected_components(
     nodes: DataFrame,
@@ -445,9 +434,18 @@ def connected_components(
     # the corpus-sized node frame through every propagation round would
     # be pure waste — at 100 TB the incident set is the near-dup
     # subgraph, orders of magnitude smaller than the corpus
+    if n_edges == 0:
+        # no pairs at all: every node is its own singleton. Return the
+        # self-labeling DIRECTLY — the generic tail below would derive
+        # `labels` from the (just-unpersisted) edge frame, re-running
+        # the whole upstream candidate pipeline on first consumption
+        und.unpersist()
+        return nodes.select(
+            F.col(id_col), F.col(id_col).alias("cluster_id")
+        )
     labels = und.select("u").distinct().withColumn("label", F.col("u"))
     ckpt_ids: set[int] = set()
-    converged = n_edges == 0
+    converged = False
     try:
         for _ in range(max_iter):
             if converged:
@@ -547,7 +545,10 @@ def incremental_dedup(
 
     sets = tracked_persist(doc_gram_sets(docs, text_col, id_col, n))
     sigs = sets.select("doc_id", *_sig_cols(F.col("grams"), num_hashes))
-    banded = lsh_bands(sigs, num_hashes, bands)
+    # persist: the batch and corpus band splits BOTH consume the banded
+    # frame — without the cache the k×|grams| signature fold over the
+    # whole corpus executes twice (the minhash_lsh_pairs lesson)
+    banded = tracked_persist(lsh_bands(sigs, num_hashes, bands))
     bids = batch.select(F.col(id_col).alias("doc_id"))
     band_b = banded.join(F.broadcast(bids), "doc_id").select(
         F.col("doc_id").alias("bd"), "band_idx", "band_hash"

@@ -391,6 +391,98 @@ def pq_encode(
     )
 
 
+def _subvec_structs(col: Column, n_subspaces: int, sub_len: int, alias: str) -> Column:
+    """Explode a vector into (m, subvector) structs — the shared PQ
+    decomposition used by the ADC lookup table and the code explode."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(m).alias("m"),
+                    F.slice(col, m * sub_len + 1, sub_len).alias(alias),
+                )
+                for m in range(n_subspaces)
+            ]
+        )
+    )
+
+
+def _adc_lut(
+    queries: DataFrame,
+    codebook_source: DataFrame,
+    n_subspaces: int,
+    sub_len: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Per-query (subspace, code) → squared-distance lookup table:
+    queries × M·K centroid subvectors, distances accumulated
+    left-to-right in float64 (the oracle's list_sum order). Tiny at any
+    corpus scale — always broadcast by the caller."""
+    qsubs = queries.select(
+        F.col(id_col).alias("query_id"),
+        _subvec_structs(F.col(vec_col), n_subspaces, sub_len, "qv").alias("x"),
+    ).select("query_id", "x.m", "x.qv")
+    cents = codebook_source.select(
+        F.col(id_col).alias("cid"),
+        _subvec_structs(F.col(vec_col), n_subspaces, sub_len, "cv").alias("x"),
+    ).select("cid", "x.m", "x.cv")
+    d2 = F.lit(0.0)
+    for i in range(sub_len):
+        diff = F.get(F.col("qv"), i).cast("double") - F.get(
+            F.col("cv"), i
+        ).cast("double")
+        d2 = d2 + diff * diff
+    return qsubs.join(F.broadcast(cents), "m").select(
+        "query_id", "m", "cid", d2.alias("__d2")
+    )
+
+
+def _code_structs(n_subspaces: int) -> Column:
+    """Explode code_0..code_{M-1} columns into (m, cid) structs."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(m).alias("m"), F.col(f"code_{m}").alias("cid"))
+                for m in range(n_subspaces)
+            ]
+        )
+    )
+
+
+def _adc_rank(
+    parts: DataFrame, n_subspaces: int, k: int, round_dp: int
+) -> DataFrame:
+    """(query_id, neighbor_id, m, __d2) rows → top-k ADC neighbors:
+    per-subspace conditional mins added in FIXED subspace order (never
+    a shuffle-order SUM — distances must stay bit-identical to the
+    oracle), self excluded, rank ties broken by neighbor id."""
+    aggs = [
+        F.min(F.when(F.col("m") == m, F.col("__d2"))).alias(f"__a{m}")
+        for m in range(n_subspaces)
+    ]
+    dist = parts.groupBy("query_id", "neighbor_id").agg(*aggs)
+    adc = F.lit(0.0)
+    for m in range(n_subspaces):
+        adc = adc + F.col(f"__a{m}")
+    dist = dist.withColumn("__adc", adc).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__adc").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        dist.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.round(F.col("__adc"), round_dp) + F.lit(0.0)).alias("adc_dist"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 def pq_adc_topk(
     queries: DataFrame,
     codes: DataFrame,
@@ -427,76 +519,13 @@ def pq_adc_topk(
             f"dim={dim} not divisible by n_subspaces={n_subspaces}"
         )
     sub_len = dim // n_subspaces
-
-    def subvecs(col: Column, alias: str) -> Column:
-        return F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(m).alias("m"),
-                        F.slice(col, m * sub_len + 1, sub_len).alias(alias),
-                    )
-                    for m in range(n_subspaces)
-                ]
-            )
-        )
-
-    qsubs = queries.select(
-        F.col(id_col).alias("query_id"), subvecs(F.col(vec_col), "qv").alias("x")
-    ).select("query_id", "x.m", "x.qv")
-    cents = codebook_source.select(
-        F.col(id_col).alias("cid"), subvecs(F.col(vec_col), "cv").alias("x")
-    ).select("cid", "x.m", "x.cv")
-
-    d2 = F.lit(0.0)
-    for i in range(sub_len):
-        diff = F.get(F.col("qv"), i).cast("double") - F.get(
-            F.col("cv"), i
-        ).cast("double")
-        d2 = d2 + diff * diff
-    lut = qsubs.join(F.broadcast(cents), "m").select(
-        "query_id", "m", "cid", d2.alias("__d2")
-    )
-
+    lut = _adc_lut(queries, codebook_source, n_subspaces, sub_len, id_col, vec_col)
     exploded = codes.select(
         F.col("vec_id").alias("neighbor_id"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(m).alias("m"), F.col(f"code_{m}").alias("cid")
-                    )
-                    for m in range(n_subspaces)
-                ]
-            )
-        ).alias("x"),
+        _code_structs(n_subspaces).alias("x"),
     ).select("neighbor_id", "x.m", "x.cid")
-
     parts = exploded.join(F.broadcast(lut), ["m", "cid"])
-    aggs = [
-        F.min(F.when(F.col("m") == m, F.col("__d2"))).alias(f"__a{m}")
-        for m in range(n_subspaces)
-    ]
-    dist = parts.groupBy("query_id", "neighbor_id").agg(*aggs)
-    adc = F.lit(0.0)
-    for m in range(n_subspaces):
-        adc = adc + F.col(f"__a{m}")
-    dist = dist.withColumn("__adc", adc).filter(
-        F.col("query_id") != F.col("neighbor_id")
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("__adc").asc(), F.col("neighbor_id").asc()
-    )
-    return (
-        dist.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            (F.round(F.col("__adc"), round_dp) + F.lit(0.0)).alias("adc_dist"),
-            F.col("rank").cast("long").alias("rank"),
-        )
-    )
+    return _adc_rank(parts, n_subspaces, k, round_dp)
 
 
 def ivfadc_topk(
@@ -572,72 +601,9 @@ def ivfadc_topk(
     )
 
     sub_len = dim // n_subspaces
-
-    def subvecs(col: Column, alias: str) -> Column:
-        return F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(m).alias("m"),
-                        F.slice(col, m * sub_len + 1, sub_len).alias(alias),
-                    )
-                    for m in range(n_subspaces)
-                ]
-            )
-        )
-
-    qsubs = queries.select(
-        F.col(id_col).alias("query_id"), subvecs(F.col(vec_col), "qv").alias("x")
-    ).select("query_id", "x.m", "x.qv")
-    cents = codebook_source.select(
-        F.col(id_col).alias("cid"), subvecs(F.col(vec_col), "cv").alias("x")
-    ).select("cid", "x.m", "x.cv")
-    d2 = F.lit(0.0)
-    for i in range(sub_len):
-        diff = F.get(F.col("qv"), i).cast("double") - F.get(
-            F.col("cv"), i
-        ).cast("double")
-        d2 = d2 + diff * diff
-    lut = qsubs.join(F.broadcast(cents), "m").select(
-        "query_id", "m", "cid", d2.alias("__d2")
-    )
-
+    lut = _adc_lut(queries, codebook_source, n_subspaces, sub_len, id_col, vec_col)
     cand = probes.join(coded, "cluster").select(
-        "query_id",
-        "neighbor_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(m).alias("m"), F.col(f"code_{m}").alias("cid")
-                    )
-                    for m in range(n_subspaces)
-                ]
-            )
-        ).alias("x"),
+        "query_id", "neighbor_id", _code_structs(n_subspaces).alias("x")
     ).select("query_id", "neighbor_id", "x.m", "x.cid")
     parts = cand.join(F.broadcast(lut), ["query_id", "m", "cid"])
-    aggs = [
-        F.min(F.when(F.col("m") == m, F.col("__d2"))).alias(f"__a{m}")
-        for m in range(n_subspaces)
-    ]
-    dist = parts.groupBy("query_id", "neighbor_id").agg(*aggs)
-    adc = F.lit(0.0)
-    for m in range(n_subspaces):
-        adc = adc + F.col(f"__a{m}")
-    dist = dist.withColumn("__adc", adc).filter(
-        F.col("query_id") != F.col("neighbor_id")
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("__adc").asc(), F.col("neighbor_id").asc()
-    )
-    return (
-        dist.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            (F.round(F.col("__adc"), round_dp) + F.lit(0.0)).alias("adc_dist"),
-            F.col("rank").cast("long").alias("rank"),
-        )
-    )
+    return _adc_rank(parts, n_subspaces, k, round_dp)

@@ -31,6 +31,28 @@ def tracked_persist(df: DataFrame) -> DataFrame:
     return df
 
 
+class scoped_caches:
+    """Context manager releasing ONLY the frames tracked inside its
+    body — for callers embedded in a larger live session (a streaming
+    foreachBatch sink, a library routine) where the global
+    `release_caches()` sweep would also free checkpoint blocks owned by
+    unrelated in-flight work (those have truncated lineage and cannot
+    be recomputed — see release_caches' contract)."""
+
+    def __enter__(self):
+        self._mark = len(_TRACKED)
+        return self
+
+    def __exit__(self, *exc):
+        while len(_TRACKED) > self._mark:
+            df = _TRACKED.pop()
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        return False
+
+
 def release_caches() -> int:
     """Unpersist every tracked frame, then sweep any remaining
     persistent RDD blocks (e.g. eager-localCheckpoint storage, which
@@ -69,3 +91,21 @@ def release_caches() -> int:
     except Exception:  # session stopped mid-sweep — nothing to free
         pass
     return released
+
+
+def persistent_rdd_ids(sc) -> set[int]:
+    """Ids of all RDDs currently holding storage blocks (includes the
+    RDDs backing localCheckpoints, which DataFrame.unpersist cannot
+    reach). Single owner of the private-JVM getPersistentRDDs walk —
+    release_caches' final sweep and connected_components' per-round
+    checkpoint hygiene both route through here."""
+    return {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+
+def unpersist_rdd_ids(sc, ids: set[int]) -> None:
+    """Free the storage blocks of the given RDD ids (non-blocking)."""
+    jmap = sc._jsc.getPersistentRDDs()
+    for rid in ids:
+        rdd = jmap.get(rid)
+        if rdd is not None:
+            rdd.unpersist(False)

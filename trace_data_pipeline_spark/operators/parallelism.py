@@ -92,7 +92,15 @@ def ensure_min_parallelism(df: DataFrame, num_partitions: int | None = None) -> 
             # unknown size (remote FS): bill one open-cost — at worst
             # this UNDER-estimates width and widens unnecessarily once
             total += open_cost + (size if size is not None else 0)
-        width = max(1, -(-total // max_bytes))  # ceil division
+        # Spark's actual split size carries a parallelism FLOOR:
+        # maxSplitBytes = min(maxPartitionBytes,
+        #                     max(openCostInBytes, total/defaultParallelism))
+        # — a 200 MB file on 8 cores scans as ~8×25 MB splits, not 2×128 MB.
+        # Without the floor the estimate under-counts exactly those
+        # mid-sized scans and forces a redundant full-shuffle widening.
+        par = max(1, df.sparkSession.sparkContext.defaultParallelism)
+        split = min(max_bytes, max(open_cost, total // par or 1))
+        width = max(1, -(-total // max(1, split)))  # ceil division
     else:
         # non-file-backed plan: the only honest probe is the RDD one
         try:

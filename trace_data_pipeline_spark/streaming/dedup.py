@@ -58,9 +58,10 @@ def incremental_dedup_sink(
       corpus probe; within-batch NEAR duplicates are admitted together
       (one micro-batch is one ingest unit — near-dup consolidation
       across in-flight rows is the batch d18 operator's job);
-    - replayed micro-batches are self-idempotent: their rows are now
-      exact matches of corpus rows and drop out, so at-least-once
-      delivery cannot duplicate the corpus;
+    - ids must be GLOBALLY UNIQUE across the corpus and every batch
+      (content-addressed or uuid); a batch reusing a corpus id is
+      rejected loudly — the near-dup screen keys on the id and a
+      collision would corrupt matching in both directions;
     - the corpus is scanned per batch, never self-joined — the batch
       side broadcasts (see `incremental_dedup`).
 
@@ -71,6 +72,10 @@ def incremental_dedup_sink(
     from trace_data_pipeline_spark.datapipe.dedup import incremental_dedup
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        from trace_data_pipeline_spark.operators.caching import scoped_caches
+
         spark = batch_df.sparkSession
         # collapse within-batch exact duplicates to the min id (the
         # deterministic keeper, matching d1)
@@ -80,40 +85,58 @@ def incremental_dedup_sink(
             .select(id_col)
         )
         batch = batch_df.join(w_first, id_col, "left_semi")
-        try:
-            corpus = spark.read.parquet(corpus_path).select(
-                id_col, text_col
-            )
-        except Exception:
-            corpus = None
-        if corpus is None:
+        # bootstrap ONLY when the corpus genuinely does not exist yet —
+        # never on a read error: a transient failure (throttle, one bad
+        # footer, permissions blip) must surface, not silently
+        # OVERWRITE the accumulated corpus with one micro-batch
+        if not os.path.exists(corpus_path):
             batch.write.mode("overwrite").parquet(corpus_path)
             return
-        union = corpus.withColumn("__b", F.lit(False)).unionByName(
-            batch.select(id_col, text_col).withColumn("__b", F.lit(True))
-        )
-        flags = incremental_dedup(
-            union,
-            F.col("__b"),
-            text_col=text_col,
-            id_col=id_col,
-            n=n,
-            num_hashes=num_hashes,
-            bands=bands,
-            verify_threshold=verify_threshold,
-        )
-        keepers = flags.filter(F.col("keep") == 1).select(id_col)
-        try:
+        corpus = spark.read.parquet(corpus_path).select(id_col, text_col)
+        with scoped_caches():
+            # id-collision guard: the near-dup screen keys gram sets
+            # and bands by the id, so a batch doc REUSING a corpus id
+            # with DIFFERENT text would corrupt matching in both
+            # directions — refuse loudly. Same id + same text is the
+            # benign replay case (at-least-once redelivery of a row the
+            # corpus already holds) and is dropped up front.
+            overlap = corpus.join(
+                F.broadcast(
+                    batch.select(
+                        id_col, F.col(text_col).alias("__bt")
+                    )
+                ),
+                id_col,
+            )
+            conflicts = overlap.filter(
+                ~F.col(text_col).eqNullSafe(F.col("__bt"))
+            ).count()
+            if conflicts:
+                raise ValueError(
+                    f"batch {batch_id}: {conflicts} doc id(s) already "
+                    "exist in the corpus with DIFFERENT text — ids must "
+                    "be globally unique across corpus and batches"
+                )
+            batch = batch.join(corpus.select(id_col), id_col, "left_anti")
+            union = corpus.withColumn("__b", F.lit(False)).unionByName(
+                batch.select(id_col, text_col).withColumn("__b", F.lit(True))
+            )
+            flags = incremental_dedup(
+                union,
+                F.col("__b"),
+                text_col=text_col,
+                id_col=id_col,
+                n=n,
+                num_hashes=num_hashes,
+                bands=bands,
+                verify_threshold=verify_threshold,
+            )
+            keepers = flags.filter(F.col("keep") == 1).select(id_col)
+            # scoped: only the caches THIS call tracked are released —
+            # a session-global release_caches() here would free
+            # localCheckpoint blocks owned by unrelated in-flight work
             batch.join(keepers, id_col, "left_semi").write.mode(
                 "append"
             ).parquet(corpus_path)
-        finally:
-            # the probe persists the union's gram sets per micro-batch —
-            # release them so a long-running stream holds no stale cache
-            from trace_data_pipeline_spark.operators.caching import (
-                release_caches,
-            )
-
-            release_caches()
 
     return write_batch

@@ -287,3 +287,25 @@ def test_single_column_first_by_uses_key_directly(sp):
     assert "struct" not in plan
     row = agg.collect()[0]
     assert (row["f"], row["l"]) == (10.0, 7.0)
+
+
+def test_first_by_null_keys_are_invisible(sp):
+    """The documented null-key contract: rows with a null scalar
+    ordering key are skipped by first_by/last_by (min_by semantics);
+    an all-null-key group yields null — never a nondeterministic pick."""
+    import pyspark.sql.functions as F
+
+    from trace_data_pipeline_spark.functions.ordered import first_by, last_by
+
+    df = sp.createDataFrame(
+        [(1, None, 50.0), (1, 2, 10.0), (1, 1, 20.0), (2, None, 9.0)],
+        "g long, k long, v double",
+    )
+    rows = {
+        r.g: (r.f, r.l)
+        for r in df.groupBy("g")
+        .agg(first_by("v", F.col("k")).alias("f"), last_by("v", F.col("k")).alias("l"))
+        .collect()
+    }
+    assert rows[1] == (20.0, 10.0)  # null-key row 50.0 skipped
+    assert rows[2] == (None, None)  # only null keys -> null

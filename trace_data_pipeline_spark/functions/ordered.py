@@ -87,7 +87,15 @@ def ts_seq_key(ts: Column | str, seq: Column | str) -> Column:
 def first_by(value: Column | str, *order_cols: Column | str) -> Column:
     """Value of `value` on the row that sorts first by `order_cols`.
     A single order column is used directly (scalar keys keep the
-    aggregate hash-based); multiple columns fall back to a struct."""
+    aggregate hash-based); multiple columns fall back to a struct.
+
+    NULL-KEY CONTRACT (pinned in tests/test_properties.py): rows whose
+    scalar ordering key is null are INVISIBLE to the selection —
+    min_by/max_by skip null keys (a group of only-null keys yields
+    null). Callers must guarantee non-null keys on data paths; every
+    engine key does (order ids, report sequences, and event timestamps
+    are non-null by schema, and ts_seq_key would propagate a null ts
+    into a null key rather than silently sorting it first)."""
     key = order_cols[0] if len(order_cols) == 1 else order_key(*order_cols)
     return F.min_by(_as_col(value), _as_col(key))
 

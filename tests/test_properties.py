@@ -309,3 +309,48 @@ def test_first_by_null_keys_are_invisible(sp):
     }
     assert rows[1] == (20.0, 10.0)  # null-key row 50.0 skipped
     assert rows[2] == (None, None)  # only null keys -> null
+
+
+docs_texts = st.lists(
+    st.text(alphabet="ab ", min_size=6, max_size=40), min_size=2, max_size=10
+)
+
+
+@given(texts=docs_texts)
+@SLOW
+def test_incremental_dedup_soundness(sp, texts):
+    """Soundness of the batch-vs-corpus screen on random corpora:
+    exact_dup=1 ⟺ the batch text literally exists in the corpus;
+    near_dup=1 ⟹ some corpus doc verifies at Jaccard ≥ τ (the LSH
+    band filter may MISS near-dups — that one-sided contract is the
+    probabilistic trade — but must never flag a pair below τ)."""
+    from trace_data_pipeline_spark.datapipe.dedup import incremental_dedup
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = sp.createDataFrame(rows, "doc_id long, text string")
+    import pyspark.sql.functions as F
+
+    out = {
+        r.doc_id: (r.exact_dup, r.near_dup)
+        for r in incremental_dedup(
+            df, F.col("doc_id") % 3 == 0, n=2, verify_threshold=0.5
+        ).collect()
+    }
+
+    def grams(t, n=2):
+        toks = t.split()
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    corpus = {i: t for i, t in rows if i % 3 != 0}
+    for bid, text in rows:
+        if bid % 3 != 0 or bid not in out:
+            continue
+        exact, near = out[bid]
+        assert exact == (1 if text in corpus.values() else 0), (bid, texts)
+        if near:
+            g = grams(text)
+            assert any(
+                g and grams(ct)
+                and len(g & grams(ct)) / len(g | grams(ct)) >= 0.5
+                for ct in corpus.values()
+            ), (bid, texts)

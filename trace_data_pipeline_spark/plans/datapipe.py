@@ -1762,3 +1762,112 @@ def d31_cluster_representatives(spark, sf_dir):
             first_by(F.col("doc_id"), key).alias("rep_doc_id"),
         )
     )
+
+
+@register(
+    "d32_length_histogram",
+    oracle=r"""
+    WITH c AS (
+      SELECT LEAST(len(regexp_extract_all(trim(text),
+                       '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) // 32, 15) AS bin
+      FROM documents
+    ),
+    h AS (SELECT bin, COUNT(*) AS n_docs FROM c GROUP BY 1),
+    t AS (SELECT SUM(n_docs) AS tot FROM h)
+    SELECT CAST(bin AS BIGINT) AS bin, n_docs,
+           CAST((2 * n_docs * 1000000 + tot) // (2 * tot) AS DOUBLE)
+             / 1000000 AS share
+    FROM h, t
+    """,
+)
+def d32_length_histogram(spark, sf_dir):
+    """Sequence-length distribution (the dataset-card table consulted
+    when choosing a packing context length, cf. d24): BPE-ish subword
+    counts binned at width 32, capped at bin 15, with each bin's exact
+    half-up share of the corpus. One partial-agg shuffle to ≤16 rows;
+    the share window runs over the 16-row aggregate, never the corpus."""
+    docs = _docs(spark, sf_dir)
+    from pyspark.sql import Window
+
+    nbin = F.least(
+        F.floor(subword_count(F.trim(F.col("text"))) / F.lit(32)), F.lit(15)
+    ).cast("long")
+    hist = docs.select(nbin.alias("bin")).groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    total = F.sum("n_docs").over(Window.partitionBy())
+    return hist.select(
+        "bin",
+        "n_docs",
+        round_ratio_half_up(F.col("n_docs"), total, 6).alias("share"),
+    )
+
+
+@register(
+    "d33_source_quality",
+    oracle="WITH "
+    + _TOKS_CTE
+    + f""",
+    stats AS (
+      SELECT d.source,
+             len(t) AS n_ws,
+             CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+               / len(t) AS mwl,
+             CAST(len(list_filter(t, x -> x IN
+                  ({_sql_str_list(DEFAULT_STOPWORDS)}))) AS DOUBLE)
+               / len(t) AS stop_frac,
+             CAST(length(regexp_replace(trim(text), '[^0-9]', '', 'g'))
+                  AS DOUBLE) / length(trim(text)) AS digit_frac
+      FROM toks JOIN documents d USING (doc_id)
+    ),
+    flagged AS (
+      SELECT source, n_ws,
+             CASE WHEN n_ws >= 20 AND mwl BETWEEN 2.0 AND 5.0
+                   AND stop_frac >= 0.03 AND digit_frac <= 0.2
+                  THEN 1 ELSE 0 END AS keep
+      FROM stats
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(keep) AS BIGINT) AS n_keep,
+           CAST((2 * SUM(keep) * 1000000 + COUNT(*)) // (2 * COUNT(*))
+                AS DOUBLE) / 1000000 AS keep_rate,
+           CAST((2 * SUM(n_ws) * 10000 + COUNT(*)) // (2 * COUNT(*))
+                AS DOUBLE) / 10000 AS mean_words
+    FROM flagged GROUP BY 1
+    """,
+)
+def d33_source_quality(spark, sf_dir):
+    """Per-source curation dashboard ("which crawl sources are junk"):
+    the d21 quality gate aggregated by source — doc counts, gate pass
+    counts, exact half-up keep rate and mean word count. The rule
+    arithmetic is the d21 block verbatim; the rollup is one partial-agg
+    shuffle to |sources| rows."""
+    docs = _docs(spark, sf_dir)
+    t = tokens(F.col("text"))
+    txt = F.trim(F.col("text"))
+    n_ws = F.size(t)
+    mwl = mean_token_length(t)
+    stop_frac = stopword_count(t).cast("double") / n_ws
+    digit_frac = (
+        F.length(F.regexp_replace(txt, "[^0-9]", "")).cast("double")
+        / F.length(txt)
+    )
+    keep = (
+        (n_ws >= 20)
+        & (mwl >= 2.0)
+        & (mwl <= 5.0)
+        & (stop_frac >= 0.03)
+        & (digit_frac <= 0.2)
+    ).cast("long")
+    n = F.count(F.lit(1))
+    return (
+        docs.select("source", n_ws.alias("__nw"), keep.alias("__k"))
+        .groupBy("source")
+        .agg(
+            n.alias("n_docs"),
+            F.sum("__k").alias("n_keep"),
+            round_ratio_half_up(F.sum("__k"), n, 6).alias("keep_rate"),
+            round_ratio_half_up(F.sum("__nw"), n, 4).alias("mean_words"),
+        )
+    )

@@ -91,3 +91,25 @@ def sf_dir():
     from tests.conftest import TEST_SF_DIR
 
     return TEST_SF_DIR
+
+
+def test_scoped_caches_releases_only_inner_frames(spark):
+    """scoped_caches must release exactly the frames tracked inside its
+    body — outer tracked frames (owned by concurrent work in the same
+    session) keep their storage."""
+    from trace_data_pipeline_spark.operators.caching import (
+        release_caches,
+        scoped_caches,
+        tracked_persist,
+    )
+
+    outer = tracked_persist(spark.range(10).selectExpr("id * 2 AS v"))
+    outer.count()
+    with scoped_caches():
+        inner = tracked_persist(spark.range(5).selectExpr("id + 1 AS w"))
+        inner.count()
+        assert inner.storageLevel.useMemory
+    assert not inner.storageLevel.useMemory  # released by scope exit
+    assert outer.storageLevel.useMemory  # untouched by the scope
+    release_caches()
+    assert not outer.storageLevel.useMemory

@@ -72,9 +72,10 @@ def incremental_dedup_sink(
     from trace_data_pipeline_spark.datapipe.dedup import incremental_dedup
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        import os
-
-        from trace_data_pipeline_spark.operators.caching import scoped_caches
+        from trace_data_pipeline_spark.operators.caching import (
+            scoped_caches,
+            tracked_persist,
+        )
 
         spark = batch_df.sparkSession
         # collapse within-batch exact duplicates to the min id (the
@@ -88,8 +89,15 @@ def incremental_dedup_sink(
         # bootstrap ONLY when the corpus genuinely does not exist yet —
         # never on a read error: a transient failure (throttle, one bad
         # footer, permissions blip) must surface, not silently
-        # OVERWRITE the accumulated corpus with one micro-batch
-        if not os.path.exists(corpus_path):
+        # OVERWRITE the accumulated corpus with one micro-batch. The
+        # probe goes through the HADOOP FileSystem of the path (NOT
+        # os.path — which only sees the driver's local POSIX tree and
+        # would take the bootstrap branch on every batch for an
+        # hdfs://, s3a:// or dbfs:/ corpus).
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(corpus_path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(hpath):
             batch.write.mode("overwrite").parquet(corpus_path)
             return
         corpus = spark.read.parquet(corpus_path).select(id_col, text_col)
@@ -100,24 +108,37 @@ def incremental_dedup_sink(
             # directions — refuse loudly. Same id + same text is the
             # benign replay case (at-least-once redelivery of a row the
             # corpus already holds) and is dropped up front.
-            overlap = corpus.join(
-                F.broadcast(
-                    batch.select(
-                        id_col, F.col(text_col).alias("__bt")
-                    )
-                ),
-                id_col,
+            # ONE corpus pass computes both the conflict count and the
+            # benign replay ids: the corpus inner-joins the BROADCAST
+            # batch (corpus scanned, never shuffled) down to a
+            # collision-sized overlap, which persists inside this scope.
+            # The replay drop then anti-joins against the broadcast
+            # overlap ids — an anti-join against the raw corpus id
+            # column would put the corpus on the non-broadcastable side
+            # and shuffle it whole every micro-batch.
+            overlap = tracked_persist(
+                corpus.join(
+                    F.broadcast(
+                        batch.select(id_col, F.col(text_col).alias("__bt"))
+                    ),
+                    id_col,
+                ).select(
+                    id_col,
+                    F.col(text_col).eqNullSafe(F.col("__bt")).alias("__same"),
+                )
             )
-            conflicts = overlap.filter(
-                ~F.col(text_col).eqNullSafe(F.col("__bt"))
-            ).count()
+            conflicts = overlap.filter(~F.col("__same")).count()
             if conflicts:
                 raise ValueError(
                     f"batch {batch_id}: {conflicts} doc id(s) already "
                     "exist in the corpus with DIFFERENT text — ids must "
                     "be globally unique across corpus and batches"
                 )
-            batch = batch.join(corpus.select(id_col), id_col, "left_anti")
+            batch = batch.join(
+                F.broadcast(overlap.filter(F.col("__same")).select(id_col)),
+                id_col,
+                "left_anti",
+            )
             union = corpus.withColumn("__b", F.lit(False)).unionByName(
                 batch.select(id_col, text_col).withColumn("__b", F.lit(True))
             )

@@ -77,3 +77,26 @@ def test_estimate_counts_bytes_not_files(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
         spark.conf.set("spark.sql.files.openCostInBytes", old_cost)
+
+
+def test_estimate_scan_width_formula():
+    """The pure split math, pinned against Spark's FilePartition rules:
+    parallelism floor for mid-sized files, openCost bin-packing for
+    many small files, maxPartitionBytes cap for huge files."""
+    from trace_data_pipeline_spark.operators.parallelism import (
+        estimate_scan_width,
+    )
+
+    MB = 1 << 20
+    # 200 MB single file on 8 cores: split = 200/8 = 25.5 MB -> 8 splits
+    # (without the floor: ceil(204/128) = 2 — the bug the floor fixes)
+    assert estimate_scan_width([200 * MB], 128 * MB, 4 * MB, 8) == 8
+    # tiny single file: ~one split (the openCost billing may round the
+    # estimate up by one — an OVERestimate can only skip a needless
+    # widening, never force an extra shuffle, so it is the safe side)
+    assert estimate_scan_width([100], 128 * MB, 4 * MB, 32) in (1, 2)
+    # 40 small files bin-pack by open cost: total = 40*(4+1) = 200 MB,
+    # split floored at openCost (200/32 = 6.25 MB > 4 MB) -> 32 splits
+    assert estimate_scan_width([1 * MB] * 40, 128 * MB, 4 * MB, 32) == 32
+    # huge file caps at maxPartitionBytes: 10 GB / 128 MB = 81 splits
+    assert estimate_scan_width([10 * 1024 * MB], 128 * MB, 4 * MB, 8) == 81

@@ -36,6 +36,21 @@ def _parse_bytes(v: str) -> int:
     return int(float(s))
 
 
+def estimate_scan_width(
+    sizes: "list[int]", max_bytes: int, open_cost: int, parallelism: int
+) -> int:
+    """Spark's file-scan partition-count estimate, pure arithmetic
+    (mirrors FilePartition.maxSplitBytes + the bin-packing): each file
+    is billed size + openCost; the split size is
+    min(maxPartitionBytes, max(openCost, total/defaultParallelism)) —
+    the parallelism FLOOR means a 200 MB file on 8 cores scans as ~8
+    splits, not 2. Unit-tested directly in tests/test_parallelism.py."""
+    total = sum(open_cost + s for s in sizes)
+    par = max(1, parallelism)
+    split = min(max_bytes, max(open_cost, total // par or 1))
+    return max(1, -(-total // max(1, split)))  # ceil division
+
+
 def ensure_min_parallelism(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """Widen a narrow scan before CPU-heavy derivation (tokenize,
     shingle, hash, vector math).
@@ -81,7 +96,7 @@ def ensure_min_parallelism(df: DataFrame, num_partitions: int | None = None) -> 
         open_cost = _parse_bytes(
             conf.get("spark.sql.files.openCostInBytes", str(4 << 20))
         )
-        total = 0
+        sizes = []
         for f in files:
             p = urlparse(f)
             path = p.path if p.scheme in ("", "file") else None
@@ -89,18 +104,15 @@ def ensure_min_parallelism(df: DataFrame, num_partitions: int | None = None) -> 
                 size = os.path.getsize(path) if path else None
             except OSError:
                 size = None
-            # unknown size (remote FS): bill one open-cost — at worst
-            # this UNDER-estimates width and widens unnecessarily once
-            total += open_cost + (size if size is not None else 0)
-        # Spark's actual split size carries a parallelism FLOOR:
-        # maxSplitBytes = min(maxPartitionBytes,
-        #                     max(openCostInBytes, total/defaultParallelism))
-        # — a 200 MB file on 8 cores scans as ~8×25 MB splits, not 2×128 MB.
-        # Without the floor the estimate under-counts exactly those
-        # mid-sized scans and forces a redundant full-shuffle widening.
-        par = max(1, df.sparkSession.sparkContext.defaultParallelism)
-        split = min(max_bytes, max(open_cost, total // par or 1))
-        width = max(1, -(-total // max(1, split)))  # ceil division
+            # unknown size (remote FS): bill the open-cost only — at
+            # worst this UNDER-estimates width and widens needlessly once
+            sizes.append(size if size is not None else 0)
+        width = estimate_scan_width(
+            sizes,
+            max_bytes,
+            open_cost,
+            df.sparkSession.sparkContext.defaultParallelism,
+        )
     else:
         # non-file-backed plan: the only honest probe is the RDD one
         try:

@@ -311,9 +311,107 @@ def test_first_by_null_keys_are_invisible(sp):
     assert rows[2] == (None, None)  # only null keys -> null
 
 
+def test_first_by_struct_path_null_keys_are_invisible(sp):
+    """The multi-column (struct) path obeys the SAME null-key contract
+    as the scalar path: a row with ANY null key component is invisible
+    to the selection (the struct key is null-gated — a bare struct
+    would compare null fields as smallest and keep the row visible,
+    sorted first: ADVICE r4)."""
+    import pyspark.sql.functions as F
+
+    from trace_data_pipeline_spark.functions.ordered import first_by, last_by
+
+    df = sp.createDataFrame(
+        [
+            (1, None, 1, 50.0),  # null first component -> invisible
+            (1, 2, None, 40.0),  # null second component -> invisible
+            (1, 2, 1, 10.0),
+            (1, 1, 9, 20.0),
+            (2, None, None, 9.0),
+        ],
+        "g long, k1 long, k2 long, v double",
+    )
+    rows = {
+        r.g: (r.f, r.l)
+        for r in df.groupBy("g")
+        .agg(
+            first_by("v", F.col("k1"), F.col("k2")).alias("f"),
+            last_by("v", F.col("k1"), F.col("k2")).alias("l"),
+        )
+        .collect()
+    }
+    assert rows[1] == (20.0, 10.0)
+    assert rows[2] == (None, None)
+
+
+def test_packed_price_requires_2dp_domain(sp):
+    """_packed_price's domain contract (ADVICE r4): unpacking cents/100
+    from the packed key is bit-exact for exactly-2-decimal prices and
+    half-up-rounds anything finer — so (a) the roundtrip is exact on
+    the 2dp domain, (b) the testdata column the call sites read
+    actually IS 2dp, which is what licenses the packed-key shortcut."""
+    import pyspark.sql.functions as F
+
+    from trace_data_pipeline_spark.plans.relational import (
+        _li_tiebreak,
+        _packed_price,
+    )
+
+    df = sp.createDataFrame(
+        [(1, 1, 901.12), (1, 2, 0.01), (1, 3, 123456789.99)],
+        "l_orderkey long, l_linenumber long, l_extendedprice double",
+    )
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    out = df.agg(
+        _packed_price(F.min(_li_tiebreak(cents))).alias("f"),
+        _packed_price(F.max(_li_tiebreak(cents))).alias("l"),
+    ).collect()[0]
+    assert (out["f"], out["l"]) == (901.12, 123456789.99)
+
+    # the >2dp failure mode is REAL (documents why the contract exists):
+    # 1.005 would unpack as 1.0 or 1.01, not the true row value
+    bad = sp.createDataFrame(
+        [(1, 1, 1.005)], "l_orderkey long, l_linenumber long, l_extendedprice double"
+    )
+    cents_b = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    got = bad.agg(_packed_price(F.min(_li_tiebreak(cents_b))).alias("f")).collect()[0]["f"]
+    assert got != 1.005
+
+    # and the call sites' source column is on the 2dp domain
+    import os
+
+    from tests.conftest import TEST_SF_DIR
+
+    li = sp.read.parquet(os.path.join(TEST_SF_DIR, "lineitem.parquet"))
+    off = li.filter(
+        F.abs(F.col("l_extendedprice") * 100 - F.round(F.col("l_extendedprice") * 100, 0))
+        > 1e-9
+    ).count()
+    assert off == 0
+
+
 docs_texts = st.lists(
     st.text(alphabet="ab ", min_size=6, max_size=40), min_size=2, max_size=10
 )
+
+
+def test_incremental_dedup_null_pred_rows_are_corpus(sp):
+    """A row whose batch predicate evaluates to NULL must land on the
+    corpus side (coalesce → False), not vanish from both branches
+    (ADVICE r4: filter(p) AND filter(~p) each drop null-pred rows, so
+    the row would be neither screened nor screening)."""
+    import pyspark.sql.functions as F
+
+    from trace_data_pipeline_spark.datapipe.dedup import incremental_dedup
+
+    df = sp.createDataFrame(
+        [(1, "alpha beta gamma delta", None), (2, "alpha beta gamma delta", True)],
+        "doc_id long, text string, is_batch boolean",
+    )
+    out = {r.doc_id: r.exact_dup for r in
+           incremental_dedup(df, F.col("is_batch"), n=2).collect()}
+    # doc 1 (null pred) acted as corpus: doc 2 screens against it
+    assert out == {2: 1}
 
 
 @given(texts=docs_texts)

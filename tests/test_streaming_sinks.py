@@ -381,3 +381,89 @@ def test_streaming_incremental_dedup_rejects_id_conflicts(spark, tmp_path):
     with _pytest.raises(ValueError, match="DIFFERENT text"):
         sink(spark.createDataFrame([(1, "completely other words")],
                                    "doc_id long, text string"), 1)
+
+
+# ------------------------------------------------- crash recovery (r5)
+
+
+def test_incremental_dedup_sink_recovers_from_killed_bootstrap(spark, tmp_path):
+    """Killed-mid-bootstrap simulation: the corpus directory EXISTS but
+    holds only uncommitted debris (`_temporary/` task files, hidden
+    partials) — exactly what a bootstrap job that died before commit
+    leaves behind. On replay the sink must take the bootstrap branch
+    again (committed-data gate, ADVICE r4), not try to read a
+    footer-less directory and wedge every subsequent batch."""
+    from trace_data_pipeline_spark.streaming.dedup import incremental_dedup_sink
+
+    corpus = str(tmp_path / "corpus")
+    # fake the debris of a killed job: dir exists, nothing committed
+    os.makedirs(os.path.join(corpus, "_temporary", "0", "task_000"))
+    with open(os.path.join(corpus, "_temporary", "0", "task_000",
+                           "part-00000.parquet"), "wb") as f:
+        f.write(b"\x00" * 16)  # not even a valid parquet footer
+    with open(os.path.join(corpus, ".part-00000.crc"), "wb") as f:
+        f.write(b"\x00")
+
+    sink = incremental_dedup_sink(corpus)
+    b0 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "one two three four")],
+        "doc_id long, text string",
+    )
+    sink(b0, 0)  # replayed bootstrap batch
+    got = sorted(r.doc_id for r in spark.read.parquet(corpus).collect())
+    assert got == [1, 2]
+    # debris replaced by the committed bootstrap, later batches read fine
+    sink(
+        spark.createDataFrame(
+            [(3, "totally different words here")], "doc_id long, text string"
+        ),
+        1,
+    )
+    got = sorted(r.doc_id for r in spark.read.parquet(corpus).collect())
+    assert got == [1, 2, 3]
+
+
+def test_incremental_dedup_sink_double_replay_no_duplicates(spark, tmp_path):
+    """At-least-once redelivery after a crash BETWEEN corpus append and
+    checkpoint commit: the same micro-batch runs twice, including the
+    bootstrap batch itself. No corpus row may appear twice."""
+    from trace_data_pipeline_spark.streaming.dedup import incremental_dedup_sink
+
+    corpus = str(tmp_path / "corpus")
+    sink = incremental_dedup_sink(corpus)
+    b0 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "one two three four")],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(3, "fresh unrelated content words")], "doc_id long, text string"
+    )
+    sink(b0, 0)
+    sink(b0, 0)  # bootstrap batch replayed post-commit: benign id replays
+    assert sorted(r.doc_id for r in spark.read.parquet(corpus).collect()) == [1, 2]
+    sink(b1, 1)
+    sink(b1, 1)  # append batch replayed
+    rows = [r.doc_id for r in spark.read.parquet(corpus).collect()]
+    assert sorted(rows) == [1, 2, 3]  # each id exactly once
+
+
+def test_idempotent_parquet_writer_overwrites_crashed_batch(spark, tmp_path):
+    """Exactly-once parquet sink under replay: a batch directory left
+    half-written by a killed attempt is fully REPLACED when foreachBatch
+    redelivers the same batch_id — reading the sink output yields each
+    row exactly once."""
+    from trace_data_pipeline_spark.streaming.sinks import idempotent_parquet_writer
+
+    out = str(tmp_path / "out")
+    writer = idempotent_parquet_writer(out)
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+
+    # crashed first attempt: partial junk where batch 0 will land
+    os.makedirs(os.path.join(out, "batch_id=0", "_temporary"))
+    with open(os.path.join(out, "batch_id=0", "part-junk.parquet"), "wb") as f:
+        f.write(b"\x00" * 8)
+
+    writer(df, 0)
+    writer(df, 0)  # replay
+    got = sorted((r.id, r.v) for r in spark.read.parquet(out + "/batch_id=0").collect())
+    assert got == [(1, "a"), (2, "b")]

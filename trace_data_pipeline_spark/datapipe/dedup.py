@@ -536,6 +536,10 @@ def incremental_dedup(
     and candidate verification joins the collision-sized pair set back
     to the cached gram sets. Returns one row per batch doc:
     (doc_id, exact_dup, near_dup, keep)."""
+    # a NULL predicate row would otherwise fall out of BOTH branches
+    # (filter(p) and filter(~p) each drop nulls) — neither screened nor
+    # corpus, no output row. Coalesce pins null → corpus side.
+    batch_pred = F.coalesce(batch_pred, F.lit(False))
     batch = docs.filter(batch_pred)
     corpus = docs.filter(~batch_pred)
 

@@ -84,23 +84,42 @@ def ts_seq_key(ts: Column | str, seq: Column | str) -> Column:
     )
 
 
+def _selection_key(order_cols: tuple[Column | str, ...]) -> Column:
+    """The min_by/max_by key for first_by/last_by. A single order
+    column passes through (scalar keys keep the aggregate hash-based);
+    multiple columns fall back to a struct that is NULL-GATED — the
+    whole key is null when ANY component is null — so both forms obey
+    the same null-key contract. (A bare struct key would compare null
+    fields as smallest and keep a null-ts row visible and sorted
+    first, diverging from the scalar path: ADVICE r4, ordered.py:99.)"""
+    if len(order_cols) == 1:
+        return _as_col(order_cols[0])
+    cols = [_as_col(c) for c in order_cols]
+    gate = cols[0].isNotNull()
+    for c in cols[1:]:
+        gate = gate & c.isNotNull()
+    return F.when(gate, F.struct(*cols))
+
+
 def first_by(value: Column | str, *order_cols: Column | str) -> Column:
     """Value of `value` on the row that sorts first by `order_cols`.
     A single order column is used directly (scalar keys keep the
-    aggregate hash-based); multiple columns fall back to a struct.
+    aggregate hash-based); multiple columns fall back to a null-gated
+    struct.
 
     NULL-KEY CONTRACT (pinned in tests/test_properties.py): rows whose
-    scalar ordering key is null are INVISIBLE to the selection —
-    min_by/max_by skip null keys (a group of only-null keys yields
-    null). Callers must guarantee non-null keys on data paths; every
-    engine key does (order ids, report sequences, and event timestamps
-    are non-null by schema, and ts_seq_key would propagate a null ts
-    into a null key rather than silently sorting it first)."""
-    key = order_cols[0] if len(order_cols) == 1 else order_key(*order_cols)
-    return F.min_by(_as_col(value), _as_col(key))
+    ordering key — the scalar key, or ANY component of a multi-column
+    key — is null are INVISIBLE to the selection: min_by/max_by skip
+    null keys (a group of only-null keys yields null), and the struct
+    path null-gates so the two forms agree. Callers must guarantee
+    non-null keys on data paths; every engine key does (order ids,
+    report sequences, and event timestamps are non-null by schema, and
+    ts_seq_key would propagate a null ts into a null key rather than
+    silently sorting it first)."""
+    return F.min_by(_as_col(value), _selection_key(order_cols))
 
 
 def last_by(value: Column | str, *order_cols: Column | str) -> Column:
-    """Value of `value` on the row that sorts last by `order_cols`."""
-    key = order_cols[0] if len(order_cols) == 1 else order_key(*order_cols)
-    return F.max_by(_as_col(value), _as_col(key))
+    """Value of `value` on the row that sorts last by `order_cols`.
+    Same NULL-KEY CONTRACT as `first_by`."""
+    return F.max_by(_as_col(value), _selection_key(order_cols))

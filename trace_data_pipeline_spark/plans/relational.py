@@ -70,7 +70,18 @@ def _packed_price(agg_key):
     carries value + ordering and costs ~2× a plain decimal min in the
     a1 ablation). Exact reconstruction: cents < 1e12 < 2^53, and
     double(cents)/100 rounds to the identical double as the source
-    2-decimal price."""
+    2-decimal price.
+
+    DOMAIN CONTRACT (ADVICE r4, relational.py:75): reconstruction is
+    bit-exact ONLY for prices that are exactly-2-decimal doubles — the
+    round-trip through `round(p*100)` half-up-rounds a >2dp price, so
+    the unpacked first/last would silently differ from the true row
+    value where a min_by-based selection would not. Both call sites
+    (a1/a2 lineitem panel, p3 standard composite) read
+    `l_extendedprice`, which TPC-H defines as an exact 2-decimal
+    amount; pinned by tests/test_properties.py::
+    test_packed_price_requires_2dp_domain. Columns WITHOUT that
+    guarantee must keep `first_by`/`last_by` on the value instead."""
     pow12 = F.lit(str(10**12)).cast("decimal(20,0)")
     return (agg_key % pow12).cast("double") / F.lit(100.0)
 

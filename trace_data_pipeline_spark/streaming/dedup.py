@@ -37,6 +37,26 @@ def streaming_exact_dedup(
     )
 
 
+def _has_committed_data(fs, hpath) -> bool:
+    """True iff `hpath` holds COMMITTED parquet data: the directory
+    exists and contains a ``_SUCCESS`` marker or at least one VISIBLE
+    entry (name not starting with ``_``/``.`` — the Hadoop hidden-file
+    convention, which covers ``_temporary`` and ``_SUCCESS`` itself).
+    A directory left behind by a job that died before commit holds
+    only hidden entries and is NOT committed — the caller bootstraps
+    over it. The sink writes a flat (unpartitioned) parquet layout, so
+    a visible entry is always committed data or (under a v2 committer)
+    a partially committed file set — the latter is indistinguishable
+    from committed data at the filesystem level and is accepted."""
+    if not fs.exists(hpath):
+        return False
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if name == "_SUCCESS" or not name.startswith(("_", ".")):
+            return True
+    return False
+
+
 def incremental_dedup_sink(
     corpus_path: str,
     text_col: str = "text",
@@ -86,18 +106,26 @@ def incremental_dedup_sink(
             .select(id_col)
         )
         batch = batch_df.join(w_first, id_col, "left_semi")
-        # bootstrap ONLY when the corpus genuinely does not exist yet —
+        # bootstrap ONLY when the corpus holds no COMMITTED data yet —
         # never on a read error: a transient failure (throttle, one bad
         # footer, permissions blip) must surface, not silently
         # OVERWRITE the accumulated corpus with one micro-batch. The
         # probe goes through the HADOOP FileSystem of the path (NOT
         # os.path — which only sees the driver's local POSIX tree and
         # would take the bootstrap branch on every batch for an
-        # hdfs://, s3a:// or dbfs:/ corpus).
+        # hdfs://, s3a:// or dbfs:/ corpus). And the gate is COMMITTED
+        # data, not bare fs.exists(): a bootstrap that died mid-write
+        # leaves the directory existing but holding only uncommitted
+        # `_temporary/` task files — a bare existence probe would then
+        # take the read branch forever (no parquet footers → every
+        # later batch fails) or screen a replayed batch against a
+        # partial copy of itself.
         jvm = spark._jvm
         hpath = jvm.org.apache.hadoop.fs.Path(corpus_path)
         fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        if not fs.exists(hpath):
+        if not _has_committed_data(fs, hpath):
+            # overwrite is safe here by construction: the only thing it
+            # can replace is the uncommitted debris of a failed job
             batch.write.mode("overwrite").parquet(corpus_path)
             return
         corpus = spark.read.parquet(corpus_path).select(id_col, text_col)

@@ -191,6 +191,19 @@ def test_incremental_dedup_broadcasts_batch(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_portfolio_panel_broadcasts_and_no_sortagg(spark):
+    """p6: the periodic credit-risk aggregate keeps an INT selection
+    key (a var-width max_by buffer would demote it to SortAggregate),
+    the market panel and the 1-row max-suppkey aggregate both
+    broadcast (no fact-side shuffle for the join), and the only
+    nested-loop join is the 1-row cross combine."""
+    plan = _plan(spark, "p6_portfolio_panel")
+    assert "SortAggregate" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
 def test_monthly_signals_shuffles_twice_no_sortagg(spark):
     """p4: the whole signal block rides TWO fact-table exchanges (the
     bond partitioning serves the daily aggregate and all three lag

@@ -141,3 +141,226 @@ def p4_monthly_signals(spark, sf_dir):
         )
         .alias("roll_1m"),
     )
+
+
+# ------------------------------------------------------------------ p6
+
+# Expected-loss penalty per rating class: annual default probability ×
+# LGD 0.6 × 100 (carry units). Constants spelled as exact double
+# literals so both engines subtract identical values.
+_P6_PEN_IG, _P6_PEN_NIG, _P6_PEN_DEF = 0.12, 2.4, 21.0
+
+from trace_data_pipeline_spark.plans.stage1 import _P2_CTES  # noqa: E402
+
+_P6_ORACLE = f"""
+WITH RECURSIVE {_P2_CTES},
+bm AS (
+  SELECT user_id, substr(d, 1, 7) AS m7,
+         CAST(floor((CAST(substr(d, 9, 2) AS INTEGER) - 1) / 7.0) AS INTEGER) AS wk,
+         COUNT(*) AS n_days,
+         -- selection key: day-of-month as INT, not the d string — a
+         -- var-width max_by buffer demotes the whole aggregate to
+         -- SortAggregate; day is unique within (bond, month, week)
+         MAX_BY(pr, CAST(substr(d, 9, 2) AS INTEGER)) AS pr_eom,
+         MAX_BY(ytm_w, CAST(substr(d, 9, 2) AS INTEGER)) AS ytm_eom,
+         MAX_BY(spread_w, CAST(substr(d, 9, 2) AS INTEGER)) AS spread_eom,
+         MAX_BY(bond_maturity, CAST(substr(d, 9, 2) AS INTEGER)) AS bm_eom,
+         MAX_BY(sp_composite, CAST(substr(d, 9, 2) AS INTEGER)) AS sp_eom
+  FROM final GROUP BY 1, 2, 3
+),
+cr AS (
+  SELECT *,
+         CAST(2 + user_id % 7 AS DOUBLE) AS coupon,
+         CASE CAST(user_id % 9 AS INTEGER)
+              WHEN 3 THEN 1 WHEN 4 THEN 2 WHEN 5 THEN 4 WHEN 6 THEN 12
+              ELSE 2 END AS m
+  FROM bm
+),
+cr2 AS (
+  SELECT *,
+         ytm_eom / m AS y,
+         coupon / (100.0 * m) AS c,
+         CAST(least(200, greatest(1, CAST(floor(bm_eom * m) AS BIGINT)))
+              AS INTEGER) AS n
+  FROM cr
+),
+cr3 AS (
+  SELECT *,
+         CASE WHEN y > 0 THEN
+           ((1 + y) / y
+            - (1 + y + n * (c - y)) / (c * (power(1 + y, n) - 1) + y))
+           / ((1 + y) * m)
+         END AS mdur_raw,
+         spread_eom - lag(spread_eom)
+           OVER (PARTITION BY user_id ORDER BY m7, wk) AS dspr_raw,
+         coupon / pr_eom * 100 AS carry_raw
+  FROM cr2
+),
+ns AS (SELECT MAX(l_suppkey) AS s FROM lineitem),
+mkt AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY l_suppkey ORDER BY month) - 1
+            AS mseq
+  FROM ({{p4}})
+)
+SELECT c.user_id, c.m7 || '-w' || CAST(c.wk AS VARCHAR) AS period,
+       c.n_days,
+       CASE WHEN c.sp_eom <= 10 THEN 'IG'
+            WHEN c.sp_eom >= 22 THEN 'DEF' ELSE 'NIG' END AS rating_class,
+       c.spread_eom,
+       ROUND(c.dspr_raw, 6) + 0.0 AS d_spread,
+       ROUND(c.mdur_raw, 6) + 0.0 AS mod_dur,
+       ROUND(c.mdur_raw * c.spread_eom, 6) + 0.0 AS dts,
+       ROUND(c.carry_raw, 6) + 0.0 AS carry,
+       ROUND(c.carry_raw
+             - CASE WHEN c.sp_eom <= 10 THEN {_P6_PEN_IG!r}
+                    WHEN c.sp_eom >= 22 THEN {_P6_PEN_DEF!r}
+                    ELSE {_P6_PEN_NIG!r} END, 6) + 0.0 AS def_adj_carry,
+       k.ret_1m AS mkt_ret_1m,
+       k.mom_6_1 AS mkt_mom_6_1,
+       k.vol_1m AS mkt_vol_1m,
+       k.roll_1m AS mkt_roll_1m
+FROM cr3 c CROSS JOIN ns
+LEFT JOIN mkt k
+  ON k.l_suppkey = c.user_id % ns.s + 1 AND k.mseq = c.wk
+""".replace("{p4}", _P4_ORACLE)
+
+
+@register("p6_portfolio_panel", oracle=_P6_ORACLE)
+def p6_portfolio_panel(spark, sf_dir):
+    """Stage-2 completion (r4 verdict item 3) — the portfolio-ready
+    periodic output contract joining the stage-1 bond panel's
+    credit-risk factors with the p4 market signal block:
+
+    - d_spread   — credit spread CHANGE vs the bond's previous period
+                   (spread momentum / credit deterioration signal);
+    - mod_dur    — closed-form modified duration from the winsorized
+                   ytm (Fabozzi closed form; zero-coupon limit = n
+                   periods, guarded null for non-positive yields);
+    - dts        — Duration-Times-Spread, the standard credit risk
+                   exposure measure (Ben Dor et al. 2007, "DTS");
+    - carry      — running yield (coupon/price × 100, as p5);
+    - def_adj_carry — carry minus rating-class expected loss
+                   (annual PD × LGD 0.6, constants in _P6_PEN_*);
+    - mkt_*      — the p4 momentum/vol/Roll signals of the linked
+                   market entity, sequence-aligned.
+
+    PERIOD GRAIN: the synthetic tape spans a single calendar month, so
+    a month-over-month lag would be all-NULL (the d30 vacuity trap);
+    the period is therefore the WEEK-within-tape (YYYY-MM-wK, K =
+    (day-1)//7) — on a real multi-month tape substitute substr(d,1,7)
+    and the contract is the reference CHANGELOG's monthly panel
+    unchanged. ENTITY LINK: bonds map onto the market dimension by
+    user_id % max(l_suppkey) + 1 and periods align by sequence index
+    (row_number per supplier) — both deterministic, mirrored in the
+    oracle.
+
+    Scale shape: the stage-1 panel aggregates once to (bond, period) —
+    one fact shuffle; the lag window re-keys the tiny periodic frame
+    once; the market side (|suppliers|×|months| rows) and the 1-row
+    max-suppkey aggregate both BROADCAST, so the join adds no fact
+    shuffle and no SortAggregate anywhere (scalar string max_by keys).
+    """
+    from trace_data_pipeline_spark.plans.stage1 import _S, build_stage1
+
+    base = build_stage1(spark, sf_dir, _S)
+    uid = F.col("user_id")
+    day = F.substring("d", 9, 2).cast("int")
+    wk = F.floor((day - 1) / F.lit(7.0)).cast("int")
+    monthly = base.groupBy(
+        uid.alias("user_id"),
+        F.substring("d", 1, 7).alias("m7"),
+        wk.alias("wk"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        # int day key (unique within the group): a string key's
+        # var-width buffer would demote this aggregate to SortAggregate
+        F.max_by("pr", day).alias("pr_eom"),
+        F.max_by("ytm_w", day).alias("ytm_eom"),
+        F.max_by("spread_w", day).alias("spread_eom"),
+        F.max_by("bond_maturity", day).alias("bm_eom"),
+        F.max_by("sp_composite", day).alias("sp_eom"),
+    )
+    coupon = (2 + uid % 7).cast("double")
+    m = (
+        F.when(uid % 9 == 3, 1)
+        .when(uid % 9 == 4, 2)
+        .when(uid % 9 == 5, 4)
+        .when(uid % 9 == 6, 12)
+        .otherwise(2)
+    )
+    y = F.col("ytm_eom") / m
+    c = coupon / (F.lit(100.0) * m)
+    n = F.least(
+        F.lit(200),
+        F.greatest(F.lit(1), F.floor(F.col("bm_eom") * m).cast("long")),
+    ).cast("int")
+    mdur_raw = F.when(
+        y > 0,
+        (
+            (1 + y) / y
+            - (1 + y + n * (c - y)) / (c * (F.pow(1 + y, n) - 1) + y)
+        )
+        / ((1 + y) * m),
+    )
+    lagw = Window.partitionBy("user_id").orderBy("m7", "wk")
+    cr = (
+        monthly.withColumn("coupon", coupon)
+        .withColumn("mdur_raw", mdur_raw)
+        .withColumn(
+            "dspr_raw",
+            F.col("spread_eom") - F.lag("spread_eom").over(lagw),
+        )
+        .withColumn("carry_raw", coupon / F.col("pr_eom") * 100)
+    )
+    ns = load_table(spark, sf_dir, "lineitem").agg(
+        F.max("l_suppkey").alias("__ns")
+    )
+    mw = Window.partitionBy("l_suppkey").orderBy("month")
+    mkt = p4_monthly_signals(spark, sf_dir).select(
+        F.col("l_suppkey").alias("__sk"),
+        (F.row_number().over(mw) - 1).alias("__mseq"),
+        F.col("ret_1m").alias("mkt_ret_1m"),
+        F.col("mom_6_1").alias("mkt_mom_6_1"),
+        F.col("vol_1m").alias("mkt_vol_1m"),
+        F.col("roll_1m").alias("mkt_roll_1m"),
+    )
+    sp = F.col("sp_eom")
+    pen = (
+        F.when(sp <= 10, F.lit(_P6_PEN_IG))
+        .when(sp >= 22, F.lit(_P6_PEN_DEF))
+        .otherwise(F.lit(_P6_PEN_NIG))
+    )
+    return (
+        cr.crossJoin(F.broadcast(ns))
+        .join(
+            F.broadcast(mkt),
+            (F.col("__sk") == F.col("user_id") % F.col("__ns") + 1)
+            & (F.col("__mseq") == F.col("wk")),
+            "left",
+        )
+        .select(
+            "user_id",
+            F.concat(
+                F.col("m7"), F.lit("-w"), F.col("wk").cast("string")
+            ).alias("period"),
+            "n_days",
+            F.when(sp <= 10, "IG")
+            .when(sp >= 22, "DEF")
+            .otherwise("NIG")
+            .alias("rating_class"),
+            "spread_eom",
+            (F.round("dspr_raw", 6) + 0.0).alias("d_spread"),
+            (F.round("mdur_raw", 6) + 0.0).alias("mod_dur"),
+            (F.round(F.col("mdur_raw") * F.col("spread_eom"), 6) + 0.0).alias(
+                "dts"
+            ),
+            (F.round("carry_raw", 6) + 0.0).alias("carry"),
+            (F.round(F.col("carry_raw") - pen, 6) + 0.0).alias(
+                "def_adj_carry"
+            ),
+            "mkt_ret_1m",
+            "mkt_mom_6_1",
+            "mkt_vol_1m",
+            "mkt_roll_1m",
+        )
+    )

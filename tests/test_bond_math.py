@@ -260,3 +260,126 @@ def test_full_record_degrades_to_null_not_job_failure(spark):
             f"row {k} must be the ALL-null record, got {got[k]}"
         )
     assert got[4]["ytm"] is not None and got[4]["prclean"] is not None
+
+
+def test_golden_leap_year_act_act_straddle(spark):
+    """QuantLib-edge golden (r4 verdict item 6): an ACT/ACT ISDA
+    accrual period STRADDLING Feb 29. Semiannual 6% bond, coupons
+    Dec-15/Jun-15, trade Mon 2024-03-11 -> T+2 settle 2024-03-13:
+
+      acclast = 6 x (17/365 + 72/366)        = 1.459780
+                 (17 days of 2023 at 365, 72 days of leap-2024 at 366
+                  -- a single-year basis would give 6 x 89/365 = 1.463014,
+                  so the pin detects any leap-handling regression)
+      q       = (94/366) / (17/365 + 166/366) = 0.5135305
+      price   = PV at nominal 8% (y=0.04/period, flows at q, q+1, q+2)
+                minus acclast                  = 97.63795893451329
+
+    All constants hand-derived from calendar day counts + closed-form
+    PV -- an independent arithmetic path from the engine's fractional
+    Newton solver."""
+    from pyspark.sql import functions as F
+
+    from trace_data_pipeline_spark.operators.bond_record import (
+        RECORD_COLS,
+        attach_full_record,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "F", "2", 6.0, "ACT/ACT", "2025-06-15", 24, "2024-03-11",
+          97.63795893451329)],
+        "k int, ctype string, ifreq string, c_pct double, dcb string,"
+        " maturity string, hist_m int, trade_d string, p double",
+    ).select(
+        "k", "ctype", "ifreq", "c_pct", "dcb",
+        F.col("maturity").cast("date").alias("maturity"),
+        "hist_m",
+        F.col("trade_d").cast("date").alias("trade_d"),
+        "p",
+    )
+    r = attach_full_record(df).select(*RECORD_COLS).collect()[0]
+    assert abs(r["acclast"] - 1.459780) < 1e-6, r["acclast"]
+    assert abs(r["ytm"] - 0.08) < 1e-6, r["ytm"]
+    assert abs(r["prclean"] - 97.637959) < 1e-5
+    assert abs(r["prfull"] - (97.63795893451329 + 1.4597799236469795)) < 1e-4
+    assert abs(r["mac_dur"] - 1.212832) < 1e-5, r["mac_dur"]
+    # hist_m 24 = 4 whole periods, j_last = 3 -> one banked coupon
+    assert abs(r["accpmt"] - 3.0) < 1e-9
+
+
+def test_golden_monthly_250_period_boundary(spark):
+    """The ADVICE-r3 crash case pinned at its exact BOUNDARY: the
+    backward schedule is bounded at 250 periods, so a monthly bond 243
+    months from settlement still solves while one 255 months out falls
+    off the window and must yield the ALL-null record (never a crash,
+    never a partial record) -- and the boundary must not over-null the
+    in-window row."""
+    from pyspark.sql import functions as F
+
+    from trace_data_pipeline_spark.operators.bond_record import (
+        RECORD_COLS,
+        attach_full_record,
+    )
+
+    rows = [
+        # settle 2024-03-13; maturity 2044-06-15 -> ~243 months: inside
+        (1, "F", "12", 5.0, "30/360", "2044-06-15", 480, "2024-03-11", 95.0),
+        # maturity 2045-06-15 -> ~255 months > 250: outside -> all-null
+        (2, "F", "12", 5.0, "30/360", "2045-06-15", 480, "2024-03-11", 95.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "k int, ctype string, ifreq string, c_pct double, dcb string,"
+        " maturity string, hist_m int, trade_d string, p double",
+    ).select(
+        "k", "ctype", "ifreq", "c_pct", "dcb",
+        F.col("maturity").cast("date").alias("maturity"),
+        "hist_m",
+        F.col("trade_d").cast("date").alias("trade_d"),
+        "p",
+    )
+    got = {
+        r["k"]: r
+        for r in attach_full_record(df).select("k", *RECORD_COLS).collect()
+    }
+    inside = got[1]
+    assert inside["ytm"] is not None and inside["ytm"] > 0.05  # below par
+    assert abs(inside["prclean"] - 95.0) < 1e-4
+    assert all(got[2][c] is None for c in RECORD_COLS), got[2]
+
+
+def test_irregular_first_coupon_out_of_contract(spark):
+    """Odd-first-coupon schedules are OUT OF CONTRACT (module
+    docstring: the schedule is the regular backward grid expressed as
+    hist_m months of history; the reference's irregular first-stub
+    accruals are out of scope). A hist_m that is NOT a multiple of the
+    period (21 months on a semiannual grid = an odd 3-month first
+    stub) is treated as floor(21/6) = 3 whole periods: the stub
+    contributes NO banked-coupon accrual. This golden pins that
+    documented approximation so any silent behavior change surfaces."""
+    from pyspark.sql import functions as F
+
+    from trace_data_pipeline_spark.operators.bond_record import (
+        RECORD_COLS,
+        attach_full_record,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "F", "2", 6.0, "ACT/ACT", "2025-06-15", 21, "2024-03-11",
+          97.63795893451329)],
+        "k int, ctype string, ifreq string, c_pct double, dcb string,"
+        " maturity string, hist_m int, trade_d string, p double",
+    ).select(
+        "k", "ctype", "ifreq", "c_pct", "dcb",
+        F.col("maturity").cast("date").alias("maturity"),
+        "hist_m",
+        F.col("trade_d").cast("date").alias("trade_d"),
+        "p",
+    )
+    r = attach_full_record(df).select(*RECORD_COLS).collect()[0]
+    # identical bond to the leap golden except the off-grid history:
+    # floor(21/6)=3 whole periods == j_last -> zero banked coupons,
+    # while the true odd-stub accrual would be positive
+    assert r["ytm"] is not None
+    assert r["accpmt"] == 0.0
+    assert abs(r["acclast"] - 1.459780) < 1e-6  # grid accrual unchanged

@@ -113,3 +113,34 @@ def test_scoped_caches_releases_only_inner_frames(spark):
     assert outer.storageLevel.useMemory  # untouched by the scope
     release_caches()
     assert not outer.storageLevel.useMemory
+
+
+def test_cc_raises_on_path_beyond_jump_reach(spark):
+    """Adversarial topology at the d18 CALL SITE's max_iter=8 (r4
+    verdict item 5): pointer jumping reaches distance 2^(k+1)-2 after
+    k rounds, so an 1100-node path (diameter 1099 > 510) cannot
+    converge in 8 rounds — the contract is a loud raise, never a
+    silently split component."""
+    from trace_data_pipeline_spark.datapipe.dedup import connected_components
+
+    n = 1100
+    nodes = spark.createDataFrame([(i,) for i in range(1, n + 1)], ["doc_id"])
+    edges = spark.createDataFrame([(i, i + 1) for i in range(1, n)], ["a", "b"])
+    with pytest.raises(ValueError, match="did not converge"):
+        connected_components(nodes, edges, max_iter=8)
+    release_caches()
+
+
+def test_cc_converges_path_within_jump_reach(spark):
+    """The docstring's max_iter sizing rule, positive side: a 300-node
+    path (D=299) needs ceil(log2(301))+1 = 10 rounds; max_iter=10 must
+    converge and label the whole path with the min id."""
+    from trace_data_pipeline_spark.datapipe.dedup import connected_components
+
+    n = 300
+    nodes = spark.createDataFrame([(i,) for i in range(1, n + 1)], ["doc_id"])
+    edges = spark.createDataFrame([(i, i + 1) for i in range(1, n)], ["a", "b"])
+    out = {r["doc_id"]: r["cluster_id"]
+           for r in connected_components(nodes, edges, max_iter=10).collect()}
+    assert out == {i: 1 for i in range(1, n + 1)}
+    release_caches()

@@ -386,6 +386,18 @@ def connected_components(
     label; if labels are still moving after ``max_iter`` rounds the
     function raises rather than silently splitting a component.
 
+    CHOOSING ``max_iter`` vs expected diameter: after k rounds the min
+    label reaches every node within distance 2^(k+1)-2 of its
+    component's minimum (merge extends reach by one hop, the jump then
+    doubles it), and convergence DETECTION costs one additional
+    no-change round — so a component of diameter D needs
+    ``max_iter ≥ ceil(log2(D + 2)) + 1`` (e.g. the default 8 covers
+    D ≤ 510; adversarial path topologies beyond that raise — pinned by
+    tests/test_caching.py::test_cc_raises_on_path_beyond_jump_reach).
+    Near-dup graphs are overwhelmingly dense blobs with tiny diameters,
+    so the default leaves ~100× headroom; raise it only for chain-like
+    similarity graphs (e.g. sliding-window shingle chains).
+
     Scale shape: the iteration runs ONLY over edge-incident nodes — the
     near-dup subgraph, which is collision-sized at any corpus scale —
     never over the full node set; singletons join their self-label back

@@ -40,6 +40,15 @@ COPIES = 10
 SHIFTS = {
     "events": {"event_id": 97 * 1_000_000, "user_id": 10_000_000},
     "orders": {"o_orderkey": 10_920 * 1_000},
+    # 600_600_000 = lcm(10920, 1100) x 1000: preserves both the w10e
+    # %7/6/13/4/120 field derivations and the J13 %1100 edate offset.
+    # (It deliberately does NOT match the orders shift — no TIMED query
+    # joins lineitem to orders; a1/p6 only pack l_orderkey into the
+    # order-selection key, where any shift is harmless.) The stage-1
+    # user_id moduli (%7/%9/%13) are NOT multiples of the events shift,
+    # so p6's per-copy bond attributes re-randomize rather than repeat —
+    # statistically the same mix, which is all a timing bound needs.
+    "lineitem": {"l_orderkey": 600_600_000},
     "documents": {"doc_id": 10_000_000},
 }
 
@@ -51,7 +60,7 @@ SHIFTS = {
 # that the shuffle-linear entries must satisfy.
 QUERIES = ("p1_stage0_full", "w1_decimal_shift", "w2_bounce_back",
            "w10e_full_record", "d4_minhash_lsh_pairs", "d18_dedup_clusters",
-           "d28_incremental_dedup")
+           "d28_incremental_dedup", "a1_daily_panel", "p6_portfolio_panel")
 
 
 def _generate_sf1(spark) -> None:

@@ -3,11 +3,13 @@
 Media are opaque `binary` columns with typed metadata structs. The
 Spark-side machinery — schemas, Arrow-batched mapInPandas operators,
 partition sizing — is real and tested. PNG payloads DECODE FOR REAL
-(stdlib zlib codec in `datapipe/png.py`): feature extraction measures
-actual pixels and resize re-samples and re-encodes them. Formats that
-need external codecs (JPEG/audio/video — not in this container) fall
-back to a clearly-marked deterministic fake kernel, with decode_image
-raising NotImplementedError at the documented boundary.
+(stdlib zlib codec in `datapipe/png.py`), and so do BASELINE GRAYSCALE
+JPEGs (numpy Huffman+IDCT codec in `datapipe/jpeg.py`): feature
+extraction measures actual pixels and resize re-samples and re-encodes
+them. Formats that need external codecs (color/progressive JPEG,
+audio, video — not in this container) fall back to a clearly-marked
+deterministic fake kernel, with decode_image raising
+NotImplementedError at the documented boundary.
 
 At 100 TB the pattern is: keep binaries in their own column so parquet
 column pruning skips them unless requested; decode inside mapInPandas
@@ -59,14 +61,21 @@ FEATURES_SCHEMA = T.StructType(
 def decode_image(payload: bytes) -> tuple[int, int, int, bytearray]:
     """Image decode → (width, height, channels, 8-bit pixels). PNG
     decodes for real (stdlib zlib inflate + unfilter — see
-    `datapipe/png.py`); other formats need codecs this container does
-    not ship and raise NotImplementedError, the documented boundary."""
+    `datapipe/png.py`), as does BASELINE GRAYSCALE JPEG (Huffman
+    entropy decode + dequant + IDCT — `datapipe/jpeg.py`; color /
+    progressive JPEG raise NotImplementedError inside the codec).
+    Other formats need codecs this container does not ship and raise
+    NotImplementedError, the documented boundary."""
+    from trace_data_pipeline_spark.datapipe.jpeg import decode_jpeg, is_jpeg
     from trace_data_pipeline_spark.datapipe.png import decode_png, is_png
 
     if is_png(payload):
         return decode_png(payload)
+    if is_jpeg(payload):
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "only PNG decodes in this environment (no PIL/opencv)"
+        "only PNG and baseline grayscale JPEG decode in this "
+        "environment (no PIL/opencv)"
     )
 
 
@@ -81,12 +90,13 @@ def _fake_features(payload: bytes) -> list[float]:
     return [b / 256.0 for b in digest[:FEATURE_DIM]]
 
 
-def _png_features(payload: bytes) -> list[float]:
-    """REAL feature kernel for PNG payloads: decode, then fixed-size
-    pixel statistics — [w, h, channels, n_pixels] + per-channel
-    [mean, min, max] for up to 4 channels (absent channels → 0).
-    Integer sums divided once in float64 — exactly reproducible from
-    the pixel formula by any engine."""
+def _decoded_features(payload: bytes) -> list[float]:
+    """REAL feature kernel for decodable payloads (PNG, baseline
+    grayscale JPEG): decode, then fixed-size pixel statistics —
+    [w, h, channels, n_pixels] + per-channel [mean, min, max] for up
+    to 4 channels (absent channels → 0). Integer sums divided once in
+    float64 — exactly reproducible from the pixel formula by any
+    engine."""
     w, h, ch, px = decode_image(payload)
     n = w * h
     feats = [float(w), float(h), float(ch), float(n)]
@@ -101,14 +111,23 @@ def _png_features(payload: bytes) -> list[float]:
 
 def extract_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads via
-    mapInPandas. Per-payload routing: PNG rows run the REAL
-    decode-and-measure kernel; anything else falls back to the
-    documented fake so the pipeline never hard-fails on a format
-    without a codec."""
+    mapInPandas. Per-payload routing: PNG and baseline grayscale JPEG
+    rows run the REAL decode-and-measure kernel; anything else
+    (including in-scope-looking JPEGs that turn out color/progressive)
+    falls back to the documented fake so the pipeline never hard-fails
+    on a format without a codec."""
+    from trace_data_pipeline_spark.datapipe.jpeg import is_jpeg
     from trace_data_pipeline_spark.datapipe.png import is_png
 
     def featurize(p: bytes | None) -> list[float]:
-        return _png_features(p) if is_png(p) else _fake_features(p)
+        if is_png(p):
+            return _decoded_features(p)
+        if is_jpeg(p):
+            try:
+                return _decoded_features(p)
+            except NotImplementedError:
+                return _fake_features(p)
+        return _fake_features(p)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -575,6 +575,89 @@ def d12b_png_features(spark, sf_dir):
     ).select("media_id", "idx", F.col("f").cast("double").alias("feature"))
 
 
+@register(
+    "d12c_jpeg_features",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id AS k,
+             CAST(9 + doc_id % 10 AS INTEGER) AS w,
+             CAST(9 + doc_id % 6 AS INTEGER) AS h
+      FROM documents
+    ),
+    pix AS (
+      SELECT d.k, d.w, d.h,
+             ((xx.x // 8) * 31 + (yy.y // 8) * 17 + d.k) % 256 AS v
+      FROM d, range(0, 19) xx(x), range(0, 15) yy(y)
+      WHERE xx.x < d.w AND yy.y < d.h
+    ),
+    st AS (
+      SELECT k, w, h, SUM(v) AS s, MIN(v) AS mn, MAX(v) AS mx
+      FROM pix GROUP BY 1, 2, 3
+    ),
+    feats AS (
+      SELECT k AS media_id, 0 AS idx, CAST(w AS DOUBLE) AS feature FROM d
+      UNION ALL SELECT k, 1, CAST(h AS DOUBLE) FROM d
+      UNION ALL SELECT k, 2, CAST(1 AS DOUBLE) FROM d
+      UNION ALL SELECT k, 3, CAST(w * h AS DOUBLE) FROM d
+      UNION ALL SELECT k, 4,
+                 CAST(CAST(CAST(s AS DOUBLE) / (w * h) AS REAL) AS DOUBLE)
+        FROM st
+      UNION ALL SELECT k, 5, CAST(mn AS DOUBLE) FROM st
+      UNION ALL SELECT k, 6, CAST(mx AS DOUBLE) FROM st
+      UNION ALL
+        SELECT d.k, CAST(7 + z.i AS INTEGER), CAST(0 AS DOUBLE)
+        FROM d, range(0, 9) z(i)
+    )
+    SELECT media_id, CAST(idx AS INTEGER) AS idx, feature FROM feats
+    """,
+)
+def d12c_jpeg_features(spark, sf_dir):
+    """Multimodal REAL-decode path, JPEG edition: per doc a baseline
+    grayscale JPEG is synthesized whose 8x8 blocks are each CONSTANT
+    (value (bx*31 + by*17 + k) % 256) — the one pixel class the lossy
+    pipeline reproduces bit-exactly with an all-ones quant table (the
+    analysis DCT is DC-only with an exactly-integer DC; see
+    `datapipe/jpeg.py` module docstring). `extract_features` then
+    decodes the actual bytes — canonical Huffman entropy decode, DC
+    prediction, dequant, float64 IDCT, crop — and measures pixel
+    statistics, while the oracle recomputes them straight from the
+    block formula, so any defect in the bitstream walk, the zigzag,
+    the EXTEND sign logic, or the IDCT breaks the value hash. Widths
+    9..18 and heights 9..14 keep the block grid at 2-3 x 2 with a
+    partial edge block (padding + crop exercised). The fake-kernel
+    fallback for out-of-scope JPEGs is pinned separately in
+    tests/test_multimodal.py."""
+    import pandas as pd
+
+    from trace_data_pipeline_spark.datapipe.multimodal import extract_features
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+
+    def synth(batches):
+        from trace_data_pipeline_spark.datapipe.jpeg import encode_jpeg_gray
+
+        for pdf in batches:
+            payloads = []
+            for k in pdf["media_id"]:
+                k = int(k)
+                w, h = 9 + k % 10, 9 + k % 6
+                px = bytes(
+                    ((x // 8) * 31 + (y // 8) * 17 + k) % 256
+                    for y in range(h)
+                    for x in range(w)
+                )
+                payloads.append(encode_jpeg_gray(w, h, px))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(synth, "media_id long, payload binary")
+    feats = extract_features(media)
+    return feats.select(
+        "media_id", F.posexplode("features").alias("idx", "f")
+    ).select("media_id", "idx", F.col("f").cast("double").alias("feature"))
+
+
 _D18_PAIR_CTES = """,
 cand AS (
   SELECT DISTINCT b1.doc_id AS a, b2.doc_id AS b

@@ -161,11 +161,13 @@ bm AS (
          -- selection key: day-of-month as INT, not the d string — a
          -- var-width max_by buffer demotes the whole aggregate to
          -- SortAggregate; day is unique within (bond, month, week)
+         CAST(SUM(n_trades) AS BIGINT) AS n_trades_sum,
          MAX_BY(pr, CAST(substr(d, 9, 2) AS INTEGER)) AS pr_eom,
          MAX_BY(ytm_w, CAST(substr(d, 9, 2) AS INTEGER)) AS ytm_eom,
          MAX_BY(spread_w, CAST(substr(d, 9, 2) AS INTEGER)) AS spread_eom,
          MAX_BY(bond_maturity, CAST(substr(d, 9, 2) AS INTEGER)) AS bm_eom,
-         MAX_BY(sp_composite, CAST(substr(d, 9, 2) AS INTEGER)) AS sp_eom
+         MAX_BY(sp_composite, CAST(substr(d, 9, 2) AS INTEGER)) AS sp_eom,
+         stddev_samp(pr) AS disp_raw
   FROM final GROUP BY 1, 2, 3
 ),
 cr AS (
@@ -193,6 +195,8 @@ cr3 AS (
          END AS mdur_raw,
          spread_eom - lag(spread_eom)
            OVER (PARTITION BY user_id ORDER BY m7, wk) AS dspr_raw,
+         pr_eom / lag(pr_eom)
+           OVER (PARTITION BY user_id ORDER BY m7, wk) - 1 AS retp_raw,
          coupon / pr_eom * 100 AS carry_raw
   FROM cr2
 ),
@@ -208,6 +212,10 @@ SELECT c.user_id, c.m7 || '-w' || CAST(c.wk AS VARCHAR) AS period,
             WHEN c.sp_eom >= 22 THEN 'DEF' ELSE 'NIG' END AS rating_class,
        c.spread_eom,
        ROUND(c.dspr_raw, 6) + 0.0 AS d_spread,
+       ROUND(c.retp_raw, 6) + 0.0 AS ret_p,
+       c.n_trades_sum,
+       ROUND(c.n_days / 7.0, 6) + 0.0 AS traded_share,
+       ROUND(c.disp_raw, 6) + 0.0 AS prc_disp,
        ROUND(c.mdur_raw, 6) + 0.0 AS mod_dur,
        ROUND(c.mdur_raw * c.spread_eom, 6) + 0.0 AS dts,
        ROUND(c.carry_raw, 6) + 0.0 AS carry,
@@ -241,6 +249,11 @@ def p6_portfolio_panel(spark, sf_dir):
     - carry      — running yield (coupon/price × 100, as p5);
     - def_adj_carry — carry minus rating-class expected loss
                    (annual PD × LGD 0.6, constants in _P6_PEN_*);
+    - ret_p      — bond-level period price return (reversal signal);
+    - n_trades_sum / traded_share / prc_disp — the liquidity block
+                   (activity, share of the 7-day period with trades,
+                   within-period price dispersion — the CHANGELOG's
+                   "liquidity measures" at the panel grain);
     - mkt_*      — the p4 momentum/vol/Roll signals of the linked
                    market entity, sequence-aligned.
 
@@ -272,6 +285,7 @@ def p6_portfolio_panel(spark, sf_dir):
         wk.alias("wk"),
     ).agg(
         F.count(F.lit(1)).alias("n_days"),
+        F.sum("n_trades").alias("n_trades_sum"),
         # int day key (unique within the group): a string key's
         # var-width buffer would demote this aggregate to SortAggregate
         F.max_by("pr", day).alias("pr_eom"),
@@ -279,6 +293,7 @@ def p6_portfolio_panel(spark, sf_dir):
         F.max_by("spread_w", day).alias("spread_eom"),
         F.max_by("bond_maturity", day).alias("bm_eom"),
         F.max_by("sp_composite", day).alias("sp_eom"),
+        F.stddev_samp("pr").alias("disp_raw"),
     )
     coupon = (2 + uid % 7).cast("double")
     m = (
@@ -309,6 +324,9 @@ def p6_portfolio_panel(spark, sf_dir):
         .withColumn(
             "dspr_raw",
             F.col("spread_eom") - F.lag("spread_eom").over(lagw),
+        )
+        .withColumn(
+            "retp_raw", F.col("pr_eom") / F.lag("pr_eom").over(lagw) - 1
         )
         .withColumn("carry_raw", coupon / F.col("pr_eom") * 100)
     )
@@ -350,6 +368,12 @@ def p6_portfolio_panel(spark, sf_dir):
             .alias("rating_class"),
             "spread_eom",
             (F.round("dspr_raw", 6) + 0.0).alias("d_spread"),
+            (F.round("retp_raw", 6) + 0.0).alias("ret_p"),
+            "n_trades_sum",
+            (F.round(F.col("n_days") / F.lit(7.0), 6) + 0.0).alias(
+                "traded_share"
+            ),
+            (F.round("disp_raw", 6) + 0.0).alias("prc_disp"),
             (F.round("mdur_raw", 6) + 0.0).alias("mod_dur"),
             (F.round(F.col("mdur_raw") * F.col("spread_eom"), 6) + 0.0).alias(
                 "dts"

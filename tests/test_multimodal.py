@@ -335,12 +335,12 @@ def test_jpeg_quant_table_applied():
     assert 0 < max(errs) <= 64  # lossy, but sane
 
 
-def test_jpeg_malformed_and_out_of_scope():
+def test_jpeg_malformed_and_out_of_scope(spark):
     """Malformed streams raise ValueError (truncation, bad Huffman,
-    missing tables); in-format-but-out-of-scope features raise
-    NotImplementedError (the documented boundary); and
-    extract_features' router degrades out-of-scope JPEGs to the fake
-    kernel instead of failing the batch."""
+    missing tables — never struct.error/IndexError); in-format-but-
+    out-of-scope features raise NotImplementedError (the documented
+    boundary); and extract_features' router degrades out-of-scope
+    JPEGs to the fake kernel instead of failing the batch."""
     import struct
 
     import pytest as _pytest
@@ -351,6 +351,7 @@ def test_jpeg_malformed_and_out_of_scope():
     )
     from trace_data_pipeline_spark.datapipe.multimodal import (
         _fake_features,
+        extract_features,
     )
 
     good = encode_jpeg_gray(8, 8, bytes(range(64)))
@@ -358,16 +359,23 @@ def test_jpeg_malformed_and_out_of_scope():
         decode_jpeg(good[:40])  # truncated mid-headers
     with _pytest.raises(ValueError):
         decode_jpeg(good[:-10])  # missing EOI
+    # truncation INSIDE the SOF0 segment must still be ValueError, not
+    # a struct.error leaking through the documented contract
+    sof_off = good.find(b"\xff\xc0")
+    with _pytest.raises(ValueError):
+        decode_jpeg(good[: sof_off + 8])
+    # a tiny payload declaring huge SOF dimensions must be refused
+    # BEFORE allocation (memory-bomb guard), as a ValueError
+    bomb = bytearray(good)
+    struct.pack_into(">HH", bomb, sof_off + 5, 65535, 65535)
+    with _pytest.raises(ValueError, match="pixel cap"):
+        decode_jpeg(bytes(bomb))
     # flip SOF0 -> SOF2 (progressive): out of scope
     prog = bytearray(good)
-    idx = bytes(prog).find(b"\xff\xc0")
-    prog[idx + 1] = 0xC2
+    prog[sof_off + 1] = 0xC2
     with _pytest.raises(NotImplementedError):
         decode_jpeg(bytes(prog))
     # 3-component SOF0 (color): out of scope
-    color = bytearray(good)
-    # rebuild a minimal color SOF0 in place is fiddly; instead assert the
-    # codec rejects a hand-built color frame header
     sof = (b"\xff\xd8"
            + b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
            + b"\xff\xc0" + struct.pack(">H", 17)
@@ -375,8 +383,55 @@ def test_jpeg_malformed_and_out_of_scope():
            + b"\x01\x22\x00\x02\x11\x00\x03\x11\x00")
     with _pytest.raises(NotImplementedError):
         decode_jpeg(sof + b"\xff\xd9")
-    # the router degrades out-of-scope JPEG to the fake kernel
-    from trace_data_pipeline_spark.datapipe import multimodal as mm
+    # the ROUTER (not the codec) degrades out-of-scope JPEG to the
+    # fake kernel — asserted through extract_features itself
+    m = _media(spark, [(1, bytes(prog), ("image/jpeg", 8, 8, None))])
+    row = extract_features(m).collect()[0]
+    assert list(row.features) == [
+        pytest.approx(v) for v in _fake_features(bytes(prog))
+    ]
 
-    fake = mm._fake_features(bytes(prog))
-    assert fake == _fake_features(bytes(prog)) and len(fake) == 16
+
+def test_jpeg_zigzag_matches_spec():
+    """The Annex-K zigzag sequence, hard-pinned (round-5 review: the
+    table was generated TRANSPOSED — self-consistent round-trips hid
+    it; this pins the true spec order so externally produced JPEGs
+    decode correctly)."""
+    from trace_data_pipeline_spark.datapipe.jpeg import _ZIGZAG
+
+    spec_first16 = [
+        (0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
+        (2, 1), (3, 0), (4, 0), (3, 1), (2, 2), (1, 3), (0, 4), (0, 5),
+    ]
+    assert _ZIGZAG[:16] == spec_first16
+    assert len(_ZIGZAG) == 64 and len(set(_ZIGZAG)) == 64
+    assert _ZIGZAG[63] == (7, 7)
+
+
+def test_jpeg_fill_bytes_and_decode_speed():
+    """(a) Spec-legal 0xFF fill bytes between header segments must not
+    desync the marker parser; (b) the bit accumulators truncate
+    consumed bits — a 256x256 decode finishes in well under a second
+    (the unbounded-bigint version measured ~10 s)."""
+    import time
+
+    from trace_data_pipeline_spark.datapipe.jpeg import (
+        decode_jpeg,
+        encode_jpeg_gray,
+    )
+
+    good = encode_jpeg_gray(8, 8, bytes(range(64)))
+    # inject fill bytes before the DQT marker
+    off = good.find(b"\xff\xdb")
+    padded = good[:off] + b"\xff\xff\xff" + good[off + 1:]
+    assert decode_jpeg(padded)[:3] == (8, 8, 1)
+
+    w = h = 256
+    px = bytes((x * 7 + y * 13) % 256 for y in range(h) for x in range(w))
+    blob = encode_jpeg_gray(w, h, px)
+    t0 = time.perf_counter()
+    gw, gh, _, dec = decode_jpeg(blob)
+    dt = time.perf_counter() - t0
+    assert (gw, gh) == (w, h)
+    assert max(abs(a - b) for a, b in zip(px, dec)) <= 2
+    assert dt < 5.0, f"256x256 decode took {dt:.1f}s — accumulator blowup?"

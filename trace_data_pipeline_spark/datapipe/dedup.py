@@ -390,10 +390,12 @@ def connected_components(
     label reaches every node within distance 2^(k+1)-2 of its
     component's minimum (merge extends reach by one hop, the jump then
     doubles it), and convergence DETECTION costs one additional
-    no-change round — so a component of diameter D needs
-    ``max_iter ≥ ceil(log2(D + 2)) + 1`` (e.g. the default 8 covers
-    D ≤ 510; adversarial path topologies beyond that raise — pinned by
-    tests/test_caching.py::test_cc_raises_on_path_beyond_jump_reach).
+    no-change round — so ``max_iter`` rounds settle any component of
+    diameter D ≤ 2^max_iter − 2 (the default 8 covers D ≤ 254), and
+    the safe sizing rule with one round of slack is
+    ``max_iter ≥ ceil(log2(D + 2)) + 1``. Adversarial path topologies
+    beyond the reach raise — pinned by
+    tests/test_caching.py::test_cc_raises_on_path_beyond_jump_reach.
     Near-dup graphs are overwhelmingly dense blobs with tiny diameters,
     so the default leaves ~100× headroom; raise it only for chain-like
     similarity graphs (e.g. sliding-window shingle chains).

@@ -33,6 +33,10 @@ import struct
 
 import numpy as np
 
+# decode allocates ~8 bytes/pixel of work space; the cap bounds one
+# malicious row's footprint at ~128 MB inside an Arrow batch worker
+MAX_PIXELS = 1 << 24
+
 # ---------------------------------------------------------------- DCT
 
 _C = np.zeros((8, 8))
@@ -50,11 +54,17 @@ def _idct2(coef: np.ndarray) -> np.ndarray:
     return _C.T @ coef @ _C
 
 
-# JPEG zigzag order: _ZIGZAG[i] = (row, col) of the i-th coefficient
+# JPEG zigzag order: _ZIGZAG[i] = (row, col) of the i-th coefficient.
+# Direction per Annex K figure A.6: EVEN anti-diagonals run bottom-left
+# -> top-right ((s,0)..(0,s)), ODD ones top-right -> bottom-left — a
+# swapped direction yields the TRANSPOSED order, self-consistent for
+# this encoder/decoder pair but silently block-transposing externally
+# produced JPEGs (caught in round-5 review; pinned by
+# tests/test_multimodal.py::test_jpeg_zigzag_matches_spec).
 _ZIGZAG = []
 for _s in range(15):
     _idx = [(_s - j, j) for j in range(_s + 1) if 0 <= _s - j < 8 and 0 <= j < 8]
-    _ZIGZAG.extend(_idx if _s % 2 else _idx[::-1])
+    _ZIGZAG.extend(_idx[::-1] if _s % 2 else _idx)
 
 # Annex K.3 typical luminance Huffman tables (public spec constants)
 _DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
@@ -114,6 +124,9 @@ class _BitWriter:
         while self.n >= 8:
             self.n -= 8
             byte = (self.acc >> self.n) & 0xFF
+            # truncate consumed bits — an ever-growing bigint makes the
+            # writer O(scan^2) (round-5 review finding)
+            self.acc &= (1 << self.n) - 1
             self.buf.append(byte)
             if byte == 0xFF:  # byte stuffing
                 self.buf.append(0x00)
@@ -240,8 +253,11 @@ class _BitReader:
                 self.pos += 1  # stuffed byte
             else:
                 raise ValueError(f"unexpected marker 0xFF{nxt:02X} mid-scan")
-        self.acc = (self.acc << 8) | b
-        self.n += 8
+        # _fill only runs when n == 0, so the stale accumulator holds
+        # no unread bits — resetting keeps the reader O(scan), where
+        # (acc << 8) | b would grow a bigint forever (O(scan^2))
+        self.acc = b
+        self.n = 8
 
     def bit(self) -> int:
         if self.n == 0:
@@ -289,13 +305,23 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytearray]:
     comp_qtab = 0
     scan_dc = scan_ac = 0
     data = payload
-    while pos + 4 <= len(data):
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at offset {pos}")
+        # spec-legal 0xFF fill bytes may pad between segments
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI with no scan
             raise ValueError("reached EOI before SOS")
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / RSTn
+            pos += 2  # standalone markers carry no length field
+            continue
+        if pos + 4 > len(data):
+            raise ValueError("truncated JPEG header segment")
         (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        if seglen < 2 or pos + 2 + seglen > len(data):
+            raise ValueError("JPEG segment length runs past payload end")
         body = data[pos + 4 : pos + 2 + seglen]
         if marker == 0xDB:  # DQT
             i = 0
@@ -303,10 +329,21 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytearray]:
                 pq, tq = body[i] >> 4, body[i] & 0xF
                 if pq != 0:
                     raise NotImplementedError("16-bit quant tables (extended)")
+                if i + 65 > len(body):
+                    raise ValueError("truncated DQT segment")
                 quant[tq] = list(body[i + 1 : i + 65])
                 i += 65
         elif marker == 0xC0:  # SOF0 baseline
+            if len(body) < 9:
+                raise ValueError("truncated SOF0 segment")
             prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
+            if width * height > MAX_PIXELS:
+                raise ValueError(
+                    f"image {width}x{height} exceeds the decoder's "
+                    f"{MAX_PIXELS}-pixel cap (a tiny payload can declare "
+                    "arbitrary SOF dimensions — allocating first would be "
+                    "a memory bomb)"
+                )
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision")
             if ncomp != 1:
@@ -326,8 +363,12 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytearray]:
             i = 0
             while i < len(body):
                 tc, th = body[i] >> 4, body[i] & 0xF
+                if i + 17 > len(body):
+                    raise ValueError("truncated DHT segment")
                 bits = list(body[i + 1 : i + 17])
                 n = sum(bits)
+                if i + 17 + n > len(body):
+                    raise ValueError("truncated DHT segment")
                 vals = list(body[i + 17 : i + 17 + n])
                 tab = _decode_table(bits, vals)
                 (dc_tables if tc == 0 else ac_tables)[th] = tab
@@ -335,6 +376,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytearray]:
         elif marker == 0xDD:
             raise NotImplementedError("restart intervals (DRI) out of scope")
         elif marker == 0xDA:  # SOS
+            if len(body) < 3:
+                raise ValueError("truncated SOS segment")
             scan_dc = body[2] >> 4
             scan_ac = body[2] & 0xF
             pos = pos + 2 + seglen
@@ -346,6 +389,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytearray]:
         raise ValueError("no SOF0 frame header before SOS")
     if comp_qtab not in quant or scan_dc not in dc_tables or scan_ac not in ac_tables:
         raise ValueError("scan references missing quant/Huffman table")
+    if len(quant[comp_qtab]) != 64:
+        raise ValueError("quant table has fewer than 64 entries")
 
     qmat = np.empty((8, 8))
     for i, (r, c) in enumerate(_ZIGZAG):

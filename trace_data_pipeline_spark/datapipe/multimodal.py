@@ -112,10 +112,14 @@ def _decoded_features(payload: bytes) -> list[float]:
 def extract_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads via
     mapInPandas. Per-payload routing: PNG and baseline grayscale JPEG
-    rows run the REAL decode-and-measure kernel; anything else
-    (including in-scope-looking JPEGs that turn out color/progressive)
-    falls back to the documented fake so the pipeline never hard-fails
-    on a format without a codec."""
+    rows run the REAL decode-and-measure kernel; formats without a
+    codec — including in-scope-looking JPEGs that turn out
+    color/progressive — fall back to the documented fake so the
+    pipeline never hard-fails on MISSING capability. MALFORMED data of
+    an in-scope format (bad CRC, truncated entropy stream) raises
+    loudly instead, for both codecs alike: corruption must surface,
+    not silently degrade into fake features (the PNG ADVICE-r3
+    contract, extended unchanged to JPEG)."""
     from trace_data_pipeline_spark.datapipe.jpeg import is_jpeg
     from trace_data_pipeline_spark.datapipe.png import is_png
 

@@ -435,3 +435,64 @@ def test_jpeg_fill_bytes_and_decode_speed():
     assert (gw, gh) == (w, h)
     assert max(abs(a - b) for a, b in zip(px, dec)) <= 2
     assert dt < 5.0, f"256x256 decode took {dt:.1f}s — accumulator blowup?"
+
+
+# ------------------------------------------------------------- WAV (r5)
+
+
+def test_wav_roundtrip_and_depths():
+    """PCM16 encode->decode is identity for mono and stereo (interleave
+    order pinned), and an 8-bit payload decodes recentred to signed."""
+    import struct
+
+    from trace_data_pipeline_spark.datapipe.wav import decode_wav, encode_wav
+
+    mono = [[(i * 7) % 3001 - 1500 for i in range(100)]]
+    r, ch, got = decode_wav(encode_wav(16000, 1, mono))
+    assert (r, ch) == (16000, 1) and got == mono
+
+    stereo = [[i for i in range(50)], [-i for i in range(50)]]
+    r, ch, got = decode_wav(encode_wav(8000, 2, stereo))
+    assert (r, ch) == (8000, 2) and got == stereo
+
+    # hand-built 8-bit mono: samples 0,128,255 -> -128, 0, 127
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", 3) + bytes([0, 128, 255]))
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    r, ch, got = decode_wav(payload)
+    assert got == [[-128, 0, 127]]
+
+
+def test_wav_malformed_and_out_of_scope(spark):
+    """Truncated/inconsistent RIFF raises ValueError; compressed format
+    tags raise NotImplementedError; and the audio router yields the
+    null stats row for formats without a codec instead of failing."""
+    import struct
+
+    import pytest as _pytest
+
+    from trace_data_pipeline_spark.datapipe.multimodal import (
+        extract_audio_features,
+    )
+    from trace_data_pipeline_spark.datapipe.wav import decode_wav, encode_wav
+
+    good = encode_wav(8000, 1, [[1, 2, 3, 4]])
+    with _pytest.raises(ValueError):
+        decode_wav(good[:-3])  # data chunk runs past payload end
+    with _pytest.raises(ValueError):
+        decode_wav(b"RIFF\x04\x00\x00\x00WAVE")  # no fmt/data
+    mp3ish = bytearray(good)
+    struct.pack_into("<H", mp3ish, good.find(b"fmt ") + 8, 85)  # MP3 tag
+    with _pytest.raises(NotImplementedError):
+        decode_wav(bytes(mp3ish))
+
+    m = _media(spark, [
+        (1, good, ("audio/wav", None, None, None)),
+        (2, b"ID3 not-a-wav-at-all", ("audio/mpeg", None, None, None)),
+        (3, bytes(mp3ish), ("audio/wav", None, None, None)),
+    ])
+    rows = {r.media_id: r for r in extract_audio_features(m).collect()}
+    assert rows[1].n_samples == 4 and rows[1].ch0_max == 4.0
+    assert rows[2].sample_rate is None  # no codec -> null stats row
+    assert rows[3].sample_rate is None  # out-of-scope PCM variant

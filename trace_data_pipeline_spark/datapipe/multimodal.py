@@ -4,12 +4,13 @@ Media are opaque `binary` columns with typed metadata structs. The
 Spark-side machinery — schemas, Arrow-batched mapInPandas operators,
 partition sizing — is real and tested. PNG payloads DECODE FOR REAL
 (stdlib zlib codec in `datapipe/png.py`), and so do BASELINE GRAYSCALE
-JPEGs (numpy Huffman+IDCT codec in `datapipe/jpeg.py`): feature
-extraction measures actual pixels and resize re-samples and re-encodes
+JPEGs (numpy Huffman+IDCT codec in `datapipe/jpeg.py`) and PCM WAV
+audio (stdlib RIFF codec in `datapipe/wav.py`): feature extraction
+measures actual pixels/samples and resize re-samples and re-encodes
 them. Formats that need external codecs (color/progressive JPEG,
-audio, video — not in this container) fall back to a clearly-marked
-deterministic fake kernel, with decode_image raising
-NotImplementedError at the documented boundary.
+MP3/AAC, video — not in this container) fall back to a clearly-marked
+deterministic fake kernel or null stats row, with decode_image
+raising NotImplementedError at the documented boundary.
 
 At 100 TB the pattern is: keep binaries in their own column so parquet
 column pruning skips them unless requested; decode inside mapInPandas
@@ -234,3 +235,80 @@ def resize_images(media: DataFrame, max_side: int = 256, batch_size: int = 64) -
                 yield chunk[["media_id", "payload", "out_width", "out_height"]]
 
     return sized.mapInPandas(run, RESIZED_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("duration_ms", T.DoubleType(), True),
+        T.StructField("ch0_mean", T.DoubleType(), True),
+        T.StructField("ch0_min", T.DoubleType(), True),
+        T.StructField("ch0_max", T.DoubleType(), True),
+        T.StructField("ch1_mean", T.DoubleType(), True),
+        T.StructField("ch1_min", T.DoubleType(), True),
+        T.StructField("ch1_max", T.DoubleType(), True),
+    ]
+)
+
+
+def extract_audio_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
+    """Audio twin of `extract_features`: PCM WAV payloads decode FOR
+    REAL (`datapipe/wav.py` — RIFF walk, deinterleave) and emit exact
+    sample statistics; per the image convention an absent second
+    channel reports zeros rather than nulls. Payloads of formats
+    without a codec (MP3/AAC/… — `is_wav` false, or PCM variants the
+    codec rejects as NotImplementedError) yield the null stats row
+    with `sample_rate` null, keeping the pipeline alive; MALFORMED
+    RIFF raises loudly (same corruption contract as the image
+    codecs). Statistics are integer sums divided once in float64 —
+    bit-reproducible from the sample formula by any engine."""
+    from trace_data_pipeline_spark.datapipe.wav import decode_wav, is_wav
+
+    def stats(p: bytes | None) -> dict:
+        none = {
+            "sample_rate": None, "channels": None, "n_samples": None,
+            "duration_ms": None, "ch0_mean": None, "ch0_min": None,
+            "ch0_max": None, "ch1_mean": None, "ch1_min": None,
+            "ch1_max": None,
+        }
+        if p is None or not is_wav(p):
+            return none
+        try:
+            rate, ch, samples = decode_wav(p)
+        except NotImplementedError:
+            return none
+        n = len(samples[0])
+        if n == 0:
+            return none
+        row = {
+            "sample_rate": rate, "channels": ch, "n_samples": n,
+            "duration_ms": n * 1000 / rate,
+        }
+        for c in range(2):
+            if c < ch:
+                vals = samples[c]
+                row[f"ch{c}_mean"] = sum(vals) / n
+                row[f"ch{c}_min"] = float(min(vals))
+                row[f"ch{c}_max"] = float(max(vals))
+            else:
+                row[f"ch{c}_mean"] = 0.0
+                row[f"ch{c}_min"] = 0.0
+                row[f"ch{c}_max"] = 0.0
+        return row
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[start : start + batch_size]
+                rows = [
+                    {"media_id": int(m), **stats(p)}
+                    for m, p in zip(chunk["media_id"], chunk["payload"])
+                ]
+                yield pd.DataFrame(rows)
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, AUDIO_FEATURES_SCHEMA
+    )

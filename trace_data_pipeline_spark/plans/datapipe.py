@@ -658,6 +658,85 @@ def d12c_jpeg_features(spark, sf_dir):
     ).select("media_id", "idx", F.col("f").cast("double").alias("feature"))
 
 
+@register(
+    "d12d_wav_features",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id AS k,
+             CAST(8000 + (doc_id % 4) * 4000 AS INTEGER) AS rate,
+             CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+             200 + doc_id % 57 AS n
+      FROM documents
+    ),
+    smp AS (
+      SELECT d.k, d.channels, d.n, cc.c,
+             (ii.i * 13 + cc.c * 7 + d.k * 31) % 4001 - 2000 AS v
+      FROM d, range(0, 2) cc(c), range(0, 257) ii(i)
+      WHERE cc.c < d.channels AND ii.i < d.n
+    ),
+    st AS (
+      SELECT k, c, SUM(v) AS s, MIN(v) AS mn, MAX(v) AS mx
+      FROM smp GROUP BY 1, 2
+    )
+    SELECT d.k AS media_id, d.rate AS sample_rate, d.channels,
+           CAST(d.n AS BIGINT) AS n_samples,
+           CAST(d.n AS DOUBLE) * 1000 / d.rate AS duration_ms,
+           CAST(s0.s AS DOUBLE) / d.n AS ch0_mean,
+           CAST(s0.mn AS DOUBLE) AS ch0_min,
+           CAST(s0.mx AS DOUBLE) AS ch0_max,
+           COALESCE(CAST(s1.s AS DOUBLE) / d.n, 0.0) AS ch1_mean,
+           COALESCE(CAST(s1.mn AS DOUBLE), 0.0) AS ch1_min,
+           COALESCE(CAST(s1.mx AS DOUBLE), 0.0) AS ch1_max
+    FROM d
+    JOIN st s0 ON s0.k = d.k AND s0.c = 0
+    LEFT JOIN st s1 ON s1.k = d.k AND s1.c = 1
+    """,
+)
+def d12d_wav_features(spark, sf_dir):
+    """Multimodal real-decode path, AUDIO edition: per doc a PCM16 WAV
+    is synthesized from a closed-form sample formula (rate, channel
+    count and length vary by id; samples (i*13 + c*7 + k*31) % 4001 -
+    2000), then `extract_audio_features` decodes the actual RIFF bytes
+    — chunk walk, fmt parse, frame deinterleave (`datapipe/wav.py`) —
+    and measures per-channel sample statistics. PCM is lossless, so
+    unlike the JPEG entry no special content class is needed: every
+    value round-trips bit-exactly and the oracle recomputes the
+    statistics straight from the formula (any defect in the chunk
+    walk, interleave order, or sign handling breaks the hash). Means
+    and durations are exact-integer ratios — identical doubles in both
+    engines without rounding. Synthesis and extraction are separate
+    Arrow passes; the operator under test sees only opaque binary."""
+    import pandas as pd
+
+    from trace_data_pipeline_spark.datapipe.multimodal import (
+        extract_audio_features,
+    )
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+
+    def synth(batches):
+        from trace_data_pipeline_spark.datapipe.wav import encode_wav
+
+        for pdf in batches:
+            payloads = []
+            for k in pdf["media_id"]:
+                k = int(k)
+                rate = 8000 + (k % 4) * 4000
+                ch = 1 + k % 2
+                n = 200 + k % 57
+                samples = [
+                    [(i * 13 + c * 7 + k * 31) % 4001 - 2000 for i in range(n)]
+                    for c in range(ch)
+                ]
+                payloads.append(encode_wav(rate, ch, samples))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(synth, "media_id long, payload binary")
+    return extract_audio_features(media)
+
+
 _D18_PAIR_CTES = """,
 cand AS (
   SELECT DISTINCT b1.doc_id AS a, b2.doc_id AS b

@@ -496,3 +496,60 @@ def test_wav_malformed_and_out_of_scope(spark):
     assert rows[1].n_samples == 4 and rows[1].ch0_max == 4.0
     assert rows[2].sample_rate is None  # no codec -> null stats row
     assert rows[3].sample_rate is None  # out-of-scope PCM variant
+
+
+# ------------------------------------------------------------- AVI (r5)
+
+
+def test_avi_mux_demux_roundtrip_and_boundaries(spark):
+    """(a) mux->demux returns the frame payloads byte-identical in
+    stream order with the avih frame interval; (b) malformed RIFF
+    raises ValueError; non-MJPEG fourccs raise NotImplementedError;
+    (c) the video router emits per-sampled-frame rows for AVI, the
+    stride skips frames, and a codec-less payload yields one null row."""
+    import pytest as _pytest
+
+    from trace_data_pipeline_spark.datapipe.avi import (
+        decode_avi_frames,
+        encode_avi_mjpeg,
+        is_avi,
+    )
+    from trace_data_pipeline_spark.datapipe.jpeg import encode_jpeg_gray
+    from trace_data_pipeline_spark.datapipe.multimodal import (
+        extract_video_features,
+    )
+
+    frames = [
+        encode_jpeg_gray(16, 9, bytes([(10 + 40 * f)] * 144))
+        for f in range(4)
+    ]
+    avi = encode_avi_mjpeg(frames, 16, 9, usec_per_frame=50000)
+    assert is_avi(avi)
+    usec, got = decode_avi_frames(avi)
+    assert usec == 50000 and got == frames
+
+    with _pytest.raises(ValueError):
+        decode_avi_frames(avi[:-5])  # RIFF size past payload end
+    h264 = bytearray(avi)
+    i = avi.find(b"vids") + 4
+    h264[i : i + 4] = b"H264"
+    with _pytest.raises(NotImplementedError):
+        decode_avi_frames(bytes(h264))
+
+    m = _media(spark, [
+        (1, avi, ("video/avi", 16, 9, 200)),
+        (2, b"\x00\x00\x01\xba mpeg-ps", ("video/mpeg", None, None, None)),
+        (3, bytes(h264), ("video/avi", 16, 9, 200)),
+    ])
+    rows = extract_video_features(m, every_n=2).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.media_id, []).append(r)
+    a = sorted(by_id[1], key=lambda r: r.frame_idx)
+    assert [r.frame_idx for r in a] == [0, 2]  # stride 2 over 4 frames
+    assert [r.frame_ms for r in a] == [0.0, 100.0]
+    # constant frames: mean == min == max == the frame constant
+    assert (a[0].px_mean, a[0].px_min, a[0].px_max) == (10.0, 10.0, 10.0)
+    assert (a[1].px_mean, a[1].px_min, a[1].px_max) == (90.0, 90.0, 90.0)
+    assert len(by_id[2]) == 1 and by_id[2][0].frame_idx is None
+    assert len(by_id[3]) == 1 and by_id[3][0].frame_idx is None

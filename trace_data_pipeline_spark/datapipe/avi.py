@@ -1,0 +1,119 @@
+"""AVI (RIFF) MJPEG container codec — stdlib only.
+
+The video sibling of `datapipe/wav.py`: a motion-JPEG AVI is a RIFF
+tree whose `movi` LIST holds one compressed-video chunk (`00dc`) per
+frame, each frame being a standalone baseline JPEG — exactly the
+format `datapipe/jpeg.py` already decodes. So the container walk here
+plus the existing image codec give a REAL end-to-end video path:
+demux → per-frame entropy decode → pixel statistics. The matching
+muxer synthesizes test payloads.
+
+OUT OF SCOPE (documented boundary, raises NotImplementedError):
+every other codec fourcc (H.264/VP9/…, which need real video
+libraries), audio streams inside the container are skipped, and
+index (`idx1`) chunks are ignored (frames are read in stream order).
+Malformed RIFF structure raises ValueError — same corruption
+contract as the PNG/JPEG/WAV codecs.
+"""
+
+from __future__ import annotations
+
+import struct
+
+# demux cap: one malicious header must not produce unbounded frame lists
+MAX_FRAMES = 1 << 16
+
+
+def is_avi(payload: bytes | None) -> bool:
+    return (
+        bool(payload)
+        and len(payload) >= 12
+        and payload[:4] == b"RIFF"
+        and payload[8:12] == b"AVI "
+    )
+
+
+def encode_avi_mjpeg(
+    frames: list[bytes], width: int, height: int, usec_per_frame: int = 40000
+) -> bytes:
+    """Mux baseline-JPEG frames into a minimal MJPG AVI (one video
+    stream, no audio, no index)."""
+    if not frames:
+        raise ValueError("need at least one frame")
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        usec_per_frame, 0, 0, 0, len(frames), 0, 1, 0, width, height,
+        0, 0, 0, 0,
+    )
+    strh = (b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0,
+            usec_per_frame, 1_000_000, 0, len(frames), 0, 0, 0, 0))
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_frames(payload: bytes) -> tuple[int, list[bytes]]:
+    """Demux an MJPEG AVI -> (usec_per_frame, [frame JPEG payloads]).
+    The frames are returned still compressed — feed each to
+    `jpeg.decode_jpeg` (or `multimodal.decode_image`)."""
+    if not is_avi(payload):
+        raise ValueError("not a RIFF/AVI payload")
+    usec = None
+    frames: list[bytes] = []
+    fourcc = None
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal usec, fourcc
+        while pos + 8 <= end:
+            cid = payload[pos : pos + 4]
+            (clen,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+            if pos + 8 + clen > end:
+                raise ValueError("RIFF chunk runs past its parent")
+            body_start, body_end = pos + 8, pos + 8 + clen
+            if cid == b"LIST":
+                if clen < 4:
+                    raise ValueError("truncated LIST chunk")
+                walk(body_start + 4, body_end)  # recurse past list type
+            elif cid == b"avih":
+                if clen < 4:
+                    raise ValueError("truncated avih chunk")
+                (usec,) = struct.unpack(
+                    "<I", payload[body_start : body_start + 4]
+                )
+            elif cid == b"strh":
+                if clen >= 8 and payload[body_start : body_start + 4] == b"vids":
+                    fourcc = payload[body_start + 4 : body_start + 8]
+            elif cid[2:4] in (b"dc", b"db"):
+                if len(frames) >= MAX_FRAMES:
+                    raise ValueError(f"frame count exceeds the {MAX_FRAMES} cap")
+                frames.append(payload[body_start:body_end])
+            pos = body_end + (clen & 1)  # word alignment
+
+    (riff_len,) = struct.unpack("<I", payload[4:8])
+    if 8 + riff_len > len(payload):
+        raise ValueError("RIFF size runs past payload end")
+    walk(12, 8 + riff_len)
+    if fourcc is not None and fourcc not in (b"MJPG", b"mjpg"):
+        raise NotImplementedError(
+            f"video codec {fourcc!r} is out of scope — MJPEG only "
+            "(H.264/VP9 need libraries this container does not ship)"
+        )
+    if usec is None:
+        raise ValueError("missing avih header")
+    if not frames:
+        raise ValueError("no video frames in movi list")
+    return usec, frames

@@ -4,13 +4,14 @@ Media are opaque `binary` columns with typed metadata structs. The
 Spark-side machinery — schemas, Arrow-batched mapInPandas operators,
 partition sizing — is real and tested. PNG payloads DECODE FOR REAL
 (stdlib zlib codec in `datapipe/png.py`), and so do BASELINE GRAYSCALE
-JPEGs (numpy Huffman+IDCT codec in `datapipe/jpeg.py`) and PCM WAV
-audio (stdlib RIFF codec in `datapipe/wav.py`): feature extraction
-measures actual pixels/samples and resize re-samples and re-encodes
-them. Formats that need external codecs (color/progressive JPEG,
-MP3/AAC, video — not in this container) fall back to a clearly-marked
-deterministic fake kernel or null stats row, with decode_image
-raising NotImplementedError at the documented boundary.
+JPEGs (numpy Huffman+IDCT codec in `datapipe/jpeg.py`), PCM WAV audio
+(stdlib RIFF codec in `datapipe/wav.py`) and MJPEG AVI video (RIFF
+demux in `datapipe/avi.py` + the JPEG codec per frame): feature
+extraction measures actual pixels/samples/frames and resize
+re-samples and re-encodes them. Formats that need external codecs
+(color/progressive JPEG, MP3/AAC, H.264/VP9) fall back to a
+clearly-marked deterministic fake kernel or null stats row, with
+decode_image raising NotImplementedError at the documented boundary.
 
 At 100 TB the pattern is: keep binaries in their own column so parquet
 column pruning skips them unless requested; decode inside mapInPandas
@@ -311,4 +312,78 @@ def extract_audio_features(media: DataFrame, batch_size: int = 256) -> DataFrame
 
     return media.select("media_id", "payload").mapInPandas(
         run, AUDIO_FEATURES_SCHEMA
+    )
+
+
+VIDEO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), True),
+        T.StructField("frame_ms", T.DoubleType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("px_mean", T.DoubleType(), True),
+        T.StructField("px_min", T.DoubleType(), True),
+        T.StructField("px_max", T.DoubleType(), True),
+    ]
+)
+
+
+def extract_video_features(
+    media: DataFrame, every_n: int = 1, batch_size: int = 64
+) -> DataFrame:
+    """Video twin of `extract_features`: MJPEG AVI payloads demux FOR
+    REAL (`datapipe/avi.py`) and every `every_n`-th frame runs the
+    actual baseline-JPEG decode, emitting one statistics row per
+    sampled frame with its container-derived timestamp. Payloads of
+    formats without a codec (H.264/VP9 fourccs, non-AVI containers)
+    yield a single null row so the pipeline stays alive and the
+    missing-capability rows stay visible; MALFORMED containers raise
+    loudly (the shared corruption contract). Small batch size — a
+    decoded frame sequence is orders of magnitude larger than its
+    payload."""
+    from trace_data_pipeline_spark.datapipe.avi import (
+        decode_avi_frames,
+        is_avi,
+    )
+
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+
+    def rows_for(mid: int, p: bytes | None) -> list[dict]:
+        null_row = {
+            "media_id": mid, "frame_idx": None, "frame_ms": None,
+            "width": None, "height": None, "px_mean": None,
+            "px_min": None, "px_max": None,
+        }
+        if p is None or not is_avi(p):
+            return [null_row]
+        try:
+            usec, frames = decode_avi_frames(p)
+        except NotImplementedError:
+            return [null_row]
+        out = []
+        for idx in range(0, len(frames), every_n):
+            w, h, ch, px = decode_image(frames[idx])
+            n = w * h * ch
+            out.append({
+                "media_id": mid, "frame_idx": idx,
+                "frame_ms": idx * usec / 1000,
+                "width": w, "height": h,
+                "px_mean": sum(px) / n,
+                "px_min": float(min(px)), "px_max": float(max(px)),
+            })
+        return out
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[start : start + batch_size]
+                rows: list[dict] = []
+                for m, p in zip(chunk["media_id"], chunk["payload"]):
+                    rows.extend(rows_for(int(m), p))
+                yield pd.DataFrame(rows)
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, VIDEO_FEATURES_SCHEMA
     )

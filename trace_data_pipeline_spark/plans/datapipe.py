@@ -737,6 +737,90 @@ def d12d_wav_features(spark, sf_dir):
     return extract_audio_features(media)
 
 
+@register(
+    "d12e_video_frame_features",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id AS k,
+             CAST(9 + doc_id % 10 AS INTEGER) AS w,
+             CAST(9 + doc_id % 6 AS INTEGER) AS h,
+             3 + doc_id % 4 AS nf,
+             40000 + (doc_id % 3) * 20000 AS us
+      FROM documents
+    ),
+    fr AS (
+      SELECT d.*, ff.f FROM d, range(0, 7) ff(f)
+      WHERE ff.f < d.nf AND ff.f % 2 = 0
+    ),
+    pix AS (
+      SELECT fr.k, fr.f, fr.w, fr.h, fr.us,
+             ((xx.x // 8) * 31 + (yy.y // 8) * 17 + fr.k + 53 * fr.f) % 256
+               AS v
+      FROM fr, range(0, 19) xx(x), range(0, 15) yy(y)
+      WHERE xx.x < fr.w AND yy.y < fr.h
+    ),
+    st AS (
+      SELECT k, f, w, h, us, SUM(v) AS s, MIN(v) AS mn, MAX(v) AS mx
+      FROM pix GROUP BY 1, 2, 3, 4, 5
+    )
+    SELECT k AS media_id, CAST(f AS INTEGER) AS frame_idx,
+           CAST(f AS DOUBLE) * us / 1000 AS frame_ms,
+           w AS width, h AS height,
+           CAST(s AS DOUBLE) / (w * h) AS px_mean,
+           CAST(mn AS DOUBLE) AS px_min,
+           CAST(mx AS DOUBLE) AS px_max
+    FROM st
+    """,
+)
+def d12e_video_frame_features(spark, sf_dir):
+    """Multimodal real-decode path, VIDEO edition: per doc an MJPEG
+    AVI is muxed from constant-block grayscale JPEG frames (geometry
+    and frame count vary by id; frame f's block value is
+    (bx*31 + by*17 + k + 53*f) % 256 — the DC-only class that
+    round-trips the lossy image codec bit-exactly, see
+    `datapipe/jpeg.py`), then `extract_video_features` demuxes the
+    actual RIFF bytes, samples every 2nd frame, entropy-decodes each
+    sampled frame for real and measures pixel statistics with the
+    container-derived timestamp. The oracle recomputes everything from
+    the formula, so a defect anywhere in the container walk, the frame
+    order, the sampling stride, or the per-frame JPEG decode breaks
+    the value hash."""
+    import pandas as pd
+
+    from trace_data_pipeline_spark.datapipe.multimodal import (
+        extract_video_features,
+    )
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+
+    def synth(batches):
+        from trace_data_pipeline_spark.datapipe.avi import encode_avi_mjpeg
+        from trace_data_pipeline_spark.datapipe.jpeg import encode_jpeg_gray
+
+        for pdf in batches:
+            payloads = []
+            for k in pdf["media_id"]:
+                k = int(k)
+                w, h = 9 + k % 10, 9 + k % 6
+                nf = 3 + k % 4
+                us = 40000 + (k % 3) * 20000
+                frames = []
+                for f in range(nf):
+                    px = bytes(
+                        ((x // 8) * 31 + (y // 8) * 17 + k + 53 * f) % 256
+                        for y in range(h)
+                        for x in range(w)
+                    )
+                    frames.append(encode_jpeg_gray(w, h, px))
+                payloads.append(encode_avi_mjpeg(frames, w, h, us))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(synth, "media_id long, payload binary")
+    return extract_video_features(media, every_n=2)
+
+
 _D18_PAIR_CTES = """,
 cand AS (
   SELECT DISTINCT b1.doc_id AS a, b2.doc_id AS b

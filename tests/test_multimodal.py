@@ -553,3 +553,91 @@ def test_avi_mux_demux_roundtrip_and_boundaries(spark):
     assert (a[1].px_mean, a[1].px_min, a[1].px_max) == (90.0, 90.0, 90.0)
     assert len(by_id[2]) == 1 and by_id[2][0].frame_idx is None
     assert len(by_id[3]) == 1 and by_id[3][0].frame_idx is None
+
+
+def test_avi_wav_hardening_from_review(spark):
+    """Round-5 second review pins: (1) a color-frame MJPG AVI degrades
+    to the null row instead of crashing the task; (2) WAV sample_rate=0
+    is ValueError, not ZeroDivisionError; (3) a LIST-in-LIST tower is
+    handled iteratively (no RecursionError); (4) an AVI with no vids
+    strh is out-of-scope; (5) frames are scoped to the FIRST vids
+    stream — a second stream's chunks don't interleave; (6) WAV honors
+    the declared RIFF extent (lying size raises; trailing garbage is
+    not parsed as chunks)."""
+    import struct
+    import sys
+
+    import pytest as _pytest
+
+    from trace_data_pipeline_spark.datapipe.avi import (
+        decode_avi_frames,
+        encode_avi_mjpeg,
+    )
+    from trace_data_pipeline_spark.datapipe.jpeg import encode_jpeg_gray
+    from trace_data_pipeline_spark.datapipe.multimodal import (
+        extract_video_features,
+    )
+    from trace_data_pipeline_spark.datapipe.wav import decode_wav, encode_wav
+
+    # (1) color JPEG frame inside an MJPG container
+    sof = (b"\xff\xd8"
+           + b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+           + b"\xff\xc0" + struct.pack(">H", 17)
+           + struct.pack(">BHHB", 8, 8, 8, 3)
+           + b"\x01\x22\x00\x02\x11\x00\x03\x11\x00" + b"\xff\xd9")
+    avi_color = encode_avi_mjpeg([sof], 8, 8)
+    m = _media(spark, [(1, avi_color, ("video/avi", 8, 8, None))])
+    rows = extract_video_features(m).collect()
+    assert len(rows) == 1 and rows[0].frame_idx is None
+
+    # (2) zero sample rate
+    wav = bytearray(encode_wav(8000, 1, [[1, 2]]))
+    struct.pack_into("<I", wav, wav.find(b"fmt ") + 12, 0)
+    with _pytest.raises(ValueError, match="sample rate"):
+        decode_wav(bytes(wav))
+
+    # (3) deep LIST tower: ValueError/NotImplementedError are fine,
+    # RecursionError is not
+    depth = sys.getrecursionlimit() + 200
+    inner = b""
+    for _ in range(depth):
+        inner = b"LIST" + struct.pack("<I", len(inner) + 4) + b"xxxx" + inner
+    tower = b"RIFF" + struct.pack("<I", len(inner) + 4) + b"AVI " + inner
+    with _pytest.raises((ValueError, NotImplementedError)):
+        decode_avi_frames(tower)
+
+    # (4) frames but no strh: cannot prove the codec
+    frame = encode_jpeg_gray(8, 8, bytes([5] * 64))
+    good = encode_avi_mjpeg([frame], 8, 8)
+    strl_off = good.find(b"strl")
+    # blank the strh id so no stream header is recognized
+    no_strh = good.replace(b"strh", b"strx")
+    with _pytest.raises(NotImplementedError, match="no vids stream"):
+        decode_avi_frames(no_strh)
+    assert strl_off > 0
+
+    # (5) a second stream's 01dc chunk is ignored, not interleaved
+    other = encode_jpeg_gray(8, 8, bytes([200] * 64))
+    movi_off = good.find(b"00dc")
+    extra = b"01dc" + struct.pack("<I", len(other)) + other + (
+        b"\x00" if len(other) & 1 else b"")
+    # splice the foreign chunk inside the movi list and fix sizes
+    patched = bytearray(good[:movi_off] + extra + good[movi_off:])
+    movi_list = patched.find(b"movi") - 8
+    (old,) = struct.unpack("<I", patched[movi_list + 4 : movi_list + 8])
+    struct.pack_into("<I", patched, movi_list + 4, old + len(extra))
+    (oldr,) = struct.unpack("<I", patched[4:8])
+    struct.pack_into("<I", patched, 4, oldr + len(extra))
+    usec, frames = decode_avi_frames(bytes(patched))
+    assert frames == [frame]  # only the vids stream's frame
+
+    # (6) RIFF extent honored
+    wav_good = encode_wav(8000, 1, [[1, 2, 3]])
+    lying = bytearray(wav_good)
+    struct.pack_into("<I", lying, 4, len(wav_good) + 100)
+    with _pytest.raises(ValueError, match="RIFF size"):
+        decode_wav(bytes(lying))
+    # trailing stray 'data' beyond the declared extent is ignored
+    stray = wav_good + b"data" + struct.pack("<I", 2) + b"\x7f\x7f"
+    rate, ch, samples = decode_wav(stray)
+    assert samples == [[1, 2, 3]]

@@ -69,26 +69,45 @@ def encode_avi_mjpeg(
 def decode_avi_frames(payload: bytes) -> tuple[int, list[bytes]]:
     """Demux an MJPEG AVI -> (usec_per_frame, [frame JPEG payloads]).
     The frames are returned still compressed — feed each to
-    `jpeg.decode_jpeg` (or `multimodal.decode_image`)."""
+    `jpeg.decode_jpeg` (or `multimodal.decode_image`).
+
+    Frames are SCOPED to the first `vids` stream (its position among
+    the strh headers is its stream number, which prefixes its movi
+    chunk ids `NNdc`/`NNdb`) — a second video stream's chunks are
+    ignored rather than interleaved into wrong indices/timestamps. A
+    container with NO vids strh cannot prove its codec and is treated
+    as out of scope, same as a non-MJPG fourcc."""
     if not is_avi(payload):
         raise ValueError("not a RIFF/AVI payload")
     usec = None
-    frames: list[bytes] = []
-    fourcc = None
+    stream_fourccs: list[bytes | None] = []  # fourcc per strh, None=non-video
+    frames_by_prefix: dict[bytes, list[bytes]] = {}
+    n_frames = 0
 
-    def walk(pos: int, end: int) -> None:
-        nonlocal usec, fourcc
+    (riff_len,) = struct.unpack("<I", payload[4:8])
+    if 8 + riff_len > len(payload):
+        raise ValueError("RIFF size runs past payload end")
+    # iterative walk (explicit stack): a crafted LIST-in-LIST tower
+    # must exhaust its 12-byte-per-level budget against MAX_FRAMES-ish
+    # bounds, not against the Python recursion limit
+    stack: list[tuple[int, int]] = [(12, 8 + riff_len)]
+    while stack:
+        pos, end = stack.pop()
         while pos + 8 <= end:
             cid = payload[pos : pos + 4]
             (clen,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
             if pos + 8 + clen > end:
                 raise ValueError("RIFF chunk runs past its parent")
             body_start, body_end = pos + 8, pos + 8 + clen
+            nxt = body_end + (clen & 1)  # word alignment
             if cid == b"LIST":
                 if clen < 4:
                     raise ValueError("truncated LIST chunk")
-                walk(body_start + 4, body_end)  # recurse past list type
-            elif cid == b"avih":
+                # resume the parent after this list, then descend
+                stack.append((nxt, end))
+                pos, end = body_start + 4, body_end
+                continue
+            if cid == b"avih":
                 if clen < 4:
                     raise ValueError("truncated avih chunk")
                 (usec,) = struct.unpack(
@@ -96,24 +115,39 @@ def decode_avi_frames(payload: bytes) -> tuple[int, list[bytes]]:
                 )
             elif cid == b"strh":
                 if clen >= 8 and payload[body_start : body_start + 4] == b"vids":
-                    fourcc = payload[body_start + 4 : body_start + 8]
+                    stream_fourccs.append(
+                        payload[body_start + 4 : body_start + 8]
+                    )
+                else:
+                    stream_fourccs.append(None)
             elif cid[2:4] in (b"dc", b"db"):
-                if len(frames) >= MAX_FRAMES:
-                    raise ValueError(f"frame count exceeds the {MAX_FRAMES} cap")
-                frames.append(payload[body_start:body_end])
-            pos = body_end + (clen & 1)  # word alignment
+                if n_frames >= MAX_FRAMES:
+                    raise ValueError(
+                        f"frame count exceeds the {MAX_FRAMES} cap"
+                    )
+                n_frames += 1
+                frames_by_prefix.setdefault(cid[:2], []).append(
+                    payload[body_start:body_end]
+                )
+            pos = nxt
 
-    (riff_len,) = struct.unpack("<I", payload[4:8])
-    if 8 + riff_len > len(payload):
-        raise ValueError("RIFF size runs past payload end")
-    walk(12, 8 + riff_len)
-    if fourcc is not None and fourcc not in (b"MJPG", b"mjpg"):
+    if usec is None:
+        raise ValueError("missing avih header")
+    vids_idx = next(
+        (i for i, fc in enumerate(stream_fourccs) if fc is not None), None
+    )
+    if vids_idx is None:
+        raise NotImplementedError(
+            "container declares no vids stream header — cannot prove the "
+            "codec, treated as out of scope"
+        )
+    fourcc = stream_fourccs[vids_idx]
+    if fourcc not in (b"MJPG", b"mjpg"):
         raise NotImplementedError(
             f"video codec {fourcc!r} is out of scope — MJPEG only "
             "(H.264/VP9 need libraries this container does not ship)"
         )
-    if usec is None:
-        raise ValueError("missing avih header")
+    frames = frames_by_prefix.get(b"%02d" % vids_idx, [])
     if not frames:
-        raise ValueError("no video frames in movi list")
+        raise ValueError("no video frames for the vids stream in movi")
     return usec, frames

@@ -238,6 +238,24 @@ def resize_images(media: DataFrame, max_side: int = 256, batch_size: int = 64) -
     return sized.mapInPandas(run, RESIZED_SCHEMA)
 
 
+def _row_kernel_runner(rows_for, batch_size: int):
+    """Shared mapInPandas scaffold for per-payload row kernels:
+    sub-batches each Arrow batch to bound decoded-media memory and
+    feeds (media_id, payload) pairs to `rows_for(mid, payload) ->
+    list[dict]`."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[start : start + batch_size]
+                rows: list[dict] = []
+                for m, p in zip(chunk["media_id"], chunk["payload"]):
+                    rows.extend(rows_for(int(m), p))
+                yield pd.DataFrame(rows)
+
+    return run
+
+
 AUDIO_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -300,18 +318,11 @@ def extract_audio_features(media: DataFrame, batch_size: int = 256) -> DataFrame
                 row[f"ch{c}_max"] = 0.0
         return row
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            for start in range(0, len(pdf), batch_size):
-                chunk = pdf.iloc[start : start + batch_size]
-                rows = [
-                    {"media_id": int(m), **stats(p)}
-                    for m, p in zip(chunk["media_id"], chunk["payload"])
-                ]
-                yield pd.DataFrame(rows)
-
     return media.select("media_id", "payload").mapInPandas(
-        run, AUDIO_FEATURES_SCHEMA
+        _row_kernel_runner(
+            lambda mid, p: [{"media_id": mid, **stats(p)}], batch_size
+        ),
+        AUDIO_FEATURES_SCHEMA,
     )
 
 
@@ -358,32 +369,28 @@ def extract_video_features(
         }
         if p is None or not is_avi(p):
             return [null_row]
+        out = []
+        # one except for demux AND per-frame decode: an MJPG container
+        # whose frames turn out color/progressive (beyond the grayscale
+        # baseline codec) is missing-capability, not corruption — the
+        # whole payload degrades to the null row (partial stats over
+        # only-the-decodable frames would be silently wrong)
         try:
             usec, frames = decode_avi_frames(p)
+            for idx in range(0, len(frames), every_n):
+                w, h, ch, px = decode_image(frames[idx])
+                n = w * h * ch
+                out.append({
+                    "media_id": mid, "frame_idx": idx,
+                    "frame_ms": idx * usec / 1000,
+                    "width": w, "height": h,
+                    "px_mean": sum(px) / n,
+                    "px_min": float(min(px)), "px_max": float(max(px)),
+                })
         except NotImplementedError:
             return [null_row]
-        out = []
-        for idx in range(0, len(frames), every_n):
-            w, h, ch, px = decode_image(frames[idx])
-            n = w * h * ch
-            out.append({
-                "media_id": mid, "frame_idx": idx,
-                "frame_ms": idx * usec / 1000,
-                "width": w, "height": h,
-                "px_mean": sum(px) / n,
-                "px_min": float(min(px)), "px_max": float(max(px)),
-            })
         return out
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            for start in range(0, len(pdf), batch_size):
-                chunk = pdf.iloc[start : start + batch_size]
-                rows: list[dict] = []
-                for m, p in zip(chunk["media_id"], chunk["payload"]):
-                    rows.extend(rows_for(int(m), p))
-                yield pd.DataFrame(rows)
-
     return media.select("media_id", "payload").mapInPandas(
-        run, VIDEO_FEATURES_SCHEMA
+        _row_kernel_runner(rows_for, batch_size), VIDEO_FEATURES_SCHEMA
     )

@@ -64,13 +64,21 @@ def decode_wav(payload: bytes) -> tuple[int, int, list[list[int]]]:
     share a zero-centred domain."""
     if not is_wav(payload):
         raise ValueError("not a RIFF/WAVE payload")
+    # honor the DECLARED RIFF extent (same contract as avi.py): a size
+    # past the payload is corruption, and trailing bytes beyond it must
+    # not be parsed as chunks (a stray trailing 'data' would silently
+    # win over the real one)
+    (riff_len,) = struct.unpack("<I", payload[4:8])
+    end = 8 + riff_len
+    if end > len(payload):
+        raise ValueError("RIFF size runs past payload end")
     pos = 12
     fmt = None
     data = None
-    while pos + 8 <= len(payload):
+    while pos + 8 <= end:
         cid = payload[pos : pos + 4]
         (clen,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
-        if pos + 8 + clen > len(payload):
+        if pos + 8 + clen > end:
             raise ValueError("RIFF chunk runs past payload end")
         body = payload[pos + 8 : pos + 8 + clen]
         if cid == b"fmt ":
@@ -84,6 +92,8 @@ def decode_wav(payload: bytes) -> tuple[int, int, list[list[int]]]:
     if fmt is None or data is None:
         raise ValueError("missing fmt or data chunk")
     audio_format, channels, sample_rate, _, block_align, bits = fmt
+    if sample_rate <= 0:
+        raise ValueError("invalid sample rate in fmt chunk")
     if audio_format != 1:
         raise NotImplementedError(
             f"compressed WAV (format tag {audio_format}) is out of scope "

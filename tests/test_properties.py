@@ -452,3 +452,53 @@ def test_incremental_dedup_soundness(sp, texts):
                 and len(g & grams(ct)) / len(g | grams(ct)) >= 0.5
                 for ct in corpus.values()
             ), (bid, texts)
+
+
+@given(
+    bw=st.integers(1, 4),
+    bh=st.integers(1, 4),
+    crop_x=st.integers(0, 7),
+    crop_y=st.integers(0, 7),
+    seed=st.integers(0, 2**31),
+)
+@settings(max_examples=20, deadline=None)
+def test_jpeg_constant_block_roundtrip_property(bw, bh, crop_x, crop_y, seed):
+    """Property form of the d12c exactness contract: ANY constant-block
+    image at ANY geometry (including partial edge blocks) round-trips
+    the baseline JPEG pipeline bit-exactly with the all-ones quant
+    table."""
+    import random
+
+    from trace_data_pipeline_spark.datapipe.jpeg import (
+        decode_jpeg,
+        encode_jpeg_gray,
+    )
+
+    rng = random.Random(seed)
+    w, h = bw * 8 - crop_x, bh * 8 - crop_y
+    blocks = [[rng.randrange(256) for _ in range(bw)] for _ in range(bh)]
+    px = bytes(blocks[y // 8][x // 8] for y in range(h) for x in range(w))
+    gw, gh, ch, dec = decode_jpeg(encode_jpeg_gray(w, h, px))
+    assert (gw, gh, ch) == (w, h, 1)
+    assert bytes(dec) == px
+
+
+@given(
+    rate=st.integers(1, 192_000),
+    data=st.lists(
+        st.lists(st.integers(-32768, 32767), min_size=1, max_size=200),
+        min_size=1,
+        max_size=2,
+    ),
+)
+@settings(max_examples=30, deadline=None)
+def test_wav_roundtrip_property(rate, data):
+    """Any PCM16 sample matrix round-trips the WAV codec exactly
+    (channels equalized to the shortest, interleave order preserved)."""
+    from trace_data_pipeline_spark.datapipe.wav import decode_wav, encode_wav
+
+    n = min(len(ch) for ch in data)
+    data = [ch[:n] for ch in data]
+    r, c, got = decode_wav(encode_wav(rate, len(data), data))
+    assert (r, c) == (rate, len(data))
+    assert got == data

@@ -375,12 +375,13 @@ def test_jpeg_malformed_and_out_of_scope(spark):
     prog[sof_off + 1] = 0xC2
     with _pytest.raises(NotImplementedError):
         decode_jpeg(bytes(prog))
-    # 3-component SOF0 (color): out of scope
+    # 4-component SOF0 (CMYK): out of scope (3-component color is IN
+    # scope since the r5 color extension)
     sof = (b"\xff\xd8"
            + b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
-           + b"\xff\xc0" + struct.pack(">H", 17)
-           + struct.pack(">BHHB", 8, 8, 8, 3)
-           + b"\x01\x22\x00\x02\x11\x00\x03\x11\x00")
+           + b"\xff\xc0" + struct.pack(">H", 20)
+           + struct.pack(">BHHB", 8, 8, 8, 4)
+           + b"\x01\x11\x00\x02\x11\x00\x03\x11\x00\x04\x11\x00")
     with _pytest.raises(NotImplementedError):
         decode_jpeg(sof + b"\xff\xd9")
     # the ROUTER (not the codec) degrades out-of-scope JPEG to the
@@ -579,14 +580,14 @@ def test_avi_wav_hardening_from_review(spark):
     )
     from trace_data_pipeline_spark.datapipe.wav import decode_wav, encode_wav
 
-    # (1) color JPEG frame inside an MJPG container
-    sof = (b"\xff\xd8"
-           + b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
-           + b"\xff\xc0" + struct.pack(">H", 17)
-           + struct.pack(">BHHB", 8, 8, 8, 3)
-           + b"\x01\x22\x00\x02\x11\x00\x03\x11\x00" + b"\xff\xd9")
-    avi_color = encode_avi_mjpeg([sof], 8, 8)
-    m = _media(spark, [(1, avi_color, ("video/avi", 8, 8, None))])
+    # (1) an out-of-scope frame codec inside an MJPG container must
+    # degrade to the null row, not crash the task. Color baseline is
+    # IN scope since the r5 color extension, so the probe frame is a
+    # PROGRESSIVE (SOF2) JPEG — still missing-capability.
+    prog_frame = bytearray(encode_jpeg_gray(8, 8, bytes([7] * 64)))
+    prog_frame[prog_frame.find(b"\xff\xc0") + 1] = 0xC2
+    avi_prog = encode_avi_mjpeg([bytes(prog_frame)], 8, 8)
+    m = _media(spark, [(1, avi_prog, ("video/avi", 8, 8, None))])
     rows = extract_video_features(m).collect()
     assert len(rows) == 1 and rows[0].frame_idx is None
 
@@ -641,3 +642,54 @@ def test_avi_wav_hardening_from_review(spark):
     stray = wav_good + b"data" + struct.pack("<I", 2) + b"\x7f\x7f"
     rate, ch, samples = decode_wav(stray)
     assert samples == [[1, 2, 3]]
+
+
+def test_jpeg_color_roundtrip_and_sampling():
+    """r5 color extension: (a) 4:4:4 at quant=1 round-trips within
+    the YCbCr<->RGB conversion rounding (|err| <= 2); (b) 4:2:0 and
+    4:2:2 decode with bounded chroma-downsample error; (c) an
+    achromatic image (R=G=B constant blocks) is BIT-EXACT even at
+    4:2:0 (Cb=Cr=128 exactly survives the mean-downsample); (d) the
+    decoded geometry/channel contract is (w, h, 3)."""
+    from trace_data_pipeline_spark.datapipe.jpeg import (
+        decode_jpeg,
+        encode_jpeg_color,
+    )
+
+    w, h = 20, 13
+    rgb = bytes(
+        v
+        for y in range(h)
+        for x in range(w)
+        for v in ((x * 11) % 256, (y * 17) % 256, (x * 3 + y * 5) % 256)
+    )
+    gw, gh, ch, px = decode_jpeg(encode_jpeg_color(w, h, rgb, (1, 1)))
+    assert (gw, gh, ch) == (w, h, 3)
+    assert max(abs(a - b) for a, b in zip(rgb, px)) <= 2
+
+    for sub, tol in [((2, 2), 48), ((2, 1), 48)]:
+        _, _, ch2, px2 = decode_jpeg(encode_jpeg_color(w, h, rgb, sub))
+        assert ch2 == 3
+        assert max(abs(a - b) for a, b in zip(rgb, px2)) <= tol
+
+    gray = bytes(v for y in range(16) for x in range(16) for v in (99, 99, 99))
+    _, _, _, px3 = decode_jpeg(encode_jpeg_color(16, 16, gray, (2, 2)))
+    assert bytes(px3) == gray
+
+
+def test_jpeg_color_features_via_router(spark):
+    """A color baseline JPEG now runs the REAL kernel in
+    extract_features: 3 channels, per-channel stats measured from
+    decoded pixels (constant achromatic content -> exact means)."""
+    from trace_data_pipeline_spark.datapipe.jpeg import encode_jpeg_color
+    from trace_data_pipeline_spark.datapipe.multimodal import extract_features
+
+    gray = bytes(v for y in range(8) for x in range(8) for v in (50, 50, 50))
+    blob = encode_jpeg_color(8, 8, gray, (1, 1))
+    m = _media(spark, [(1, blob, ("image/jpeg", 8, 8, None))])
+    row = extract_features(m).collect()[0]
+    f = list(row.features)
+    assert f[:4] == [8.0, 8.0, 3.0, 64.0]
+    # all three channels constant 50
+    for c in range(3):
+        assert f[4 + 3 * c : 7 + 3 * c] == [50.0, 50.0, 50.0]

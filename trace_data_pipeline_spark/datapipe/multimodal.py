@@ -9,7 +9,7 @@ JPEGs (numpy Huffman+IDCT codec in `datapipe/jpeg.py`), PCM WAV audio
 demux in `datapipe/avi.py` + the JPEG codec per frame): feature
 extraction measures actual pixels/samples/frames and resize
 re-samples and re-encodes them. Formats that need external codecs
-(color/progressive JPEG, MP3/AAC, H.264/VP9) fall back to a
+(progressive/CMYK JPEG, MP3/AAC, H.264/VP9) fall back to a
 clearly-marked deterministic fake kernel or null stats row, with
 decode_image raising NotImplementedError at the documented boundary.
 
@@ -63,11 +63,12 @@ FEATURES_SCHEMA = T.StructType(
 def decode_image(payload: bytes) -> tuple[int, int, int, bytearray]:
     """Image decode → (width, height, channels, 8-bit pixels). PNG
     decodes for real (stdlib zlib inflate + unfilter — see
-    `datapipe/png.py`), as does BASELINE GRAYSCALE JPEG (Huffman
-    entropy decode + dequant + IDCT — `datapipe/jpeg.py`; color /
-    progressive JPEG raise NotImplementedError inside the codec).
-    Other formats need codecs this container does not ship and raise
-    NotImplementedError, the documented boundary."""
+    `datapipe/png.py`), as does BASELINE JPEG — grayscale AND
+    3-component YCbCr color at 4:4:4/4:2:2/4:2:0 (Huffman entropy
+    decode + dequant + IDCT + chroma upsample — `datapipe/jpeg.py`;
+    progressive/CMYK/restart-interval JPEGs raise NotImplementedError
+    inside the codec). Other formats need codecs this container does
+    not ship and raise NotImplementedError, the documented boundary."""
     from trace_data_pipeline_spark.datapipe.jpeg import decode_jpeg, is_jpeg
     from trace_data_pipeline_spark.datapipe.png import decode_png, is_png
 
@@ -113,10 +114,10 @@ def _decoded_features(payload: bytes) -> list[float]:
 
 def extract_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads via
-    mapInPandas. Per-payload routing: PNG and baseline grayscale JPEG
-    rows run the REAL decode-and-measure kernel; formats without a
-    codec — including in-scope-looking JPEGs that turn out
-    color/progressive — fall back to the documented fake so the
+    mapInPandas. Per-payload routing: PNG and baseline JPEG rows
+    (grayscale or color) run the REAL decode-and-measure kernel;
+    formats without a codec — including in-scope-looking JPEGs that
+    turn out progressive/CMYK — fall back to the documented fake so the
     pipeline never hard-fails on MISSING capability. MALFORMED data of
     an in-scope format (bad CRC, truncated entropy stream) raises
     loudly instead, for both codecs alike: corruption must surface,
@@ -371,8 +372,8 @@ def extract_video_features(
             return [null_row]
         out = []
         # one except for demux AND per-frame decode: an MJPG container
-        # whose frames turn out color/progressive (beyond the grayscale
-        # baseline codec) is missing-capability, not corruption — the
+        # whose frames turn out progressive/CMYK (beyond the baseline
+        # codec) is missing-capability, not corruption — the
         # whole payload degrades to the null row (partial stats over
         # only-the-decodable frames would be silently wrong)
         try:

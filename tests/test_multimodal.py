@@ -693,3 +693,40 @@ def test_jpeg_color_features_via_router(spark):
     # all three channels constant 50
     for c in range(3):
         assert f[4 + 3 * c : 7 + 3 * c] == [50.0, 50.0, 50.0]
+
+
+def test_resize_real_jpeg_roundtrip(spark):
+    """resize_images now resizes baseline JPEGs for real: downscale a
+    16x16 constant-block grayscale JPEG to 8x8 and a color one to
+    4:4:4 — the output payload is a decodable JPEG of the target
+    geometry whose pixels match the nearest-neighbor resample."""
+    from trace_data_pipeline_spark.datapipe.jpeg import (
+        decode_jpeg,
+        encode_jpeg_color,
+        encode_jpeg_gray,
+    )
+    from trace_data_pipeline_spark.datapipe.multimodal import resize_images
+
+    # 2x2 block grid of constants -> any nearest-neighbor 8x8 output
+    # samples within constant regions, so pixels stay exact
+    blocks = [[40, 200], [90, 10]]
+    px = bytes(blocks[y // 8][x // 8] for y in range(16) for x in range(16))
+    gray = encode_jpeg_gray(16, 16, px)
+    rgbc = bytes(v for y in range(16) for x in range(16) for v in (77, 77, 77))
+    color = encode_jpeg_color(16, 16, rgbc, (1, 1))
+    m = _media(spark, [
+        (1, gray, ("image/jpeg", 16, 16, None)),
+        (2, color, ("image/jpeg", 16, 16, None)),
+    ])
+    out = {r.media_id: r for r in resize_images(m, max_side=8).collect()}
+    w, h, ch, rp = decode_jpeg(out[1].payload)
+    assert (w, h, ch) == (8, 8, 1)
+    # nearest-neighbor of the 2x2 constant grid at half scale; the
+    # resized frame's 8x8 block is no longer constant, so the re-encode
+    # carries quant=1 AC rounding (|err| <= 2)
+    want = bytes(blocks[(2 * y) // 8][(2 * x) // 8]
+                 for y in range(8) for x in range(8))
+    assert max(abs(a - b) for a, b in zip(rp, want)) <= 2
+    w2, h2, ch2, rp2 = decode_jpeg(out[2].payload)
+    assert (w2, h2, ch2) == (8, 8, 3)
+    assert bytes(rp2) == bytes([77] * 192)

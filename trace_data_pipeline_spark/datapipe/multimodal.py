@@ -186,18 +186,37 @@ def _fake_resize(payload: bytes, w: int, h: int) -> bytes:
 
 
 def _resize_payload(payload: bytes, w: int, h: int) -> bytes:
-    """PNG rows resize for REAL: decode → nearest-neighbor resample →
-    re-encode (all stdlib, `datapipe/png.py`); other formats keep the
-    documented fake."""
+    """PNG and baseline JPEG rows resize for REAL: decode →
+    nearest-neighbor resample → re-encode in the source format
+    (grayscale/color JPEG re-encodes 4:4:4 at quant=1 — resampling is
+    the lossy step, the re-encode shouldn't add more); formats without
+    a codec (and in-scope-looking JPEGs that turn out
+    progressive/CMYK) keep the documented fake."""
+    from trace_data_pipeline_spark.datapipe.jpeg import (
+        encode_jpeg_color,
+        encode_jpeg_gray,
+        is_jpeg,
+    )
     from trace_data_pipeline_spark.datapipe.png import (
         encode_png,
         is_png,
         resize_nearest,
     )
 
-    if is_png(payload) and w > 0 and h > 0:
+    if w <= 0 or h <= 0:
+        return _fake_resize(payload, w, h)
+    if is_png(payload):
         sw, sh, ch, px = decode_image(payload)
         return encode_png(resize_nearest(px, sw, sh, ch, w, h), w, h, ch)
+    if is_jpeg(payload):
+        try:
+            sw, sh, ch, px = decode_image(payload)
+        except NotImplementedError:
+            return _fake_resize(payload, w, h)
+        resized = resize_nearest(px, sw, sh, ch, w, h)
+        if ch == 1:
+            return encode_jpeg_gray(w, h, resized)
+        return encode_jpeg_color(w, h, resized, (1, 1))
     return _fake_resize(payload, w, h)
 
 

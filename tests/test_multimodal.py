@@ -1,7 +1,9 @@
 """Multimodal plumbing: schemas, batch shapes, geometry algebra, and
-the two REAL codecs (PNG via stdlib zlib, baseline grayscale JPEG via
-numpy Huffman+IDCT). Formats beyond those remain NotImplementedError
-by design — the container has no image/audio libraries."""
+the four REAL codecs — PNG (stdlib zlib), baseline JPEG (numpy
+Huffman+IDCT; grayscale + YCbCr color + restart intervals), PCM WAV
+(stdlib RIFF) and MJPEG AVI (RIFF demux + per-frame JPEG). Formats
+beyond those remain NotImplementedError by design — the container
+has no image/audio libraries."""
 
 from __future__ import annotations
 
@@ -730,3 +732,47 @@ def test_resize_real_jpeg_roundtrip(spark):
     w2, h2, ch2, rp2 = decode_jpeg(out[2].payload)
     assert (w2, h2, ch2) == (8, 8, 3)
     assert bytes(rp2) == bytes([77] * 192)
+
+
+def test_jpeg_restart_intervals():
+    """DRI/RSTn support (the layout camera firmwares emit): encode with
+    several restart strides and decode back — predictors reset and the
+    stream re-aligns at every interval; a stream whose promised RST
+    marker is absent raises ValueError."""
+    import pytest as _pytest
+
+    from trace_data_pipeline_spark.datapipe.jpeg import (
+        decode_jpeg,
+        encode_jpeg_gray,
+    )
+
+    w, h = 40, 24  # 15 MCUs
+    px = bytes((x * 7 + y * 13) % 256 for y in range(h) for x in range(w))
+    for ri in (1, 2, 4, 7):
+        gw, gh, ch, dec = decode_jpeg(
+            encode_jpeg_gray(w, h, px, restart_interval=ri)
+        )
+        assert (gw, gh, ch) == (w, h, 1)
+        assert max(abs(a - b) for a, b in zip(px, dec)) <= 2, ri
+
+    # constant blocks + restart: still bit-exact (DC resets agree)
+    cb = bytes(((x // 8) * 31 + (y // 8) * 17) % 256
+               for y in range(h) for x in range(w))
+    assert bytes(decode_jpeg(encode_jpeg_gray(w, h, cb, restart_interval=3))[3]) == cb
+
+    # promise a restart interval but strip the markers -> ValueError
+    good = encode_jpeg_gray(w, h, cb, restart_interval=4)
+    stripped = bytearray()
+    i = 0
+    sos = good.find(b"\xff\xda")
+    stripped += good[: sos]
+    i = sos
+    while i < len(good) - 1:
+        if good[i] == 0xFF and 0xD0 <= good[i + 1] <= 0xD7:
+            i += 2
+            continue
+        stripped.append(good[i])
+        i += 1
+    stripped.append(good[-1])
+    with _pytest.raises(ValueError, match="RST"):
+        decode_jpeg(bytes(stripped))

@@ -10,9 +10,11 @@ reassembly, replication chroma upsample, JFIF YCbCr->RGB, level
 shift, clamp, edge-crop. The matching encoders exist to synthesize
 test payloads and to round-trip goldens. OUT OF SCOPE (documented
 boundary, raises NotImplementedError in `decode_jpeg`): progressive
-(SOF2), arithmetic coding, 12-bit precision, restart markers,
-CMYK/4-component, and exotic sampling (chroma factors > 1x1, luma
-beyond 2x2).
+(SOF2), arithmetic coding, 12-bit precision, CMYK/4-component, and
+exotic sampling (chroma factors > 1x1, luma beyond 2x2). Restart
+intervals (DRI/RSTn — the layout camera firmwares emit) are
+SUPPORTED: predictors reset and the stream re-aligns at every
+interval.
 
 Reference parity: the reference pipeline treats media via external
 codecs (PIL) the container does not ship; this module makes the
@@ -135,10 +137,19 @@ class _BitWriter:
             if byte == 0xFF:  # byte stuffing
                 self.buf.append(0x00)
 
-    def flush(self) -> bytes:
+    def byte_align(self) -> None:
         if self.n:
             pad = 8 - self.n
             self.write((1 << pad) - 1, pad)  # 1-pad per spec
+
+    def emit_marker(self, byte2: int) -> None:
+        """Byte-align and append a raw FF xx marker (markers are NOT
+        byte-stuffed — stuffing only escapes FF inside entropy data)."""
+        self.byte_align()
+        self.buf += bytes([0xFF, byte2])
+
+    def flush(self) -> bytes:
+        self.byte_align()
         return bytes(self.buf)
 
 
@@ -152,12 +163,18 @@ def _category(v: int) -> tuple[int, int]:
 
 
 def encode_jpeg_gray(
-    width: int, height: int, pixels: bytes, quant: list[int] | None = None
+    width: int,
+    height: int,
+    pixels: bytes,
+    quant: list[int] | None = None,
+    restart_interval: int = 0,
 ) -> bytes:
     """Baseline SOF0 single-component encode. `pixels` is row-major
     8-bit luma of length width*height; `quant` is 64 zigzag-order
     divisors (default all-ones — lossless for constant 8x8 blocks,
-    see module docstring)."""
+    see module docstring). `restart_interval` > 0 writes a DRI segment
+    and an RSTn marker (with DC-predictor reset) every that many
+    MCUs — the layout most camera firmwares emit."""
     if len(pixels) != width * height:
         raise ValueError("pixel buffer does not match geometry")
     q = list(quant) if quant is not None else [1] * 64
@@ -179,10 +196,17 @@ def encode_jpeg_gray(
     ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
     out = _BitWriter()
     pred = 0
+    mcu_n = 0
+    rst = 0
     for by in range(bh):
         for bx in range(bw):
+            if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                out.emit_marker(0xD0 + rst)
+                rst = (rst + 1) % 8
+                pred = 0
             block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
             pred = _write_block(out, block, qmat, dc_codes, ac_codes, pred)
+            mcu_n += 1
     scan = out.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -199,6 +223,8 @@ def encode_jpeg_gray(
     )  # SOF0: 8-bit, 1 component, no subsampling, quant table 0
     payload += seg(0xFFC4, dht(0x00, _DC_BITS, _DC_VALS))
     payload += seg(0xFFC4, dht(0x10, _AC_BITS, _AC_VALS))
+    if restart_interval:
+        payload += seg(0xFFDD, struct.pack(">H", restart_interval))
     payload += seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")  # SOS
     payload += scan + b"\xff\xd9"  # EOI
     return payload
@@ -386,6 +412,19 @@ class _BitReader:
             v = (v << 1) | self.bit()
         return v
 
+    def expect_restart(self, m: int) -> None:
+        """Discard the pad bits of the current byte, then consume the
+        raw RSTm marker the restart interval promises here."""
+        self.acc = 0
+        self.n = 0
+        if self.pos + 2 > len(self.data):
+            raise ValueError("truncated at restart marker")
+        if self.data[self.pos] != 0xFF or self.data[self.pos + 1] != 0xD0 + m:
+            raise ValueError(
+                f"missing RST{m} marker at entropy offset {self.pos}"
+            )
+        self.pos += 2
+
 
 def _extend(bits: int, size: int) -> int:
     """F.2.2.1 EXTEND: raw magnitude bits -> signed value."""
@@ -411,8 +450,9 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytearray]:
     4:2:2 / 4:2:0 with 1x1 chroma) returns channels=3 interleaved RGB
     via the JFIF conversion (R = Y + 1.402 Cr', G = Y - 0.344136 Cb' -
     0.714136 Cr', B = Y + 1.772 Cb'; chroma upsampled by replication).
-    Raises ValueError on malformed streams and NotImplementedError at
-    the documented scope boundary (progressive, restart intervals,
+    Restart intervals (DRI/RSTn) are honored with per-interval
+    predictor resets. Raises ValueError on malformed streams and
+    NotImplementedError at the documented scope boundary (progressive,
     12-bit, arithmetic coding, CMYK/4-component, luma sampling beyond
     2x2 or subsampled-chroma patterns other than 1x1)."""
     if not is_jpeg(payload):
@@ -422,6 +462,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytearray]:
     dc_tables: dict[int, dict] = {}
     ac_tables: dict[int, dict] = {}
     width = height = None
+    restart_interval = 0
     components: list[tuple[int, int, int, int]] = []  # (cid, h, v, qtab)
     scan_tabs: dict[int, tuple[int, int]] = {}  # cid -> (dc, ac)
     data = payload
@@ -512,8 +553,10 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytearray]:
                 tab = _decode_table(bits, vals)
                 (dc_tables if tc == 0 else ac_tables)[th] = tab
                 i += 17 + n
-        elif marker == 0xDD:
-            raise NotImplementedError("restart intervals (DRI) out of scope")
+        elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                raise ValueError("truncated DRI segment")
+            (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS
             if len(body) < 1:
                 raise ValueError("truncated SOS segment")
@@ -597,8 +640,15 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytearray]:
         for _, h, v, _ in components
     ]
     preds = [0] * len(components)
+    mcu_n = 0
+    rst = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                br.expect_restart(rst)
+                rst = (rst + 1) % 8
+                preds = [0] * len(components)
+            mcu_n += 1
             for ci, (_, h, v, _) in enumerate(components):
                 for by in range(v):
                     for bx in range(h):

@@ -370,7 +370,7 @@ def test_jpeg_malformed_and_out_of_scope(spark):
     # BEFORE allocation (memory-bomb guard), as a ValueError
     bomb = bytearray(good)
     struct.pack_into(">HH", bomb, sof_off + 5, 65535, 65535)
-    with _pytest.raises(ValueError, match="pixel cap"):
+    with _pytest.raises(ValueError, match="sample cap"):
         decode_jpeg(bytes(bomb))
     # flip SOF0 -> SOF2 (progressive): out of scope
     prog = bytearray(good)
@@ -776,3 +776,49 @@ def test_jpeg_restart_intervals():
     stripped.append(good[-1])
     with _pytest.raises(ValueError, match="RST"):
         decode_jpeg(bytes(stripped))
+
+
+def test_jpeg_third_review_gates():
+    """Third review pass pins: (a) SOS component ids that don't match
+    the SOF frame are CORRUPTION (ValueError, never a silent fake-
+    kernel degrade); (b) Adobe APP14 transform-0 (RGB) 3-component
+    frames are out of scope rather than silently converted as YCbCr;
+    (c) the sample cap scales with component count."""
+    import struct
+
+    import pytest as _pytest
+
+    from trace_data_pipeline_spark.datapipe.jpeg import (
+        decode_jpeg,
+        encode_jpeg_color,
+        encode_jpeg_gray,
+    )
+
+    good = encode_jpeg_gray(8, 8, bytes(range(64)))
+    # (a) corrupt the SOS component id (1 -> 5)
+    sos = good.find(b"\xff\xda")
+    bad = bytearray(good)
+    assert bad[sos + 5] == 1
+    bad[sos + 5] = 5
+    with _pytest.raises(ValueError, match="component ids"):
+        decode_jpeg(bytes(bad))
+
+    # (b) splice an Adobe APP14 transform-0 marker into a color file
+    color = encode_jpeg_color(8, 8, bytes([9] * 192), (1, 1))
+    app14 = (b"\xff\xee" + struct.pack(">H", 14)
+             + b"Adobe" + bytes([0, 100, 0, 0, 0, 0, 0]))
+    spliced = color[:2] + app14 + color[2:]
+    with _pytest.raises(NotImplementedError, match="Adobe RGB"):
+        decode_jpeg(spliced)
+    # transform 1 (YCbCr) decodes fine
+    app14_y = (b"\xff\xee" + struct.pack(">H", 14)
+               + b"Adobe" + bytes([0, 100, 0, 0, 0, 0, 1]))
+    assert decode_jpeg(color[:2] + app14_y + color[2:])[:3] == (8, 8, 3)
+
+    # (c) a color geometry just over MAX_PIXELS/3 is refused while the
+    # same pixel count passes for grayscale
+    sof_off = color.find(b"\xff\xc0")
+    big = bytearray(color)
+    struct.pack_into(">HH", big, sof_off + 5, 2400, 2400)  # 5.76M*3 > cap
+    with _pytest.raises(ValueError, match="sample cap"):
+        decode_jpeg(bytes(big))

@@ -18,8 +18,9 @@ interval.
 
 Reference parity: the reference pipeline treats media via external
 codecs (PIL) the container does not ship; this module makes the
-grayscale path REAL while `multimodal.decode_image` keeps the fake
-kernel for everything else.
+baseline JPEG path REAL (grayscale and color) while
+`multimodal.decode_image` keeps the fake kernel for the remaining
+out-of-scope variants.
 
 Exactness contract used by the d12c oracle entry: an image whose 8x8
 blocks are each CONSTANT survives the lossy pipeline bit-exactly with
@@ -162,6 +163,36 @@ def _category(v: int) -> tuple[int, int]:
     return size, bits
 
 
+def _seg(marker: int, body: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(body) + 2) + body
+
+
+def _validated_quant(quant: list[int] | None) -> list[int]:
+    q = list(quant) if quant is not None else [1] * 64
+    if len(q) != 64 or any(not 1 <= v <= 255 for v in q):
+        raise ValueError("quant table must be 64 entries in 1..255")
+    return q
+
+
+def _qmat_from_zz(q: list[int]) -> np.ndarray:
+    m = np.empty((8, 8))
+    for i, (r, c) in enumerate(_ZIGZAG):
+        m[r, c] = q[i]
+    return m
+
+
+def _common_header_segments(q: list[int]) -> bytes:
+    """SOI + JFIF APP0 + DQT(0) + the Annex-K luminance DHT pair —
+    identical for both encoders."""
+    return (
+        b"\xff\xd8"
+        + _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + _seg(0xFFDB, b"\x00" + bytes(q))
+        + _seg(0xFFC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+        + _seg(0xFFC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+    )
+
+
 def encode_jpeg_gray(
     width: int,
     height: int,
@@ -177,9 +208,7 @@ def encode_jpeg_gray(
     MCUs — the layout most camera firmwares emit."""
     if len(pixels) != width * height:
         raise ValueError("pixel buffer does not match geometry")
-    q = list(quant) if quant is not None else [1] * 64
-    if len(q) != 64 or any(not 1 <= v <= 255 for v in q):
-        raise ValueError("quant table must be 64 entries in 1..255")
+    q = _validated_quant(quant)
     img = np.frombuffer(bytes(pixels), dtype=np.uint8).reshape(height, width)
     bw, bh = (width + 7) // 8, (height + 7) // 8
     # replicate-pad to the block grid (standard practice)
@@ -188,10 +217,7 @@ def encode_jpeg_gray(
         ((0, bh * 8 - height), (0, bw * 8 - width)),
         mode="edge",
     )
-    qmat = np.empty((8, 8))
-    for i, (r, c) in enumerate(_ZIGZAG):
-        qmat[r, c] = q[i]
-
+    qmat = _qmat_from_zz(q)
     dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
     ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
     out = _BitWriter()
@@ -209,23 +235,13 @@ def encode_jpeg_gray(
             mcu_n += 1
     scan = out.flush()
 
-    def seg(marker: int, body: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(body) + 2) + body
-
-    def dht(tc_th: int, bits: list[int], vals: list[int]) -> bytes:
-        return bytes([tc_th]) + bytes(bits) + bytes(vals)
-
-    payload = b"\xff\xd8"  # SOI
-    payload += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    payload += seg(0xFFDB, b"\x00" + bytes(q))  # DQT, table 0, 8-bit
-    payload += seg(
+    payload = _common_header_segments(q)
+    payload += _seg(
         0xFFC0, struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00"
     )  # SOF0: 8-bit, 1 component, no subsampling, quant table 0
-    payload += seg(0xFFC4, dht(0x00, _DC_BITS, _DC_VALS))
-    payload += seg(0xFFC4, dht(0x10, _AC_BITS, _AC_VALS))
     if restart_interval:
-        payload += seg(0xFFDD, struct.pack(">H", restart_interval))
-    payload += seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")  # SOS
+        payload += _seg(0xFFDD, struct.pack(">H", restart_interval))
+    payload += _seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")  # SOS
     payload += scan + b"\xff\xd9"  # EOI
     return payload
 
@@ -292,9 +308,7 @@ def encode_jpeg_color(
     h1, v1 = subsampling
     if h1 not in (1, 2) or v1 not in (1, 2):
         raise ValueError("luma sampling factors must be 1 or 2")
-    q = list(quant) if quant is not None else [1] * 64
-    if len(q) != 64 or any(not 1 <= v <= 255 for v in q):
-        raise ValueError("quant table must be 64 entries in 1..255")
+    q = _validated_quant(quant)
     img = np.frombuffer(bytes(rgb), dtype=np.uint8).reshape(height, width, 3)
     r = img[:, :, 0].astype(np.float64)
     g = img[:, :, 1].astype(np.float64)
@@ -328,9 +342,7 @@ def encode_jpeg_color(
     cbp -= 128.0
     crp -= 128.0
 
-    qmat = np.empty((8, 8))
-    for i, (rr, cc) in enumerate(_ZIGZAG):
-        qmat[rr, cc] = q[i]
+    qmat = _qmat_from_zz(q)
     dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
     ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
     out = _BitWriter()
@@ -349,24 +361,13 @@ def encode_jpeg_color(
                         )
     scan = out.flush()
 
-    def seg(marker: int, body: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(body) + 2) + body
-
-    payload = b"\xff\xd8"  # SOI
-    payload += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    payload += seg(0xFFDB, b"\x00" + bytes(q))
-    payload += seg(
+    payload = _common_header_segments(q)
+    payload += _seg(
         0xFFC0,
         struct.pack(">BHHB", 8, height, width, 3)
         + bytes([1, (h1 << 4) | v1, 0, 2, 0x11, 0, 3, 0x11, 0]),
     )
-    payload += seg(
-        0xFFC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
-    )
-    payload += seg(
-        0xFFC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)
-    )
-    payload += seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    payload += _seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
     payload += scan + b"\xff\xd9"  # EOI
     return payload
 
@@ -463,6 +464,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytearray]:
     ac_tables: dict[int, dict] = {}
     width = height = None
     restart_interval = 0
+    adobe_transform = None
     components: list[tuple[int, int, int, int]] = []  # (cid, h, v, qtab)
     scan_tabs: dict[int, tuple[int, int]] = {}  # cid -> (dc, ac)
     data = payload
@@ -498,10 +500,15 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytearray]:
             if len(body) < 6:
                 raise ValueError("truncated SOF0 segment")
             prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
-            if width * height > MAX_PIXELS:
+            if components:
+                raise ValueError("duplicate SOF0 frame header")
+            # cap TOTAL samples (pixels x components): the color path
+            # allocates per-plane work space plus the RGB stack, so a
+            # 3-component frame costs ~8x a grayscale one per pixel
+            if width * height * max(ncomp, 1) > MAX_PIXELS:
                 raise ValueError(
-                    f"image {width}x{height} exceeds the decoder's "
-                    f"{MAX_PIXELS}-pixel cap (a tiny payload can declare "
+                    f"image {width}x{height}x{ncomp} exceeds the decoder's "
+                    f"{MAX_PIXELS}-sample cap (a tiny payload can declare "
                     "arbitrary SOF dimensions — allocating first would be "
                     "a memory bomb)"
                 )
@@ -557,6 +564,9 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytearray]:
             if len(body) < 2:
                 raise ValueError("truncated DRI segment")
             (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xEE:  # APP14 (Adobe color transform)
+            if body[:5] == b"Adobe" and len(body) >= 12:
+                adobe_transform = body[11]
         elif marker == 0xDA:  # SOS
             if len(body) < 1:
                 raise ValueError("truncated SOS segment")
@@ -575,12 +585,20 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytearray]:
         raise ValueError("no SOS marker found")
     if width is None:
         raise ValueError("no SOF0 frame header before SOS")
-    if len(scan_tabs) != len(components) or any(
-        cid not in scan_tabs for cid, _, _, _ in components
-    ):
+    if len(scan_tabs) < len(components):
         raise NotImplementedError(
             "scan does not cover all frame components interleaved "
-            "(multi-scan files out of scope)"
+            "(non-interleaved multi-scan files out of scope)"
+        )
+    if any(cid not in scan_tabs for cid, _, _, _ in components):
+        # same count but mismatched ids: the SOS references components
+        # the frame never declared — corruption, not a scope limit
+        raise ValueError("SOS component ids do not match the SOF0 frame")
+    if len(components) == 3 and adobe_transform == 0:
+        raise NotImplementedError(
+            "Adobe RGB (APP14 transform 0) is out of scope — 3-component "
+            "frames are decoded as YCbCr, which would silently produce "
+            "wrong colors here"
         )
 
     qmats = []
@@ -591,10 +609,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytearray]:
             raise ValueError("component references missing quant table")
         if len(quant[qt]) != 64:
             raise ValueError("quant table has fewer than 64 entries")
-        qm = np.empty((8, 8))
-        for i, (r, c) in enumerate(_ZIGZAG):
-            qm[r, c] = quant[qt][i]
-        qmats.append(qm)
+        qmats.append(_qmat_from_zz(quant[qt]))
         dc_id, ac_id = scan_tabs[cid]
         if dc_id not in dc_tables or ac_id not in ac_tables:
             raise ValueError("scan references missing Huffman table")

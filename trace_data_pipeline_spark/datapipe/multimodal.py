@@ -3,8 +3,9 @@
 Media are opaque `binary` columns with typed metadata structs. The
 Spark-side machinery — schemas, Arrow-batched mapInPandas operators,
 partition sizing — is real and tested. PNG payloads DECODE FOR REAL
-(stdlib zlib codec in `datapipe/png.py`), and so do BASELINE GRAYSCALE
-JPEGs (numpy Huffman+IDCT codec in `datapipe/jpeg.py`), PCM WAV audio
+(stdlib zlib codec in `datapipe/png.py`), and so do BASELINE JPEGs —
+grayscale and YCbCr color (numpy Huffman+IDCT codec in
+`datapipe/jpeg.py`), PCM WAV audio
 (stdlib RIFF codec in `datapipe/wav.py`) and MJPEG AVI video (RIFF
 demux in `datapipe/avi.py` + the JPEG codec per frame): feature
 extraction measures actual pixels/samples/frames and resize
@@ -64,11 +65,12 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytearray]:
     """Image decode → (width, height, channels, 8-bit pixels). PNG
     decodes for real (stdlib zlib inflate + unfilter — see
     `datapipe/png.py`), as does BASELINE JPEG — grayscale AND
-    3-component YCbCr color at 4:4:4/4:2:2/4:2:0 (Huffman entropy
-    decode + dequant + IDCT + chroma upsample — `datapipe/jpeg.py`;
-    progressive/CMYK/restart-interval JPEGs raise NotImplementedError
-    inside the codec). Other formats need codecs this container does
-    not ship and raise NotImplementedError, the documented boundary."""
+    3-component YCbCr color at 4:4:4/4:2:2/4:2:0, including restart
+    intervals (Huffman entropy decode + dequant + IDCT + chroma
+    upsample — `datapipe/jpeg.py`; progressive/CMYK/Adobe-RGB JPEGs
+    raise NotImplementedError inside the codec). Other formats need
+    codecs this container does not ship and raise NotImplementedError,
+    the documented boundary."""
     from trace_data_pipeline_spark.datapipe.jpeg import decode_jpeg, is_jpeg
     from trace_data_pipeline_spark.datapipe.png import decode_png, is_png
 
@@ -77,8 +79,8 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytearray]:
     if is_jpeg(payload):
         return decode_jpeg(payload)
     raise NotImplementedError(
-        "only PNG and baseline grayscale JPEG decode in this "
-        "environment (no PIL/opencv)"
+        "only PNG and baseline JPEG (grayscale/YCbCr color) decode in "
+        "this environment (no PIL/opencv)"
     )
 
 

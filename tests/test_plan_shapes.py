@@ -213,3 +213,19 @@ def test_monthly_signals_shuffles_twice_no_sortagg(spark):
     assert plan.count("Exchange hashpartitioning") <= 2
     assert "SortAggregate" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_media_synth_entries_prune_to_doc_id(spark):
+    """The d12c/d12d/d12e synthesis entries derive payloads from the
+    doc id alone — the parquet scan must prune to doc_id (shipping the
+    text column through the widening exchange would pay decompression
+    + shuffle for bytes nobody reads)."""
+    for name in ("d12c_jpeg_features", "d12d_wav_features",
+                 "d12e_video_frame_features"):
+        plan = _plan(spark, name)
+        import re
+
+        schemas = re.findall(r"ReadSchema: (\S+)", plan)
+        assert schemas and all(s == "struct<doc_id:bigint>" for s in schemas), (
+            name, schemas
+        )

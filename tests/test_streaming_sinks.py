@@ -467,3 +467,41 @@ def test_idempotent_parquet_writer_overwrites_crashed_batch(spark, tmp_path):
     writer(df, 0)  # replay
     got = sorted((r.id, r.v) for r in spark.read.parquet(out + "/batch_id=0").collect())
     assert got == [(1, "a"), (2, "b")]
+
+
+def test_streaming_media_feature_extraction(spark, tmp_path):
+    """The multimodal operators compose with Structured Streaming
+    unchanged (mapInPandas is stream-capable): a file-source stream of
+    binary payloads flows through extract_features, and the streamed
+    rows equal the batch run over the same payloads."""
+    from trace_data_pipeline_spark.datapipe.jpeg import encode_jpeg_gray
+    from trace_data_pipeline_spark.datapipe.multimodal import extract_features
+
+    rows = []
+    for k in range(6):
+        w, h = 8 + k % 3, 8
+        px = bytes(((x // 8) * 31 + (y // 8) * 17 + k) % 256
+                   for y in range(h) for x in range(w))
+        rows.append((k, bytearray(encode_jpeg_gray(w, h, px))))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    src = os.path.join(str(tmp_path), "media")
+    media.write.mode("overwrite").parquet(src)
+
+    batch = {r.media_id: list(r.features)
+             for r in extract_features(media).collect()}
+
+    stream = spark.readStream.schema("media_id long, payload binary").parquet(src)
+    q = (
+        extract_features(stream)
+        .writeStream.format("memory")
+        .queryName("media_feats_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.media_id: list(r.features)
+           for r in spark.sql("SELECT * FROM media_feats_test").collect()}
+    assert got == batch

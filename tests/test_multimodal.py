@@ -366,12 +366,23 @@ def test_jpeg_malformed_and_out_of_scope(spark):
     sof_off = good.find(b"\xff\xc0")
     with _pytest.raises(ValueError):
         decode_jpeg(good[: sof_off + 8])
-    # a tiny payload declaring huge SOF dimensions must be refused
-    # BEFORE allocation (memory-bomb guard), as a ValueError
+    # declared dimensions over the sample cap are refused BEFORE
+    # allocation (memory-bomb guard) — but as ImageTooLarge, a
+    # NotImplementedError subclass (ADVICE r5): a 3000x2000 color
+    # photo is a LEGITIMATE baseline JPEG this sandbox decoder simply
+    # lacks capacity for, so the router must degrade it, not die
+    from trace_data_pipeline_spark.datapipe.jpeg import ImageTooLarge
+
     bomb = bytearray(good)
     struct.pack_into(">HH", bomb, sof_off + 5, 65535, 65535)
-    with _pytest.raises(ValueError, match="sample cap"):
+    with _pytest.raises(ImageTooLarge, match="sample cap"):
         decode_jpeg(bytes(bomb))
+    assert issubclass(ImageTooLarge, NotImplementedError)
+    m_big = _media(spark, [(9, bytes(bomb), ("image/jpeg", 65535, 65535, None))])
+    row_big = extract_features(m_big).collect()[0]
+    assert list(row_big.features) == [
+        pytest.approx(v) for v in _fake_features(bytes(bomb))
+    ]
     # flip SOF0 -> SOF2 (progressive): out of scope
     prog = bytearray(good)
     prog[sof_off + 1] = 0xC2
@@ -489,6 +500,15 @@ def test_wav_malformed_and_out_of_scope(spark):
     struct.pack_into("<H", mp3ish, good.find(b"fmt ") + 8, 85)  # MP3 tag
     with _pytest.raises(NotImplementedError):
         decode_wav(bytes(mp3ish))
+    # ADVICE r5: a data chunk cut mid-frame (length not a multiple of
+    # block_align) is corruption and must raise loudly, not silently
+    # drop the trailing partial frame
+    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", 6) + bytes(6))  # 1.5 frames
+    midframe = b"RIFF" + struct.pack("<I", len(body)) + body
+    with _pytest.raises(ValueError, match="truncated mid-frame"):
+        decode_wav(midframe)
 
     m = _media(spark, [
         (1, good, ("audio/wav", None, None, None)),
@@ -539,10 +559,23 @@ def test_avi_mux_demux_roundtrip_and_boundaries(spark):
     with _pytest.raises(NotImplementedError):
         decode_avi_frames(bytes(h264))
 
+    # ADVICE r5: a structurally valid MJPG container with an EMPTY movi
+    # list is missing content, not corruption — NotImplementedError so
+    # the router degrades it to the null row instead of killing a task
+    import struct as _struct
+
+    movi_lst = avi.find(b"movi") - 8  # the movi LIST header start
+    empty_body = avi[8:movi_lst] + b"LIST" + _struct.pack("<I", 4) + b"movi"
+    zero_frames = b"RIFF" + _struct.pack("<I", len(empty_body)) + empty_body
+    assert is_avi(zero_frames)
+    with _pytest.raises(NotImplementedError, match="zero movi frames"):
+        decode_avi_frames(zero_frames)
+
     m = _media(spark, [
         (1, avi, ("video/avi", 16, 9, 200)),
         (2, b"\x00\x00\x01\xba mpeg-ps", ("video/mpeg", None, None, None)),
         (3, bytes(h264), ("video/avi", 16, 9, 200)),
+        (4, zero_frames, ("video/avi", 16, 9, 0)),
     ])
     rows = extract_video_features(m, every_n=2).collect()
     by_id = {}
@@ -556,6 +589,7 @@ def test_avi_mux_demux_roundtrip_and_boundaries(spark):
     assert (a[1].px_mean, a[1].px_min, a[1].px_max) == (90.0, 90.0, 90.0)
     assert len(by_id[2]) == 1 and by_id[2][0].frame_idx is None
     assert len(by_id[3]) == 1 and by_id[3][0].frame_idx is None
+    assert len(by_id[4]) == 1 and by_id[4][0].frame_idx is None
 
 
 def test_avi_wav_hardening_from_review(spark):
@@ -820,7 +854,9 @@ def test_jpeg_third_review_gates():
     sof_off = color.find(b"\xff\xc0")
     big = bytearray(color)
     struct.pack_into(">HH", big, sof_off + 5, 2400, 2400)  # 5.76M*3 > cap
-    with _pytest.raises(ValueError, match="sample cap"):
+    from trace_data_pipeline_spark.datapipe.jpeg import ImageTooLarge
+
+    with _pytest.raises(ImageTooLarge, match="sample cap"):
         decode_jpeg(bytes(big))
 
 
@@ -876,3 +912,58 @@ def test_codec_fuzz_only_contract_exceptions():
                 decode(base[:cut])
             except (ValueError, NotImplementedError):
                 pass
+
+
+def test_decode_fn_injection(spark):
+    """r5 verdict item 4: the decode function is INJECTABLE — a
+    production codec (libjpeg-turbo / pyav / ffmpeg wrapper) must slot
+    into the same mapInPandas contract by argument, no module surgery.
+    The injected callables here return sentinel decodes; the assertion
+    that the sentinel values come back through the Arrow kernel proves
+    the closure (not the module global) reaches the Python workers."""
+    from trace_data_pipeline_spark.datapipe.avi import encode_avi_mjpeg
+    from trace_data_pipeline_spark.datapipe.jpeg import encode_jpeg_gray
+    from trace_data_pipeline_spark.datapipe.multimodal import (
+        extract_audio_features,
+        extract_features,
+        extract_video_features,
+    )
+    from trace_data_pipeline_spark.datapipe.wav import encode_wav
+
+    jpg = encode_jpeg_gray(4, 4, bytes([7] * 16))
+
+    def fake_image_decode(payload):
+        return 2, 1, 1, bytearray([10, 30])  # w=2 h=1 gray
+
+    row = extract_features(
+        _media(spark, [(1, jpg, ("image/jpeg", 4, 4, None))]),
+        decode_fn=fake_image_decode,
+    ).collect()[0]
+    assert list(row.features)[:4] == [2.0, 1.0, 1.0, 2.0]
+    assert row.features[4] == pytest.approx(20.0)  # injected mean
+
+    wav = encode_wav(8000, 1, [[5, 5]])
+
+    def fake_audio_decode(payload):
+        return 1000, 1, [[100, 200, 300]]
+
+    arow = extract_audio_features(
+        _media(spark, [(1, wav, ("audio/wav", None, None, None))]),
+        decode_fn=fake_audio_decode,
+    ).collect()[0]
+    assert (arow.sample_rate, arow.n_samples) == (1000, 3)
+    assert arow.ch0_mean == pytest.approx(200.0)
+
+    avi = encode_avi_mjpeg([jpg], 4, 4, usec_per_frame=1000)
+
+    def fake_demux(payload):
+        return 2000, [b"frame0", b"frame1"]
+
+    vrows = extract_video_features(
+        _media(spark, [(1, avi, ("video/avi", 4, 4, 2))]),
+        demux_fn=fake_demux,
+        frame_decode_fn=fake_image_decode,
+    ).collect()
+    assert sorted(r.frame_idx for r in vrows) == [0, 1]
+    assert {r.frame_ms for r in vrows} == {0.0, 2.0}
+    assert all(r.px_mean == pytest.approx(20.0) for r in vrows)

@@ -22,6 +22,16 @@ baseline JPEG path REAL (grayscale and color) while
 `multimodal.decode_image` keeps the fake kernel for the remaining
 out-of-scope variants.
 
+PRODUCTION SWAP (r5 verdict item 4): this pure-numpy decode is the
+sandbox FIDELITY BASELINE — correct, spec-derived, but a Python
+Huffman loop per image is ~100x off a native codec, so do NOT ship it
+against 100 TB. At production scale, swap in libjpeg-turbo (via PIL /
+pyturbojpeg) behind `extract_features(decode_fn=...)` — the router
+cloudpickles the callable into the same Arrow-batched mapInPandas
+kernel, identical schema, identical plan shape; nothing else changes.
+`tests/test_multimodal.py::test_decode_fn_injection` pins that the
+injection point works.
+
 Exactness contract used by the d12c oracle entry: an image whose 8x8
 blocks are each CONSTANT survives the lossy pipeline bit-exactly with
 an all-ones quant table — the analysis DCT of a constant block is
@@ -43,6 +53,15 @@ import numpy as np
 # decode allocates ~8 bytes/pixel of work space; the cap bounds one
 # malicious row's footprint at ~128 MB inside an Arrow batch worker
 MAX_PIXELS = 1 << 24
+
+
+class ImageTooLarge(NotImplementedError):
+    """Frame exceeds the decoder's sample cap (ADVICE r5): a LEGITIMATE
+    oversized baseline photo (e.g. 3000x2000 color = 18M samples) is a
+    capability limit of this sandbox decoder, not corruption, so the
+    routers' never-hard-fail-on-missing-capability contract applies —
+    subclassing NotImplementedError lets them degrade to the fake/null
+    kernel. The memory-bomb guard still fires before any allocation."""
 
 # ---------------------------------------------------------------- DCT
 
@@ -506,7 +525,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytearray]:
             # allocates per-plane work space plus the RGB stack, so a
             # 3-component frame costs ~8x a grayscale one per pixel
             if width * height * max(ncomp, 1) > MAX_PIXELS:
-                raise ValueError(
+                raise ImageTooLarge(
                     f"image {width}x{height}x{ncomp} exceeds the decoder's "
                     f"{MAX_PIXELS}-sample cap (a tiny payload can declare "
                     "arbitrary SOF dimensions — allocating first would be "

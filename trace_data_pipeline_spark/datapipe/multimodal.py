@@ -95,14 +95,15 @@ def _fake_features(payload: bytes) -> list[float]:
     return [b / 256.0 for b in digest[:FEATURE_DIM]]
 
 
-def _decoded_features(payload: bytes) -> list[float]:
+def _decoded_features(payload: bytes, decode_fn=None) -> list[float]:
     """REAL feature kernel for decodable payloads (PNG, baseline
     JPEG — grayscale or color): decode, then fixed-size pixel stats —
     [w, h, channels, n_pixels] + per-channel [mean, min, max] for up
     to 4 channels (absent channels → 0). Integer sums divided once in
     float64 — exactly reproducible from the pixel formula by any
-    engine."""
-    w, h, ch, px = decode_image(payload)
+    engine. `decode_fn` (default `decode_image`) is how a production
+    codec slots in — see `extract_features`."""
+    w, h, ch, px = (decode_fn or decode_image)(payload)
     n = w * h
     feats = [float(w), float(h), float(ch), float(n)]
     for c in range(4):
@@ -114,7 +115,9 @@ def _decoded_features(payload: bytes) -> list[float]:
     return feats
 
 
-def extract_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
+def extract_features(
+    media: DataFrame, batch_size: int = 256, decode_fn=None
+) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads via
     mapInPandas. Per-payload routing: PNG and baseline JPEG rows
     (grayscale or color) run the REAL decode-and-measure kernel;
@@ -124,16 +127,26 @@ def extract_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
     an in-scope format (bad CRC, truncated entropy stream) raises
     loudly instead, for both codecs alike: corruption must surface,
     not silently degrade into fake features (the PNG ADVICE-r3
-    contract, extended unchanged to JPEG)."""
+    contract, extended unchanged to JPEG).
+
+    `decode_fn` is the PRODUCTION SWAP POINT (r5 verdict item 4): pass
+    any `payload -> (w, h, channels, pixels)` callable (e.g. a
+    libjpeg-turbo / PIL wrapper) and it replaces the sandbox codec
+    inside the same mapInPandas contract — the closure is cloudpickled
+    to the Python workers, so no module surgery is needed. Default is
+    this module's `decode_image`. Same routing contract applies: raise
+    NotImplementedError for can't-decode, ValueError for corruption."""
     from trace_data_pipeline_spark.datapipe.jpeg import is_jpeg
     from trace_data_pipeline_spark.datapipe.png import is_png
 
+    decode = decode_fn if decode_fn is not None else decode_image
+
     def featurize(p: bytes | None) -> list[float]:
         if is_png(p):
-            return _decoded_features(p)
+            return _decoded_features(p, decode)
         if is_jpeg(p):
             try:
-                return _decoded_features(p)
+                return _decoded_features(p, decode)
             except NotImplementedError:
                 return _fake_features(p)
         return _fake_features(p)
@@ -296,7 +309,9 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 )
 
 
-def extract_audio_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
+def extract_audio_features(
+    media: DataFrame, batch_size: int = 256, decode_fn=None
+) -> DataFrame:
     """Audio twin of `extract_features`: PCM WAV payloads decode FOR
     REAL (`datapipe/wav.py` — RIFF walk, deinterleave) and emit exact
     sample statistics; per the image convention an absent second
@@ -306,8 +321,14 @@ def extract_audio_features(media: DataFrame, batch_size: int = 256) -> DataFrame
     with `sample_rate` null, keeping the pipeline alive; MALFORMED
     RIFF raises loudly (same corruption contract as the image
     codecs). Statistics are integer sums divided once in float64 —
-    bit-reproducible from the sample formula by any engine."""
+    bit-reproducible from the sample formula by any engine.
+
+    `decode_fn` (`payload -> (rate, channels, per-channel samples)`,
+    default `decode_wav`) is the production swap point — an
+    ffmpeg/soundfile wrapper drops in without touching the plan."""
     from trace_data_pipeline_spark.datapipe.wav import decode_wav, is_wav
+
+    decode = decode_fn if decode_fn is not None else decode_wav
 
     def stats(p: bytes | None) -> dict:
         none = {
@@ -319,7 +340,7 @@ def extract_audio_features(media: DataFrame, batch_size: int = 256) -> DataFrame
         if p is None or not is_wav(p):
             return none
         try:
-            rate, ch, samples = decode_wav(p)
+            rate, ch, samples = decode(p)
         except NotImplementedError:
             return none
         n = len(samples[0])
@@ -364,7 +385,11 @@ VIDEO_FEATURES_SCHEMA = T.StructType(
 
 
 def extract_video_features(
-    media: DataFrame, every_n: int = 1, batch_size: int = 64
+    media: DataFrame,
+    every_n: int = 1,
+    batch_size: int = 64,
+    demux_fn=None,
+    frame_decode_fn=None,
 ) -> DataFrame:
     """Video twin of `extract_features`: MJPEG AVI payloads demux FOR
     REAL (`datapipe/avi.py`) and every `every_n`-th frame runs the
@@ -375,7 +400,13 @@ def extract_video_features(
     missing-capability rows stay visible; MALFORMED containers raise
     loudly (the shared corruption contract). Small batch size — a
     decoded frame sequence is orders of magnitude larger than its
-    payload."""
+    payload.
+
+    `demux_fn` (`payload -> (usec_per_frame, [frame bytes])`, default
+    `decode_avi_frames`) and `frame_decode_fn` (default `decode_image`)
+    are the production swap points — a pyav/ffmpeg demux and a
+    libjpeg-turbo frame decode drop into the same mapInPandas
+    contract, identical output schema."""
     from trace_data_pipeline_spark.datapipe.avi import (
         decode_avi_frames,
         is_avi,
@@ -383,6 +414,10 @@ def extract_video_features(
 
     if every_n < 1:
         raise ValueError("every_n must be >= 1")
+    demux = demux_fn if demux_fn is not None else decode_avi_frames
+    frame_decode = (
+        frame_decode_fn if frame_decode_fn is not None else decode_image
+    )
 
     def rows_for(mid: int, p: bytes | None) -> list[dict]:
         null_row = {
@@ -399,9 +434,9 @@ def extract_video_features(
         # whole payload degrades to the null row (partial stats over
         # only-the-decodable frames would be silently wrong)
         try:
-            usec, frames = decode_avi_frames(p)
+            usec, frames = demux(p)
             for idx in range(0, len(frames), every_n):
-                w, h, ch, px = decode_image(frames[idx])
+                w, h, ch, px = frame_decode(frames[idx])
                 n = w * h * ch
                 out.append({
                     "media_id": mid, "frame_idx": idx,

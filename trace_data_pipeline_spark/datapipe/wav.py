@@ -13,6 +13,12 @@ compressed codecs (MP3/AAC/FLAC — format tags other than 1/PCM),
 >2 channels, 24/32-bit depths, and WAVE_FORMAT_EXTENSIBLE. Malformed
 RIFF structure raises ValueError (corruption surfaces loudly, matching
 the PNG/JPEG contract).
+
+PRODUCTION SWAP: PCM decode is cheap enough to keep, but to cover the
+compressed boundary at production scale pass an ffmpeg/soundfile
+wrapper via `extract_audio_features(decode_fn=...)` — same
+mapInPandas contract, identical schema (see
+`tests/test_multimodal.py::test_decode_fn_injection`).
 """
 
 from __future__ import annotations
@@ -106,6 +112,14 @@ def decode_wav(payload: bytes) -> tuple[int, int, list[list[int]]]:
     width = bits // 8
     if block_align != channels * width:
         raise ValueError("block_align inconsistent with channels/depth")
+    if len(data) % (channels * width) != 0:
+        # ADVICE r5: a data chunk cut mid-frame is corruption — surface
+        # it loudly like every other malformed-RIFF case instead of
+        # silently dropping the trailing partial frame
+        raise ValueError(
+            f"data chunk length {len(data)} is not a whole number of "
+            f"{channels * width}-byte frames (truncated mid-frame)"
+        )
     n = len(data) // (channels * width)
     if n > MAX_SAMPLES:
         raise ValueError(f"sample count exceeds the {MAX_SAMPLES} cap")

@@ -73,6 +73,47 @@ def test_every_catalog_entry_is_documented_in_coverage():
     )
 
 
+def test_all_query_builders_construct_fast(spark):
+    """r5 verdict item 6: no catalog entry may be invisible to the
+    driver's sample because its BUILDER (plan construction, not
+    execution) errors or hangs — every queries() callable must return
+    a DataFrame promptly. Plan construction is lazy, so >5s for one
+    entry means an accidental eager action (collect/count) snuck into
+    a builder."""
+    import time
+
+    import __spark_entry__ as e
+    from trace_data_pipeline_spark.plans import get_catalog
+
+    qs = e.queries()
+    assert len(qs) == len(get_catalog())
+    # the CC-backed entries are legitimately eager at build time — an
+    # iterative algorithm runs its convergence loop (real Spark jobs)
+    # to produce the final frame — so they get a bounded-but-looser
+    # budget; everything else must be pure plan construction
+    ITERATIVE = {
+        "d18_dedup_clusters", "d19_semantic_dedup_clusters",
+        "d31_cluster_representatives",
+    }
+    slow, failed = {}, {}
+    for name, fn in qs.items():
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, TEST_SF_DIR)
+            assert df.columns  # a real DataFrame with a schema
+        except Exception as exc:  # noqa: BLE001 — recording, not hiding
+            failed[name] = repr(exc)
+            continue
+        dt = time.perf_counter() - t0
+        if dt > (60.0 if name in ITERATIVE else 5.0):
+            slow[name] = round(dt, 2)
+    from trace_data_pipeline_spark.operators.caching import release_caches
+
+    release_caches()
+    assert not failed, f"builders raised during construction: {failed}"
+    assert not slow, f"builders too slow to construct (eager action?): {slow}"
+
+
 @pytest.mark.slow
 def test_bench_emits_one_json_line():
     """The driver parses bench.py stdout as ONE JSON line — a stray
@@ -97,3 +138,11 @@ def test_bench_emits_one_json_line():
     from trace_data_pipeline_spark.plans import get_catalog
 
     assert set(d["queries"]) == set(get_catalog())
+    # r5 verdict item 5: the full per-query table must also land in the
+    # BENCH_SELF.json artifact, matching the stdout line
+    with open(os.path.join(repo, "BENCH_SELF.json")) as f:
+        self_report = json.load(f)
+    assert self_report["queries"] == d["queries"]
+    assert self_report["value"] == d["value"]
+    assert set(self_report["queries_first"]) == set(d["queries"])
+    assert self_report["host"]["cpus"]

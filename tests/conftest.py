@@ -9,6 +9,66 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 TEST_SF_DIR = os.environ.get("TEST_SF_DIR", "/root/testdata/sf0.001")
 
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--parity-report",
+        action="store",
+        nargs="?",
+        const=os.path.join(_REPO_ROOT, "PARITY_r6.json"),
+        default=None,
+        metavar="PATH",
+        help=(
+            "Persist per-entry parity evidence (rows + driver-style "
+            "value hash) from test_parity.py, merged into PATH keyed "
+            "by the TEST_SF_DIR scale. Regenerate all three scales "
+            "with: for sf in 0.001 0.01 0.1; do TEST_SF_DIR=/root/"
+            "testdata/sf$sf python -m pytest tests/test_parity.py "
+            "--parity-report; done"
+        ),
+    )
+
+
+@pytest.fixture(scope="session")
+def parity_recorder(request):
+    """Collects {entry: evidence} during a test_parity run; merged into
+    the --parity-report JSON (keyed by scale) at session end. A no-op
+    callable when the flag is absent."""
+    path = request.config.getoption("--parity-report")
+    records: dict[str, dict] = {}
+
+    def record(name: str, evidence: dict) -> None:
+        records[name] = evidence
+
+    yield record if path else (lambda name, evidence: None)
+    if not path or not records:
+        return
+    import json
+    from datetime import date
+
+    merged = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            merged = json.load(f)
+    scales = merged.setdefault("scales", {})
+    scales[TEST_SF_DIR] = {
+        "generated": str(date.today()),
+        "n_entries": len(records),
+        "n_oracle_backed": sum(1 for r in records.values() if r["oracle"]),
+        "entries": dict(sorted(records.items())),
+    }
+    merged["note"] = (
+        "Local replica of the driver's DuckDB-oracle differential gate "
+        "(tests/parity.py: canonicalize, compare, then hash the "
+        "driver-style rendering). Every listed entry PASSED — a "
+        "mismatch fails the pytest run before this file is written. "
+        "oracle=false rows are the documented rows-only checks."
+    )
+    with open(path, "w") as f:
+        json.dump(merged, f, indent=1, sort_keys=True)
+
 
 @pytest.fixture(scope="session")
 def spark():

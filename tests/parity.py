@@ -76,7 +76,7 @@ def _canon_order(df: pd.DataFrame):
     return coerced.sort_values(list(coerced.columns), na_position="last").index
 
 
-def assert_parity(spark_df, oracle_pdf: pd.DataFrame, name: str = "") -> None:
+def assert_parity(spark_df, oracle_pdf: pd.DataFrame, name: str = "") -> dict:
     a_raw = spark_df.toPandas()
     b_raw = oracle_pdf
     a = canon(a_raw)
@@ -101,3 +101,14 @@ def assert_parity(spark_df, oracle_pdf: pd.DataFrame, name: str = "") -> None:
             f"{name}: rendering mismatch (spark vs oracle dtype/format) in "
             f"columns {cols}; first diffs {samples}"
         )
+    # summary for the PARITY artifact (r5 verdict item 2): both sides
+    # just proved render-identical, so one hash describes them both —
+    # the same md5-of-rendered-CSV shape the driver records
+    import hashlib
+
+    return {
+        "rows": int(len(a)),
+        "value_hash": hashlib.md5(
+            ar.to_csv(index=False).encode()
+        ).hexdigest(),
+    }

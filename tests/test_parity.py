@@ -13,11 +13,13 @@ CATALOG = get_catalog()
 
 
 @pytest.mark.parametrize("name", sorted(CATALOG))
-def test_oracle_parity(spark, name):
+def test_oracle_parity(spark, name, parity_recorder):
     q = CATALOG[name]
     df = q.builder(spark, TEST_SF_DIR)
     if q.oracle is None:
-        assert df.count() >= 0
+        n = df.count()
+        assert n >= 0
+        parity_recorder(name, {"rows": int(n), "value_hash": None, "oracle": False})
         return
     oracle = duckdb_oracle(q.oracle, TEST_SF_DIR)
     # VACUITY GATE (r4 verdict: d30 passed green on 0 rows for a
@@ -26,7 +28,8 @@ def test_oracle_parity(spark, name):
     # Audited r5: the minimum legitimate count is 1 (a9/a10 are
     # single-row cross-sectional summaries).
     assert len(oracle) > 0, f"{name}: oracle returned 0 rows — vacuous fixture"
-    assert_parity(df, oracle, name=name)
+    evidence = assert_parity(df, oracle, name=name)
+    parity_recorder(name, {**evidence, "oracle": True})
 
 
 def test_entry_contract(spark):

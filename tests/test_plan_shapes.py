@@ -229,3 +229,23 @@ def test_media_synth_entries_prune_to_doc_id(spark):
         assert schemas and all(s == "struct<doc_id:bigint>" for s in schemas), (
             name, schemas
         )
+
+
+def test_factor_panel_one_fact_shuffle_broadcast_betas(spark):
+    """p7: the beta estimators must NOT cost fact shuffles — the
+    per-day market and rating-class return frames broadcast back onto
+    the persisted daily frame, every aggregate stays a hash aggregate,
+    and the physical plan carries at most the daily fact exchange plus
+    the two tiny periodic-frame re-keys (monthly rollup + the
+    month-partitioned rank window)."""
+    plan = _plan(spark, "p7_factor_panel")
+    assert "SortAggregate" not in plan  # rating_class recomputed, not MIN'd
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # both return joins broadcast
+    assert plan.count("BroadcastHashJoin") == 2
+    # the daily frame is persisted and feeds exactly three consumers
+    # (market agg, class agg, join-back) — without the cache each
+    # would re-run the fact aggregate; a raw Exchange count is not
+    # meaningful here because every InMemoryRelation PRINTS its full
+    # child plan even though it executes once
+    assert plan.count("InMemoryTableScan") == 3

@@ -388,3 +388,427 @@ def p6_portfolio_panel(spark, sf_dir):
             "mkt_roll_1m",
         )
     )
+
+
+# ------------------------------------------------------------------ p7
+
+_P7_ORACLE = r"""
+WITH daily AS (
+  SELECT l_suppkey,
+         CAST(l_shipdate AS DATE) AS d,
+         CAST((2 * SUM(CAST(round(l_extendedprice * l_quantity * 100, 0) AS BIGINT)) * 10000
+               + 100 * SUM(CAST(l_quantity AS BIGINT)))
+              // (200 * SUM(CAST(l_quantity AS BIGINT))) AS DOUBLE) / 10000 AS prc,
+         CAST(SUM(CAST(round(l_extendedprice * l_quantity * 100, 0) AS BIGINT))
+              AS BIGINT) AS dvol_cents,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_s
+  FROM lineitem GROUP BY 1, 2
+),
+seq AS (
+  SELECT *,
+         CASE WHEN l_suppkey % 5 <= 1 THEN 'IG'
+              WHEN l_suppkey % 5 <= 3 THEN 'NIG'
+              ELSE 'DEF' END AS rating_class,
+         prc / lag(prc) OVER w - 1 AS ret_d,
+         prc - lag(prc) OVER w AS dp
+  FROM daily WINDOW w AS (PARTITION BY l_suppkey ORDER BY d)
+),
+seq2 AS (
+  SELECT *, lag(dp) OVER (PARTITION BY l_suppkey ORDER BY d) AS dp_l
+  FROM seq
+),
+-- Market / rating-class benchmark: the RETURN OF THE VALUE-WEIGHTED
+-- INDEX PRICE (the same exact-4dp half-up integer quotient the bond
+-- prices use), NOT a float mean of per-bond returns — integer sums
+-- are order-independent, so the benchmark series is bit-identical in
+-- both engines and across runs.
+midx AS (
+  SELECT d,
+         CAST((2 * SUM(dvol_cents) * 10000 + 100 * SUM(qty_s))
+              // (200 * SUM(qty_s)) AS DOUBLE) / 10000 AS mp
+  FROM daily GROUP BY 1
+),
+mkt AS (
+  SELECT d, mp / lag(mp) OVER (ORDER BY d) - 1 AS mkt_ret FROM midx
+),
+cidx AS (
+  SELECT CASE WHEN l_suppkey % 5 <= 1 THEN 'IG'
+              WHEN l_suppkey % 5 <= 3 THEN 'NIG'
+              ELSE 'DEF' END AS rating_class,
+         d,
+         CAST((2 * SUM(dvol_cents) * 10000 + 100 * SUM(qty_s))
+              // (200 * SUM(qty_s)) AS DOUBLE) / 10000 AS cp
+  FROM daily GROUP BY 1, 2
+),
+crc AS (
+  SELECT rating_class, d,
+         cp / lag(cp) OVER (PARTITION BY rating_class ORDER BY d) - 1
+           AS cls_ret
+  FROM cidx
+),
+j AS (
+  SELECT s.*, m.mkt_ret, c.cls_ret
+  FROM seq2 s
+  JOIN mkt m ON m.d = s.d
+  JOIN crc c ON c.rating_class = s.rating_class AND c.d = s.d
+),
+-- SECOND MOMENTS VIA EXACT FIXED-POINT ARITHMETIC. Float covar/var/
+-- avg aggregates merge partials in nondeterministic order (DuckDB by
+-- thread, Spark by shuffle fetch) and flip 6dp ROUNDs run to run;
+-- even exact sums diverge cross-engine at the decimal->double cast
+-- once the scaled integer exceeds 2^53. Discipline: (a) quantize the
+-- return series at 10dp (deterministic: identical doubles in, same
+-- nearest-decimal out), (b) every sum/product/cancellation happens
+-- in exact decimals sized to never truncate, (c) each statistic is
+-- ROUNDed to a scale whose scaled integer stays below 2^53 — making
+-- the decimal->double conversion EXACT — and only then finished in
+-- IEEE float, identically in both engines. Divergence: zero.
+monthly AS (
+  SELECT l_suppkey, strftime(d, '%Y-%m') AS month,
+         COUNT(ret_d) AS n_obs,
+         MAX(d) AS d_eom,
+         SUM(CAST(ret_d AS DECIMAL(18,10))) AS sr,
+         SUM(CASE WHEN ret_d IS NOT NULL
+                  THEN CAST(mkt_ret AS DECIMAL(14,10)) END) AS sm,
+         SUM(CAST(ret_d AS DECIMAL(18,10))
+             * CAST(mkt_ret AS DECIMAL(14,10))) AS srm,
+         SUM(CASE WHEN ret_d IS NOT NULL
+                  THEN CAST(mkt_ret AS DECIMAL(14,10))
+                       * CAST(mkt_ret AS DECIMAL(14,10)) END) AS smm,
+         SUM(CASE WHEN ret_d IS NOT NULL
+                  THEN CAST(cls_ret AS DECIMAL(14,10)) END) AS sc,
+         SUM(CAST(ret_d AS DECIMAL(18,10))
+             * CAST(cls_ret AS DECIMAL(14,10))) AS src,
+         SUM(CASE WHEN ret_d IS NOT NULL
+                  THEN CAST(cls_ret AS DECIMAL(14,10))
+                       * CAST(cls_ret AS DECIMAL(14,10)) END) AS scc,
+         SUM(CASE WHEN ret_d < 0
+                  THEN CAST(ret_d AS DECIMAL(18,10))
+                       * CAST(ret_d AS DECIMAL(18,10))
+                  WHEN ret_d IS NOT NULL
+                  THEN CAST(0 AS DECIMAL(37,20)) END) AS sneg,
+         COUNT(CASE WHEN dp IS NOT NULL AND dp_l IS NOT NULL
+                    THEN 1 END) AS n_r,
+         SUM(CASE WHEN dp IS NOT NULL AND dp_l IS NOT NULL
+                  THEN CAST(dp AS DECIMAL(19,4)) END) AS s1,
+         SUM(CASE WHEN dp IS NOT NULL AND dp_l IS NOT NULL
+                  THEN CAST(dp_l AS DECIMAL(19,4)) END) AS s2,
+         SUM(CAST(dp AS DECIMAL(19,4)) * CAST(dp_l AS DECIMAL(19,4))) AS s11,
+         CAST(SUM(dvol_cents) AS BIGINT) AS mvol_cents
+  FROM j GROUP BY 1, 2
+),
+cancel AS (
+  SELECT *,
+         ROUND(CAST(n_obs AS DECIMAL(3,0)) * CAST(srm AS DECIMAL(26,20))
+               - CAST(sr AS DECIMAL(15,10)) * CAST(sm AS DECIMAL(13,10)),
+               7) AS num_m,
+         ROUND(CAST(n_obs AS DECIMAL(3,0)) * CAST(smm AS DECIMAL(24,20))
+               - CAST(sm AS DECIMAL(13,10)) * CAST(sm AS DECIMAL(13,10)),
+               7) AS den_m,
+         ROUND(CAST(n_obs AS DECIMAL(3,0)) * CAST(src AS DECIMAL(26,20))
+               - CAST(sr AS DECIMAL(15,10)) * CAST(sc AS DECIMAL(13,10)),
+               7) AS num_c,
+         ROUND(CAST(n_obs AS DECIMAL(3,0)) * CAST(scc AS DECIMAL(24,20))
+               - CAST(sc AS DECIMAL(13,10)) * CAST(sc AS DECIMAL(13,10)),
+               7) AS den_c,
+         ROUND(CAST(sneg AS DECIMAL(29,20)), 7) AS sneg7,
+         ROUND(CAST(n_r AS DECIMAL(3,0)) * CAST(s11 AS DECIMAL(24,8))
+               - CAST(s1 AS DECIMAL(13,4)) * CAST(s2 AS DECIMAL(13,4)),
+               0) AS num_r
+  FROM monthly
+),
+sig AS (
+  SELECT *,
+         CASE WHEN n_obs >= 2 AND den_m >= CAST(0.000001 AS DECIMAL(8,7))
+              THEN CAST(num_m AS DOUBLE) / CAST(den_m AS DOUBLE)
+         END AS beta_mkt_raw,
+         CASE WHEN n_obs >= 2 AND den_c >= CAST(0.000001 AS DECIMAL(8,7))
+              THEN CAST(num_c AS DOUBLE) / CAST(den_c AS DOUBLE)
+         END AS beta_cls_raw,
+         sqrt(CAST(sneg7 AS DOUBLE) / n_obs) AS semivol_raw,
+         CAST(d_eom - (DATE '2021-06-01'
+                       + CAST(l_suppkey * 793 % 1100 AS INTEGER)) AS DOUBLE)
+           / CAST(365.25 AS DOUBLE) AS age_raw,
+         ln(CAST(mvol_cents AS DOUBLE) / 100) AS size_raw,
+         CASE WHEN n_r >= 2 THEN
+           CASE WHEN num_r < 0
+                THEN 2 * sqrt(-(CAST(num_r AS DOUBLE)
+                                / (CAST(n_r AS DOUBLE) * (n_r - 1))))
+                ELSE CAST(0 AS DOUBLE) END
+         END AS roll_raw
+  FROM cancel
+),
+sig2 AS (
+  SELECT *,
+         roll_raw - lag(roll_raw)
+           OVER (PARTITION BY l_suppkey ORDER BY month) AS sprmom_raw
+  FROM sig
+),
+sig3 AS (
+  SELECT *,
+         percent_rank()
+           OVER (PARTITION BY month ORDER BY sprmom_raw ASC NULLS LAST)
+           AS rank_raw
+  FROM sig2
+)
+SELECT l_suppkey, month,
+       CASE WHEN l_suppkey % 5 <= 1 THEN 'IG'
+            WHEN l_suppkey % 5 <= 3 THEN 'NIG'
+            ELSE 'DEF' END AS rating_class,
+       n_obs,
+       ROUND(beta_mkt_raw, 6) + 0.0 AS beta_mkt,
+       ROUND(beta_cls_raw, 6) + 0.0 AS beta_cls,
+       ROUND(semivol_raw, 6) + 0.0 AS semivol_1m,
+       ROUND(age_raw, 6) + 0.0 AS bond_age,
+       ROUND(size_raw, 6) + 0.0 AS size_ln,
+       ROUND(sprmom_raw, 6) + 0.0 AS roll_mom,
+       CASE WHEN sprmom_raw IS NOT NULL
+            THEN ROUND(rank_raw, 6) + 0.0 END AS roll_mom_rank
+FROM sig3
+"""
+
+
+@register("p7_factor_panel", oracle=_P7_ORACLE)
+def p7_factor_panel(spark, sf_dir):
+    """Stage-2 signal tranche 2 (r5 verdict item 3) — systematic-risk
+    and characteristic factors toward the CHANGELOG's "50+ bond
+    characteristic signals" (reference CHANGELOG.md:8-18):
+
+    - beta_mkt / beta_cls — per (bond, month) rolling beta of the
+      bond's daily returns against the VALUE-WEIGHTED market index
+      return, resp. the bond's rating-class index return (class
+      membership derived deterministically from the id, as stage 1
+      does). The index price is the same exact-4dp half-up integer
+      quotient the bond prices use, so the benchmark series is
+      bit-identical across engines and runs; the beta denominator
+      carries a 1e-6 variance floor (degenerate index months emit
+      NULL, documented);
+    - semivol_1m — downside semivolatility: sqrt of the mean squared
+      NEGATIVE daily return (positive days contribute 0, unobserved
+      days are skipped) — Sortino-style downside risk;
+    - bond_age — years since synthetic offering date (the stage-1
+      _fisd derivation, /365.25);
+    - size_ln — ln of month dollar volume, summed EXACTLY in integer
+      cents before the single float log;
+    - roll_mom / roll_mom_rank — effective-spread momentum: change in
+      the month's Roll measure vs the bond's previous observed month,
+      and its cross-sectional percent_rank within the month (rank
+      emitted only for observed momentum; ordering pinned ASC NULLS
+      LAST on both engines because Spark defaults nulls FIRST and
+      DuckDB LAST).
+
+    EXACTNESS DISCIPLINE (the hard-won part — see the oracle's
+    comment block): float covar_samp/var_samp/avg flip 6dp ROUNDs
+    because partials merge in nondeterministic order (observed live:
+    DuckDB's own covar_samp differs run to run by thread count), and
+    a plain exact-decimal-sum fix still diverges cross-engine at the
+    decimal->double cast once the scaled integer exceeds 2^53. So
+    every second moment here is: quantize the return series at 10dp,
+    run all sums/products/cancellations in exact decimals sized to
+    never truncate (operand precisions chosen so Spark's p1+p2+1 <=
+    38 multiply rule holds; width >= 19 on the DuckDB side where its
+    int64 multiply path overflows), ROUND each statistic to a scale
+    whose scaled integer stays under 2^53 (making the double cast
+    EXACT), and only then finish in IEEE float — identical bits in
+    both engines, zero flip probability.
+
+    Scale shape: ONE fact shuffle (the daily aggregate); the daily
+    frame is persisted once and feeds three consumers (market index,
+    class index, join-back) — the per-day index frames are tiny and
+    BROADCAST back, so betas cost no extra fact shuffle; the monthly
+    aggregate and both windows run on the small periodic frame. No
+    UDF, hash aggregates throughout (rating_class recomputed from the
+    key — a var-width MIN buffer would demote to SortAggregate).
+    """
+    from trace_data_pipeline_spark.operators.caching import tracked_persist
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p, q = F.col("l_extendedprice"), F.col("l_quantity")
+    pq_cents = F.round(p * q * 100, 0).cast("long")
+    daily = li.groupBy("l_suppkey", F.to_date("l_shipdate").alias("d")).agg(
+        round_ratio_half_up(F.sum(pq_cents), F.sum(q.cast("long")) * 100, 4).alias(
+            "prc"
+        ),
+        F.sum(pq_cents).alias("dvol_cents"),
+        F.sum(q.cast("long")).alias("qty_s"),
+    )
+    sk = F.col("l_suppkey")
+    cls = (
+        F.when(sk % 5 <= 1, "IG").when(sk % 5 <= 3, "NIG").otherwise("DEF")
+    )
+    w = Window.partitionBy("l_suppkey").orderBy("d")
+    seq = (
+        daily.withColumn("rating_class", cls)
+        .withColumn("ret_d", F.col("prc") / F.lag("prc").over(w) - 1)
+        .withColumn("dp", F.col("prc") - F.lag("prc").over(w))
+    )
+    seq = tracked_persist(seq.withColumn("dp_l", F.lag("dp").over(w)))
+    # value-weighted index price per day (exact half-up integer
+    # quotient over exact long sums — order-independent), then the
+    # index RETURN via a lag on the tiny day frame
+    idx_price = round_ratio_half_up(
+        F.sum("dvol_cents"), F.sum("qty_s") * 100, 4
+    )
+    mw = Window.orderBy("d")
+    mkt = (
+        seq.groupBy("d")
+        .agg(idx_price.alias("mp"))
+        .select("d", (F.col("mp") / F.lag("mp").over(mw) - 1).alias("mkt_ret"))
+    )
+    cw = Window.partitionBy("rating_class").orderBy("d")
+    crc = (
+        seq.groupBy("rating_class", "d")
+        .agg(idx_price.alias("cp"))
+        .select(
+            "rating_class",
+            "d",
+            (F.col("cp") / F.lag("cp").over(cw) - 1).alias("cls_ret"),
+        )
+    )
+    jn = seq.join(F.broadcast(mkt), "d").join(
+        F.broadcast(crc), ["rating_class", "d"]
+    )
+    ret = F.col("ret_d")
+    r10 = ret.cast("decimal(18,10)")
+    m10 = F.col("mkt_ret").cast("decimal(14,10)")
+    c10 = F.col("cls_ret").cast("decimal(14,10)")
+    d4 = F.col("dp").cast("decimal(19,4)")
+    dl4 = F.col("dp_l").cast("decimal(19,4)")
+    rpair = F.col("dp").isNotNull() & F.col("dp_l").isNotNull()
+    monthly = jn.groupBy(
+        "l_suppkey", F.date_format("d", "yyyy-MM").alias("month")
+    ).agg(
+        F.count("ret_d").alias("n_obs"),
+        F.max("d").alias("d_eom"),
+        F.sum(r10).alias("sr"),
+        F.sum(F.when(ret.isNotNull(), m10)).alias("sm"),
+        F.sum(r10 * m10).alias("srm"),
+        F.sum(F.when(ret.isNotNull(), m10 * m10)).alias("smm"),
+        F.sum(F.when(ret.isNotNull(), c10)).alias("sc"),
+        F.sum(r10 * c10).alias("src"),
+        F.sum(F.when(ret.isNotNull(), c10 * c10)).alias("scc"),
+        F.sum(
+            F.when(ret < 0, r10 * r10).when(
+                ret.isNotNull(), F.lit(0).cast("decimal(37,20)")
+            )
+        ).alias("sneg"),
+        F.count(F.when(rpair, F.lit(1))).alias("n_r"),
+        F.sum(F.when(rpair, d4)).alias("s1"),
+        F.sum(F.when(rpair, dl4)).alias("s2"),
+        F.sum(d4 * dl4).alias("s11"),
+        F.sum("dvol_cents").alias("mvol_cents"),
+    )
+    # exact-decimal cancellations, rounded to sub-2^53 fixed points
+    # (operand downcasts keep every Spark product at p1+p2+1 <= 38)
+    n3 = F.col("n_obs").cast("decimal(3,0)")
+    nr3 = F.col("n_r").cast("decimal(3,0)")
+    cancel = (
+        monthly.withColumn(
+            "num_m",
+            F.round(
+                n3 * F.col("srm").cast("decimal(26,20)")
+                - F.col("sr").cast("decimal(15,10)")
+                * F.col("sm").cast("decimal(13,10)"),
+                7,
+            ),
+        )
+        .withColumn(
+            "den_m",
+            F.round(
+                n3 * F.col("smm").cast("decimal(24,20)")
+                - F.col("sm").cast("decimal(13,10)")
+                * F.col("sm").cast("decimal(13,10)"),
+                7,
+            ),
+        )
+        .withColumn(
+            "num_c",
+            F.round(
+                n3 * F.col("src").cast("decimal(26,20)")
+                - F.col("sr").cast("decimal(15,10)")
+                * F.col("sc").cast("decimal(13,10)"),
+                7,
+            ),
+        )
+        .withColumn(
+            "den_c",
+            F.round(
+                n3 * F.col("scc").cast("decimal(24,20)")
+                - F.col("sc").cast("decimal(13,10)")
+                * F.col("sc").cast("decimal(13,10)"),
+                7,
+            ),
+        )
+        .withColumn("sneg7", F.round(F.col("sneg").cast("decimal(29,20)"), 7))
+        .withColumn(
+            "num_r",
+            F.round(
+                nr3 * F.col("s11").cast("decimal(24,8)")
+                - F.col("s1").cast("decimal(13,4)")
+                * F.col("s2").cast("decimal(13,4)"),
+                0,
+            ),
+        )
+    )
+    off = F.date_add(
+        F.lit("2021-06-01").cast("date"), (sk * 793 % 1100).cast("int")
+    )
+    var_floor = F.lit("0.000001").cast("decimal(8,7)")
+
+    def _beta(num, den):
+        return F.when(
+            (F.col("n_obs") >= 2) & (F.col(den) >= var_floor),
+            F.col(num).cast("double") / F.col(den).cast("double"),
+        )
+
+    nr = F.col("n_r")
+    roll = F.when(
+        nr >= 2,
+        F.when(
+            F.col("num_r") < 0,
+            2
+            * F.sqrt(
+                -(
+                    F.col("num_r").cast("double")
+                    / (nr.cast("double") * (nr - 1))
+                )
+            ),
+        ).otherwise(F.lit(0.0)),
+    )
+    sig = (
+        cancel.withColumn("beta_mkt_raw", _beta("num_m", "den_m"))
+        .withColumn("beta_cls_raw", _beta("num_c", "den_c"))
+        .withColumn(
+            "semivol_raw",
+            F.sqrt(F.col("sneg7").cast("double") / F.col("n_obs")),
+        )
+        .withColumn(
+            "age_raw",
+            F.datediff(F.col("d_eom"), off).cast("double") / F.lit(365.25),
+        )
+        .withColumn(
+            "size_raw", F.log(F.col("mvol_cents").cast("double") / 100)
+        )
+        .withColumn("roll_raw", roll)
+    )
+    lagw = Window.partitionBy("l_suppkey").orderBy("month")
+    sig = sig.withColumn(
+        "sprmom_raw", F.col("roll_raw") - F.lag("roll_raw").over(lagw)
+    )
+    rw = Window.partitionBy("month").orderBy(F.col("sprmom_raw").asc_nulls_last())
+    sig = sig.withColumn("rank_raw", F.percent_rank().over(rw))
+    return sig.select(
+        "l_suppkey",
+        "month",
+        cls.alias("rating_class"),
+        "n_obs",
+        (F.round("beta_mkt_raw", 6) + 0.0).alias("beta_mkt"),
+        (F.round("beta_cls_raw", 6) + 0.0).alias("beta_cls"),
+        (F.round("semivol_raw", 6) + 0.0).alias("semivol_1m"),
+        (F.round("age_raw", 6) + 0.0).alias("bond_age"),
+        (F.round("size_raw", 6) + 0.0).alias("size_ln"),
+        (F.round("sprmom_raw", 6) + 0.0).alias("roll_mom"),
+        F.when(
+            F.col("sprmom_raw").isNotNull(), F.round("rank_raw", 6) + 0.0
+        ).alias("roll_mom_rank"),
+    )

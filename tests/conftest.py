@@ -17,7 +17,7 @@ def pytest_addoption(parser):
         "--parity-report",
         action="store",
         nargs="?",
-        const=os.path.join(_REPO_ROOT, "PARITY_r6.json"),
+        const=os.path.join(_REPO_ROOT, "PARITY_r8.json"),
         default=None,
         metavar="PATH",
         help=(
@@ -53,11 +53,17 @@ def parity_recorder(request):
         with open(path) as f:
             merged = json.load(f)
     scales = merged.setdefault("scales", {})
+    # MERGE with any prior record for this scale (don't assign): a
+    # filtered run (`pytest -k x --parity-report`) must refresh only
+    # the entries it actually re-proved, not silently shrink the
+    # standing evidence for the rest of the catalog.
+    entries = dict(scales.get(TEST_SF_DIR, {}).get("entries", {}))
+    entries.update(records)
     scales[TEST_SF_DIR] = {
         "generated": str(date.today()),
-        "n_entries": len(records),
-        "n_oracle_backed": sum(1 for r in records.values() if r["oracle"]),
-        "entries": dict(sorted(records.items())),
+        "n_entries": len(entries),
+        "n_oracle_backed": sum(1 for r in entries.values() if r["oracle"]),
+        "entries": dict(sorted(entries.items())),
     }
     merged["note"] = (
         "Local replica of the driver's DuckDB-oracle differential gate "

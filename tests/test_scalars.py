@@ -71,8 +71,11 @@ def test_round_ratio_half_up_wide_matches_decimal_oracle(spark, n, d):
 @pytest.mark.parametrize("n,d", WIDE_CASES)
 def test_round_ratio_half_up_wide_matches_duckdb_hugeint(n, d):
     """The driver's oracle engine computes the same quotient with
-    hugeint floor division — the exact formulation p7's DuckDB oracle
-    SQL uses. The Spark result must land on the identical value, so
+    HUGEINT floor division — since r9 the exact formulation p7's
+    DuckDB oracle SQL uses for its index-price quotients (the sums
+    are explicitly CAST AS HUGEINT in plans/stage2.py, so the oracle
+    shares the wide variant's N < 1e20 domain rather than a BIGINT
+    ceiling). The Spark result must land on the identical value, so
     pin the shared Decimal oracle against DuckDB too."""
     (q,) = duckdb.sql(
         f"SELECT ((2*{n}::HUGEINT*10000 + {d}) // (2*{d}::HUGEINT))"

@@ -427,8 +427,9 @@ seq2 AS (
 -- both engines and across runs.
 midx AS (
   SELECT d,
-         CAST((2 * SUM(dvol_cents) * 10000 + 100 * SUM(qty_s))
-              // (200 * SUM(qty_s)) AS DOUBLE) / 10000 AS mp
+         CAST((2 * CAST(SUM(dvol_cents) AS HUGEINT) * 10000
+               + 100 * CAST(SUM(qty_s) AS HUGEINT))
+              // (200 * CAST(SUM(qty_s) AS HUGEINT)) AS DOUBLE) / 10000 AS mp
   FROM daily GROUP BY 1
 ),
 mkt AS (
@@ -439,8 +440,9 @@ cidx AS (
               WHEN l_suppkey % 5 <= 3 THEN 'NIG'
               ELSE 'DEF' END AS rating_class,
          d,
-         CAST((2 * SUM(dvol_cents) * 10000 + 100 * SUM(qty_s))
-              // (200 * SUM(qty_s)) AS DOUBLE) / 10000 AS cp
+         CAST((2 * CAST(SUM(dvol_cents) AS HUGEINT) * 10000
+               + 100 * CAST(SUM(qty_s) AS HUGEINT))
+              // (200 * CAST(SUM(qty_s) AS HUGEINT)) AS DOUBLE) / 10000 AS cp
   FROM daily GROUP BY 1, 2
 ),
 crc AS (
@@ -492,11 +494,21 @@ monthly AS (
                   THEN CAST(0 AS DECIMAL(37,20)) END) AS sneg,
          COUNT(CASE WHEN dp IS NOT NULL AND dp_l IS NOT NULL
                     THEN 1 END) AS n_r,
+         -- SCALED-INT HUGEINT arithmetic, not DECIMAL multiply:
+         -- DuckDB's statistics propagation can narrow a DECIMAL(19,4)
+         -- product to an int64 multiply, which overflows at sf0.1
+         -- price-swing magnitudes (~1e5 at 4dp squared > 2^63).
+         -- HUGEINT is unconditionally int128; values are identical
+         -- (dp quantized to the same 4dp grid, products exact).
          SUM(CASE WHEN dp IS NOT NULL AND dp_l IS NOT NULL
-                  THEN CAST(dp AS DECIMAL(19,4)) END) AS s1,
+                  THEN CAST(CAST(dp AS DECIMAL(19,4)) * 10000 AS HUGEINT)
+             END) AS s1_e4,
          SUM(CASE WHEN dp IS NOT NULL AND dp_l IS NOT NULL
-                  THEN CAST(dp_l AS DECIMAL(19,4)) END) AS s2,
-         SUM(CAST(dp AS DECIMAL(19,4)) * CAST(dp_l AS DECIMAL(19,4))) AS s11,
+                  THEN CAST(CAST(dp_l AS DECIMAL(19,4)) * 10000 AS HUGEINT)
+             END) AS s2_e4,
+         SUM(CAST(CAST(dp AS DECIMAL(19,4)) * 10000 AS HUGEINT)
+             * CAST(CAST(dp_l AS DECIMAL(19,4)) * 10000 AS HUGEINT))
+           AS s11_e8,
          CAST(SUM(dvol_cents) AS BIGINT) AS mvol_cents
   FROM j GROUP BY 1, 2
 ),
@@ -515,9 +527,15 @@ cancel AS (
                - CAST(sc AS DECIMAL(13,10)) * CAST(sc AS DECIMAL(13,10)),
                7) AS den_c,
          ROUND(CAST(sneg AS DECIMAL(29,20)), 7) AS sneg7,
-         ROUND(CAST(n_r AS DECIMAL(3,0)) * CAST(s11 AS DECIMAL(24,8))
-               - CAST(s1 AS DECIMAL(13,4)) * CAST(s2 AS DECIMAL(13,4)),
-               0) AS num_r
+         -- exact HALF-AWAY-FROM-ZERO round of the e8-scaled integer
+         -- cancellation (identical to ROUND(decimal, 0), immune to
+         -- the stats-narrowing overflow documented at s11_e8)
+         CASE WHEN CAST(n_r AS HUGEINT) * s11_e8 - s1_e4 * s2_e4 >= 0
+              THEN (CAST(n_r AS HUGEINT) * s11_e8 - s1_e4 * s2_e4
+                    + 50000000) // 100000000
+              ELSE -((-(CAST(n_r AS HUGEINT) * s11_e8 - s1_e4 * s2_e4)
+                      + 50000000) // 100000000)
+         END AS num_r
   FROM monthly
 ),
 sig AS (

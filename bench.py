@@ -84,6 +84,7 @@ FLOORS: dict[str, float] = {
     "w10b_daycount": 0.698,
     "w10c_bond_freqs": 0.834,
     "w10e_full_record": 1.547,
+    "w10f_yield_to_worst": 0.597,
     "w1_decimal_shift": 1.462,
     "w2_bounce_back": 0.806,
     "w7_ultra_distressed": 0.985,

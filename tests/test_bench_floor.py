@@ -36,6 +36,7 @@ CEILINGS = {
     "r2_error_checks": 15.0,           # min 4.9
     "d31_cluster_representatives": 6.5,   # min 2.10 (r9 CC-MR; was 3.2)
     "w10e_full_record": 9.0,           # min 2.7
+    "w10f_yield_to_worst": 3.0,        # min 0.60 at local[32]; 2 solver legs
     "p0_stage0_panel": 13.0,           # min 4.3
     "p1_stage0_full": 17.0,            # min 5.6
     "p2_stage1_full": 6.0,             # min 1.9

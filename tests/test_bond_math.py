@@ -383,3 +383,80 @@ def test_irregular_first_coupon_out_of_contract(spark):
     assert r["ytm"] is not None
     assert r["accpmt"] == 0.0
     assert abs(r["acclast"] - 1.459780) < 1e-6  # grid accrual unchanged
+
+
+def test_yield_to_worst_callable_goldens(spark):
+    """w10f goldens: the to-worst economics over one next-call exercise.
+
+    Premium callable — 8%/yr coupon priced at 110, callable at 100 in
+    2 years (4 semiannual periods) vs 10 years to maturity: losing the
+    above-market coupon early makes ytc < ytm, so ytw = ytc < ytm.
+
+    Discount callable — same schedule priced at 90: early redemption at
+    par ABOVE the purchase price accelerates the pull-to-par gain, so
+    ytc > ytm and ytw = ytm (the call is the investor-friendly leg).
+    """
+    from trace_data_pipeline_spark.operators.bond_math import (
+        bond_analytics,
+        bond_analytics_red,
+    )
+
+    df = spark.createDataFrame(
+        [("premium", 110.0), ("discount", 90.0)], "tag string, p double"
+    )
+    out = (
+        df.withColumn("rm", bond_analytics(F.col("p"), F.lit(0.04), F.lit(20)))
+        .withColumn(
+            "rc",
+            bond_analytics_red(F.col("p"), F.lit(0.04), F.lit(4), F.lit(100.0)),
+        )
+        .select(
+            "tag",
+            F.col("rm.ytm").alias("ytm"),
+            F.col("rc.ytm").alias("ytc"),
+            F.least(F.col("rm.ytm"), F.col("rc.ytm")).alias("ytw"),
+            F.col("rm.pv_residual").alias("res_m"),
+            F.col("rc.pv_residual").alias("res_c"),
+        )
+    )
+    got = {r["tag"]: r for r in out.collect()}
+    for r in got.values():
+        assert abs(r["res_m"]) < 1e-8 and abs(r["res_c"]) < 1e-8
+    prem, disc = got["premium"], got["discount"]
+    assert prem["ytc"] < prem["ytm"] < 0.08  # premium: call leg is worst
+    assert prem["ytw"] == prem["ytc"]
+    assert disc["ytc"] > disc["ytm"] > 0.08  # discount: maturity leg is worst
+    assert disc["ytw"] == disc["ytm"]
+
+
+def test_yield_to_worst_call_at_premium_redemption(spark):
+    """A call price above par shifts the call leg's redemption flow: a
+    par-priced 6% bond callable at 103 in 1 year must show ytc > ytm
+    (the holder pockets the 3-point premium), and the redemption wiring
+    must reproduce the closed-form one-period identity at n = 2:
+    solving 100 = 3/(1+y) + 106/(1+y)^2... use n_call = 2 so the
+    engine's schedule has a coupon then coupon+103."""
+    from trace_data_pipeline_spark.operators.bond_math import (
+        bond_analytics,
+        bond_analytics_red,
+    )
+
+    df = spark.createDataFrame([(100.0,)], "p double")
+    r = (
+        df.withColumn("rm", bond_analytics(F.col("p"), F.lit(0.03), F.lit(20)))
+        .withColumn(
+            "rc",
+            bond_analytics_red(F.col("p"), F.lit(0.03), F.lit(2), F.lit(103.0)),
+        )
+        .select("rm.*", F.col("rc.ytm").alias("ytc"))
+        .collect()[0]
+    )
+    # par bond at par yields its coupon exactly on the maturity leg
+    assert r["ytm"] == pytest.approx(0.06, abs=1e-10)
+    assert r["ytc"] > r["ytm"]
+    # closed form: y solves 3(1+y)^-1 + 106(1+y)^-2 = 100 (per-period),
+    # y = (3 + sqrt(9 + 4*100*106)) / 200 - 1 annualized x2
+    import math
+
+    y_pp = (3.0 + math.sqrt(9.0 + 4.0 * 100.0 * 106.0)) / 200.0 - 1.0
+    assert r["ytc"] == pytest.approx(2.0 * y_pp, abs=1e-9)

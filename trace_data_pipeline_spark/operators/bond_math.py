@@ -51,6 +51,7 @@ def _sums(
     y: "np.ndarray",
     n_max: int,
     q: "np.ndarray | None" = None,
+    red: "np.ndarray | None" = None,
 ) -> tuple["np.ndarray", "np.ndarray", "np.ndarray", "np.ndarray"]:
     """Row-vectorized, per-row t-SEQUENTIAL accumulation of the four
     discounted-flow sums (the t-order matters for parity with the
@@ -60,12 +61,18 @@ def _sums(
     remaining flow: flow t is discounted at exponent t - 1 + q, weighted
     by t - 1 + q, with convexity weight (t - 1 + q)(t + q). q = 1 (flow
     dates on the period grid) reproduces the whole-period t, t(t+1)
-    weights exactly."""
+    weights exactly.
+
+    `red` is the per-row redemption amount paid with the final flow
+    (default 100 = redemption at par). Yield-to-call legs redeem at the
+    call price instead: same schedule truncated at the call period."""
     import numpy as np
 
     m = y.size
     if q is None:
         q = np.ones(m)
+    if red is None:
+        red = np.full(m, 100.0)
     v = 1.0 / (1.0 + y)
     pv = np.zeros(m)
     dpv = np.zeros(m)
@@ -78,7 +85,7 @@ def _sums(
             vp = vp * v  # v^(t-1+q)
             tau = t - 1.0 + q
             cf = np.where(
-                t == n, c * 100.0 + 100.0, np.where(t < n, c * 100.0, 0.0)
+                t == n, c * 100.0 + red, np.where(t < n, c * 100.0, 0.0)
             )
             pv += cf * vp
             dpv += -tau * cf * (vp * v)
@@ -93,6 +100,7 @@ def _solve_frame(
     n_periods: pd.Series,
     m: "np.ndarray",
     q: "np.ndarray | None" = None,
+    red: "np.ndarray | None" = None,
 ) -> pd.DataFrame:
     """Shared solver: per-period Newton fit, annualized by the per-row
     compounding frequency m (periods/year). Zero-coupon is the c = 0
@@ -121,11 +129,11 @@ def _solve_frame(
         # unchanged) and keeps high-frequency rows in the basin
         y = 0.06 / m.astype(float)
     for _ in range(NEWTON_ITERS):
-        pv, dpv, _, _ = _sums(c, n, y, n_max, q)
+        pv, dpv, _, _ = _sums(c, n, y, n_max, q, red)
         with np.errstate(all="ignore"):
             step = np.where(valid, (pv - p) / dpv, 0.0)
         y = np.clip(y - step, Y_MIN, Y_MAX)
-    pv, _, wsum, csum = _sums(c, n, y, n_max, q)
+    pv, _, wsum, csum = _sums(c, n, y, n_max, q, red)
     with np.errstate(all="ignore"):
         v = 1.0 / (1.0 + y)
         mf = m.astype(float)
@@ -166,6 +174,31 @@ def bond_analytics_freq(
     reference's interest_frequency {1,2,4,12}; pass c = 0 for the
     zero-coupon {0,99} codes, with n in compounding periods)."""
     return _solve_frame(price, coupon_pp, n_periods, freq.to_numpy(dtype="int64"))
+
+
+@F.pandas_udf(_SCHEMA)
+def bond_analytics_red(
+    price: pd.Series,
+    coupon_pp: pd.Series,
+    n_periods: pd.Series,
+    redemption: pd.Series,
+) -> pd.DataFrame:
+    """Redemption-general semiannual variant for yield-to-call legs
+    (reference: `fisd_mergedredemption` call schedules — the reference
+    consumes only the `callable` flag, `stage1/stage1_pipeline.py:806-812`;
+    this closes the schedule corner): the bond is assumed called at
+    period n with the coupon plus the CALL PRICE instead of par. Same
+    fixed Newton sequence, so the same recursive-CTE oracle replays it
+    with `red` substituted in the terminal flow."""
+    import numpy as np
+
+    return _solve_frame(
+        price,
+        coupon_pp,
+        n_periods,
+        np.full(len(price), 2),
+        red=redemption.to_numpy(dtype=float),
+    )
 
 
 @F.pandas_udf(_SCHEMA)

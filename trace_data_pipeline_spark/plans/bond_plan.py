@@ -413,3 +413,131 @@ def w10e_full_record(spark, sf_dir):
         (60.0 + (k * 37 % 800).cast("double") / 10.0).alias("p"),
     )
     return attach_full_record(base).select("o_orderkey", *RECORD_COLS)
+
+
+_CFR = "(CASE WHEN t = nn THEN c * 100 + red ELSE c * 100 END)"
+
+_W10F_ORACLE = rf"""
+WITH RECURSIVE bonds AS (
+  SELECT o_orderkey,
+         CAST(1 + o_orderkey % 20 AS INT) AS n,
+         CAST(2 + o_orderkey % 7 AS DOUBLE) / 200.0 AS c,
+         60.0 + CAST(o_orderkey * 37 % 800 AS DOUBLE) / 10.0 AS p,
+         (o_orderkey % 3 = 0 AND 1 + o_orderkey % 20 >= 4) AS is_call,
+         CAST((1 + o_orderkey % 20) // 2 AS INT) AS n_call,
+         CAST(100.0 + (o_orderkey % 5) * 0.5 AS DOUBLE) AS call_p
+  FROM orders
+),
+legs AS (
+  SELECT o_orderkey, 'M' AS leg, n AS nn, c, p,
+         CAST(100.0 AS DOUBLE) AS red
+  FROM bonds
+  UNION ALL
+  SELECT o_orderkey, 'C', n_call, c, p, call_p FROM bonds WHERE is_call
+),
+it AS (
+  SELECT o_orderkey, leg, nn, c, p, red, 0 AS k, CAST(0.03 AS DOUBLE) AS y
+  FROM legs
+  UNION ALL
+  SELECT o_orderkey, leg, nn, c, p, red, k + 1,
+         least(greatest(
+           y - (list_sum(list_transform(range(1, nn + 1),
+                  t -> {_CFR} * power(1.0 / (1.0 + y), t))) - p)
+             / list_sum(list_transform(range(1, nn + 1),
+                  t -> -t * {_CFR} * power(1.0 / (1.0 + y), t + 1))),
+           -0.9), 10.0) AS y
+  FROM it WHERE k < 25
+),
+fin AS (
+  SELECT o_orderkey, leg, y,
+         list_sum(list_transform(range(1, nn + 1),
+            t -> {_CFR} * power(1.0 / (1.0 + y), t))) - p AS resid
+  FROM it WHERE k = 25
+),
+piv AS (
+  SELECT b.o_orderkey, b.is_call,
+         m.y * 2.0 AS ytm_r,
+         cl.y * 2.0 AS ytc_r,
+         b.is_call AND abs(cl.resid) <= 1e-6 AS v_call
+  FROM bonds b
+  JOIN fin m  ON m.o_orderkey = b.o_orderkey AND m.leg = 'M'
+  LEFT JOIN fin cl ON cl.o_orderkey = b.o_orderkey AND cl.leg = 'C'
+)
+SELECT o_orderkey,
+       CAST(is_call AS INT) AS is_callable,
+       ROUND(ytm_r, 6) + 0.0 AS ytm,
+       CASE WHEN v_call THEN ROUND(ytc_r, 6) + 0.0 END AS ytc,
+       ROUND(CASE WHEN v_call THEN least(ytm_r, ytc_r) ELSE ytm_r END, 6)
+         + 0.0 AS ytw
+FROM piv
+"""
+
+
+@register("w10f_yield_to_worst", oracle=_W10F_ORACLE)
+def w10f_yield_to_worst(spark, sf_dir):
+    """W10 callable-schedule corner: yield-to-worst from a call
+    schedule, not just the `callable` flag. The reference downloads
+    `fisd.fisd_mergedredemption` but consumes only `callable = 'Y'`
+    (`stage1/stage1_pipeline.py:806-812`, merged at `:904-921`); a
+    user pricing callables needs the schedule itself. Here each
+    callable bond carries its next call (period n_call, call price
+    call_p); yield-to-call reuses the SAME Newton engine with the
+    redemption amount swapped from par to the call price and the
+    schedule truncated at the call period, and
+    ytw = min(ytm, ytc) — the standard to-worst convention over a
+    single next-call exercise date.
+
+    Economics the goldens pin: a premium callable (price > call
+    price) has ytc < ytm → ytw = ytc; a discount callable has
+    ytc > ytm → ytw = ytm.
+
+    Spark shape: one scan, one projection, two Arrow-batched solver
+    calls (maturity leg + call leg) — zero shuffles, zero joins;
+    pipelines with any input partitioning at 100 TB. The oracle
+    replays both legs in one recursive CTE (a leg = (nn, red) pair)
+    and pivots."""
+    from trace_data_pipeline_spark.operators.bond_math import (
+        bond_analytics,
+        bond_analytics_red,
+    )
+
+    orders = _orders(spark, sf_dir)
+    k = F.col("o_orderkey")
+    n = (1 + k % 20).cast("int")
+    bonds = orders.select(
+        "o_orderkey",
+        n.alias("n"),
+        ((2 + k % 7) / 200.0).alias("c"),
+        (60.0 + (k * 37 % 800).cast("double") / 10.0).alias("p"),
+        ((k % 3 == 0) & (n >= 4)).alias("is_call"),
+        (n / 2).cast("int").alias("n_call"),
+        (100.0 + (k % 5) * 0.5).alias("call_p"),
+    )
+    solved = bonds.withColumn(
+        "rm", bond_analytics(F.col("p"), F.col("c"), F.col("n"))
+    ).withColumn(
+        "rc",
+        bond_analytics_red(
+            F.col("p"),
+            F.col("c"),
+            # n_call = 0 on non-callable rows -> solver NaN row, masked
+            # below; keeps the call-leg UDF one unconditional batch
+            F.when(F.col("is_call"), F.col("n_call")).otherwise(F.lit(0)),
+            F.col("call_p"),
+        ),
+    )
+    v_call = F.col("is_call") & (F.abs(F.col("rc.pv_residual")) <= 1e-6)
+    return solved.select(
+        "o_orderkey",
+        F.col("is_call").cast("int").alias("is_callable"),
+        (F.round(F.col("rm.ytm"), 6) + 0.0).alias("ytm"),
+        F.when(v_call, F.round(F.col("rc.ytm"), 6) + 0.0).alias("ytc"),
+        (
+            F.round(
+                F.when(v_call, F.least(F.col("rm.ytm"), F.col("rc.ytm")))
+                .otherwise(F.col("rm.ytm")),
+                6,
+            )
+            + 0.0
+        ).alias("ytw"),
+    )

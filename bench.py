@@ -75,6 +75,7 @@ FLOORS: dict[str, float] = {
     "p5_carry_value": 2.054,
     "p6_portfolio_panel": 3.55,
     "p7_factor_panel": 2.653,
+    "p8_tail_risk_panel": 2.11,
     "r2_descriptive_by_rating": 1.667,
     "r2_error_checks": 2.767,
     "r3_availability_by_rating": 1.797,
@@ -85,6 +86,7 @@ FLOORS: dict[str, float] = {
     "w10c_bond_freqs": 0.834,
     "w10e_full_record": 1.547,
     "w10f_yield_to_worst": 0.597,
+    "w11b_modified_following": 1.008,
     "w1_decimal_shift": 1.462,
     "w2_bounce_back": 0.806,
     "w7_ultra_distressed": 0.985,

@@ -37,6 +37,7 @@ CEILINGS = {
     "d31_cluster_representatives": 6.5,   # min 2.10 (r9 CC-MR; was 3.2)
     "w10e_full_record": 9.0,           # min 2.7
     "w10f_yield_to_worst": 3.0,        # min 0.60 at local[32]; 2 solver legs
+    "w11b_modified_following": 4.0,    # min 1.01 at local[32]; spine windows
     "p0_stage0_panel": 13.0,           # min 4.3
     "p1_stage0_full": 17.0,            # min 5.6
     "p2_stage1_full": 6.0,             # min 1.9
@@ -47,6 +48,7 @@ CEILINGS = {
     "p4_monthly_signals": 4.5,         # min 1.38
     "p5_carry_value": 7.0,             # min 2.30
     "p7_factor_panel": 10.0,           # min 3.20
+    "p8_tail_risk_panel": 9.0,         # min 2.11 at local[32]
     # r5 verdict item 1: the report entries over the stage-1 chain.
     # The flagged 2.33->4.08s "regression" did not survive an
     # interleaved A/B re-measure (r4-end worktree vs HEAD in ONE

@@ -460,3 +460,47 @@ def test_yield_to_worst_call_at_premium_redemption(spark):
 
     y_pp = (3.0 + math.sqrt(9.0 + 4.0 * 100.0 * 106.0)) / 200.0 - 1.0
     assert r["ytc"] == pytest.approx(2.0 * y_pp, abs=1e-9)
+
+
+def test_modified_following_goldens(spark):
+    """ModifiedFollowing convention goldens against the rule calendar,
+    including years past the module's 2030 default range:
+
+    - a session date stands (Fri 2031-10-31);
+    - Sat 2029-06-30: next session is Mon JULY 2 -> crosses the month,
+      rolls BACK to Fri 2029-06-29;
+    - Sat 2031-08-09: next session Mon 2031-08-11, same month -> FORWARD;
+    - Christmas 2031 (Thu) mid-month: holiday -> forward to Fri 26;
+    - New Year's-adjacent: Wed 2031-12-31 is a session -> stands.
+    """
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from trace_data_pipeline_spark.functions.nyse_calendar import (
+        nyse_sessions_df,
+    )
+    from trace_data_pipeline_spark.operators.temporal import (
+        modified_following_calendar,
+    )
+
+    cal = nyse_sessions_df(spark, dt.date(2029, 1, 1), dt.date(2032, 12, 31))
+    cases = spark.createDataFrame(
+        [
+            ("2031-10-31",),
+            ("2029-06-30",),
+            ("2031-08-09",),
+            ("2031-12-25",),
+            ("2031-12-31",),
+        ],
+        "d string",
+    ).select(F.col("d").cast("date").alias("d"))
+    got = {
+        str(r["d"]): str(r["adj_dt"])
+        for r in modified_following_calendar(cases, "d", cal).collect()
+    }
+    assert got["2031-10-31"] == "2031-10-31"  # Friday session stands
+    assert got["2029-06-30"] == "2029-06-29"  # month-end Sat -> backward
+    assert got["2031-08-09"] == "2031-08-11"  # mid-month Sat -> forward
+    assert got["2031-12-25"] == "2031-12-26"  # holiday Thu -> Fri
+    assert got["2031-12-31"] == "2031-12-31"  # year-end Wed session stands

@@ -40,7 +40,12 @@ def test_no_cartesian_product(spark, name):
 
 @pytest.mark.parametrize(
     "name",
-    ["j10_enrichment_join", "j16_two_hop_flag", "f9_calendar_semi_join"],
+    [
+        "j10_enrichment_join",
+        "j16_two_hop_flag",
+        "f9_calendar_semi_join",
+        "w11b_modified_following",  # day spine broadcasts, equi-join
+    ],
 )
 def test_dimension_joins_broadcast(spark, name):
     """Dimension-side joins must be broadcast (no shuffle of the fact
@@ -249,3 +254,21 @@ def test_factor_panel_one_fact_shuffle_broadcast_betas(spark):
     # meaningful here because every InMemoryRelation PRINTS its full
     # child plan even though it executes once
     assert plan.count("InMemoryTableScan") == 3
+
+
+def test_tail_risk_panel_reuses_one_daily_exchange(spark):
+    """p8: the tail-risk factors must cost exactly TWO exchanges — the
+    daily fact aggregate keyed (l_suppkey, day) and one re-key of the
+    tiny daily frame on hash(l_suppkey). The return lag partitions by
+    bond; the three month-partitioned windows and the monthly hash
+    aggregate all cluster on (l_suppkey, month), which hash(l_suppkey)
+    satisfies by the subset rule — Spark must not insert a third
+    exchange for them. No joins, no SortAggregate, no UDF."""
+    import re
+
+    plan = _plan(spark, "p8_tail_risk_panel")
+    assert "SortAggregate" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan
+    parts = set(re.findall(r"hashpartitioning\(([^)]*)\)", plan))
+    assert len(parts) == 2, parts  # (l_suppkey, day-expr) + (l_suppkey)

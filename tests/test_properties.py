@@ -502,3 +502,78 @@ def test_wav_roundtrip_property(rate, data):
     r, c, got = decode_wav(encode_wav(rate, len(data), data))
     assert (r, c) == (rate, len(data))
     assert got == data
+
+
+def test_p8_tail_risk_invariants(sp):
+    """Structural invariants of the tail-risk panel on real data
+    (beyond hash parity — these catch logic inversions a matching
+    oracle would faithfully reproduce):
+
+    - ES over the k worst returns can never exceed VaR (the k-th
+      worst) — the mean of values each <= var5 is <= var5;
+    - max drawdown is <= 0 by construction (price / running max - 1);
+    - the zero-return share is a proper fraction;
+    - k-th order statistic exists whenever n_obs >= 1: var5 null
+      iff n_obs = 0.
+    """
+    from pyspark.sql import functions as F
+
+    from trace_data_pipeline_spark.plans import get_catalog
+
+    df = (
+        get_catalog()["p8_tail_risk_panel"]
+        .builder(sp, "/root/testdata/sf0.001")
+        .cache()
+    )
+    assert df.filter(F.col("es5") > F.col("var5") + 1e-9).count() == 0
+    assert df.filter(F.col("mdd") > 1e-12).count() == 0
+    assert (
+        df.filter(
+            (F.col("zero_ret_share") < 0) | (F.col("zero_ret_share") > 1)
+        ).count()
+        == 0
+    )
+    assert df.filter((F.col("n_obs") >= 1) & F.col("var5").isNull()).count() == 0
+    assert df.filter((F.col("n_obs") == 0) & F.col("var5").isNotNull()).count() == 0
+    df.unpersist()
+
+
+def test_modified_following_invariants(sp):
+    """MF invariants over the whole w11b grid: every adjusted date is
+    a session, stays within the original month, and is the NEAREST
+    session in the chosen direction (no same-month session strictly
+    between the date and its adjustment)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from trace_data_pipeline_spark.functions.nyse_calendar import (
+        nyse_sessions_df,
+    )
+    from trace_data_pipeline_spark.operators.temporal import (
+        modified_following_calendar,
+    )
+
+    cal = nyse_sessions_df(sp, dt.date(2029, 6, 1), dt.date(2032, 6, 30))
+    # 340*3 days from 2029-06-15 tops out 2032-03-29, inside the
+    # calendar span (dates past the spine get a null adjustment by
+    # contract)
+    grid = sp.range(0, 340).select(
+        F.date_add(F.lit("2029-06-15").cast("date"), (F.col("id") * 3).cast("int")).alias("d")
+    )
+    out = modified_following_calendar(grid, "d", cal).cache()
+    sess = {str(r["session_date"]) for r in cal.collect()}
+    rows = out.collect()
+    assert rows and all(r["adj_dt"] is not None for r in rows)
+    for r in rows:
+        d, adj = r["d"], r["adj_dt"]
+        assert str(adj) in sess
+        assert (adj.year, adj.month) == (d.year, d.month)
+        lo, hi = min(d, adj), max(d, adj)
+        between = [
+            s
+            for s in sess
+            if lo < dt.date.fromisoformat(s) < hi
+        ]
+        assert not between, (d, adj, between)
+    out.unpersist()

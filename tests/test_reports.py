@@ -1,0 +1,167 @@
+"""Audit-report renderer tests: golden LaTeX structure, escaping, the
+bounded-collect sink contract, figure-data export, and the matplotlib
+stub gate — the report layer over the oracle-checked r1/r2/r4/t2
+frames (reference: `stage0/_error_plot_helpers.py:694-1200`)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from trace_data_pipeline_spark.reports import latex
+
+
+def test_escape_tex_specials():
+    assert (
+        latex.escape_tex(r"a&b_c%d$e#f{g}")
+        == r"a\&b\_c\%d\$e\#f\{g\}"
+    )
+    assert latex.escape_tex("x\\y") == r"x\textbackslash{}y"
+    assert latex.escape_tex("a~b^c") == (
+        r"a\textasciitilde{}b\textasciicircum{}c"
+    )
+
+
+def test_removal_table_golden():
+    rows = [
+        {
+            "stage": "price_positive",
+            "rows_before": 10000,
+            "rows_after": 9950,
+            "removed": 50,
+            "removed_frac": 0.005,
+        },
+        {
+            "stage": "quantity_band",
+            "rows_before": 9950,
+            "rows_after": 9000,
+            "removed": 950,
+            "removed_frac": 0.095477,
+        },
+    ]
+    tex = latex.removal_table(rows, "Screens", "tab:s")
+    assert r"\begin{table}[!ht]" in tex and r"\end{table}" in tex
+    assert r"\caption{Screens}" in tex and r"\label{tab:s}" in tex
+    assert r"price\_positive & 10,000 & 9,950 & 50 & 0.500\% \\" in tex
+    assert r"quantity\_band & 9,950 & 9,000 & 950 & 9.548\% \\" in tex
+    assert tex.count(r" \\") >= 3  # header + 2 body rows
+
+
+def test_removal_table_percent_convention():
+    """t2 emits an already-scaled percent — pct_key must not re-scale."""
+    rows = [
+        {
+            "stage": "overall",
+            "n_before": 100,
+            "n_after": 80,
+            "n_removed": 20,
+            "pct_of_start": 20.0,
+        }
+    ]
+    tex = latex.removal_table(
+        rows,
+        "T2",
+        "tab:t2",
+        before_key="n_before",
+        after_key="n_after",
+        removed_key="n_removed",
+        pct_key="pct_of_start",
+    )
+    assert r"overall & 100 & 80 & 20 & 20.000\% \\" in tex
+
+
+def test_parameters_table_panels():
+    tex = latex.parameters_table(
+        {
+            "Panel A: Toggles": [("apply_bounce_back", True)],
+            "Panel B: Decimal-Shift": [("factor_set", "10,100,1000")],
+        }
+    )
+    assert r"\multicolumn{2}{c}{\textbf{Panel A: Toggles}}" in tex
+    assert r"\texttt{apply\_bounce\_back} & True \\" in tex
+    assert r"\texttt{factor\_set} & 10,100,1000 \\" in tex
+
+
+def test_data_report_document_reproducible():
+    t = latex.removal_table(
+        [
+            {
+                "stage": "s",
+                "rows_before": 1,
+                "rows_after": 1,
+                "removed": 0,
+                "removed_frac": 0.0,
+            }
+        ],
+        "C",
+        "tab:c",
+    )
+    doc1 = latex.data_report([t], ["pages/series_7.png"])
+    doc2 = latex.data_report([t], ["pages/series_7.png"])
+    assert doc1 == doc2  # no injected timestamps by default
+    assert doc1.startswith(r"\documentclass[11pt]{article}")
+    assert doc1.rstrip().endswith(r"\end{document}")
+    assert r"\includegraphics" in doc1 and "pages/series_7.png" in doc1
+    assert r"\date" not in doc1
+    assert r"\date{2026-01-01}" in latex.data_report([t], date="2026-01-01")
+
+
+def test_collect_report_rows_bound(spark):
+    from trace_data_pipeline_spark.reports import collect_report_rows
+
+    small = spark.range(5)
+    assert len(collect_report_rows(small)) == 5
+    with pytest.raises(ValueError, match="sink bound"):
+        collect_report_rows(spark.range(50), limit=10)
+
+
+def test_render_figures_stub_names_data_dir(tmp_path):
+    """Without matplotlib the gate must raise NotImplementedError and
+    point at the figure data (the injectable-stub discipline)."""
+    from trace_data_pipeline_spark.reports import render_figures
+
+    try:
+        import matplotlib  # noqa: F401
+
+        pytest.skip("matplotlib installed; stub path not reachable")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="figure data"):
+        render_figures(str(tmp_path / "figdata"), str(tmp_path / "pages"))
+
+
+@pytest.mark.slow
+def test_write_audit_report_end_to_end(spark, tmp_path):
+    """The full report sink at sf0.001: a parseable .tex with all
+    three tables, figure data partitioned by entity, and counts that
+    agree with the r1 frame it rendered."""
+    from trace_data_pipeline_spark.plans import get_catalog
+    from trace_data_pipeline_spark.reports import write_audit_report
+
+    sf = os.environ.get("TEST_SF_DIR", "/root/testdata/sf0.001")
+    manifest = write_audit_report(spark, sf, str(tmp_path / "report"))
+    tex = open(manifest["tex"], encoding="utf-8").read()
+    for label in ("tab:screens", "tab:errors", "tab:stage1"):
+        assert rf"\label{{{label}}}" in tex
+    assert tex.count(r"\begin{table}") == 3
+    assert r"\end{document}" in tex
+    # the rendered screen counts must match the oracle-checked frame
+    r1 = get_catalog()["r1_audit_report"].builder(spark, sf).collect()
+    for row in r1:
+        assert f"{row['rows_before']:,}" in tex
+    # figure data: one partition dir per affected entity
+    parts = [
+        d
+        for d in os.listdir(manifest["figure_data"])
+        if d.startswith("user_id=")
+    ]
+    affected = (
+        get_catalog()["r4_flagged_series"]
+        .builder(spark, sf)
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert len(parts) == affected
+    assert manifest["pages"] == []  # no matplotlib in this container

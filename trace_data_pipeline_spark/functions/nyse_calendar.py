@@ -1,4 +1,7 @@
-"""NYSE trading calendar, 2002 → 2030, from the published holiday rules.
+"""NYSE trading calendar from the published holiday rules — any year
+range (the 2002 → 2030 defaults mirror the reference's TRACE sample
+span, not a data limit; `w11b_modified_following` oracle-pins a
+2029–2032 grid).
 
 The reference resolves sessions with `pandas_market_calendars`' NYSE
 calendar (`stage0/create_daily_enhanced_trace.py:1397-1456`). That

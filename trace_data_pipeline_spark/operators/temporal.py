@@ -108,3 +108,55 @@ def add_business_days_calendar(
         "left",
     )
     return joined.drop("__s", "__next")
+
+
+def modified_following_calendar(
+    df: DataFrame,
+    date_col: str,
+    calendar: DataFrame,
+    cal_date_col: str = "session_date",
+    out_col: str = "adj_dt",
+) -> DataFrame:
+    """ModifiedFollowing business-day adjustment against an explicit
+    trading calendar — QuantLib's payment/termination-date convention
+    the reference passes throughout its schedule construction
+    (`stage1/helper_functions.py:125-152`): a date already on a
+    session stands; otherwise roll FORWARD to the next session, unless
+    that crosses a month boundary, in which case roll BACKWARD to the
+    previous session.
+
+    Build: the calendar expands to a day spine over its span with each
+    day's next/previous session attached (two running min/max windows
+    over the dimension-sized spine — single-partition by design, like
+    the settlement interval table), then the fact side equi-joins the
+    spine broadcast on the calendar DATE — a BroadcastHashJoin, no
+    fact shuffle, no range condition. Dates outside the calendar's
+    span get a null adjustment — feed a calendar covering the
+    schedule horizon (the NYSE rule calendar extrapolates to any year;
+    see functions/nyse_calendar.py)."""
+    sess = calendar.select(F.to_date(cal_date_col).alias("__s")).distinct()
+    span = sess.agg(
+        F.min("__s").alias("__lo"), F.max("__s").alias("__hi")
+    )
+    days = span.select(
+        F.explode(F.sequence("__lo", "__hi")).alias("__d")
+    ).join(
+        sess.withColumn("__is_sess", F.lit(True)),
+        F.col("__d") == F.col("__s"),
+        "left",
+    )
+    wb = Window.orderBy("__d").rowsBetween(Window.unboundedPreceding, 0)
+    wf = Window.orderBy("__d").rowsBetween(0, Window.unboundedFollowing)
+    spine = days.select(
+        "__d",
+        F.max(F.when(F.col("__is_sess"), F.col("__d"))).over(wb).alias("__prev"),
+        F.min(F.when(F.col("__is_sess"), F.col("__d"))).over(wf).alias("__next"),
+    )
+    adj = F.when(
+        F.trunc("__next", "month") == F.trunc("__d", "month"),
+        F.col("__next"),
+    ).otherwise(F.col("__prev"))
+    joined = df.join(
+        F.broadcast(spine), F.to_date(date_col) == F.col("__d"), "left"
+    )
+    return joined.withColumn(out_col, adj).drop("__d", "__prev", "__next")

@@ -565,3 +565,108 @@ def w11_settlement_t2(spark, sf_dir):
         F.date_format("trade_d", "yyyy-MM-dd").alias("trade_d"),
         F.date_format("settle_dt", "yyyy-MM-dd").alias("settle_dt"),
     )
+
+
+def _w11b_oracle() -> str:
+    """w11b oracle: ModifiedFollowing against the rule-derived NYSE
+    calendar for a 2029-2032 payment grid — years PAST the module's
+    2030 default ceiling, pinning that the ruleset extrapolates (the
+    defaults mirror the reference's TRACE sample span, not a data
+    limit). The holiday list is generated from the same public rules
+    the engine uses and embedded literally."""
+    import datetime as _dt
+
+    from trace_data_pipeline_spark.functions.nyse_calendar import nyse_holidays
+
+    hols = ", ".join(
+        f"DATE '{d.isoformat()}'"
+        for d in nyse_holidays(2029, 2032)
+        if _dt.date(2029, 6, 1) <= d <= _dt.date(2032, 6, 30)
+    )
+    return f"""
+    WITH days AS (
+      SELECT DATE '2029-06-01' + CAST(i AS INTEGER) AS d
+      FROM range(0, 1126) t(i)
+    ),
+    sp AS (
+      SELECT d,
+             max(CASE WHEN is_sess THEN d END)
+               OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS prv,
+             min(CASE WHEN is_sess THEN d END)
+               OVER (ORDER BY d ROWS BETWEEN CURRENT ROW
+                     AND UNBOUNDED FOLLOWING) AS nxt
+      FROM (SELECT d, (isodow(d) < 6 AND d NOT IN ({hols})) AS is_sess
+            FROM days)
+    ),
+    pays AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 2 = 0
+                  THEN last_day(CAST(DATE '2029-06-30' + INTERVAL 1 MONTH
+                       * CAST(o_orderkey % 36 AS INTEGER) AS DATE))
+                  ELSE CAST(DATE '2029-06-30' + INTERVAL 1 MONTH
+                       * CAST(o_orderkey % 36 AS INTEGER) AS DATE)
+             END AS pay_d
+      FROM orders
+    ),
+    adj AS (
+      SELECT p.o_orderkey, p.pay_d,
+             CASE WHEN date_trunc('month', sp.nxt)
+                       = date_trunc('month', p.pay_d)
+                  THEN sp.nxt ELSE sp.prv END AS pay_adj
+      FROM pays p JOIN sp ON sp.d = p.pay_d
+    )
+    SELECT o_orderkey,
+           strftime(pay_d, '%Y-%m-%d') AS pay_d,
+           strftime(pay_adj, '%Y-%m-%d') AS pay_adj,
+           CAST(CASE WHEN pay_adj > pay_d THEN 1
+                     WHEN pay_adj < pay_d THEN -1
+                     ELSE 0 END AS INTEGER) AS moved
+    FROM adj
+    """
+
+
+@register("w11b_modified_following", oracle=_w11b_oracle())
+def w11b_modified_following(spark, sf_dir):
+    """ModifiedFollowing payment-date adjustment — the QuantLib
+    convention the reference passes for schedule payment/termination
+    dates (`stage1/helper_functions.py:125-152`): roll a scheduled
+    date forward to the next NYSE session unless that crosses into
+    the next month, then roll backward. The payment grid spans
+    June 2029 - May 2032 (half on raw month-grid dates, half pinned
+    to month-END via last_day — the dates where the backward branch
+    actually fires, e.g. Sat 2029-06-30 -> back to Fri 2029-06-29),
+    deliberately PAST the calendar module's 2030 default so the
+    oracle pins rule extrapolation to arbitrary years.
+
+    Scale shape: the day spine with prev/next session attached is
+    dimension-sized (two single-partition windows over ~1.1k rows,
+    the settlement-table pattern) and broadcasts; the fact side takes
+    one BroadcastHashJoin on the calendar date — no fact shuffle, no
+    range condition."""
+    import datetime as _dt
+
+    from trace_data_pipeline_spark.functions.nyse_calendar import (
+        nyse_sessions_df,
+    )
+    from trace_data_pipeline_spark.operators.temporal import (
+        modified_following_calendar,
+    )
+
+    k = F.col("o_orderkey")
+    base = F.add_months(F.lit("2029-06-30").cast("date"), (k % 36).cast("int"))
+    pays = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(k % 2 == 0, F.last_day(base)).otherwise(base).alias("pay_d"),
+    )
+    cal = nyse_sessions_df(spark, _dt.date(2029, 6, 1), _dt.date(2032, 6, 30))
+    out = modified_following_calendar(pays, "pay_d", cal, out_col="pay_adj")
+    return out.select(
+        "o_orderkey",
+        F.date_format("pay_d", "yyyy-MM-dd").alias("pay_d"),
+        F.date_format("pay_adj", "yyyy-MM-dd").alias("pay_adj"),
+        F.when(F.col("pay_adj") > F.col("pay_d"), 1)
+        .when(F.col("pay_adj") < F.col("pay_d"), -1)
+        .otherwise(0)
+        .cast("int")
+        .alias("moved"),
+    )

@@ -846,3 +846,196 @@ def p7_factor_panel(spark, sf_dir):
             F.col("sprmom_raw").isNotNull(), F.round("rank_raw", 6) + 0.0
         ).alias("roll_mom_rank"),
     )
+
+
+# ------------------------------------------------------------------ p8
+
+_P8_ORACLE = r"""
+WITH daily AS (
+  SELECT l_suppkey,
+         CAST(l_shipdate AS DATE) AS d,
+         CAST((2 * SUM(CAST(round(l_extendedprice * l_quantity * 100, 0) AS BIGINT)) * 10000
+               + 100 * SUM(CAST(l_quantity AS BIGINT)))
+              // (200 * SUM(CAST(l_quantity AS BIGINT))) AS DOUBLE) / 10000 AS prc
+  FROM lineitem GROUP BY 1, 2
+),
+seq AS (
+  SELECT *,
+         strftime(d, '%Y-%m') AS month,
+         prc / lag(prc) OVER (PARTITION BY l_suppkey ORDER BY d) - 1 AS ret_d
+  FROM daily
+),
+-- order statistics, not float sums: VaR/ES are rank selections over
+-- the month's return series (every ret_d double is bit-identical in
+-- both engines because prc is an exact 4dp integer quotient); the
+-- intra-month drawdown is a running-max quotient, again order-stat +
+-- deterministic division. The ONLY cross-row sum (ES numerator) runs
+-- in exact decimal and rounds to a sub-2^53 fixed point before the
+-- float finish, per the p7 discipline.
+seq2 AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY l_suppkey, month
+                            ORDER BY ret_d ASC NULLS LAST, d) AS rn,
+         COUNT(ret_d) OVER (PARTITION BY l_suppkey, month) AS n_obs_w,
+         prc / max(prc) OVER (PARTITION BY l_suppkey, month ORDER BY d
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) - 1 AS dd_d
+  FROM seq
+),
+sel AS (
+  SELECT *, (n_obs_w + 19) // 20 AS k FROM seq2
+),
+monthly AS (
+  SELECT l_suppkey, month,
+         COUNT(ret_d) AS n_obs,
+         MAX(CASE WHEN rn = k THEN ret_d END) AS var_raw,
+         SUM(CASE WHEN rn <= k
+                  THEN CAST(ret_d AS DECIMAL(18,10)) END) AS es_sum,
+         MAX(k) AS k,
+         COUNT(CASE WHEN ret_d = 0 THEN 1 END) AS n_zero,
+         MIN(dd_d) AS mdd_raw
+  FROM sel GROUP BY 1, 2
+),
+-- ES must NOT round a constructed short decimal in float: es_sum/k is
+-- an exact 10dp rational, so a ROUND(double, 6) lands on an exact
+-- half with probability ~1/10 per row and the engines disagree on
+-- which side (observed live at sf0.001). Instead: the exact integer
+-- half-up quotient floor((2*N*10^6 + D) / (2*D)) with N = es_sum
+-- scaled to an integer, D = k*10^10 — the round_ratio_half_up_wide
+-- formulation. HUGEINT throughout (2*N*10^6 can pass 2^63), and the
+-- floor must be a TRUE floor: DuckDB's // truncates toward zero on
+-- negatives, so the negative branch is spelled out.
+esdiv AS (
+  SELECT *,
+         2 * CAST(CAST(es_sum AS DECIMAL(25,10))
+                  * CAST(10000000000 AS DECIMAL(11,0)) AS HUGEINT)
+           * 1000000
+           + CAST(k AS HUGEINT) * 10000000000 AS fnum,
+         2 * CAST(k AS HUGEINT) * 10000000000 AS fden
+  FROM monthly
+)
+SELECT l_suppkey, month, n_obs,
+       ROUND(var_raw, 6) + 0.0 AS var5,
+       CASE WHEN n_obs >= 1 THEN
+         CAST(CASE WHEN fnum >= 0 THEN fnum // fden
+                   ELSE -((-fnum + fden - 1) // fden) END AS DOUBLE)
+         / 1000000
+       END AS es5,
+       CASE WHEN n_obs >= 1
+            THEN ROUND(CAST(n_zero AS DOUBLE) / n_obs, 6) + 0.0
+       END AS zero_ret_share,
+       ROUND(mdd_raw, 6) + 0.0 AS mdd
+FROM esdiv
+"""
+
+
+@register("p8_tail_risk_panel", oracle=_P8_ORACLE)
+def p8_tail_risk_panel(spark, sf_dir):
+    """Stage-2 tranche 3 (r8 verdict item 7) — tail-risk factors per
+    (bond, month) toward the CHANGELOG's "50+ bond characteristic
+    signals" (reference CHANGELOG.md:8-18):
+
+    - var5 — historical 5% Value-at-Risk: the k-th smallest daily
+      return of the month, k = ceil(n_obs/20) computed in INTEGER
+      arithmetic ((n+19)//20 — a float ceil(0.05*n) flips at n=20
+      because 0.05 is not binary-representable);
+    - es5 — expected shortfall: the mean of the k tail returns. The
+      selection is a rank (row_number over ret ASC, day tiebreak —
+      boundary ties carry equal values, so the sum is tie-order
+      invariant); the numerator sums in exact decimal(18,10) and the
+      mean itself is the exact integer half-up quotient
+      (round_ratio_half_up_wide) — es_sum/k is an exact 10dp
+      rational, so a float ROUND at 6dp would land on an exact half
+      ~1/10 of the time and the engines disagree on which side
+      (observed live before this formulation);
+    - zero_ret_share — fraction of observed days with a zero return
+      (Lesmond-Ogden-Trzcinka zero-return illiquidity proxy): integer
+      count / integer count, single deterministic float division;
+    - mdd — intra-month maximum drawdown: min over days of
+      prc / running-max(prc) - 1 — running max is an order statistic
+      and every quotient is a deterministic IEEE op on bit-identical
+      exact-quotient prices.
+
+    Tail selection is RANK-BASED, not a float quantile: engines
+    disagree on quantile interpolation conventions, while "the k-th
+    smallest element" is exactly reproducible everywhere — and at
+    100 TB it needs no per-group array state, just a window rank.
+
+    Scale shape: ONE fact shuffle (the daily aggregate keyed
+    (l_suppkey, d)), then ONE daily-frame exchange on hash(l_suppkey)
+    that every downstream op reuses — the return lag partitions by
+    bond, and the three month-partitioned windows plus the monthly
+    hash aggregate all cluster on (l_suppkey, month), which
+    hash(l_suppkey) already satisfies (subset rule), so Spark inserts
+    no further exchange. No joins, no UDF, no arrays; plan-guarded
+    SortAggregate-free.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p, q = F.col("l_extendedprice"), F.col("l_quantity")
+    pq_cents = F.round(p * q * 100, 0).cast("long")
+    daily = li.groupBy("l_suppkey", F.to_date("l_shipdate").alias("d")).agg(
+        round_ratio_half_up(
+            F.sum(pq_cents), F.sum(q.cast("long")) * 100, 4
+        ).alias("prc")
+    )
+    wb = Window.partitionBy("l_suppkey").orderBy("d")
+    seq = daily.withColumn(
+        "month", F.date_format("d", "yyyy-MM")
+    ).withColumn("ret_d", F.col("prc") / F.lag("prc").over(wb) - 1)
+    ret = F.col("ret_d")
+    wrank = Window.partitionBy("l_suppkey", "month").orderBy(
+        ret.asc_nulls_last(), "d"
+    )
+    wcnt = Window.partitionBy("l_suppkey", "month")
+    wrun = (
+        Window.partitionBy("l_suppkey", "month")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sel = (
+        seq.withColumn("rn", F.row_number().over(wrank))
+        .withColumn("n_obs_w", F.count(ret).over(wcnt))
+        .withColumn("dd_d", F.col("prc") / F.max("prc").over(wrun) - 1)
+        .withColumn(
+            # integer ceil(n/20): (n+19) - (n+19) mod 20, over 20 — all
+            # long arithmetic, no float division anywhere near the cut
+            "k",
+            ((F.col("n_obs_w") + 19) - (F.col("n_obs_w") + 19) % 20) / 20,
+        )
+        .withColumn("k", F.col("k").cast("long"))
+    )
+    rn = F.col("rn")
+    monthly = sel.groupBy("l_suppkey", "month").agg(
+        F.count(ret).alias("n_obs"),
+        F.max(F.when(rn == F.col("k"), ret)).alias("var_raw"),
+        F.sum(
+            F.when(rn <= F.col("k"), ret.cast("decimal(18,10)"))
+        ).alias("es_sum"),
+        F.max("k").alias("k"),
+        F.count(F.when(ret == 0, F.lit(1))).alias("n_zero"),
+        F.min("dd_d").alias("mdd_raw"),
+    )
+    n_obs = F.col("n_obs")
+    # exact integer half-up quotient (see the oracle's esdiv comment):
+    # |es_sum| < 10^5 so decimal(15,10) holds it and the 10^10 scale
+    # shift stays exact at decimal(27,10); D = k*10^10 <= 2e10 < 10^11
+    # meets the wide variant's floor-exactness precondition
+    es_n = (
+        F.col("es_sum").cast("decimal(15,10)")
+        * F.lit(10**10).cast("decimal(11,0)")
+    ).cast("decimal(20,0)")
+    es_d = F.col("k") * F.lit(10**10)
+    return monthly.select(
+        "l_suppkey",
+        "month",
+        "n_obs",
+        (F.round("var_raw", 6) + 0.0).alias("var5"),
+        F.when(
+            n_obs >= 1, round_ratio_half_up_wide(es_n, es_d, 6)
+        ).alias("es5"),
+        F.when(
+            n_obs >= 1,
+            F.round(F.col("n_zero").cast("double") / n_obs, 6) + 0.0,
+        ).alias("zero_ret_share"),
+        (F.round("mdd_raw", 6) + 0.0).alias("mdd"),
+    )

@@ -1,0 +1,31 @@
+"""Audit-report rendering — the reference's LaTeX report layer
+(`stage0/_error_plot_helpers.py:694-1200`, `_build_error_files.py:407+`)
+re-expressed over the engine's oracle-checked report frames.
+
+Split deliberately in two:
+
+- `latex` — pure string builders (escaping, tabular/table envs, the
+  removal and parameters tables, the full data-report document). No
+  Spark, no I/O; unit-tested against golden structure.
+- `render` — the thin driver-side sink that collects the BOUNDED
+  report aggregates (a removal table is a handful of rows; the bound
+  is enforced, not assumed), writes `.tex`, exports the per-entity
+  figure DATA that `r4_flagged_series` computes distributedly, and
+  renders PNG figures only when matplotlib is importable (it is not
+  in this container — the gate raises NotImplementedError with the
+  data path already on disk, the same stub discipline as the
+  multimodal production-codec hooks).
+"""
+
+from trace_data_pipeline_spark.reports.latex import (  # noqa: F401
+    data_report,
+    escape_tex,
+    parameters_table,
+    removal_table,
+    tabular,
+)
+from trace_data_pipeline_spark.reports.render import (  # noqa: F401
+    collect_report_rows,
+    render_figures,
+    write_audit_report,
+)

@@ -1,0 +1,224 @@
+"""Pure-string LaTeX builders for the audit report.
+
+The reference assembles its Stage-0 data report from booktabs tables
+plus per-CUSIP figures (`stage0/_error_plot_helpers.py:694-1200`:
+`_rows_to_latex*`, `make_parameters_table`, `make_filters_counts_table`,
+`make_error_report`). These builders produce the same artifact class —
+a self-contained `\\documentclass{article}` report with a parameters
+table, per-stage removal tables, and included figures — from plain
+Python rows, so they are unit-testable without Spark and reusable by
+any caller that has already collected a bounded report frame.
+
+Everything here is deterministic string formatting: no timestamps are
+injected unless the caller passes one (reproducible artifacts hash
+identically run to run).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+# LaTeX-special characters and their escaped forms. Backslash first is
+# handled separately (it would double-escape the others' replacements).
+_SPECIALS = {
+    "&": r"\&",
+    "%": r"\%",
+    "$": r"\$",
+    "#": r"\#",
+    "_": r"\_",
+    "{": r"\{",
+    "}": r"\}",
+    "~": r"\textasciitilde{}",
+    "^": r"\textasciicircum{}",
+}
+
+
+def escape_tex(value: object) -> str:
+    """Escape a cell value for LaTeX body text."""
+    # backslash via a sentinel: its replacement contains braces that
+    # the loop below would otherwise double-escape
+    s = str(value).replace("\\", "\x00")
+    for ch, rep in _SPECIALS.items():
+        s = s.replace(ch, rep)
+    return s.replace("\x00", r"\textbackslash{}")
+
+
+def _fmt_int(n: object) -> str:
+    """Thousands-separated integer (LaTeX-safe: ',' needs no escape)."""
+    return f"{int(n):,}"
+
+
+def _fmt_pct(frac: object, digits: int = 3) -> str:
+    """A 0..1 fraction as a percent cell; empty for null."""
+    if frac is None:
+        return ""
+    return f"{100.0 * float(frac):.{digits}f}" + r"\%"
+
+
+def tabular(
+    header: Sequence[str],
+    rows: Sequence[Sequence[object]],
+    align: str,
+    escape: bool = True,
+) -> str:
+    """A booktabs `tabular` environment: header, midrule, body rows."""
+    fmt = (lambda v: escape_tex(v)) if escape else str
+    lines = [
+        rf"\begin{{tabular}}{{{align}}}",
+        r"\toprule",
+        " & ".join(fmt(h) for h in header) + r" \\",
+        r"\midrule",
+    ]
+    lines += [" & ".join(fmt(c) for c in row) + r" \\" for row in rows]
+    lines += [r"\bottomrule", r"\end{tabular}"]
+    return "\n".join(lines)
+
+
+def table_env(
+    body: str, caption: str, label: str, note: str | None = None
+) -> str:
+    """Wrap a tabular body in a centered `table` float with caption,
+    label, and an optional footnote-sized note paragraph (the
+    reference's table idiom, `_error_plot_helpers.py:757-807`)."""
+    parts = [
+        r"\begin{table}[!ht]",
+        r"\begin{center}",
+        r"\footnotesize",
+        rf"\caption{{{escape_tex(caption)}}}",
+        rf"\label{{{label}}}\vspace{{2mm}}",
+        body,
+        r"\end{center}",
+    ]
+    if note:
+        parts += [
+            r"\begin{flushleft}\footnotesize",
+            escape_tex(note),
+            r"\end{flushleft}",
+        ]
+    parts.append(r"\end{table}")
+    return "\n".join(parts)
+
+
+def removal_table(
+    rows: Sequence[Mapping[str, object]],
+    caption: str,
+    label: str,
+    *,
+    stage_key: str = "stage",
+    before_key: str = "rows_before",
+    after_key: str = "rows_after",
+    removed_key: str = "removed",
+    frac_key: str | None = "removed_frac",
+    pct_key: str | None = None,
+    note: str | None = None,
+) -> str:
+    """The per-stage removal table (`filters_df_to_summary` →
+    `make_filters_counts_table` in the reference): one row per filter
+    stage with before/after/removed counts and the share removed.
+
+    `rows` are mappings (e.g. `Row.asDict()` from the oracle-checked
+    `r1_audit_report` / `r2_error_checks` / `t2_filter_report`
+    frames); the key names parameterize over their column spellings.
+    The share column reads `frac_key` as a 0..1 fraction, or
+    `pct_key` as an already-scaled percent (t2's convention) — pass
+    exactly one.
+    """
+
+    def _share(r: Mapping[str, object]) -> str:
+        if pct_key is not None:
+            v = r.get(pct_key)
+            return "" if v is None else f"{float(v):.3f}" + r"\%"
+        return _fmt_pct(r.get(frac_key))
+
+    body_rows = [
+        (
+            escape_tex(r[stage_key]),
+            _fmt_int(r[before_key]),
+            _fmt_int(r[after_key]),
+            _fmt_int(r[removed_key]),
+            _share(r),
+        )
+        for r in rows
+    ]
+    body = tabular(
+        ("Filter", "$N_{pre}$", "$N_{post}$", "Removed", r"\% of start"),
+        body_rows,
+        "lrrrr",
+        escape=False,  # cells pre-escaped above; headers carry math
+    )
+    return table_env(body, caption, label, note)
+
+
+def parameters_table(
+    panels: Mapping[str, Sequence[tuple[str, object]]],
+    caption: str = "Error-Correction Filters and Module Parameters",
+    label: str = "tab:parameters",
+    note: str | None = None,
+) -> str:
+    """The multi-panel parameter table (`make_parameters_table`,
+    `_error_plot_helpers.py:722-830`): one two-column Parameter/Value
+    block per panel, each introduced by a bold spanning panel title."""
+    lines = [
+        r"\begin{tabular}{lc}",
+        r"\toprule",
+        r"Parameter & Value \\",
+    ]
+    for title, pairs in panels.items():
+        lines += [
+            r"\midrule",
+            rf"\multicolumn{{2}}{{c}}{{\textbf{{{escape_tex(title)}}}}} \\",
+            r"\midrule",
+        ]
+        lines += [
+            rf"\texttt{{{escape_tex(k)}}} & {escape_tex(v)} \\"
+            for k, v in pairs
+        ]
+    lines += [r"\bottomrule", r"\end{tabular}"]
+    return table_env("\n".join(lines), caption, label, note)
+
+
+def data_report(
+    tables: Sequence[str],
+    figures: Sequence[str] = (),
+    *,
+    title: str = "Stage 0 TRACE Daily Data Report",
+    abstract: str | None = None,
+    author: str | None = None,
+    date: str | None = None,
+) -> str:
+    """Assemble the full report document (`make_error_report`,
+    `_error_plot_helpers.py:1077-1195`): preamble, optional abstract,
+    the rendered tables, then one full-page figure per entry in
+    `figures` (paths as emitted by `render.render_figures`). `date`
+    is injected only when given — by default the artifact is
+    bit-reproducible."""
+    lines = [
+        r"\documentclass[11pt]{article}",
+        r"\usepackage{graphicx,booktabs,geometry}",
+        r"\usepackage{amsmath}",
+        r"\usepackage{hyperref}",
+        r"\geometry{margin=1in}",
+        rf"\title{{{escape_tex(title)}}}",
+    ]
+    if author:
+        lines.append(rf"\author{{{escape_tex(author)}}}")
+    if date:
+        lines.append(rf"\date{{{escape_tex(date)}}}")
+    lines += [r"\begin{document}", r"\maketitle"]
+    if abstract:
+        lines += [r"\begin{abstract}", escape_tex(abstract), r"\end{abstract}"]
+    lines.append(r"\section{Filter Tables}")
+    for t in tables:
+        lines.append(t)
+    if figures:
+        lines += [r"\clearpage", r"\section{Flagged Price Series}"]
+        for path in figures:
+            lines += [
+                r"\begin{figure}[h!]\centering",
+                rf"\includegraphics[width=\textwidth,"
+                rf"keepaspectratio]{{{path}}}",
+                r"\end{figure}",
+                r"\clearpage",
+            ]
+    lines.append(r"\end{document}")
+    return "\n".join(lines)

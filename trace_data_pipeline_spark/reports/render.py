@@ -1,0 +1,210 @@
+"""Driver-side report sink: bounded collects → `.tex` + figure data.
+
+The reference's report entry point re-runs the pipeline in flag mode
+and then renders LaTeX tables and per-CUSIP matplotlib pages
+(`stage0/_build_error_files.py:407+`, `_error_plot_helpers.py`). Here
+the heavy lifting stays distributed — the removal tables and flagged
+series are the oracle-checked catalog entries `r1_audit_report`,
+`r2_error_checks`, `t2_filter_report`, `r4_flagged_series` — and this
+module is only the final sink:
+
+- table frames are collected under an ENFORCED row bound (a removal
+  table is one row per filter stage; collecting it is a sink on an
+  already-aggregated frame, not a data-path collect — the bound makes
+  that structural);
+- the per-entity figure DATA (the exact frame the reference's
+  `_plot_panel` consumes: date, price before/after, flag) is written
+  as csv per entity by Spark's own writer, partitioned by entity —
+  never collected;
+- PNG rendering is gated on matplotlib, which this container does not
+  ship: `render_figures` raises NotImplementedError pointing at the
+  on-disk figure data, the same injectable-stub discipline as the
+  multimodal production codecs (`datapipe/multimodal.py`).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+from trace_data_pipeline_spark.reports import latex
+
+# A report table is per-stage/per-screen rows — tens, not millions.
+# The bound turns "this collect is safe" from a comment into a raise.
+MAX_REPORT_ROWS = 10_000
+
+
+def collect_report_rows(df: DataFrame, limit: int = MAX_REPORT_ROWS):
+    """Collect a bounded report aggregate as a list of dicts; raise if
+    the frame exceeds the bound (it would mean a data-path frame was
+    handed to the report sink by mistake)."""
+    rows = df.limit(limit + 1).collect()
+    if len(rows) > limit:
+        raise ValueError(
+            f"report frame exceeds the {limit}-row sink bound; "
+            "report tables are per-stage aggregates"
+        )
+    return [r.asDict() for r in rows]
+
+
+def write_figure_data(
+    flagged_series: DataFrame, out_dir: str, entity_col: str = "user_id"
+) -> str:
+    """Write the per-entity flagged price series (the
+    `r4_flagged_series` frame) as csv partitioned by entity — the data
+    behind the reference's per-CUSIP pages, written by Spark's own
+    writer (distributed, never collected)."""
+    path = os.path.join(out_dir, "figure_data")
+    (
+        flagged_series.repartition(entity_col)
+        .write.mode("overwrite")
+        .partitionBy(entity_col)
+        .option("header", True)
+        .csv(path)
+    )
+    return path
+
+
+def render_figures(
+    figure_data_dir: str, out_dir: str
+) -> list[str]:  # pragma: no cover - exercised only with matplotlib
+    """Render one PNG per entity from the on-disk figure data.
+
+    matplotlib is not shipped in this container, so the default path
+    raises NotImplementedError naming the data directory — a
+    deployment with matplotlib installed gets real pages (price
+    series, corrected overlay, flagged markers) with no code change.
+    """
+    try:
+        import matplotlib  # noqa: F401
+        import matplotlib.pyplot as plt
+    except ImportError as exc:
+        raise NotImplementedError(
+            "figure rendering requires matplotlib, which is not "
+            f"installed; the per-entity figure data is at "
+            f"{figure_data_dir} (csv per entity: d, p_before, p_after, "
+            "flag)"
+        ) from exc
+
+    import csv
+    import glob
+    from collections import defaultdict
+
+    pages: list[str] = []
+    os.makedirs(out_dir, exist_ok=True)
+    series: dict[str, list[tuple]] = defaultdict(list)
+    for part in sorted(glob.glob(f"{figure_data_dir}/*/*.csv")):
+        entity = os.path.basename(os.path.dirname(part)).split("=", 1)[-1]
+        with open(part, newline="") as fh:
+            for rec in csv.DictReader(fh):
+                series[entity].append(
+                    (
+                        rec["d"],
+                        float(rec["p_before"]),
+                        float(rec["p_after"]),
+                        int(rec["dec_shift_flag"]),
+                    )
+                )
+    for entity, rows in sorted(series.items()):
+        rows.sort()
+        xs = range(len(rows))
+        fig, ax = plt.subplots(figsize=(10, 4))
+        ax.plot(xs, [r[1] for r in rows], alpha=0.5, label="All")
+        ax.plot(xs, [r[2] for r in rows], lw=1.2, label="Corrected")
+        flagged = [(i, r[1]) for i, r in enumerate(rows) if r[3]]
+        if flagged:
+            ax.scatter(
+                [i for i, _ in flagged],
+                [p for _, p in flagged],
+                marker="x",
+                label="Flagged",
+            )
+        ax.set_title(str(entity))
+        ax.legend()
+        page = os.path.join(out_dir, f"series_{entity}.png")
+        fig.savefig(page, dpi=150)
+        plt.close(fig)
+        pages.append(page)
+    return pages
+
+
+def write_audit_report(
+    spark,
+    sf_dir: str,
+    out_dir: str,
+    *,
+    date: str | None = None,
+    figures: bool = False,
+) -> dict:
+    """Build and write the full audit report for a scale directory.
+
+    Tables: r1 (relational screens), r2 (W1/W2/W3 error-correction
+    chain), t2 (stage-1 Table 2). Figure data: r4. Returns a manifest
+    of written paths. With `figures=True` and matplotlib installed,
+    PNG pages are rendered and included; without matplotlib the
+    figure DATA is still on disk and the .tex references no pages.
+    """
+    from trace_data_pipeline_spark.plans import get_catalog
+
+    catalog = get_catalog()
+    os.makedirs(out_dir, exist_ok=True)
+
+    tables = [
+        latex.removal_table(
+            collect_report_rows(
+                catalog["r1_audit_report"].builder(spark, sf_dir)
+            ),
+            caption="Relational Screen Removal Counts",
+            label="tab:screens",
+        ),
+        latex.removal_table(
+            collect_report_rows(
+                catalog["r2_error_checks"].builder(spark, sf_dir)
+            ),
+            caption="Error-Correction Filter Removal Counts",
+            label="tab:errors",
+            note=(
+                "Stages run in sequence: decimal-shift correction, "
+                "bounce-back filter, initial-price filter; each stage "
+                "screens the previous stage's survivors."
+            ),
+        ),
+        latex.removal_table(
+            sorted(
+                collect_report_rows(
+                    catalog["t2_filter_report"].builder(spark, sf_dir)
+                ),
+                key=lambda r: r["stage_idx"],
+            ),
+            caption="Stage 1 Sequential Filter Record",
+            label="tab:stage1",
+            before_key="n_before",
+            after_key="n_after",
+            removed_key="n_removed",
+            pct_key="pct_of_start",  # t2 emits a percent, not a fraction
+        ),
+    ]
+
+    fig_data = write_figure_data(
+        catalog["r4_flagged_series"].builder(spark, sf_dir), out_dir
+    )
+    pages: list[str] = []
+    if figures:
+        pages = render_figures(fig_data, os.path.join(out_dir, "pages"))
+
+    tex = latex.data_report(
+        tables,
+        [os.path.relpath(p, out_dir) for p in pages],
+        abstract=(
+            "Per-stage removal accounting for the cleaning pipeline, "
+            "rendered from the engine's oracle-checked audit frames; "
+            "for every entity flagged by the decimal-shift corrector, "
+            "the full before/after price series is exported alongside."
+        ),
+        date=date,
+    )
+    tex_path = os.path.join(out_dir, "data_report.tex")
+    with open(tex_path, "w", encoding="utf-8") as fh:
+        fh.write(tex)
+    return {"tex": tex_path, "figure_data": fig_data, "pages": pages}

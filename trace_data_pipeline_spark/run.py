@@ -49,6 +49,23 @@ STAGES: dict[str, list[str]] = {
 
 
 def run_stage(spark, stage: str, sf_dir: str, out: str, fmt: str) -> list[dict]:
+    if stage == "report":
+        # the LaTeX audit report + per-entity figure data (the
+        # reference's `_build_error_files.py` entry point, minus the
+        # matplotlib pages this container cannot render)
+        from trace_data_pipeline_spark.reports import write_audit_report
+
+        t0 = time.perf_counter()
+        manifest = write_audit_report(spark, sf_dir, f"{out}/report")
+        release_caches()
+        return [
+            {
+                "stage": "report",
+                "query": "data_report",
+                "path": manifest["tex"],
+                "secs": round(time.perf_counter() - t0, 3),
+            }
+        ]
     catalog = get_catalog()
     results = []
     for name in STAGES[stage]:
@@ -80,7 +97,7 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument(
         "--stages",
         default="stage0,stage1,datapipe",
-        help="comma list from: " + ",".join(STAGES),
+        help="comma list from: " + ",".join(STAGES) + ",report",
     )
     ap.add_argument("--format", choices=["parquet", "csv"], default="parquet")
     ap.add_argument("--cpus", type=int, default=None)

@@ -144,7 +144,9 @@ def test_write_audit_report_end_to_end(spark, tmp_path):
     tex = open(manifest["tex"], encoding="utf-8").read()
     for label in ("tab:screens", "tab:errors", "tab:stage1"):
         assert rf"\label{{{label}}}" in tex
-    assert tex.count(r"\begin{table}") == 3
+    assert tex.count(r"\begin{table}") == 4  # parameters + 3 removal
+    assert r"\label{tab:parameters}" in tex
+    assert r"\texttt{apply\_decimal\_shift}" in tex
     assert r"\end{document}" in tex
     # the rendered screen counts must match the oracle-checked frame
     r1 = get_catalog()["r1_audit_report"].builder(spark, sf).collect()

@@ -146,11 +146,34 @@ def write_audit_report(
     figure DATA is still on disk and the .tex references no pages.
     """
     from trace_data_pipeline_spark.plans import get_catalog
+    from trace_data_pipeline_spark.plans.settings import Stage0Settings
 
     catalog = get_catalog()
     os.makedirs(out_dir, exist_ok=True)
 
+    # Table 1: the configured switchboard (the reference's
+    # make_parameters_table panels, from the live Stage0Settings
+    # defaults — a caller running a customized pipeline would pass its
+    # own settings through here)
+    s = Stage0Settings()
     tables = [
+        latex.parameters_table(
+            {
+                "Panel A: Error-Correction and Filtering Toggles": [
+                    ("drop_nonpositive_price", s.drop_nonpositive_price),
+                    ("price_max", s.price_max),
+                    ("apply_decimal_shift", s.apply_decimal_shift),
+                    ("apply_bounce_back", s.apply_bounce_back),
+                    ("min_trades_per_day", s.min_trades_per_day),
+                ],
+                "Panel B: Decimal-Shift Parameters": [
+                    ("decimal_shift_window", s.decimal_shift_window),
+                ],
+                "Panel C: Bounce-Back Parameters": [
+                    ("bounce_threshold_abs", s.bounce_threshold_abs),
+                ],
+            }
+        ),
         latex.removal_table(
             collect_report_rows(
                 catalog["r1_audit_report"].builder(spark, sf_dir)

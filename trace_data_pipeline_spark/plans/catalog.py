@@ -13,7 +13,17 @@ Design rules for oracle parity (floating point):
 - rankings over floats always rank the ROUNDED value with an id
   tiebreak so ulp-level engine differences can't reorder rows;
 - timestamps are grouped via formatted strings (yyyy-MM etc.), never
-  raw date_trunc results, to avoid dtype mismatches between engines.
+  raw date_trunc results, to avoid dtype mismatches between engines;
+- NEVER float-ROUND a value that is an exact short decimal one digit
+  past the rounding scale — it lands exactly on the half and the
+  engines split (Spark rounds the shortest decimal repr HALF_UP,
+  DuckDB rounds the binary value). p8's ES (an exact 10dp rational
+  over k∈{1,2}) hit this live at sf0.001; such quotients must use the
+  integer half-up formulation (round_ratio_half_up[_wide]). Rounds of
+  full-mantissa doubles (returns, interpolations, float means) and
+  no-op rounds of values already exact at the target scale (a8's
+  quantiles: 2dp values × 2dp fracs = exact 4dp) are safe — audited
+  round 9 across the catalog.
 """
 
 from __future__ import annotations

@@ -86,6 +86,7 @@ FLOORS: dict[str, float] = {
     "w10c_bond_freqs": 0.834,
     "w10e_full_record": 1.547,
     "w10f_yield_to_worst": 0.597,
+    "w10g_yield_to_worst_schedule": 1.613,
     "w11b_modified_following": 1.008,
     "w1_decimal_shift": 1.462,
     "w2_bounce_back": 0.806,

@@ -38,6 +38,7 @@ CEILINGS = {
     "w10e_full_record": 9.0,           # min 2.7
     "w10f_yield_to_worst": 3.0,        # min 0.60 at local[32]; 2 solver legs
     "w11b_modified_following": 4.0,    # min 1.01 at local[32]; spine windows
+    "w10g_yield_to_worst_schedule": 6.0,  # min 1.61 at local[32]; legs solve
     "p0_stage0_panel": 13.0,           # min 4.3
     "p1_stage0_full": 17.0,            # min 5.6
     "p2_stage1_full": 6.0,             # min 1.9

@@ -504,3 +504,54 @@ def test_modified_following_goldens(spark):
     assert got["2031-08-09"] == "2031-08-11"  # mid-month Sat -> forward
     assert got["2031-12-25"] == "2031-12-26"  # holiday Thu -> Fri
     assert got["2031-12-31"] == "2031-12-31"  # year-end Wed session stands
+
+
+def test_yield_to_worst_schedule_multi_call(spark):
+    """w10g semantics golden: for a premium callable with TWO call
+    dates at par, the EARLIEST call is the worst (the above-market
+    coupon is lost soonest), so ytw must equal the 2-period call
+    yield, strictly below the 6-period call yield, strictly below
+    ytm. Plus the definitional invariants on the full catalog frame:
+    ytw <= ytm always; worst_is_call = 1 exactly when a call leg is
+    strictly worse."""
+    from pyspark.sql import functions as F
+
+    from trace_data_pipeline_spark.operators.bond_math import (
+        bond_analytics,
+        bond_analytics_red,
+    )
+    from trace_data_pipeline_spark.plans import get_catalog
+
+    df = spark.createDataFrame([(112.0,)], "p double")
+    r = (
+        df.withColumn("rm", bond_analytics(F.col("p"), F.lit(0.04), F.lit(20)))
+        .withColumn("c1", bond_analytics_red(F.col("p"), F.lit(0.04), F.lit(2), F.lit(100.0)))
+        .withColumn("c2", bond_analytics_red(F.col("p"), F.lit(0.04), F.lit(6), F.lit(100.0)))
+        .select(
+            F.col("rm.ytm").alias("ytm"),
+            F.col("c1.ytm").alias("y_call_early"),
+            F.col("c2.ytm").alias("y_call_late"),
+        )
+        .collect()[0]
+    )
+    assert r["y_call_early"] < r["y_call_late"] < r["ytm"]
+
+    out = (
+        get_catalog()["w10g_yield_to_worst_schedule"]
+        .builder(spark, "/root/testdata/sf0.001")
+        .cache()
+    )
+    assert out.filter(F.col("ytw") > F.col("ytm") + 1e-9).count() == 0
+    # worst_is_call consistency: flag set  => ytw < ytm (a call won);
+    # flag clear => ytw == ytm (rounded at the same 6dp)
+    assert (
+        out.filter((F.col("worst_is_call") == 1) & (F.col("ytw") >= F.col("ytm"))).count()
+        == 0
+    )
+    assert (
+        out.filter((F.col("worst_is_call") == 0) & (F.col("ytw") != F.col("ytm"))).count()
+        == 0
+    )
+    # non-callable rows carry no call yield
+    assert out.filter((F.col("n_calls") == 0) & F.col("ytc_worst").isNotNull()).count() == 0
+    out.unpersist()

@@ -272,3 +272,18 @@ def test_tail_risk_panel_reuses_one_daily_exchange(spark):
     assert "Join" not in plan
     parts = set(re.findall(r"hashpartitioning\(([^)]*)\)", plan))
     assert len(parts) == 2, parts  # (l_suppkey, day-expr) + (l_suppkey)
+
+
+def test_schedule_ytw_one_legs_exchange(spark):
+    """w10g: the variable-length call-schedule yield-to-worst must cost
+    exactly one exchange — the legs-frame re-group on the bond key.
+    The explode inherits the scan partitioning, the solver runs once
+    over the legs frame, and the re-group is hash-aggregated (numeric
+    min/max, no SortAggregate) with no join back."""
+    import re
+
+    plan = _plan(spark, "w10g_yield_to_worst_schedule")
+    assert "SortAggregate" not in plan
+    assert "Join" not in plan
+    parts = set(re.findall(r"hashpartitioning\(([^,]*)", plan))
+    assert len(parts) == 1, parts

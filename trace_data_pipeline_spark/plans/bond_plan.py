@@ -541,3 +541,161 @@ def w10f_yield_to_worst(spark, sf_dir):
             + 0.0
         ).alias("ytw"),
     )
+
+
+_W10G_ORACLE = rf"""
+WITH RECURSIVE bonds AS (
+  SELECT o_orderkey,
+         CAST(1 + o_orderkey % 20 AS INT) AS n,
+         CAST(2 + o_orderkey % 7 AS DOUBLE) / 200.0 AS c,
+         60.0 + CAST(o_orderkey * 37 % 800 AS DOUBLE) / 10.0 AS p,
+         CASE WHEN 1 + o_orderkey % 20 >= 4
+              THEN CAST(o_orderkey % 3 AS INT) ELSE 0 END AS n_calls
+  FROM orders
+),
+legs AS (
+  SELECT o_orderkey, 'M' AS leg, n AS nn, c, p,
+         CAST(100.0 AS DOUBLE) AS red
+  FROM bonds
+  UNION ALL
+  SELECT o_orderkey, 'C1', CAST(greatest(1, n // (n_calls + 1)) AS INT),
+         c, p, CAST(100.0 + ((o_orderkey + 1) % 5) * 0.5 AS DOUBLE)
+  FROM bonds WHERE n_calls >= 1
+  UNION ALL
+  SELECT o_orderkey, 'C2', CAST(greatest(1, (2 * n) // (n_calls + 1)) AS INT),
+         c, p, CAST(100.0 + ((o_orderkey + 2) % 5) * 0.5 AS DOUBLE)
+  FROM bonds WHERE n_calls >= 2
+),
+it AS (
+  SELECT o_orderkey, leg, nn, c, p, red, 0 AS k, CAST(0.03 AS DOUBLE) AS y
+  FROM legs
+  UNION ALL
+  SELECT o_orderkey, leg, nn, c, p, red, k + 1,
+         least(greatest(
+           y - (list_sum(list_transform(range(1, nn + 1),
+                  t -> {_CFR} * power(1.0 / (1.0 + y), t))) - p)
+             / list_sum(list_transform(range(1, nn + 1),
+                  t -> -t * {_CFR} * power(1.0 / (1.0 + y), t + 1))),
+           -0.9), 10.0) AS y
+  FROM it WHERE k < 25
+),
+fin AS (
+  SELECT o_orderkey, leg, y * 2.0 AS yld,
+         abs(list_sum(list_transform(range(1, nn + 1),
+            t -> {_CFR} * power(1.0 / (1.0 + y), t))) - p) <= 1e-6 AS ok
+  FROM it WHERE k = 25
+),
+grp AS (
+  SELECT f.o_orderkey, b.n_calls,
+         MAX(CASE WHEN f.leg = 'M' THEN f.yld END) AS ytm_r,
+         MIN(CASE WHEN f.ok THEN f.yld END) AS ytw_r,
+         MIN(CASE WHEN f.ok AND f.leg <> 'M' THEN f.yld END) AS ytc_r
+  FROM fin f JOIN bonds b USING (o_orderkey)
+  GROUP BY 1, 2
+)
+SELECT o_orderkey, n_calls,
+       ROUND(ytm_r, 6) + 0.0 AS ytm,
+       CASE WHEN n_calls >= 1 THEN ROUND(ytc_r, 6) + 0.0 END AS ytc_worst,
+       ROUND(ytw_r, 6) + 0.0 AS ytw,
+       CAST(CASE WHEN n_calls >= 1 AND ytc_r < ytm_r THEN 1 ELSE 0 END
+            AS INTEGER) AS worst_is_call
+FROM grp
+"""
+
+
+@register("w10g_yield_to_worst_schedule", oracle=_W10G_ORACLE)
+def w10g_yield_to_worst_schedule(spark, sf_dir):
+    """W10 schedule completion: yield-to-worst over a VARIABLE-LENGTH
+    call schedule — the full `fisd_mergedredemption` semantics (a bond
+    carries 0..N future calls, each a (date, price) row; the reference
+    consumes only the `callable` flag, `stage1_pipeline.py:806-812`).
+    w10f is the bounded single-next-call case and stays columnar
+    (zero shuffles); THIS is the general shape for schedules whose
+    width is data-dependent:
+
+        legs = explode(maturity leg + one leg per future call)
+        -> ONE Arrow-batched Newton solve over the legs frame
+        -> hash re-group on the bond key: ytm (maturity leg),
+           ytc_worst (min over converged call legs), ytw (min over
+           all converged legs), worst_is_call.
+
+    One legs-sized shuffle total (<= (N+1) x fact rows), solver runs
+    once over everything, aggregates are numeric min/max — no
+    SortAggregate, no join back. At 100 TB the explode inherits the
+    scan partitioning and the regroup is the only exchange.
+
+    Schedule synthesis: bonds with >= 4 periods carry key-derived 0/1/2
+    calls at periods i*n//(n_calls+1), call prices 100 + 0-2 points.
+    Non-convergent legs are excluded from the min per the reference's
+    per-bond NaN contract."""
+    from trace_data_pipeline_spark.operators.bond_math import bond_analytics_red
+
+    orders = _orders(spark, sf_dir)
+    k = F.col("o_orderkey")
+    n = (1 + k % 20).cast("int")
+    n_calls = F.when(n >= 4, (k % 3).cast("int")).otherwise(F.lit(0))
+    leg = lambda nn, red, tag, cond: F.when(  # noqa: E731
+        cond,
+        F.struct(
+            nn.cast("int").alias("nn"),
+            red.alias("red"),
+            F.lit(tag).alias("leg"),
+        ),
+    )
+    bonds = orders.select(
+        "o_orderkey",
+        n.alias("n"),
+        n_calls.alias("n_calls"),
+        ((2 + k % 7) / 200.0).alias("c"),
+        (60.0 + (k * 37 % 800).cast("double") / 10.0).alias("p"),
+        F.filter(
+            F.array(
+                leg(n, F.lit(100.0), "M", F.lit(True)),
+                leg(
+                    F.greatest(F.lit(1), (n / (n_calls + 1)).cast("int")),
+                    100.0 + ((k + 1) % 5) * 0.5,
+                    "C1",
+                    n_calls >= 1,
+                ),
+                leg(
+                    F.greatest(F.lit(1), (2 * n / (n_calls + 1)).cast("int")),
+                    100.0 + ((k + 2) % 5) * 0.5,
+                    "C2",
+                    n_calls >= 2,
+                ),
+            ),
+            lambda x: x.isNotNull(),
+        ).alias("legs"),
+    )
+    legs = bonds.select(
+        "o_orderkey", "n_calls", "c", "p", F.explode("legs").alias("lg")
+    )
+    solved = legs.withColumn(
+        "r",
+        bond_analytics_red(
+            F.col("p"), F.col("c"), F.col("lg.nn"), F.col("lg.red")
+        ),
+    )
+    ok = F.abs(F.col("r.pv_residual")) <= 1e-6
+    grp = solved.groupBy("o_orderkey").agg(
+        F.max("n_calls").alias("n_calls"),
+        F.max(F.when(F.col("lg.leg") == "M", F.col("r.ytm"))).alias("ytm_r"),
+        F.min(F.when(ok, F.col("r.ytm"))).alias("ytw_r"),
+        F.min(
+            F.when(ok & (F.col("lg.leg") != "M"), F.col("r.ytm"))
+        ).alias("ytc_r"),
+    )
+    nc = F.col("n_calls")
+    return grp.select(
+        "o_orderkey",
+        nc.alias("n_calls"),
+        (F.round("ytm_r", 6) + 0.0).alias("ytm"),
+        F.when(nc >= 1, F.round("ytc_r", 6) + 0.0).alias("ytc_worst"),
+        (F.round("ytw_r", 6) + 0.0).alias("ytw"),
+        F.when(
+            (nc >= 1) & (F.col("ytc_r") < F.col("ytm_r")), 1
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("worst_is_call"),
+    )

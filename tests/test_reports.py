@@ -167,3 +167,64 @@ def test_write_audit_report_end_to_end(spark, tmp_path):
     )
     assert len(parts) == affected
     assert manifest["pages"] == []  # no matplotlib in this container
+
+
+def test_render_figures_with_injected_backend(spark, tmp_path, monkeypatch):
+    """Drive the real figure-rendering body (partition discovery, csv
+    parse, per-entity grouping, page naming) with a minimal injected
+    matplotlib, so the only un-executed path in reports/ is the
+    third-party plotting calls themselves. The mock records what would
+    be drawn; assertions check one page per entity and that flagged
+    points surface as scatter markers."""
+    import sys
+    import types
+
+    from trace_data_pipeline_spark.plans import get_catalog
+    from trace_data_pipeline_spark.reports import render_figures
+    from trace_data_pipeline_spark.reports.render import write_figure_data
+
+    sf = os.environ.get("TEST_SF_DIR", "/root/testdata/sf0.001")
+    fig_dir = write_figure_data(
+        get_catalog()["r4_flagged_series"].builder(spark, sf), str(tmp_path)
+    )
+
+    drawn = []
+
+    class _Axes:
+        def plot(self, *a, **k):
+            drawn.append(("plot", k.get("label")))
+
+        def scatter(self, *a, **k):
+            drawn.append(("scatter", k.get("label")))
+
+        def set_title(self, t):
+            drawn.append(("title", t))
+
+        def legend(self):
+            pass
+
+    class _Fig:
+        def savefig(self, path, **k):
+            open(path, "wb").write(b"\x89PNG fake")
+
+    plt = types.SimpleNamespace(
+        subplots=lambda **k: (_Fig(), _Axes()), close=lambda f: None
+    )
+    monkeypatch.setitem(sys.modules, "matplotlib", types.ModuleType("matplotlib"))
+    monkeypatch.setitem(sys.modules, "matplotlib.pyplot", plt)
+
+    pages = render_figures(fig_dir, str(tmp_path / "pages"))
+    n_entities = (
+        get_catalog()["r4_flagged_series"]
+        .builder(spark, sf)
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert len(pages) == n_entities
+    assert all(os.path.exists(p) and p.endswith(".png") for p in pages)
+    # every entity draws the All + Corrected series; every entity here
+    # has at least one flag by construction (r4 is affected-only)
+    assert drawn.count(("plot", "All")) == n_entities
+    assert drawn.count(("plot", "Corrected")) == n_entities
+    assert drawn.count(("scatter", "Flagged")) == n_entities

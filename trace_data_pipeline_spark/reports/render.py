@@ -66,9 +66,7 @@ def write_figure_data(
     return path
 
 
-def render_figures(
-    figure_data_dir: str, out_dir: str
-) -> list[str]:  # pragma: no cover - exercised only with matplotlib
+def render_figures(figure_data_dir: str, out_dir: str) -> list[str]:
     """Render one PNG per entity from the on-disk figure data.
 
     matplotlib is not shipped in this container, so the default path

@@ -134,6 +134,28 @@ def main() -> None:
         .save()
     )
 
+    # Box-speed canary: a fixed synthetic job (shuffle + hash agg over
+    # 20M generated rows), min-of-3, measured AFTER warm-up. The same
+    # catalog on the same code has recorded totals of 94 / 146 / 177 /
+    # 205 s across identical runs on this machine (multi-minute
+    # hypervisor windows) — the canary lets any reader normalize a
+    # recorded total by machine state before calling something a
+    # regression: compare value/canary_sec across rounds, not value.
+    def _canary() -> float:
+        t0 = time.perf_counter()
+        (
+            spark.range(20_000_000)
+            .selectExpr("id % 997 AS k", "id * 2654435761 % 1000003 AS v")
+            .groupBy("k")
+            .agg({"v": "sum", "*": "count"})
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        return time.perf_counter() - t0
+
+    canary = round(min(_canary() for _ in range(3)), 3)
+
     def run_once(name: str) -> float:
         t0 = time.perf_counter()
         catalog[name].builder(spark, SF_DIR).write.format("noop").mode(
@@ -214,6 +236,7 @@ def main() -> None:
                         "spark.sql.shuffle.partitions"
                     ),
                     "retry_above_sec": RETRY_ABOVE,
+                    "canary_sec": canary,
                 },
                 "queries": ordered,
                 "queries_first": first,
@@ -228,6 +251,7 @@ def main() -> None:
                 "metric": "catalog_wall_clock",
                 "unit": "sec",
                 "sf": infer_sf(SF_DIR),
+                "canary_sec": canary,
                 "queries": ordered,
                 "value": total,
             }

@@ -93,6 +93,18 @@ FLOORS: dict[str, float] = {
     "w7_ultra_distressed": 0.985,
 }
 
+# Box-speed canary measured in the same box state as the FLOORS
+# calibration (2026-08-15: the r9 driver bench recorded 0.477 s and an
+# independent same-day min-of-5 re-measure got 0.474 s). Cross-round
+# normalization: compare value / (canary_sec / FLOORS_CANARY_SEC)
+# across rounds, not raw value — this machine's multi-minute hypervisor
+# windows have recorded 94-205 s totals for identical code. The retry
+# ladder below also scales its 2x-floor threshold by the live/calibration
+# canary ratio so a uniformly slow window no longer burns MAX_RUNS
+# retries per entry chasing a floor the box cannot currently reach
+# (r9: 24 entries did exactly that).
+FLOORS_CANARY_SEC = 0.477
+
 
 def infer_sf(sf_dir: str) -> float:
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -155,6 +167,10 @@ def main() -> None:
         return time.perf_counter() - t0
 
     canary = round(min(_canary() for _ in range(3)), 3)
+    # Live/calibration speed ratio for the retry ladder: on a box
+    # running slower than the FLOORS calibration window, the "is this a
+    # stall or the box?" threshold moves up with it.
+    canary_scale = max(1.0, canary / FLOORS_CANARY_SEC)
 
     def run_once(name: str) -> float:
         t0 = time.perf_counter()
@@ -196,13 +212,23 @@ def main() -> None:
             dt = min(dt, run_once(name))
             runs += 1
         # r8 rule on top: while still >2x the pinned warm floor, keep
-        # re-measuring (stalls can straddle two consecutive runs)
+        # re-measuring (stalls can straddle two consecutive runs). The
+        # floor is canary-scaled (r9 verdict item 2): when the whole
+        # box is slow, floor-chasing retries cannot win — readers
+        # normalize the recorded value by canary_sec instead.
         floor = FLOORS.get(name)
         if floor is not None:
-            while dt > 2 * floor and runs < MAX_RUNS:
+            while dt > 2 * floor * canary_scale and runs < MAX_RUNS:
                 dt = min(dt, run_once(name))
                 runs += 1
         timings[name] = dt
+
+    # Re-measure the canary AFTER the catalog loop: a catalog run takes
+    # minutes on a box whose state oscillates on multi-minute windows,
+    # so a single pre-loop canary may not speak for the per-query
+    # timings. A pre/post pair lets a reader detect a mid-run state
+    # shift before trusting value/canary_sec normalization.
+    canary_post = round(min(_canary() for _ in range(3)), 3)
 
     total = round(sum(timings.values()), 3)
     # The driver records only the LAST 2000 chars of this line when its
@@ -237,6 +263,8 @@ def main() -> None:
                     ),
                     "retry_above_sec": RETRY_ABOVE,
                     "canary_sec": canary,
+                    "canary_post_sec": canary_post,
+                    "floors_canary_sec": FLOORS_CANARY_SEC,
                 },
                 "queries": ordered,
                 "queries_first": first,
@@ -252,6 +280,8 @@ def main() -> None:
                 "unit": "sec",
                 "sf": infer_sf(SF_DIR),
                 "canary_sec": canary,
+                "canary_post_sec": canary_post,
+                "floors_canary_sec": FLOORS_CANARY_SEC,
                 "queries": ordered,
                 "value": total,
             }

@@ -17,7 +17,7 @@ def pytest_addoption(parser):
         "--parity-report",
         action="store",
         nargs="?",
-        const=os.path.join(_REPO_ROOT, "PARITY_r9.json"),
+        const=os.path.join(_REPO_ROOT, "PARITY.json"),
         default=None,
         metavar="PATH",
         help=(

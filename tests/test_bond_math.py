@@ -542,10 +542,13 @@ def test_yield_to_worst_schedule_multi_call(spark):
         .cache()
     )
     assert out.filter(F.col("ytw") > F.col("ytm") + 1e-9).count() == 0
-    # worst_is_call consistency: flag set  => ytw < ytm (a call won);
-    # flag clear => ytw == ytm (rounded at the same 6dp)
+    # worst_is_call consistency: flag set  => ytw <= ytm (a call won on
+    # the UNROUNDED yields; a marginal win can round to the same 6dp
+    # value, so strict < would be data-dependent at larger TEST_SF_DIR
+    # scales — ADVICE r9); flag clear => ytw == ytm (rounded at the
+    # same 6dp)
     assert (
-        out.filter((F.col("worst_is_call") == 1) & (F.col("ytw") >= F.col("ytm"))).count()
+        out.filter((F.col("worst_is_call") == 1) & (F.col("ytw") > F.col("ytm"))).count()
         == 0
     )
     assert (

@@ -99,3 +99,31 @@ def test_sessions_df_matches_driver_side_list(spark):
     assert _dt.date(2024, 1, 15) not in got
     assert _dt.date(2024, 2, 19) not in got
     assert _dt.date(2024, 1, 16) in got
+
+
+def test_extrapolated_2029_2032_window_matches_independent_literals():
+    """Golden closure-date pin for the extrapolated years the w11b
+    oracle exercises (2029-06-01..2032-06-30): the engine's rule output
+    must equal the INDEPENDENTLY derived literal list embedded in the
+    oracle (textbook Butcher computus + published NYSE rule 7.2
+    schedule — see plans/enrichment.py). A bug in the engine's rule
+    extrapolation (wrong Good Friday, wrong observed shift) now fails
+    HERE even though the oracle no longer calls nyse_holidays()."""
+    from trace_data_pipeline_spark.plans.enrichment import (
+        _W11B_HOLIDAYS_2029_2032,
+    )
+
+    lo, hi = dt.date(2029, 6, 1), dt.date(2032, 6, 30)
+    got = [
+        d.isoformat() for d in nyse_holidays(2029, 2032) if lo <= d <= hi
+    ]
+    assert got == list(_W11B_HOLIDAYS_2029_2032)
+    # rule-by-rule spot pins inside the window (public knowledge):
+    # Good Fridays from the public Easter table (Easter 2030-04-21,
+    # 2031-04-13, 2032-03-28)
+    assert "2030-04-19" in got and "2031-04-11" in got
+    assert "2032-03-26" in got
+    # Juneteenth 2032 falls on a Saturday -> observed Friday 06-18
+    assert "2032-06-18" in got and "2032-06-19" not in got
+    # Independence Day 2031 is itself a Friday -> unshifted
+    assert "2031-07-04" in got

@@ -68,18 +68,26 @@ def round_ratio_half_up_wide(
     is graded for, hence market/class index quotients use this wide
     form.
     Here: N is cast to decimal(20,0), so 2·N·10^s + D is an EXACT
-    decimal(27,0) for N < 10^20; the division decimal(27,0) /
-    decimal(22,0) lands on Spark's precision-loss path as
-    decimal(38,11), correctly rounded HALF_UP at 11 dp. floor() of
-    that is exact as long as the true quotient sits ≥ 1/(2·D) > 5e-12
-    from any integer it doesn't hit exactly — i.e. **D < 10^11**
-    (≈ sf15000 for a market-wide daily quantity sum; the exact-tie
-    case hits the integer exactly and is unaffected). Preconditions:
-    exact integer inputs, denom > 0, N < 10^20, D < 10^11, and the
-    QUOTIENT·10^s < 2^53 so the final double cast of the scaled
-    integer is exact — trivially true here: the quotient is a
-    value-weighted PRICE (~10^2–10^4), it is the SUMS that grow with
-    scale, and they cancel in the ratio.
+    decimal(21+digits(2·10^s), 0) for N < 10^20; the division by
+    decimal(22,0) lands on Spark's precision-loss path as decimal(38,
+    dp) where **dp = 16 − digits(2·10^s) is SCALE-DEPENDENT**:
+    dp = 11 at scale ≤ 4, dp = 10 at scale 5, dp = 9 at scale 6 —
+    each correctly rounded HALF_UP at dp decimals. floor() of that is
+    exact as long as the true quotient sits ≥ 1/(2·D) > 5·10^-(dp+1)
+    from any integer it doesn't hit exactly — i.e. **D < 10^dp**:
+    10^11 at scale ≤ 4 (≈ sf15000 for a market-wide daily quantity
+    sum), but only 10^9 at scale 6 (the exact-tie case hits the
+    integer exactly and is unaffected). A caller whose D exceeds the
+    scale-dependent bound must instead guarantee a coarser quotient
+    spacing — e.g. p8's ES mean (`plans/stage2.py`) runs at scale 6
+    with D ≈ 2·10^10 but its numerator is a multiple of 10^6, so the
+    quotient spacing is 1/(2·k·10^(10-scale)) ≈ 2.5e-5 ≫ 5e-10.
+    Preconditions: exact integer inputs, denom > 0, N < 10^20,
+    D < 10^(16−digits(2·10^s)) OR a documented quotient-spacing
+    argument as above, and the QUOTIENT·10^s < 2^53 so the final
+    double cast of the scaled integer is exact — trivially true here:
+    the quotient is a value-weighted PRICE (~10^2–10^4), it is the
+    SUMS that grow with scale, and they cancel in the ratio.
     """
     s = 10**scale
     # Tight literal types matter: a bare int literal promotes to

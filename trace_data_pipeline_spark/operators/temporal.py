@@ -53,8 +53,13 @@ def resample_ffill(
     and forward-fill each value column. One shuffle on id; the fill is
     `last(col, ignorenulls=True)` over an unbounded-preceding window —
     the Spark idiom for pandas resample('D').last().ffill()."""
-    grid = spine.select(date_col).distinct().crossJoin(
-        daily.select(id_col).distinct()
+    # the dates side is bounded (~10k rows for 30 years of daily spine)
+    # — broadcast it explicitly rather than relying on AQE to notice
+    grid = (
+        daily.select(id_col)
+        .distinct()
+        .crossJoin(F.broadcast(spine.select(date_col).distinct()))
+        .select(date_col, id_col)
     )
     joined = grid.join(daily, on=[id_col, date_col], how="left")
     w = (

@@ -567,21 +567,35 @@ def w11_settlement_t2(spark, sf_dir):
     )
 
 
+# NYSE full-day closures 2029-06-01..2032-06-30, derived INDEPENDENTLY
+# of functions/nyse_calendar.py (textbook Butcher computus + published
+# NYSE rule 7.2 schedule; public Easter table cross-check: 2029-04-01,
+# 2030-04-21, 2031-04-13, 2032-03-28). Embedded as literals so the
+# w11b parity gate can actually catch a rule-extrapolation bug in the
+# engine — an oracle that calls the engine's own nyse_holidays() would
+# faithfully reproduce such a bug on both sides (ADVICE r9).
+# tests/test_nyse_calendar.py pins the engine against this same list.
+_W11B_HOLIDAYS_2029_2032: tuple[str, ...] = (
+    "2029-06-19", "2029-07-04", "2029-09-03", "2029-11-22", "2029-12-25",
+    "2030-01-01", "2030-01-21", "2030-02-18", "2030-04-19", "2030-05-27",
+    "2030-06-19", "2030-07-04", "2030-09-02", "2030-11-28", "2030-12-25",
+    "2031-01-01", "2031-01-20", "2031-02-17", "2031-04-11", "2031-05-26",
+    "2031-06-19", "2031-07-04", "2031-09-01", "2031-11-27", "2031-12-25",
+    "2032-01-01", "2032-01-19", "2032-02-16", "2032-03-26", "2032-05-31",
+    "2032-06-18",
+)
+
+
 def _w11b_oracle() -> str:
-    """w11b oracle: ModifiedFollowing against the rule-derived NYSE
-    calendar for a 2029-2032 payment grid — years PAST the module's
-    2030 default ceiling, pinning that the ruleset extrapolates (the
-    defaults mirror the reference's TRACE sample span, not a data
-    limit). The holiday list is generated from the same public rules
-    the engine uses and embedded literally."""
-    import datetime as _dt
-
-    from trace_data_pipeline_spark.functions.nyse_calendar import nyse_holidays
-
+    """w11b oracle: ModifiedFollowing against the NYSE calendar for a
+    2029-2032 payment grid — years PAST the module's 2030 default
+    ceiling, pinning that the ruleset extrapolates (the defaults mirror
+    the reference's TRACE sample span, not a data limit). The holiday
+    list is an independently derived literal (see
+    `_W11B_HOLIDAYS_2029_2032` above) so the gate is NOT
+    self-referential against the engine's rule code."""
     hols = ", ".join(
-        f"DATE '{d.isoformat()}'"
-        for d in nyse_holidays(2029, 2032)
-        if _dt.date(2029, 6, 1) <= d <= _dt.date(2032, 6, 30)
+        f"DATE '{d}'" for d in _W11B_HOLIDAYS_2029_2032
     )
     return f"""
     WITH days AS (

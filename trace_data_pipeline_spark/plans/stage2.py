@@ -1018,8 +1018,16 @@ def p8_tail_risk_panel(spark, sf_dir):
     n_obs = F.col("n_obs")
     # exact integer half-up quotient (see the oracle's esdiv comment):
     # |es_sum| < 10^5 so decimal(15,10) holds it and the 10^10 scale
-    # shift stays exact at decimal(27,10); D = k*10^10 <= 2e10 < 10^11
-    # meets the wide variant's floor-exactness precondition
+    # shift stays exact at decimal(27,10). Floor-exactness: at scale 6
+    # the wide variant's quotient carries only 9 dp (see
+    # round_ratio_half_up_wide's scale-dependent dp), so the generic
+    # D < 10^dp bound does NOT cover D = k*10^10 ≈ 2e10 — safety here
+    # rests on the NUMERATOR's grid instead: es_n steps in integer
+    # units (es_sum is a 10-dp decimal times 10^10), so the quotient
+    # (2·es_n·10^6 + D)/(2·D) moves on a grid of spacing
+    # 1/(2·k·10^(10-scale)) = 1/(2·k·10^4) ≈ 2.5e-5 for k ≤ 2 —
+    # vastly wider than the 5e-10 rounding error at 9 dp, so floor()
+    # can never land on the wrong side of an attainable quotient.
     es_n = (
         F.col("es_sum").cast("decimal(15,10)")
         * F.lit(10**10).cast("decimal(11,0)")

@@ -37,6 +37,10 @@ FLOORS: dict[str, float] = {
     "a11_winsorize": 1.456,
     "a14_resample_ffill": 0.502,
     "a1_daily_panel": 1.745,
+    # r10: streaming replay — the cost is trigger/state machinery, not
+    # data (7.4 s at sf0.001 vs 8.5 s at sf0.1); measured min 8.53 on a
+    # ~1.2x-slow window, normalized to 7.0
+    "a1s_streaming_daily_panel": 7.0,
     "a8_pooled_stats": 0.923,
     "d10_cosine_topk": 1.888,
     "d11_lsh_cosine_pairs": 0.68,
@@ -87,6 +91,10 @@ FLOORS: dict[str, float] = {
     "w10e_full_record": 1.547,
     "w10f_yield_to_worst": 0.597,
     "w10g_yield_to_worst_schedule": 1.613,
+    # r10: measured warm min 1.88 on a window running 1.5x the FLOORS
+    # calibration state (w10e same-session 2.32 vs floor 1.55) —
+    # normalized to 1.6
+    "w10h_odd_first_coupon": 1.6,
     "w11b_modified_following": 1.008,
     "w1_decimal_shift": 1.462,
     "w2_bounce_back": 0.806,

@@ -356,7 +356,9 @@ def test_irregular_first_coupon_out_of_contract(spark):
     period (21 months on a semiannual grid = an odd 3-month first
     stub) is treated as floor(21/6) = 3 whole periods: the stub
     contributes NO banked-coupon accrual. This golden pins that
-    documented approximation so any silent behavior change surfaces."""
+    documented approximation so any silent behavior change surfaces.
+    The IN-CONTRACT odd-stub path is `bond_analytics_stub` / the
+    `w10h_odd_first_coupon` entry (tests below)."""
     from pyspark.sql import functions as F
 
     from trace_data_pipeline_spark.operators.bond_record import (
@@ -557,4 +559,136 @@ def test_yield_to_worst_schedule_multi_call(spark):
     )
     # non-callable rows carry no call yield
     assert out.filter((F.col("n_calls") == 0) & F.col("ytc_worst").isNotNull()).count() == 0
+    out.unpersist()
+
+
+def test_odd_first_coupon_textbook_golden(spark):
+    """w10h golden: the classic 30/360 short-first-stub example,
+    round-tripped through an INDEPENDENT textbook PV (plain-Python
+    sum, no Newton). 8% semiannual bond, maturity 2030-12-15, backward
+    grid ... 2029-06-15 / 2029-12-15, dated 2029-08-01 (off-grid),
+    settled 2029-10-01 inside the stub:
+      odd first coupon = 8 x 134/360 = 2.977_7  (< regular 4.0)
+      accrued at settle = 8 x 60/360  = 1.333_3  (from DATED date)
+      q = 74/180 of a regular period remains to the first flow.
+    Price the bond at a known 6% yield with the independent PV; the
+    engine must recover ytm = 0.06 and the same duration sums."""
+    from trace_data_pipeline_spark.operators.bond_math import (
+        bond_analytics_stub,
+    )
+
+    cf1 = 8.0 * 134.0 / 360.0
+    acc = 8.0 * 60.0 / 360.0
+    q = 74.0 / 180.0
+    assert cf1 < 4.0  # short stub pays less than a regular coupon
+    y = 0.03  # per semiannual period (6%/yr)
+    v = 1.0 / (1.0 + y)
+    flows = [(0 + q, cf1), (1 + q, 4.0), (2 + q, 104.0)]
+    dirty = sum(cf * v**t for t, cf in flows)
+    wsum = sum(t * cf * v**t for t, cf in flows)
+    mac_years = wsum / dirty / 2.0
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [[dirty, 0.04, 3, 2, q, cf1]],
+            columns=["pd", "c", "n", "m", "q", "cf1"],
+        )
+    )
+    r = (
+        df.withColumn(
+            "r",
+            bond_analytics_stub(
+                F.col("pd"), F.col("c"), F.col("n"), F.col("m"),
+                F.col("q"), F.col("cf1"),
+            ),
+        )
+        .select("r.*")
+        .collect()[0]
+    )
+    assert r["ytm"] == pytest.approx(0.06, abs=1e-9)
+    assert r["pv_residual"] == pytest.approx(0.0, abs=1e-8)
+    assert r["mac_dur"] == pytest.approx(mac_years, abs=1e-9)
+    assert r["mod_dur"] == pytest.approx(mac_years / 1.03, abs=1e-9)
+    # clean price the entry would report: dirty - accrued-from-dated
+    assert dirty - acc < dirty  # accrual runs from the dated date
+
+
+def test_odd_first_coupon_on_grid_degenerates_to_regular(spark):
+    """w10h golden: with the dated date ON the grid under 30/360 the
+    stub machinery must vanish — cf1 = regular coupon, q = 1 — and the
+    record must equal both the fractional and the whole-period engines
+    to machine precision."""
+    from trace_data_pipeline_spark.operators.bond_math import (
+        bond_analytics,
+        bond_analytics_frac,
+        bond_analytics_stub,
+    )
+
+    # dated = settle = 2029-06-15 (grid point), first 2029-12-15:
+    # dcf360 = 180/360 = 0.5 -> cf1 = 8 * 0.5 = 4.0 = c*100; q = 1
+    p, c, n, m = 97.25, 0.04, 3, 2
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [[p, c, n, m, 1.0, 4.0]],
+            columns=["pd", "c", "n", "m", "q", "cf1"],
+        )
+    )
+    stub = (
+        df.withColumn(
+            "r",
+            bond_analytics_stub(
+                F.col("pd"), F.col("c"), F.col("n"), F.col("m"),
+                F.col("q"), F.col("cf1"),
+            ),
+        )
+        .select("r.*")
+        .collect()[0]
+    )
+    frac = (
+        df.withColumn(
+            "r",
+            bond_analytics_frac(
+                F.col("pd"), F.col("c"), F.col("n"), F.col("m"), F.col("q")
+            ),
+        )
+        .select("r.*")
+        .collect()[0]
+    )
+    whole = (
+        df.withColumn(
+            "r", bond_analytics(F.col("pd"), F.col("c"), F.col("n"))
+        )
+        .select("r.*")
+        .collect()[0]
+    )
+    for k in ("ytm", "mac_dur", "mod_dur", "convexity"):
+        assert stub[k] == pytest.approx(frac[k], abs=1e-12)
+        # whole-period engine seeds Newton differently (0.03 vs 0.06/m);
+        # both converge to machine precision, so 1e-10 closes the gap
+        assert stub[k] == pytest.approx(whole[k], abs=1e-10)
+
+
+def test_odd_first_coupon_catalog_invariants(spark):
+    """w10h over the synthetic catalog at sf0.001: stub fractions are
+    in (0, 1], off-grid rows are genuinely short stubs, on-grid rows
+    (o_orderkey % 11 == 0, 30/360) carry stub_frac == 1, and accrued
+    never exceeds the odd coupon's full-period ceiling."""
+    from trace_data_pipeline_spark.plans import get_catalog
+
+    out = (
+        get_catalog()["w10h_odd_first_coupon"]
+        .builder(spark, "/root/testdata/sf0.001")
+        .cache()
+    )
+    assert out.filter((F.col("stub_frac") <= 0) | (F.col("stub_frac") > 1.000001)).count() == 0
+    # every 11th key is on-grid; under 30/360 that is exactly frac 1
+    on_grid_360 = out.filter(
+        (F.col("o_orderkey") % 44 == 0) & (F.col("o_orderkey") % 11 == 0)
+    )
+    assert on_grid_360.count() > 0
+    assert on_grid_360.filter(F.col("stub_frac") != 1.0).count() == 0
+    # short stubs dominate the off-grid rows
+    assert out.filter(F.col("stub_frac") < 1.0).count() > 0
+    # solver converged everywhere on this grid (parity also pins this)
+    assert out.filter(F.col("ytm").isNull()).count() == 0
     out.unpersist()

@@ -287,3 +287,15 @@ def test_schedule_ytw_one_legs_exchange(spark):
     assert "Join" not in plan
     parts = set(re.findall(r"hashpartitioning\(([^,]*)", plan))
     assert len(parts) == 1, parts
+
+
+def test_odd_first_coupon_zero_exchanges(spark):
+    """w10h: the odd-first-coupon record is one scan + column algebra +
+    one Arrow solve — the physical plan must carry NO exchange, no
+    join, no SortAggregate. At 100 TB this pipelines with whatever
+    partitioning the scan produces (same contract as w10e)."""
+    plan = _plan(spark, "w10h_odd_first_coupon")
+    assert "Exchange" not in plan or "hashpartitioning" not in plan
+    assert "Join" not in plan
+    assert "SortAggregate" not in plan
+    assert "ArrowEvalPython" in plan  # the solver is the only Python

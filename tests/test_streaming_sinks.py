@@ -505,3 +505,36 @@ def test_streaming_media_feature_extraction(spark, tmp_path):
     got = {r.media_id: list(r.features)
            for r in spark.sql("SELECT * FROM media_feats_test").collect()}
     assert got == batch
+
+
+def test_a1s_replay_is_genuinely_multi_batch(spark):
+    """The a1s catalog entry's replay must actually exercise streaming
+    state: N_DROPS distinct micro-batches, and at least one (day, user)
+    key re-emitted across batches (cross-batch state merge) with its
+    n_events strictly increasing — the monotonicity the final
+    max_by-on-n_events reduction relies on."""
+    from trace_data_pipeline_spark.plans.streaming_parity import (
+        N_DROPS,
+        replay_daily_panel,
+    )
+
+    em = replay_daily_panel(spark, TEST_SF_DIR).cache()
+    try:
+        batches = [r["__batch"] for r in em.select("__batch").distinct().collect()]
+        assert len(batches) == N_DROPS, batches
+        multi = (
+            em.groupBy("day", "user_id")
+            .agg(
+                F.countDistinct("__batch").alias("nb"),
+                (F.count(F.lit(1)) == F.countDistinct("n_events")).alias(
+                    "strictly_increasing"
+                ),
+            )
+        ).cache()
+        assert multi.filter(F.col("nb") > 1).count() > 0
+        # re-emissions always add events: equal n_events across two
+        # emissions of one key would make the final reduction ambiguous
+        assert multi.filter(~F.col("strictly_increasing")).count() == 0
+        multi.unpersist()
+    finally:
+        em.unpersist()

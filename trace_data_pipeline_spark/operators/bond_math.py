@@ -52,6 +52,7 @@ def _sums(
     n_max: int,
     q: "np.ndarray | None" = None,
     red: "np.ndarray | None" = None,
+    cf1: "np.ndarray | None" = None,
 ) -> tuple["np.ndarray", "np.ndarray", "np.ndarray", "np.ndarray"]:
     """Row-vectorized, per-row t-SEQUENTIAL accumulation of the four
     discounted-flow sums (the t-order matters for parity with the
@@ -65,7 +66,14 @@ def _sums(
 
     `red` is the per-row redemption amount paid with the final flow
     (default 100 = redemption at par). Yield-to-call legs redeem at the
-    call price instead: same schedule truncated at the call period."""
+    call price instead: same schedule truncated at the call period.
+
+    `cf1` overrides the FIRST flow's coupon amount per 100 face
+    (default c·100 = a regular coupon). An odd short/long first coupon
+    (backward-generated schedule whose dated date is off the grid)
+    pays coupon_rate·dcf(dated, first_cpn) instead — the stub is a
+    cash-flow amount, not a second schedule engine, exactly like the
+    w10f call-leg redemption."""
     import numpy as np
 
     m = y.size
@@ -73,6 +81,7 @@ def _sums(
         q = np.ones(m)
     if red is None:
         red = np.full(m, 100.0)
+    coup_reg = None  # c·100, built once inside the loop's first pass
     v = 1.0 / (1.0 + y)
     pv = np.zeros(m)
     dpv = np.zeros(m)
@@ -81,12 +90,14 @@ def _sums(
     with np.errstate(all="ignore"):
         vq = np.power(v, q)  # v^q; v^(t-1+q) accumulates from here
         vp = vq / v
+        coup_reg = c * 100.0
         for t in range(1, n_max + 1):
             vp = vp * v  # v^(t-1+q)
             tau = t - 1.0 + q
-            cf = np.where(
-                t == n, c * 100.0 + red, np.where(t < n, c * 100.0, 0.0)
+            coup = (
+                cf1 if (t == 1 and cf1 is not None) else coup_reg
             )
+            cf = np.where(t == n, coup + red, np.where(t < n, coup, 0.0))
             pv += cf * vp
             dpv += -tau * cf * (vp * v)
             wsum += tau * cf * vp
@@ -101,6 +112,7 @@ def _solve_frame(
     m: "np.ndarray",
     q: "np.ndarray | None" = None,
     red: "np.ndarray | None" = None,
+    cf1: "np.ndarray | None" = None,
 ) -> pd.DataFrame:
     """Shared solver: per-period Newton fit, annualized by the per-row
     compounding frequency m (periods/year). Zero-coupon is the c = 0
@@ -129,11 +141,11 @@ def _solve_frame(
         # unchanged) and keeps high-frequency rows in the basin
         y = 0.06 / m.astype(float)
     for _ in range(NEWTON_ITERS):
-        pv, dpv, _, _ = _sums(c, n, y, n_max, q, red)
+        pv, dpv, _, _ = _sums(c, n, y, n_max, q, red, cf1)
         with np.errstate(all="ignore"):
             step = np.where(valid, (pv - p) / dpv, 0.0)
         y = np.clip(y - step, Y_MIN, Y_MAX)
-    pv, _, wsum, csum = _sums(c, n, y, n_max, q, red)
+    pv, _, wsum, csum = _sums(c, n, y, n_max, q, red, cf1)
     with np.errstate(all="ignore"):
         v = 1.0 / (1.0 + y)
         mf = m.astype(float)
@@ -222,4 +234,33 @@ def bond_analytics_frac(
         n_periods,
         freq.to_numpy(dtype="int64"),
         q_frac.to_numpy(dtype=float),
+    )
+
+
+@F.pandas_udf(_SCHEMA)
+def bond_analytics_stub(
+    dirty: pd.Series,
+    coupon_pp: pd.Series,
+    n_periods: pd.Series,
+    freq: pd.Series,
+    q_frac: pd.Series,
+    first_cf: pd.Series,
+) -> pd.DataFrame:
+    """Odd-first-coupon variant (the last QuantLib-fidelity corner of
+    W10): a backward-generated schedule whose dated date is NOT on the
+    coupon grid carries a short (or on-grid-degenerate full) first
+    accrual period (reference: `ql.Schedule(..., Backward)` inside
+    `stage1/helper_functions.py:125-152`). The irregular first coupon
+    pays `first_cf` per 100 face — coupon_rate·dcf(dated, first_cpn)
+    under the bond's day-count basis, computed as column algebra by
+    the caller — while every later flow is the regular c·100. With
+    first_cf = c·100 and q on the grid this degenerates exactly to
+    `bond_analytics_frac` (pinned by a golden test)."""
+    return _solve_frame(
+        dirty,
+        coupon_pp,
+        n_periods,
+        freq.to_numpy(dtype="int64"),
+        q_frac.to_numpy(dtype=float),
+        cf1=first_cf.to_numpy(dtype=float),
     )

@@ -26,8 +26,10 @@ Semantics per the reference:
   → NaN contract).
 
 Assumes a regular schedule (dated_date ON the coupon grid, expressed as
-`hist_m` months of history before maturity); the reference's irregular
-first-stub accruals are out of scope and documented as such.
+`hist_m` months of history before maturity). The reference's irregular
+first-stub accruals are handled by the dedicated odd-first-coupon path
+(`bond_math.bond_analytics_stub` / the `w10h_odd_first_coupon` plan),
+not by this record operator.
 """
 
 from __future__ import annotations

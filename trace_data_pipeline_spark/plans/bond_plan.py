@@ -699,3 +699,225 @@ def w10g_yield_to_worst_schedule(spark, sf_dir):
         .cast("int")
         .alias("worst_is_call"),
     )
+
+
+_CFH = "(CASE WHEN t = 1 THEN cf1 WHEN t = n THEN c * 100 + 100 ELSE c * 100 END)"
+
+_W10H_ORACLE = rf"""
+WITH RECURSIVE base AS (
+  SELECT o_orderkey,
+    CASE WHEN o_orderkey % 2 = 0 THEN 2 ELSE 4 END AS m,
+    CASE WHEN o_orderkey % 2 = 0 THEN 6 ELSE 3 END AS pm,
+    CAST(2 + o_orderkey % 7 AS DOUBLE) AS c_pct,
+    CASE o_orderkey % 4 WHEN 0 THEN '30/360' WHEN 1 THEN 'ACT/ACT'
+                        WHEN 2 THEN 'ACT/360' ELSE 'ACT/365' END AS dcb,
+    CAST(2 + o_orderkey % 8 AS INTEGER) AS n_hist,
+    CAST(DATE '2032-06-15'
+         + INTERVAL 1 MONTH * CAST(o_orderkey % 48 AS INTEGER) AS DATE)
+      AS maturity,
+    CASE WHEN o_orderkey % 11 = 0 THEN 0
+         ELSE CAST(1 + o_orderkey % 80 AS INTEGER) END AS d_off,
+    60.0 + CAST(o_orderkey * 37 % 800 AS DOUBLE) / 10.0 AS p
+  FROM orders
+),
+grid AS (
+  SELECT *,
+    CAST(maturity - INTERVAL 1 MONTH * (pm * n_hist) AS DATE) AS first_cpn,
+    CAST(maturity - INTERVAL 1 MONTH * (pm * (n_hist + 1)) AS DATE)
+      AS prev_grid
+  FROM base
+),
+dd AS (
+  SELECT *, prev_grid + d_off AS dated FROM grid
+),
+ss AS (
+  SELECT *,
+    dated + CAST(((o_orderkey % 7)
+                  * date_diff('day', dated, first_cpn)) // 8
+                 AS INTEGER) AS settle
+  FROM dd
+),
+par AS (
+  SELECT o_orderkey, m, p,
+    CAST(n_hist + 1 AS INTEGER) AS n,
+    c_pct / (100.0 * m) AS c,
+    c_pct * ({_dcf_sql('dated', 'first_cpn')}) AS cf1,
+    c_pct * ({_dcf_sql('dated', 'settle')}) AS acclast_r,
+    ({_dcf_sql('settle', 'first_cpn')})
+      / ({_dcf_sql('prev_grid', 'first_cpn')}) AS q,
+    ({_dcf_sql('dated', 'first_cpn')})
+      / ({_dcf_sql('prev_grid', 'first_cpn')}) AS stub_frac_r
+  FROM ss
+),
+parf AS (
+  SELECT *, p + acclast_r AS pd FROM par
+),
+it AS (
+  SELECT o_orderkey, m, n, c, cf1, q, pd, 0 AS k,
+         CAST(0.06 AS DOUBLE) / m AS y
+  FROM parf
+  UNION ALL
+  SELECT o_orderkey, m, n, c, cf1, q, pd, k + 1,
+         least(greatest(
+           y - (list_sum(list_transform(range(1, n + 1),
+                  t -> {_CFH} * power(1.0 / (1.0 + y),
+                                      CAST(t AS DOUBLE) - 1.0 + q))) - pd)
+             / list_sum(list_transform(range(1, n + 1),
+                  t -> -(CAST(t AS DOUBLE) - 1.0 + q) * {_CFH}
+                       * power(1.0 / (1.0 + y), CAST(t AS DOUBLE) + q))),
+           -0.9), 10.0) AS y
+  FROM it WHERE k < 25
+),
+fin AS (
+  SELECT o_orderkey, m, q, pd, y,
+         list_sum(list_transform(range(1, n + 1),
+            t -> {_CFH} * power(1.0 / (1.0 + y),
+                                CAST(t AS DOUBLE) - 1.0 + q))) AS pv,
+         list_sum(list_transform(range(1, n + 1),
+            t -> (CAST(t AS DOUBLE) - 1.0 + q) * {_CFH}
+                 * power(1.0 / (1.0 + y),
+                         CAST(t AS DOUBLE) - 1.0 + q))) AS wsum,
+         list_sum(list_transform(range(1, n + 1),
+            t -> (CAST(t AS DOUBLE) - 1.0 + q) * (CAST(t AS DOUBLE) + q)
+                 * {_CFH}
+                 * power(1.0 / (1.0 + y),
+                         CAST(t AS DOUBLE) - 1.0 + q))) AS csum
+  FROM it WHERE k = 25
+),
+conv AS (SELECT *, (abs(pv - pd) <= 1e-6) AS ok FROM fin)
+SELECT pf.o_orderkey,
+       ROUND(pf.stub_frac_r, 6) AS stub_frac,
+       CASE WHEN f.ok THEN ROUND(f.y * f.m, 6) + 0.0 END AS ytm,
+       CASE WHEN f.ok THEN ROUND(pf.acclast_r, 6) + 0.0 END AS acclast,
+       CASE WHEN f.ok THEN ROUND(f.pd + (f.pv - f.pd), 6) END AS prfull,
+       CASE WHEN f.ok THEN ROUND(f.wsum / f.pv / f.m, 6) END AS mac_dur,
+       CASE WHEN f.ok THEN ROUND(f.wsum / f.pv / f.m / (1.0 + f.y), 6) END
+         AS mod_dur,
+       CASE WHEN f.ok
+            THEN ROUND(f.csum * (1.0 / (1.0 + f.y)) * (1.0 / (1.0 + f.y))
+                       / f.pv / (f.m * f.m), 6) END AS convexity
+FROM parf pf LEFT JOIN conv f USING (o_orderkey)
+"""
+
+
+@register("w10h_odd_first_coupon", oracle=_W10H_ORACLE)
+def w10h_odd_first_coupon(spark, sf_dir):
+    """W10 odd-first-coupon fidelity (the last QuantLib-schedule corner;
+    reference: backward `ql.Schedule` in
+    `stage1/helper_functions.py:125-152` produces a short first coupon
+    whenever maturity - dated_date is not an integer period count):
+    synthetic bonds whose dated date sits 0-80 days past the backward
+    grid point, settled INSIDE the irregular first period.
+
+    Convention (documented, symmetric with the oracle): the odd first
+    coupon pays coupon_rate x dcf(dated, first_cpn) per 100 under the
+    bond's day-count basis (regular periods pay rate/m); accrued at
+    settlement runs from the DATED date, not a virtual grid coupon;
+    discounting keeps the regular period grid with the stub entering as
+    the fractional offset q = dcf(settle, first_cpn) / dcf(regular
+    period). Rows with d_off = 0 (k % 11 == 0) are deliberately
+    ON-grid: under 30/360 the record then degenerates exactly to the
+    regular bond_analytics_frac path (golden-pinned in
+    tests/test_bond_math.py).
+
+    Spark shape: the entire schedule derivation (grid, stub, day-count
+    routing, accrued) is codegen'd column algebra on one projection;
+    the only Python is the same Arrow-batched Newton solve with the
+    first-flow override. One scan, zero shuffles, zero joins."""
+    from trace_data_pipeline_spark.functions.daycount import dcf_by_basis
+    from trace_data_pipeline_spark.operators.bond_math import (
+        bond_analytics_stub,
+    )
+
+    orders = _orders(spark, sf_dir)
+    k = F.col("o_orderkey")
+    m = F.when(k % 2 == 0, 2).otherwise(4).cast("int")
+    pm = F.when(k % 2 == 0, 6).otherwise(3).cast("int")
+    base = orders.select(
+        "o_orderkey",
+        m.alias("m"),
+        pm.alias("pm"),
+        (2 + k % 7).cast("double").alias("c_pct"),
+        F.when(k % 4 == 0, "30/360")
+        .when(k % 4 == 1, "ACT/ACT")
+        .when(k % 4 == 2, "ACT/360")
+        .otherwise("ACT/365")
+        .alias("dcb"),
+        (2 + k % 8).cast("int").alias("n_hist"),
+        F.add_months(
+            F.lit("2032-06-15").cast("date"), (k % 48).cast("int")
+        ).alias("maturity"),
+        F.when(k % 11 == 0, 0)
+        .otherwise((1 + k % 80).cast("int"))
+        .alias("d_off"),
+        (60.0 + (k * 37 % 800).cast("double") / 10.0).alias("p"),
+    )
+    grid = base.withColumn(
+        "first_cpn",
+        F.add_months("maturity", -(F.col("pm") * F.col("n_hist"))),
+    ).withColumn(
+        "prev_grid",
+        F.add_months("maturity", -(F.col("pm") * (F.col("n_hist") + 1))),
+    )
+    dd = grid.withColumn("dated", F.date_add("prev_grid", F.col("d_off")))
+    ss = dd.withColumn(
+        "settle",
+        F.date_add(
+            "dated",
+            F.floor(
+                (F.col("o_orderkey") % 7)
+                * F.datediff("first_cpn", "dated")
+                / 8
+            ).cast("int"),
+        ),
+    )
+    basis = F.col("dcb")
+    par = (
+        ss.withColumn("n", (F.col("n_hist") + 1).cast("int"))
+        .withColumn("c", F.col("c_pct") / (100.0 * F.col("m")))
+        .withColumn(
+            "cf1",
+            F.col("c_pct")
+            * dcf_by_basis(basis, F.col("dated"), F.col("first_cpn")),
+        )
+        .withColumn(
+            "acclast_r",
+            F.col("c_pct")
+            * dcf_by_basis(basis, F.col("dated"), F.col("settle")),
+        )
+        .withColumn(
+            "q",
+            dcf_by_basis(basis, F.col("settle"), F.col("first_cpn"))
+            / dcf_by_basis(basis, F.col("prev_grid"), F.col("first_cpn")),
+        )
+        .withColumn(
+            "stub_frac_r",
+            dcf_by_basis(basis, F.col("dated"), F.col("first_cpn"))
+            / dcf_by_basis(basis, F.col("prev_grid"), F.col("first_cpn")),
+        )
+        .withColumn("pd", F.col("p") + F.col("acclast_r"))
+    )
+    solved = par.withColumn(
+        "r",
+        bond_analytics_stub(
+            F.col("pd"),
+            F.col("c"),
+            F.col("n"),
+            F.col("m"),
+            F.col("q"),
+            F.col("cf1"),
+        ),
+    )
+    ok = F.abs(F.col("r.pv_residual")) <= 1e-6
+    return solved.select(
+        "o_orderkey",
+        F.round("stub_frac_r", 6).alias("stub_frac"),
+        F.when(ok, F.round(F.col("r.ytm"), 6) + 0.0).alias("ytm"),
+        F.when(ok, F.round(F.col("acclast_r"), 6) + 0.0).alias("acclast"),
+        F.when(
+            ok, F.round(F.col("pd") + F.col("r.pv_residual"), 6)
+        ).alias("prfull"),
+        F.when(ok, F.round(F.col("r.mac_dur"), 6)).alias("mac_dur"),
+        F.when(ok, F.round(F.col("r.mod_dur"), 6)).alias("mod_dur"),
+        F.when(ok, F.round(F.col("r.convexity"), 6)).alias("convexity"),
+    )

@@ -66,6 +66,7 @@ def get_catalog() -> dict[str, Query]:
         relational,
         stage1,
         stage2,
+        streaming_parity,
     )
 
     return dict(_REGISTRY)

@@ -1,0 +1,162 @@
+"""Streaming parity entry (r9 verdict item 6): the WATERMARKED daily
+event panel, replayed through Structured Streaming over a chronological
+event-log drop sequence, oracle-checked against the same panel computed
+by plain batch SQL in DuckDB.
+
+This upgrades the batch/stream builder-sharing claim from test-only
+(`tests/test_streaming_sinks.py::test_streaming_daily_panel_matches_batch`,
+which runs watermark=None in complete mode) to a driver-gradeable
+catalog entry with a REAL watermark and bounded state:
+
+- the event log replays in four chronological drops (the reference's
+  chunk-complete-then-export cycle, `SURVEY.md` §2.8): each drop is a
+  single-file time slice whose modification time is set explicitly
+  ascending, and the file source takes files oldest-first with
+  maxFilesPerTrigger=1 — four micro-batches in event-time order, so a
+  2-hour watermark drops nothing while still EVICTING closed windows'
+  state after every micro-batch (at 100 TB the state store holds only
+  the watermark-open windows, never the history). If the replay order
+  ever broke, the watermark would drop whole drops and the value hash
+  below would diverge loudly;
+- update-mode emissions append to a staging parquet; the final value
+  per (day, user) is selected by max_by over n_events, which strictly
+  increases across re-emissions of a key (a window only re-emits when
+  new rows joined it), so the reduction is deterministic;
+- the DuckDB oracle computes the panel directly from the events table:
+  if the streaming replay dropped, duplicated, or mis-merged anything
+  across micro-batch boundaries, the value hash diverges.
+
+Reference: the pipeline's incremental per-chunk daily aggregation
+(`stage0/create_daily_enhanced_trace.py` chunk loop) — pure batch
+there; the streaming form is this repo's §2.8 extension.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from trace_data_pipeline_spark.plans.catalog import register
+from trace_data_pipeline_spark.sources import load_table
+
+_A1S_ORACLE = """
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+       user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+         AS sum_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events
+GROUP BY 1, 2
+"""
+
+N_DROPS = 4
+
+
+def replay_daily_panel(spark, sf_dir):
+    """Run the chronological drop replay and return the raw EMISSIONS
+    frame (one row per (window, user) update per micro-batch, stamped
+    with `__batch`). The catalog builder reduces this to the final
+    panel; tests read the stamps to prove the replay really produced
+    N_DROPS cross-merging micro-batches."""
+    from trace_data_pipeline_spark.streaming.daily import (
+        daily_event_panel,
+        stream_events_from_dir,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "user_id", "value")
+
+    # drop boundaries: split the observed span into N equal intervals
+    # (one tiny agg; the events table is the smallest fact). Chunking by
+    # TIME is what makes the watermark sound: each drop's earliest event
+    # is later than everything already processed.
+    span = ev.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).collect()[0]
+    lo, hi = span["lo"], span["hi"]
+    step = (hi - lo) / N_DROPS
+
+    base = tempfile.mkdtemp(prefix="a1s_replay_")
+    src = os.path.join(base, "drops")
+    upd = os.path.join(base, "updates")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    # pre-write the four time-slice drops as single files with strictly
+    # ascending mtimes: the file source (latestFirst=false) takes files
+    # oldest-modified-first, so maxFilesPerTrigger=1 yields one
+    # chronological micro-batch per drop under a single end barrier —
+    # identical replay semantics to a write-then-drain loop at a
+    # quarter of the per-barrier streaming overhead
+    for i in range(N_DROPS):
+        cond = F.col("ts") >= F.lit(lo + step * i)
+        if i < N_DROPS - 1:
+            cond = cond & (F.col("ts") < F.lit(lo + step * (i + 1)))
+        d = os.path.join(src, f"drop_{i}.parquet")
+        ev.filter(cond).coalesce(1).write.mode("overwrite").parquet(d)
+        for fn in os.listdir(d):
+            if fn.startswith("part-"):
+                os.utime(
+                    os.path.join(d, fn), (1_000_000_000 + i, 1_000_000_000 + i)
+                )
+
+    stream = stream_events_from_dir(
+        spark, os.path.join(src, "*"), ev.schema, max_files_per_trigger=1
+    )
+    panel = daily_event_panel(
+        stream, id_col="user_id", value_col="value", watermark="2 hours"
+    )
+    # stamping the micro-batch id onto every emission makes the replay
+    # auditable: tests assert the drop count really produced that many
+    # micro-batches and that keys were re-emitted ACROSS batches (the
+    # cross-batch state merge the entry exists to prove); the final
+    # reduction below never reads the stamp
+    q = (
+        panel.writeStream.outputMode("update")
+        .foreachBatch(
+            lambda batch, bid: batch.withColumn(
+                "__batch", F.lit(bid).cast("long")
+            )
+            .write.mode("append")
+            .parquet(upd)
+        )
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # the replay inputs and checkpoint are dead weight once the staging
+    # parquet holds every emission; the staging dir must outlive this
+    # builder (the returned frame reads it lazily)
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    return spark.read.parquet(upd)
+
+
+@register("a1s_streaming_daily_panel", oracle=_A1S_ORACLE)
+def a1s_streaming_daily_panel(spark, sf_dir):
+    """A1-twin over §2.8: the watermarked streaming daily panel must
+    hash-match the batch SQL panel after a chronological 4-drop replay
+    of the event log. See module docstring for the replay protocol."""
+    emitted = replay_daily_panel(spark, sf_dir)
+    final = F.max_by(
+        F.struct("sum_value", "min_value", "max_value"), "n_events"
+    )
+    out = emitted.groupBy("day", "user_id").agg(
+        F.max("n_events").alias("n_events"), final.alias("__f")
+    )
+    return out.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "user_id",
+        "n_events",
+        F.col("__f.sum_value").alias("sum_value"),
+        F.col("__f.min_value").alias("min_value"),
+        F.col("__f.max_value").alias("max_value"),
+    )

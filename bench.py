@@ -38,9 +38,10 @@ FLOORS: dict[str, float] = {
     "a14_resample_ffill": 0.502,
     "a1_daily_panel": 1.745,
     # r10: streaming replay — the cost is trigger/state machinery, not
-    # data (7.4 s at sf0.001 vs 8.5 s at sf0.1); measured min 8.53 on a
-    # ~1.2x-slow window, normalized to 7.0
-    "a1s_streaming_daily_panel": 7.0,
+    # data (near-identical at sf0.001 and sf0.1); min 5.76 measured on
+    # a ~1.15x-slow window with state partitions pinned to 8,
+    # normalized to 5.0
+    "a1s_streaming_daily_panel": 5.0,
     "a8_pooled_stats": 0.923,
     "d10_cosine_topk": 1.888,
     "d11_lsh_cosine_pairs": 0.68,

@@ -40,9 +40,9 @@ CEILINGS = {
     "w11b_modified_following": 4.0,    # min 1.01 at local[32]; spine windows
     "w10g_yield_to_worst_schedule": 6.0,  # min 1.61 at local[32]; legs solve
     "w10h_odd_first_coupon": 8.0,      # min ~1.6 at local[32] (r10); stub solve
-    # streaming replay: fixed micro-batch machinery dominates (7.4 s at
-    # sf0.001 == 8.5 s at sf0.1); 3x the warm min like the rest
-    "a1s_streaming_daily_panel": 22.0,
+    # streaming replay: fixed micro-batch machinery dominates (state
+    # partitions pinned to 8; warm min ~5 s at local[32]); 3x margin
+    "a1s_streaming_daily_panel": 16.0,
     "p0_stage0_panel": 13.0,           # min 4.3
     "p1_stage0_full": 17.0,            # min 5.6
     "p2_stage1_full": 6.0,             # min 1.9

@@ -55,6 +55,7 @@ GROUP BY 1, 2
 """
 
 N_DROPS = 4
+STATE_PARTITIONS = 8
 
 
 def replay_daily_panel(spark, sf_dir):
@@ -115,22 +116,36 @@ def replay_daily_panel(spark, sf_dir):
     # micro-batches and that keys were re-emitted ACROSS batches (the
     # cross-batch state merge the entry exists to prove); the final
     # reduction below never reads the stamp
-    q = (
-        panel.writeStream.outputMode("update")
-        .foreachBatch(
-            lambda batch, bid: batch.withColumn(
-                "__batch", F.lit(bid).cast("long")
-            )
-            .write.mode("append")
-            .parquet(upd)
-        )
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
+    #
+    # State partitions: the state store commits EVERY partition EVERY
+    # micro-batch, so its count is a per-trigger fixed cost, not a
+    # parallelism win — at the replay's <=50k-key state, 32 partitions
+    # measured 2x slower than 8 (13-18 s vs 9-11 s at sf0.1). Pin a
+    # keyspace-sized count for the stream only (it is burned into the
+    # checkpoint at first batch) and restore the session conf after;
+    # a 100 TB deployment sizes this to its cluster width instead.
+    conf_key = "spark.sql.shuffle.partitions"
+    orig_parts = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, str(min(int(orig_parts), STATE_PARTITIONS)))
     try:
-        q.processAllAvailable()
+        q = (
+            panel.writeStream.outputMode("update")
+            .foreachBatch(
+                lambda batch, bid: batch.withColumn(
+                    "__batch", F.lit(bid).cast("long")
+                )
+                .write.mode("append")
+                .parquet(upd)
+            )
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set(conf_key, orig_parts)
     # the replay inputs and checkpoint are dead weight once the staging
     # parquet holds every emission; the staging dir must outlive this
     # builder (the returned frame reads it lazily)

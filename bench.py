@@ -175,7 +175,40 @@ def main() -> None:
         )
         return time.perf_counter() - t0
 
+    # Two diagnostic canary axes (r10): the shuffle canary is pure-JVM
+    # CPU and has been observed reading FASTER than its calibration
+    # value in the same run whose catalog entries sat ~1.5x their warm
+    # floors — whatever stalls this box also hits dimensions the
+    # shuffle job never touches. These don't gate anything; they let a
+    # reader see WHICH axis a slow window degraded.
+    def _canary_io() -> float:
+        # cold-ish parquet scan + aggregate over the fact table
+        t0 = time.perf_counter()
+        (
+            spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+            .selectExpr("sum(l_extendedprice)", "count(*)")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        return time.perf_counter() - t0
+
+    def _canary_arrow() -> float:
+        # Arrow round-trip through the Python worker pool
+        t0 = time.perf_counter()
+        (
+            spark.range(2_000_000)
+            .repartition(8)
+            .mapInPandas(lambda it: it, "id long")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        return time.perf_counter() - t0
+
     canary = round(min(_canary() for _ in range(3)), 3)
+    canary_io = round(min(_canary_io() for _ in range(3)), 3)
+    canary_arrow = round(min(_canary_arrow() for _ in range(3)), 3)
     # Live/calibration speed ratio for the retry ladder: on a box
     # running slower than the FLOORS calibration window, the "is this a
     # stall or the box?" threshold moves up with it.
@@ -273,6 +306,8 @@ def main() -> None:
                     "retry_above_sec": RETRY_ABOVE,
                     "canary_sec": canary,
                     "canary_post_sec": canary_post,
+                    "canary_io_sec": canary_io,
+                    "canary_arrow_sec": canary_arrow,
                     "floors_canary_sec": FLOORS_CANARY_SEC,
                 },
                 "queries": ordered,
@@ -290,6 +325,8 @@ def main() -> None:
                 "sf": infer_sf(SF_DIR),
                 "canary_sec": canary,
                 "canary_post_sec": canary_post,
+                "canary_io_sec": canary_io,
+                "canary_arrow_sec": canary_arrow,
                 "floors_canary_sec": FLOORS_CANARY_SEC,
                 "queries": ordered,
                 "value": total,

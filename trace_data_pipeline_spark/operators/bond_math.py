@@ -81,7 +81,6 @@ def _sums(
         q = np.ones(m)
     if red is None:
         red = np.full(m, 100.0)
-    coup_reg = None  # c·100, built once inside the loop's first pass
     v = 1.0 / (1.0 + y)
     pv = np.zeros(m)
     dpv = np.zeros(m)

@@ -577,3 +577,61 @@ def test_modified_following_invariants(sp):
         ]
         assert not between, (d, adj, between)
     out.unpersist()
+
+
+stub_bonds = st.tuples(
+    st.floats(min_value=0.0, max_value=0.06, allow_nan=False),   # c per period
+    st.integers(min_value=1, max_value=30),                      # n flows
+    st.sampled_from([1, 2, 4, 12]),                              # m
+    st.floats(min_value=0.05, max_value=1.0, allow_nan=False),   # q
+    st.floats(min_value=0.05, max_value=1.2, allow_nan=False),   # stub ratio
+    st.floats(min_value=0.002, max_value=0.12, allow_nan=False), # y per period
+)
+
+
+@given(bond=stub_bonds)
+@SLOW
+def test_stub_solver_recovers_any_priced_yield(sp, bond):
+    """w10h kernel contract, property form: for ANY odd-first-coupon
+    bond (random coupon, schedule length, frequency, fractional offset
+    q, short/long stub ratio), pricing the flows at a known per-period
+    yield with an independent textbook PV and feeding that dirty price
+    to bond_analytics_stub recovers the yield to solver precision, with
+    a ~zero pv_residual. Pins that the Newton kernel's basin covers the
+    whole synthesis domain, not just the catalog's grid."""
+    from pyspark.sql import functions as F
+
+    from trace_data_pipeline_spark.operators.bond_math import (
+        bond_analytics_stub,
+    )
+
+    c, n, m, q, ratio, y = bond
+    cf1 = ratio * (c * 100.0 if c > 0 else 4.0)  # a zero-coupon bond
+    # still carries a stub COUPON if the first period accrued one
+    v = 1.0 / (1.0 + y)
+    dirty = 0.0
+    for t in range(1, n + 1):
+        coup = cf1 if t == 1 else c * 100.0
+        cf = coup + (100.0 if t == n else 0.0)
+        dirty += cf * v ** (t - 1 + q)
+
+    df = sp.createDataFrame(
+        pd.DataFrame(
+            [[dirty, c, n, m, q, cf1]],
+            columns=["pd", "c", "n", "m", "q", "cf1"],
+        )
+    )
+    r = (
+        df.withColumn(
+            "r",
+            bond_analytics_stub(
+                F.col("pd"), F.col("c"), F.col("n"), F.col("m"),
+                F.col("q"), F.col("cf1"),
+            ),
+        )
+        .select("r.*")
+        .collect()[0]
+    )
+    assert r["pv_residual"] == pytest.approx(0.0, abs=1e-7)
+    assert r["ytm"] == pytest.approx(y * m, abs=1e-7)
+    assert r["mac_dur"] > 0

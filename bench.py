@@ -243,9 +243,23 @@ def main() -> None:
     # visible in the sidecar.
     RETRY_ABOVE = 1.0
     MAX_RUNS = 3
+    # Interleaved canary (r10 verdict item 3): one cheap canary sample
+    # every CANARY_EVERY entries, recorded as (entries_done, sec).
+    # r10's artifact showed the box state SHIFTING mid-run (pre 0.968
+    # vs post 0.404) — a pre/post pair brackets the run but can't say
+    # WHICH entries the slow window covered; the series lets a reader
+    # normalize per segment (divide each entry's time by its nearest
+    # canary sample / FLOORS_CANARY_SEC) instead of smearing one ratio
+    # over the whole loop. Single-shot (not min-of-3): the series wants
+    # the INSTANTANEOUS box state, stalls included — ~6 samples ≈ 3 s
+    # of overhead on a ~100 s loop.
+    CANARY_EVERY = 20
+    canary_series: list[list[float]] = [[0, canary]]
     timings: dict[str, float] = {}
     first: dict[str, float] = {}
-    for name in sorted(catalog):
+    for i, name in enumerate(sorted(catalog)):
+        if i and i % CANARY_EVERY == 0:
+            canary_series.append([i, round(_canary(), 3)])
         dt = run_once(name)
         first[name] = dt
         runs = 1
@@ -271,6 +285,7 @@ def main() -> None:
     # timings. A pre/post pair lets a reader detect a mid-run state
     # shift before trusting value/canary_sec normalization.
     canary_post = round(min(_canary() for _ in range(3)), 3)
+    canary_series.append([len(catalog), canary_post])
 
     total = round(sum(timings.values()), 3)
     # The driver records only the LAST 2000 chars of this line when its
@@ -309,6 +324,7 @@ def main() -> None:
                     "canary_io_sec": canary_io,
                     "canary_arrow_sec": canary_arrow,
                     "floors_canary_sec": FLOORS_CANARY_SEC,
+                    "canary_series": canary_series,
                 },
                 "queries": ordered,
                 "queries_first": first,
@@ -328,6 +344,7 @@ def main() -> None:
                 "canary_io_sec": canary_io,
                 "canary_arrow_sec": canary_arrow,
                 "floors_canary_sec": FLOORS_CANARY_SEC,
+                "canary_series": canary_series,
                 "queries": ordered,
                 "value": total,
             }

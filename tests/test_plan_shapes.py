@@ -291,11 +291,22 @@ def test_schedule_ytw_one_legs_exchange(spark):
 
 def test_odd_first_coupon_zero_exchanges(spark):
     """w10h: the odd-first-coupon record is one scan + column algebra +
-    one Arrow solve — the physical plan must carry NO exchange, no
-    join, no SortAggregate. At 100 TB this pipelines with whatever
-    partitioning the scan produces (same contract as w10e)."""
+    one Arrow solve — the physical plan must carry NO key shuffle (no
+    hash/range/single-partition exchange), no join, no SortAggregate.
+    The ONLY exchange allowed is the small-file round-robin widening
+    from ensure_min_parallelism (visible at test scale because the
+    orders scan is one split; a no-op on a production-width scan). At
+    100 TB this pipelines with whatever partitioning the scan produces
+    (same contract as w10e). r10 ADVICE: the old OR-form assertion
+    would have let an Exchange SinglePartition/rangepartitioning
+    regression pass — pin every flavor explicitly instead."""
     plan = _plan(spark, "w10h_odd_first_coupon")
-    assert "Exchange" not in plan or "hashpartitioning" not in plan
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert plan.count("Exchange") <= 1  # at most the widening
+    if "Exchange" in plan:
+        assert "RoundRobinPartitioning" in plan
     assert "Join" not in plan
     assert "SortAggregate" not in plan
     assert "ArrowEvalPython" in plan  # the solver is the only Python

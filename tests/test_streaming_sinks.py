@@ -507,6 +507,42 @@ def test_streaming_media_feature_extraction(spark, tmp_path):
     assert got == batch
 
 
+def test_a1s_mtime_guard_raises_on_reordered_drops(tmp_path):
+    """r10 verdict item 5: the replay's chronological ordering rides on
+    os.utime being honored — on a mount that ignores it (object store,
+    odd tmpfs), the file source would replay drops out of event-time
+    order and the watermark would silently drop data. The guard must
+    fail LOUDLY instead."""
+    import os
+
+    import pytest
+
+    from trace_data_pipeline_spark.plans.streaming_parity import (
+        _assert_ascending_mtimes,
+    )
+
+    paths = []
+    for i in range(3):
+        p = tmp_path / f"part-{i}"
+        p.write_text("x")
+        paths.append(str(p))
+    # ascending passes
+    for i, p in enumerate(paths):
+        os.utime(p, (1_000_000_000 + i, 1_000_000_000 + i))
+    _assert_ascending_mtimes(paths)
+    # a filesystem that ignored utime (all equal) must raise
+    for p in paths:
+        os.utime(p, (1_000_000_000, 1_000_000_000))
+    with pytest.raises(RuntimeError, match="not strictly ascending"):
+        _assert_ascending_mtimes(paths)
+    # ...as must an outright reorder
+    os.utime(paths[0], (1_000_000_002, 1_000_000_002))
+    os.utime(paths[1], (1_000_000_001, 1_000_000_001))
+    os.utime(paths[2], (1_000_000_000, 1_000_000_000))
+    with pytest.raises(RuntimeError, match="not strictly ascending"):
+        _assert_ascending_mtimes(paths)
+
+
 def test_a1s_replay_is_genuinely_multi_batch(spark):
     """The a1s catalog entry's replay must actually exercise streaming
     state: N_DROPS distinct micro-batches, and at least one (day, user)

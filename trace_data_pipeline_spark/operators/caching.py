@@ -25,6 +25,17 @@ from pyspark.sql import DataFrame
 
 _TRACKED: list[DataFrame] = []
 _LOCAL = threading.local()
+_RELEASE_HOOKS: list = []
+
+
+def register_release_hook(fn) -> None:
+    """Register a zero-arg callable run by every `release_caches()`
+    sweep — for operators whose builders materialize state OUTSIDE the
+    Spark cache manager (e.g. the a1s streaming replay's per-session
+    memo) and must drop it at the same query boundary so repeated
+    measurements stay independent. Idempotent per function object."""
+    if fn not in _RELEASE_HOOKS:
+        _RELEASE_HOOKS.append(fn)
 
 
 def tracked_persist(df: DataFrame) -> DataFrame:
@@ -92,6 +103,11 @@ def release_caches() -> int:
     pipeline end satisfy this; do not call it mid-query."""
     released = 0
     spark = None
+    for hook in _RELEASE_HOOKS:
+        try:
+            hook()
+        except Exception:  # a hook must never block the sweep
+            pass
     while _TRACKED:
         df = _TRACKED.pop()
         try:

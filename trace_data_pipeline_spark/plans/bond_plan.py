@@ -701,7 +701,15 @@ def w10g_yield_to_worst_schedule(spark, sf_dir):
     )
 
 
-_CFH = "(CASE WHEN t = 1 THEN cf1 WHEN t = n THEN c * 100 + 100 ELSE c * 100 END)"
+# Symmetric with the engine's _sums kernel (np.where(t == n, coup +
+# red, ...)): redemption at t = n even when n = 1 (a single-flow bond
+# pays cf1 + 100). Unreachable today — the synthesis pins n = n_hist +
+# 1 >= 3 — but the oracle fragment must not diverge if reused (r10
+# ADVICE).
+_CFH = (
+    "(CASE WHEN t = n THEN (CASE WHEN t = 1 THEN cf1 ELSE c * 100 END) + 100"
+    " WHEN t = 1 THEN cf1 ELSE c * 100 END)"
+)
 
 _W10H_ORACLE = rf"""
 WITH RECURSIVE base AS (
@@ -823,7 +831,9 @@ def w10h_odd_first_coupon(spark, sf_dir):
     Spark shape: the entire schedule derivation (grid, stub, day-count
     routing, accrued) is codegen'd column algebra on one projection;
     the only Python is the same Arrow-batched Newton solve with the
-    first-flow override. One scan, zero shuffles, zero joins."""
+    first-flow override. One scan, zero KEY shuffles, zero joins — the
+    only exchange ever present is _orders' small-file round-robin
+    widening, a no-op on a production-width scan."""
     from trace_data_pipeline_spark.functions.daycount import dcf_by_basis
     from trace_data_pipeline_spark.operators.bond_math import (
         bond_analytics_stub,

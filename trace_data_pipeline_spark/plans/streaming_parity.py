@@ -26,6 +26,16 @@ catalog entry with a REAL watermark and bounded state:
   if the streaming replay dropped, duplicated, or mis-merged anything
   across micro-batch boundaries, the value hash diverges.
 
+Unlike every other catalog builder, this one is EAGER by necessity: a
+streaming replay has no lazy logical-plan form, so building the entry
+runs the four micro-batches once (r10 ADVICE). Two containment rules
+keep that honest: the replay is memoized per (application, sf_dir) —
+`sql.register_views` and repeated `queries()` calls pay it once per
+session, not per call, though `release_caches()` drops the memo at
+query boundaries so bench measurements stay independent — and every
+staging dir is registered for atexit removal, so nothing leaks past
+the process.
+
 Reference: the pipeline's incremental per-chunk daily aggregation
 (`stage0/create_daily_enhanced_trace.py` chunk loop) — pure batch
 there; the streaming form is this repo's §2.8 extension.
@@ -33,6 +43,7 @@ there; the streaming form is this repo's §2.8 extension.
 
 from __future__ import annotations
 
+import atexit
 import os
 import shutil
 import tempfile
@@ -57,13 +68,56 @@ GROUP BY 1, 2
 N_DROPS = 4
 STATE_PARTITIONS = 8
 
+# (applicationId, abs sf_dir) -> staging parquet dir of emissions.
+# The replay is deterministic for a given input dir (chronological
+# drops, processAllAvailable barrier), so one run per Spark app is the
+# whole truth — re-running it for every register_views/queries() call
+# would only re-prove the same bytes at ~8 s a pop (r10 ADVICE). The
+# memo is registered as a release_caches() hook: a query boundary
+# drops it so bench.py's retry ladder re-measures the REPLAY, not a
+# staged-parquet read — a memo surviving the boundary would quietly
+# turn the a1s floor into a scan benchmark. Staging dirs stay on disk
+# until atexit (a frame built before the boundary keeps reading its
+# dir safely; a rebuild gets a fresh dir).
+_REPLAY_CACHE: dict[tuple[str, str], str] = {}
+_REPLAY_BASES: list[str] = []
 
-def replay_daily_panel(spark, sf_dir):
-    """Run the chronological drop replay and return the raw EMISSIONS
-    frame (one row per (window, user) update per micro-batch, stamped
-    with `__batch`). The catalog builder reduces this to the final
-    panel; tests read the stamps to prove the replay really produced
-    N_DROPS cross-merging micro-batches."""
+from trace_data_pipeline_spark.operators.caching import (  # noqa: E402
+    register_release_hook,
+)
+
+register_release_hook(_REPLAY_CACHE.clear)
+
+
+@atexit.register
+def _cleanup_replay_dirs() -> None:
+    for base in _REPLAY_BASES:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def _assert_ascending_mtimes(paths: list[str]) -> None:
+    """The replay's ordering contract: the file source takes files
+    oldest-modified-first, so the drop files' mtimes MUST be strictly
+    ascending in drop order or micro-batches arrive out of event-time
+    order and the watermark silently drops whole drops. os.utime is
+    advisory on some mounts (object stores, noatime/relatime quirks) —
+    verify what the filesystem actually recorded and fail loudly."""
+    mtimes = [os.stat(p).st_mtime for p in paths]
+    for i in range(1, len(mtimes)):
+        if not mtimes[i - 1] < mtimes[i]:
+            raise RuntimeError(
+                "a1s replay: drop mtimes not strictly ascending "
+                f"({mtimes}) — the filesystem ignored os.utime, so the "
+                "file source would replay drops out of event-time order "
+                "and the watermark would drop data. Use a local tmpdir "
+                "that honors utimes, or fall back to write-then-drain."
+            )
+
+
+def _run_replay(spark, sf_dir: str) -> str:
+    """Execute the chronological drop replay once; return the staging
+    dir holding every (window, user) update emission, stamped with
+    `__batch`."""
     from trace_data_pipeline_spark.streaming.daily import (
         daily_event_panel,
         stream_events_from_dir,
@@ -82,6 +136,7 @@ def replay_daily_panel(spark, sf_dir):
     step = (hi - lo) / N_DROPS
 
     base = tempfile.mkdtemp(prefix="a1s_replay_")
+    _REPLAY_BASES.append(base)
     src = os.path.join(base, "drops")
     upd = os.path.join(base, "updates")
     ckpt = os.path.join(base, "ckpt")
@@ -93,6 +148,7 @@ def replay_daily_panel(spark, sf_dir):
     # chronological micro-batch per drop under a single end barrier —
     # identical replay semantics to a write-then-drain loop at a
     # quarter of the per-barrier streaming overhead
+    part_files: list[str] = []
     for i in range(N_DROPS):
         cond = F.col("ts") >= F.lit(lo + step * i)
         if i < N_DROPS - 1:
@@ -101,12 +157,28 @@ def replay_daily_panel(spark, sf_dir):
         ev.filter(cond).coalesce(1).write.mode("overwrite").parquet(d)
         for fn in os.listdir(d):
             if fn.startswith("part-"):
-                os.utime(
-                    os.path.join(d, fn), (1_000_000_000 + i, 1_000_000_000 + i)
-                )
+                p = os.path.join(d, fn)
+                os.utime(p, (1_000_000_000 + i, 1_000_000_000 + i))
+                part_files.append(p)
+    _assert_ascending_mtimes(part_files)
+
+    # State partitions: the state store commits EVERY partition EVERY
+    # micro-batch, so its count is a per-trigger fixed cost, not a
+    # parallelism win — at the replay's <=50k-key state, 32 partitions
+    # measured 2x slower than 8 (13-18 s vs 9-11 s at sf0.1). Plan the
+    # stream in a CLONED session (same SparkContext, own SQLConf) so
+    # pinning the keyspace-sized count can't bleed into queries planned
+    # concurrently in the caller's session (r10 ADVICE); the count is
+    # burned into the checkpoint at first batch. A 100 TB deployment
+    # sizes this to its cluster width instead.
+    ss = spark.newSession()
+    conf_key = "spark.sql.shuffle.partitions"
+    ss.conf.set(
+        conf_key, str(min(int(ss.conf.get(conf_key)), STATE_PARTITIONS))
+    )
 
     stream = stream_events_from_dir(
-        spark, os.path.join(src, "*"), ev.schema, max_files_per_trigger=1
+        ss, os.path.join(src, "*"), ev.schema, max_files_per_trigger=1
     )
     panel = daily_event_panel(
         stream, id_col="user_id", value_col="value", watermark="2 hours"
@@ -116,42 +188,42 @@ def replay_daily_panel(spark, sf_dir):
     # micro-batches and that keys were re-emitted ACROSS batches (the
     # cross-batch state merge the entry exists to prove); the final
     # reduction below never reads the stamp
-    #
-    # State partitions: the state store commits EVERY partition EVERY
-    # micro-batch, so its count is a per-trigger fixed cost, not a
-    # parallelism win — at the replay's <=50k-key state, 32 partitions
-    # measured 2x slower than 8 (13-18 s vs 9-11 s at sf0.1). Pin a
-    # keyspace-sized count for the stream only (it is burned into the
-    # checkpoint at first batch) and restore the session conf after;
-    # a 100 TB deployment sizes this to its cluster width instead.
-    conf_key = "spark.sql.shuffle.partitions"
-    orig_parts = spark.conf.get(conf_key)
-    spark.conf.set(conf_key, str(min(int(orig_parts), STATE_PARTITIONS)))
-    try:
-        q = (
-            panel.writeStream.outputMode("update")
-            .foreachBatch(
-                lambda batch, bid: batch.withColumn(
-                    "__batch", F.lit(bid).cast("long")
-                )
-                .write.mode("append")
-                .parquet(upd)
+    q = (
+        panel.writeStream.outputMode("update")
+        .foreachBatch(
+            lambda batch, bid: batch.withColumn(
+                "__batch", F.lit(bid).cast("long")
             )
-            .option("checkpointLocation", ckpt)
-            .start()
+            .write.mode("append")
+            .parquet(upd)
         )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
     finally:
-        spark.conf.set(conf_key, orig_parts)
+        q.stop()
     # the replay inputs and checkpoint are dead weight once the staging
-    # parquet holds every emission; the staging dir must outlive this
-    # builder (the returned frame reads it lazily)
+    # parquet holds every emission; the staging dir outlives this
+    # builder (the returned frame reads it lazily) and is reaped by the
+    # atexit hook above
     shutil.rmtree(src, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
+    return upd
 
+
+def replay_daily_panel(spark, sf_dir):
+    """Return the raw EMISSIONS frame (one row per (window, user)
+    update per micro-batch, stamped with `__batch`), running the replay
+    at most once per (application, sf_dir). The catalog builder reduces
+    this to the final panel; tests read the stamps to prove the replay
+    really produced N_DROPS cross-merging micro-batches."""
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    upd = _REPLAY_CACHE.get(key)
+    if upd is None or not os.path.isdir(upd):
+        upd = _run_replay(spark, sf_dir)
+        _REPLAY_CACHE[key] = upd
     return spark.read.parquet(upd)
 
 

@@ -6,6 +6,11 @@ DataFrames.
 Query views are lazy logical plans (no materialization): Catalyst
 inlines them, so `spark.sql("SELECT ... FROM w1_decimal_shift WHERE
 ...")` still gets predicate pushdown into the underlying scans.
+
+One documented exception: `a1s_streaming_daily_panel` has no lazy
+form — building its view runs the streaming replay once per
+(application, sf_dir); subsequent registrations hit the memo
+(`plans/streaming_parity.py`).
 """
 
 from __future__ import annotations

@@ -692,3 +692,55 @@ def test_odd_first_coupon_catalog_invariants(spark):
     # solver converged everywhere on this grid (parity also pins this)
     assert out.filter(F.col("ytm").isNull()).count() == 0
     out.unpersist()
+
+
+def test_cfh_oracle_fragment_symmetric_with_engine_kernel():
+    """r10 ADVICE: the w10h oracle's cash-flow CASE (`_CFH`) must stay
+    SYMMETRIC with the engine's `_sums` kernel at every n — including
+    the n = 1 single-flow corner, unreachable by today's synthesis
+    (n = n_hist + 1 >= 3) but a latent parity trap if the fragment is
+    ever reused. Pin the PV the fragment computes in DuckDB against the
+    kernel's, per n in {1, 2, 5}: at n = 1 both must pay the odd first
+    coupon PLUS the 100 redemption."""
+    import duckdb
+    import numpy as np
+
+    from trace_data_pipeline_spark.operators.bond_math import _sums
+    from trace_data_pipeline_spark.plans.bond_plan import _CFH
+
+    c, y, q, cf1 = 0.025, 0.031, 0.63, 1.7
+    con = duckdb.connect()
+    for n in (1, 2, 5):
+        [(pv_oracle,)] = con.execute(
+            f"""
+            SELECT list_sum(list_transform(range(1, n + 1),
+              t -> {_CFH} * power(1.0 / (1.0 + y),
+                                  CAST(t AS DOUBLE) - 1.0 + q)))
+            FROM (SELECT CAST({n} AS INT) AS n, CAST({c} AS DOUBLE) AS c,
+                         CAST({y} AS DOUBLE) AS y, CAST({q} AS DOUBLE) AS q,
+                         CAST({cf1} AS DOUBLE) AS cf1)
+            """
+        ).fetchall()
+        pv_engine, _, _, _ = _sums(
+            np.array([c]),
+            np.array([n]),
+            np.array([y]),
+            n,
+            q=np.array([q]),
+            cf1=np.array([cf1]),
+        )
+        assert pv_oracle == pytest.approx(pv_engine[0], abs=1e-12), n
+    # the n = 1 corner really pays redemption: strictly more than the
+    # stub coupon alone discounted at the stub offset
+    [(pv1,)] = con.execute(
+        f"""
+        SELECT list_sum(list_transform(range(1, n + 1),
+          t -> {_CFH} * power(1.0 / (1.0 + y),
+                              CAST(t AS DOUBLE) - 1.0 + q)))
+        FROM (SELECT 1 AS n, CAST({c} AS DOUBLE) AS c,
+                     CAST({y} AS DOUBLE) AS y, CAST({q} AS DOUBLE) AS q,
+                     CAST({cf1} AS DOUBLE) AS cf1)
+        """
+    ).fetchall()
+    assert pv1 > cf1 * (1.0 / (1.0 + y)) ** q
+    con.close()

@@ -289,6 +289,23 @@ def test_schedule_ytw_one_legs_exchange(spark):
     assert len(parts) == 1, parts
 
 
+def test_full_record_zero_key_exchanges(spark):
+    """w10e: the full 9-output analytics record is one scan + codegen'd
+    schedule algebra + one Arrow solve — no key shuffle, no join, no
+    SortAggregate; at most the small-file widening round-robin (the
+    contract w10h's docstring cites; pin it on w10e itself too)."""
+    plan = _plan(spark, "w10e_full_record")
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert plan.count("Exchange") <= 1
+    if "Exchange" in plan:
+        assert "RoundRobinPartitioning" in plan
+    assert "Join" not in plan
+    assert "SortAggregate" not in plan
+    assert "ArrowEvalPython" in plan
+
+
 def test_odd_first_coupon_zero_exchanges(spark):
     """w10h: the odd-first-coupon record is one scan + column algebra +
     one Arrow solve — the physical plan must carry NO key shuffle (no

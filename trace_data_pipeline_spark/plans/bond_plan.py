@@ -374,9 +374,12 @@ def w10e_full_record(spark, sf_dir):
     algebra over one projection (settlement roll, backward coupon
     bracket via the O(1) probe, day-count CASE routing, accrued trio);
     the solver is one Arrow-batched pandas UDF fitting the DIRTY price
-    with flows at fractional period offsets. One scan, zero shuffles,
-    zero joins. The oracle replays the identical arithmetic in DuckDB
-    (recursive-CTE Newton, list-algebra schedule)."""
+    with flows at fractional period offsets. One scan, zero KEY
+    shuffles, zero joins (plan-guarded; the only exchange ever present
+    is _orders' small-file round-robin widening, a no-op on a
+    production-width scan). The oracle replays the identical
+    arithmetic in DuckDB (recursive-CTE Newton, list-algebra
+    schedule)."""
     from trace_data_pipeline_spark.operators.bond_record import (
         RECORD_COLS,
         attach_full_record,

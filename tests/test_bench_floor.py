@@ -41,8 +41,10 @@ CEILINGS = {
     "w10g_yield_to_worst_schedule": 6.0,  # min 1.61 at local[32]; legs solve
     "w10h_odd_first_coupon": 8.0,      # min ~1.6 at local[32] (r10); stub solve
     # streaming replay: fixed micro-batch machinery dominates (state
-    # partitions pinned to 8; warm min ~5 s at local[32]); 3x margin
-    "a1s_streaming_daily_panel": 16.0,
+    # partitions pinned to 2 + single-file staging appends as of r11:
+    # warm min ~4.8 s at local[32], was ~8.5 at 8 partitions); ~2.5x
+    # margin on the warm min
+    "a1s_streaming_daily_panel": 12.0,
     "p0_stage0_panel": 13.0,           # min 4.3
     "p1_stage0_full": 17.0,            # min 5.6
     "p2_stage1_full": 6.0,             # min 1.9

@@ -66,7 +66,13 @@ GROUP BY 1, 2
 """
 
 N_DROPS = 4
-STATE_PARTITIONS = 8
+# The state store commits EVERY partition EVERY micro-batch, so the
+# count is a per-trigger fixed cost, not a parallelism win at this
+# keyspace (<=50k keys): warm sf0.1 replays measured ~13-18 s at 32
+# partitions, ~8.5 s at 8 (r10), ~3.0 s at 2 with byte-identical
+# emissions (r11 re-measure, same box). A 100 TB deployment sizes
+# this to its cluster width instead — see _run_replay.
+STATE_PARTITIONS = 2
 
 # (applicationId, abs sf_dir) -> staging parquet dir of emissions.
 # The replay is deterministic for a given input dir (chronological
@@ -162,15 +168,11 @@ def _run_replay(spark, sf_dir: str) -> str:
                 part_files.append(p)
     _assert_ascending_mtimes(part_files)
 
-    # State partitions: the state store commits EVERY partition EVERY
-    # micro-batch, so its count is a per-trigger fixed cost, not a
-    # parallelism win — at the replay's <=50k-key state, 32 partitions
-    # measured 2x slower than 8 (13-18 s vs 9-11 s at sf0.1). Plan the
-    # stream in a CLONED session (same SparkContext, own SQLConf) so
-    # pinning the keyspace-sized count can't bleed into queries planned
-    # concurrently in the caller's session (r10 ADVICE); the count is
-    # burned into the checkpoint at first batch. A 100 TB deployment
-    # sizes this to its cluster width instead.
+    # Plan the stream in a CLONED session (same SparkContext, own
+    # SQLConf) so pinning STATE_PARTITIONS (see its comment for the
+    # measurements) can't bleed into queries planned concurrently in
+    # the caller's session (r10 ADVICE); the count is burned into the
+    # checkpoint at first batch.
     ss = spark.newSession()
     conf_key = "spark.sql.shuffle.partitions"
     ss.conf.set(
@@ -188,12 +190,20 @@ def _run_replay(spark, sf_dir: str) -> str:
     # micro-batches and that keys were re-emitted ACROSS batches (the
     # cross-batch state merge the entry exists to prove); the final
     # reduction below never reads the stamp
+    # Each micro-batch's update set is KB-scale here (the whole replay
+    # emits <100k rows), so the staging append coalesces to one file
+    # per batch: N_DROPS files total instead of N_DROPS x
+    # STATE_PARTITIONS near-empty ones — fewer write tasks per trigger
+    # AND a fraction of the files for the final reduction to open. A
+    # production sink with real volume would keep the state
+    # partitioning instead of coalescing.
     q = (
         panel.writeStream.outputMode("update")
         .foreachBatch(
             lambda batch, bid: batch.withColumn(
                 "__batch", F.lit(bid).cast("long")
             )
+            .coalesce(1)
             .write.mode("append")
             .parquet(upd)
         )

@@ -9,6 +9,8 @@ from __future__ import annotations
 import os
 import shutil
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from tests.conftest import TEST_SF_DIR
@@ -574,3 +576,46 @@ def test_a1s_replay_is_genuinely_multi_batch(spark):
         multi.unpersist()
     finally:
         em.unpersist()
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("n_drops", [2, 6])
+def test_a1s_panel_invariant_to_drop_granularity(spark, n_drops, monkeypatch):
+    """The a1s entry's WATERMARKED replay must produce the identical
+    final panel whatever the chunking: 2 coarse drops and 6 fine drops
+    must both hash out to the batch panel (the oracle pins 4). If the
+    watermark ever dropped a boundary-straddling window or the
+    max_by-on-n_events reduction mis-picked a stale emission, some
+    granularity would diverge. Memo hygiene matters twice here: the
+    memo key does NOT include the drop count, so clear it before (to
+    force a fresh replay at this granularity) and after (so no other
+    test inherits a nonstandard-granularity staging dir)."""
+    import trace_data_pipeline_spark.plans.streaming_parity as sp
+
+    monkeypatch.setattr(sp, "N_DROPS", n_drops)
+    sp._REPLAY_CACHE.clear()
+    try:
+        got = sp.a1s_streaming_daily_panel(spark, TEST_SF_DIR).collect()
+    finally:
+        sp._REPLAY_CACHE.clear()
+
+    ev = load_table(spark, TEST_SF_DIR, "events").select(
+        "ts", "user_id", "value"
+    )
+    want = (
+        daily_event_panel(ev, id_col="user_id", value_col="value")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "user_id",
+            "n_events",
+            "sum_value",
+            "min_value",
+            "max_value",
+        )
+        .collect()
+    )
+    key = lambda r: (r["day"], r["user_id"])  # noqa: E731
+    assert len(got) == len(want) > 0
+    assert sorted(map(tuple, got), key=lambda t: (t[0], t[1])) == sorted(
+        map(tuple, want), key=lambda t: (t[0], t[1])
+    )

@@ -155,6 +155,35 @@ def main() -> None:
         .mode("overwrite")
         .save()
     )
+    # ...and the Structured Streaming machinery (micro-batch engine,
+    # state store, offset/commit logs): a one-row file-source stream
+    # through a stateful agg costs ~2-3 s here and saves the ~15 s of
+    # one-time class loading that otherwise lands inside the first
+    # streaming entry's recorded number
+    import shutil
+    import tempfile
+
+    _wbase = tempfile.mkdtemp(prefix="bench_stream_warm_")
+    _wsrc = os.path.join(_wbase, "src")
+    spark.range(1).selectExpr(
+        "timestamp'2020-01-01' AS ts", "id AS k", "1.0 AS v"
+    ).coalesce(1).write.parquet(_wsrc)
+    _wq = (
+        spark.readStream.schema("ts timestamp, k long, v double")
+        .parquet(_wsrc)
+        .groupBy(F.window("ts", "1 day"), "k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .writeStream.format("memory")
+        .queryName("bench_stream_warm")
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(_wbase, "ckpt"))
+        .start()
+    )
+    try:
+        _wq.processAllAvailable()
+    finally:
+        _wq.stop()
+    shutil.rmtree(_wbase, ignore_errors=True)
 
     # Box-speed canary: a fixed synthetic job (shuffle + hash agg over
     # 20M generated rows), min-of-3, measured AFTER warm-up. The same

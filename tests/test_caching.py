@@ -145,3 +145,38 @@ def test_cc_converges_path_within_jump_reach(spark):
            for r in connected_components(nodes, edges, max_iter=10).collect()}
     assert out == {i: 1 for i in range(1, n + 1)}
     release_caches()
+
+
+def test_release_hooks_run_once_per_sweep_and_never_block_it(spark):
+    """register_release_hook (r11): every release_caches() sweep runs
+    each registered hook exactly once — the mechanism the a1s replay
+    memo rides on — a raising hook must not abort the sweep (tracked
+    frames still free), and re-registering the same callable must not
+    double-run it."""
+    from trace_data_pipeline_spark.operators.caching import (
+        _RELEASE_HOOKS,
+        register_release_hook,
+    )
+
+    calls = []
+
+    def good():
+        calls.append("good")
+
+    def bad():
+        calls.append("bad")
+        raise RuntimeError("hook exploded")
+
+    before = list(_RELEASE_HOOKS)
+    register_release_hook(good)
+    register_release_hook(good)  # idempotent per function object
+    register_release_hook(bad)
+    try:
+        df = tracked_persist(spark.range(10))
+        df.count()
+        released = release_caches()
+        assert released >= 1  # the raising hook didn't block the sweep
+        assert calls.count("good") == 1
+        assert calls.count("bad") == 1
+    finally:
+        _RELEASE_HOOKS[:] = before

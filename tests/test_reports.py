@@ -116,19 +116,76 @@ def test_collect_report_rows_bound(spark):
         collect_report_rows(spark.range(50), limit=10)
 
 
-def test_render_figures_stub_names_data_dir(tmp_path):
-    """Without matplotlib the gate must raise NotImplementedError and
-    point at the figure data (the injectable-stub discipline)."""
-    from trace_data_pipeline_spark.reports import render_figures
+def test_render_figures_numpy_fallback_produces_decodable_pages(
+    spark, tmp_path
+):
+    """Without matplotlib (this container), render_figures must still
+    produce REAL pages via the pure-numpy rasterizer: one PNG per
+    entity, decodable by the repo's own codec, at the declared
+    dimensions, with all three panel elements actually drawn (raw
+    series, corrected overlay, flagged X markers — asserted by their
+    distinct colors appearing in the pixel buffer)."""
+    import numpy as np
+
+    from trace_data_pipeline_spark.datapipe.png import decode_png
+    from trace_data_pipeline_spark.plans import get_catalog
+    from trace_data_pipeline_spark.reports import rasterize, render_figures
+    from trace_data_pipeline_spark.reports.render import write_figure_data
 
     try:
         import matplotlib  # noqa: F401
 
-        pytest.skip("matplotlib installed; stub path not reachable")
+        pytest.skip("matplotlib installed; fallback path not reachable")
     except ImportError:
         pass
-    with pytest.raises(NotImplementedError, match="figure data"):
-        render_figures(str(tmp_path / "figdata"), str(tmp_path / "pages"))
+
+    sf = os.environ.get("TEST_SF_DIR", "/root/testdata/sf0.001")
+    fig_dir = write_figure_data(
+        get_catalog()["r4_flagged_series"].builder(spark, sf), str(tmp_path)
+    )
+    pages = render_figures(fig_dir, str(tmp_path / "pages"))
+    n_entities = (
+        get_catalog()["r4_flagged_series"]
+        .builder(spark, sf)
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert len(pages) == n_entities > 0
+    for page in pages:
+        w, h, ch, buf = decode_png(open(page, "rb").read())
+        assert (w, h, ch) == (1000, 400, 3)
+        img = np.frombuffer(bytes(buf), dtype=np.uint8).reshape(h, w, 3)
+        for color in (
+            rasterize.COLOR_ALL,
+            rasterize.COLOR_CORRECTED,
+            rasterize.COLOR_FLAGGED,  # r4 is affected-only: every
+            # entity has at least one flagged point by construction
+            rasterize.AXIS,
+        ):
+            assert (img == np.array(color)).all(axis=-1).any(), (
+                f"{os.path.basename(page)}: color {color} never drawn"
+            )
+
+
+def test_rasterize_text_and_degenerate_series(tmp_path):
+    """Rasterizer corners: a flat one-point series must still render
+    (padded y-range, centered x), and text outside the font charset
+    must blank, not raise."""
+    import numpy as np
+
+    from trace_data_pipeline_spark.datapipe.png import decode_png
+    from trace_data_pipeline_spark.reports import rasterize
+
+    png = rasterize.render_series_page(
+        [("2024-01-01", 100.0, 100.0, 1)], title="entity ~? 42"
+    )
+    w, h, ch, buf = decode_png(png)
+    assert (w, h, ch) == (1000, 400, 3)
+    img = np.frombuffer(bytes(buf), dtype=np.uint8).reshape(h, w, 3)
+    assert (img == np.array(rasterize.COLOR_FLAGGED)).all(axis=-1).any()
+    # the title's in-charset characters drew SOMETHING in the title band
+    assert (img[:30] != 255).any()
 
 
 @pytest.mark.slow
@@ -166,7 +223,7 @@ def test_write_audit_report_end_to_end(spark, tmp_path):
         .count()
     )
     assert len(parts) == affected
-    assert manifest["pages"] == []  # no matplotlib in this container
+    assert manifest["pages"] == []  # figures=False default renders none
 
 
 def test_render_figures_with_injected_backend(spark, tmp_path, monkeypatch):

@@ -11,10 +11,9 @@ Split deliberately in two:
   report aggregates (a removal table is a handful of rows; the bound
   is enforced, not assumed), writes `.tex`, exports the per-entity
   figure DATA that `r4_flagged_series` computes distributedly, and
-  renders PNG figures only when matplotlib is importable (it is not
-  in this container — the gate raises NotImplementedError with the
-  data path already on disk, the same stub discipline as the
-  multimodal production-codec hooks).
+  renders PNG figures: matplotlib when importable (the reference's
+  backend), otherwise `rasterize` — a pure-numpy panel renderer over
+  the repo's own PNG codec — so pages exist in this container too.
 """
 
 from trace_data_pipeline_spark.reports.latex import (  # noqa: F401

@@ -1,0 +1,229 @@
+"""Pure-numpy chart rasterizer: the matplotlib-free backend for the
+report sink's per-entity figure pages.
+
+The reference renders per-CUSIP error pages with matplotlib
+(`stage0/_error_plot_helpers.py:1-455`). This container ships no
+matplotlib, so `reports.render.render_figures` falls back to this
+module: the same panel (full price series, corrected overlay, flagged
+markers, axes, gridlines, tick labels, legend, title) drawn into an
+RGB numpy buffer and encoded with the repo's own PNG codec
+(`datapipe/png.py`) — real, decodable pages with zero third-party
+dependencies. A deployment with matplotlib installed still gets the
+matplotlib pages; this is the always-available floor, not a fork of
+the contract.
+
+Scope: this is a REPORT-PAGE renderer (a few hundred points per
+entity, driver-side by design — the figure data was already reduced
+and partitioned by Spark), not a plotting library. Text is a built-in
+5x7 uppercase bitmap font: enough for titles, numeric tick labels and
+legend words; anything outside its charset renders as a blank cell
+rather than raising mid-report.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from trace_data_pipeline_spark.datapipe.png import encode_png
+
+# 5x7 bitmap glyphs ('#' = lit). Uppercase + digits + the charset
+# numeric tick labels can emit ({:.4g} -> digits, '.', '-', '+', 'E').
+_GLYPHS = {
+    "0": (".###.", "#...#", "#..##", "#.#.#", "##..#", "#...#", ".###."),
+    "1": ("..#..", ".##..", "..#..", "..#..", "..#..", "..#..", ".###."),
+    "2": (".###.", "#...#", "....#", "...#.", "..#..", ".#...", "#####"),
+    "3": (".###.", "#...#", "....#", "..##.", "....#", "#...#", ".###."),
+    "4": ("...#.", "..##.", ".#.#.", "#..#.", "#####", "...#.", "...#."),
+    "5": ("#####", "#....", "####.", "....#", "....#", "#...#", ".###."),
+    "6": ("..##.", ".#...", "#....", "####.", "#...#", "#...#", ".###."),
+    "7": ("#####", "....#", "...#.", "..#..", ".#...", ".#...", ".#..."),
+    "8": (".###.", "#...#", "#...#", ".###.", "#...#", "#...#", ".###."),
+    "9": (".###.", "#...#", "#...#", ".####", "....#", "...#.", ".##.."),
+    "A": (".###.", "#...#", "#...#", "#####", "#...#", "#...#", "#...#"),
+    "B": ("####.", "#...#", "#...#", "####.", "#...#", "#...#", "####."),
+    "C": (".###.", "#...#", "#....", "#....", "#....", "#...#", ".###."),
+    "D": ("####.", "#...#", "#...#", "#...#", "#...#", "#...#", "####."),
+    "E": ("#####", "#....", "#....", "####.", "#....", "#....", "#####"),
+    "F": ("#####", "#....", "#....", "####.", "#....", "#....", "#...."),
+    "G": (".###.", "#...#", "#....", "#.###", "#...#", "#...#", ".####"),
+    "H": ("#...#", "#...#", "#...#", "#####", "#...#", "#...#", "#...#"),
+    "I": (".###.", "..#..", "..#..", "..#..", "..#..", "..#..", ".###."),
+    "J": ("..###", "...#.", "...#.", "...#.", "...#.", "#..#.", ".##.."),
+    "K": ("#...#", "#..#.", "#.#..", "##...", "#.#..", "#..#.", "#...#"),
+    "L": ("#....", "#....", "#....", "#....", "#....", "#....", "#####"),
+    "M": ("#...#", "##.##", "#.#.#", "#.#.#", "#...#", "#...#", "#...#"),
+    "N": ("#...#", "##..#", "#.#.#", "#..##", "#...#", "#...#", "#...#"),
+    "O": (".###.", "#...#", "#...#", "#...#", "#...#", "#...#", ".###."),
+    "P": ("####.", "#...#", "#...#", "####.", "#....", "#....", "#...."),
+    "Q": (".###.", "#...#", "#...#", "#...#", "#.#.#", "#..#.", ".##.#"),
+    "R": ("####.", "#...#", "#...#", "####.", "#.#..", "#..#.", "#...#"),
+    "S": (".####", "#....", "#....", ".###.", "....#", "....#", "####."),
+    "T": ("#####", "..#..", "..#..", "..#..", "..#..", "..#..", "..#.."),
+    "U": ("#...#", "#...#", "#...#", "#...#", "#...#", "#...#", ".###."),
+    "V": ("#...#", "#...#", "#...#", "#...#", "#...#", ".#.#.", "..#.."),
+    "W": ("#...#", "#...#", "#...#", "#.#.#", "#.#.#", "##.##", "#...#"),
+    "X": ("#...#", "#...#", ".#.#.", "..#..", ".#.#.", "#...#", "#...#"),
+    "Y": ("#...#", "#...#", ".#.#.", "..#..", "..#..", "..#..", "..#.."),
+    "Z": ("#####", "....#", "...#.", "..#..", ".#...", "#....", "#####"),
+    ".": (".....", ".....", ".....", ".....", ".....", ".##..", ".##.."),
+    "-": (".....", ".....", ".....", ".###.", ".....", ".....", "....."),
+    "+": (".....", "..#..", "..#..", "#####", "..#..", "..#..", "....."),
+    ":": (".....", ".##..", ".##..", ".....", ".##..", ".##..", "....."),
+    "_": (".....", ".....", ".....", ".....", ".....", ".....", "#####"),
+    "=": (".....", ".....", "#####", ".....", "#####", ".....", "....."),
+    " ": (".....", ".....", ".....", ".....", ".....", ".....", "....."),
+}
+
+_GLYPH_W, _GLYPH_H = 5, 7
+
+BG = (255, 255, 255)
+AXIS = (40, 40, 40)
+GRID = (222, 222, 222)
+COLOR_ALL = (158, 190, 228)  # light blue — the raw series
+COLOR_CORRECTED = (31, 119, 180)  # solid blue — corrected overlay
+COLOR_FLAGGED = (214, 39, 40)  # red X markers
+
+
+def text_width(text: str, scale: int = 1) -> int:
+    return len(text) * (_GLYPH_W + 1) * scale
+
+
+def blit_text(img, x: int, y: int, text: str, color, scale: int = 1) -> None:
+    """Draw `text` with the 5x7 font, top-left corner at (x, y).
+    Unknown characters (after uppercasing) render as blanks."""
+    h, w, _ = img.shape
+    cx = x
+    for ch in text.upper():
+        rows = _GLYPHS.get(ch)
+        if rows is not None:
+            for gy, row in enumerate(rows):
+                for gx, cell in enumerate(row):
+                    if cell != "#":
+                        continue
+                    y0, x0 = y + gy * scale, cx + gx * scale
+                    img[
+                        max(0, y0) : min(h, y0 + scale),
+                        max(0, x0) : min(w, x0 + scale),
+                    ] = color
+        cx += (_GLYPH_W + 1) * scale
+
+
+def draw_line(img, x0, y0, x1, y1, color, thickness: int = 1) -> None:
+    """Interpolated segment draw (dense enough to be gap-free at any
+    slope), with square thickness."""
+    h, w, _ = img.shape
+    n = int(max(abs(x1 - x0), abs(y1 - y0))) + 1
+    xs = np.rint(np.linspace(x0, x1, n)).astype(int)
+    ys = np.rint(np.linspace(y0, y1, n)).astype(int)
+    for dy in range(thickness):
+        for dx in range(thickness):
+            xi = np.clip(xs + dx, 0, w - 1)
+            yi = np.clip(ys + dy, 0, h - 1)
+            img[yi, xi] = color
+
+
+def draw_marker_x(img, x: int, y: int, color, r: int = 3) -> None:
+    draw_line(img, x - r, y - r, x + r, y + r, color, thickness=2)
+    draw_line(img, x - r, y + r, x + r, y - r, color, thickness=2)
+
+
+def _ticks(lo: float, hi: float, n: int = 5) -> list[float]:
+    if not np.isfinite(lo) or not np.isfinite(hi) or lo == hi:
+        lo, hi = lo - 1.0, hi + 1.0
+    return list(np.linspace(lo, hi, n))
+
+
+def render_series_page(
+    rows,
+    title: str,
+    width: int = 1000,
+    height: int = 400,
+) -> bytes:
+    """Render one figure page and return encoded PNG bytes.
+
+    `rows` is the sorted per-entity figure data the report sink loads
+    from disk: (date_str, p_before, p_after, flag) tuples — the exact
+    frame the reference's `_plot_panel` consumes. The panel: the raw
+    series in light blue, the corrected series in solid blue, a red X
+    on every flagged point, 5 y-gridlines with numeric labels, index
+    x-ticks, legend, centered title."""
+    img = np.full((height, width, 3), BG, dtype=np.uint8)
+    left, right = 70, width - 20
+    top, bottom = 40, height - 45
+
+    p_before = np.array([r[1] for r in rows], dtype=float)
+    p_after = np.array([r[2] for r in rows], dtype=float)
+    flags = np.array([int(r[3]) for r in rows])
+    both = np.concatenate([p_before, p_after])
+    both = both[np.isfinite(both)]
+    lo = float(both.min()) if both.size else 0.0
+    hi = float(both.max()) if both.size else 1.0
+    pad = (hi - lo) * 0.05 or 1.0
+    lo, hi = lo - pad, hi + pad
+
+    def sx(i: int) -> float:
+        if len(rows) <= 1:
+            return (left + right) / 2
+        return left + (right - left) * i / (len(rows) - 1)
+
+    def sy(v: float) -> float:
+        return bottom - (bottom - top) * (v - lo) / (hi - lo)
+
+    # gridlines + y tick labels (right-aligned into the left margin)
+    for tv in _ticks(lo, hi):
+        yy = int(round(sy(tv)))
+        draw_line(img, left, yy, right, yy, GRID)
+        label = f"{tv:.4g}"
+        blit_text(img, left - 6 - text_width(label), yy - 3, label, AXIS)
+    # x tick labels: index positions
+    n_xticks = min(5, len(rows)) or 1
+    for i in np.linspace(0, max(len(rows) - 1, 0), n_xticks):
+        xi = int(round(sx(int(i))))
+        draw_line(img, xi, bottom, xi, bottom + 4, AXIS)
+        label = str(int(i))
+        blit_text(img, xi - text_width(label) // 2, bottom + 8, label, AXIS)
+    # axes
+    draw_line(img, left, top, left, bottom, AXIS)
+    draw_line(img, left, bottom, right, bottom, AXIS)
+
+    # series
+    for series, color, thickness in (
+        (p_before, COLOR_ALL, 1),
+        (p_after, COLOR_CORRECTED, 2),
+    ):
+        for i in range(len(rows) - 1):
+            if np.isfinite(series[i]) and np.isfinite(series[i + 1]):
+                draw_line(
+                    img,
+                    sx(i),
+                    sy(series[i]),
+                    sx(i + 1),
+                    sy(series[i + 1]),
+                    color,
+                    thickness,
+                )
+    for i in np.nonzero(flags)[0]:
+        if np.isfinite(p_before[i]):
+            draw_marker_x(
+                img, int(round(sx(int(i)))), int(round(sy(p_before[i]))),
+                COLOR_FLAGGED,
+            )
+
+    # title + legend
+    blit_text(
+        img, (width - text_width(title, 2)) // 2, 10, title, AXIS, scale=2
+    )
+    lx, ly = right - 150, top + 6
+    for label, color in (
+        ("ALL", COLOR_ALL),
+        ("CORRECTED", COLOR_CORRECTED),
+        ("FLAGGED", COLOR_FLAGGED),
+    ):
+        if label == "FLAGGED":
+            draw_marker_x(img, lx + 10, ly + 3, color, r=3)
+        else:
+            draw_line(img, lx, ly + 3, lx + 20, ly + 3, color, thickness=2)
+        blit_text(img, lx + 26, ly, label, AXIS)
+        ly += 12
+
+    return encode_png(img.tobytes(), width, height, 3)

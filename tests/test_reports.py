@@ -197,7 +197,9 @@ def test_write_audit_report_end_to_end(spark, tmp_path):
     from trace_data_pipeline_spark.reports import write_audit_report
 
     sf = os.environ.get("TEST_SF_DIR", "/root/testdata/sf0.001")
-    manifest = write_audit_report(spark, sf, str(tmp_path / "report"))
+    manifest = write_audit_report(
+        spark, sf, str(tmp_path / "report"), figures=True
+    )
     tex = open(manifest["tex"], encoding="utf-8").read()
     for label in ("tab:screens", "tab:errors", "tab:stage1"):
         assert rf"\label{{{label}}}" in tex
@@ -223,7 +225,14 @@ def test_write_audit_report_end_to_end(spark, tmp_path):
         .count()
     )
     assert len(parts) == affected
-    assert manifest["pages"] == []  # figures=False default renders none
+    # figures=True renders one page per affected entity (in this
+    # container via the numpy rasterizer) and the .tex references each
+    assert len(manifest["pages"]) == affected > 0
+    for p in manifest["pages"]:
+        assert os.path.exists(p)
+        assert os.path.relpath(p, str(tmp_path / "report")) in tex.replace(
+            "\n", ""
+        ) or os.path.basename(p) in tex
 
 
 def test_render_figures_with_injected_backend(spark, tmp_path, monkeypatch):

@@ -156,6 +156,12 @@ def test_render_figures_numpy_fallback_produces_decodable_pages(
         w, h, ch, buf = decode_png(open(page, "rb").read())
         assert (w, h, ch) == (1000, 400, 3)
         img = np.frombuffer(bytes(buf), dtype=np.uint8).reshape(h, w, 3)
+        # search ONLY the plot area left of the legend box (which
+        # starts at x = width-170): the legend draws every series
+        # color unconditionally, so including it would satisfy these
+        # assertions even if the series themselves vanished (r11
+        # ADVICE)
+        plot = img[:, : w - 172]
         for color in (
             rasterize.COLOR_ALL,
             rasterize.COLOR_CORRECTED,
@@ -163,8 +169,9 @@ def test_render_figures_numpy_fallback_produces_decodable_pages(
             # entity has at least one flagged point by construction
             rasterize.AXIS,
         ):
-            assert (img == np.array(color)).all(axis=-1).any(), (
-                f"{os.path.basename(page)}: color {color} never drawn"
+            assert (plot == np.array(color)).all(axis=-1).any(), (
+                f"{os.path.basename(page)}: color {color} never drawn "
+                "in the plot area"
             )
 
 
@@ -186,6 +193,143 @@ def test_rasterize_text_and_degenerate_series(tmp_path):
     assert (img == np.array(rasterize.COLOR_FLAGGED)).all(axis=-1).any()
     # the title's in-charset characters drew SOMETHING in the title band
     assert (img[:30] != 255).any()
+
+
+def test_blit_text_clips_fully_offcanvas_cells():
+    """Glyph cells entirely off-canvas left/top must be skipped: the
+    pre-r12 clip produced a NEGATIVE slice stop there, which numpy
+    wraps around into a near-full-width painted band (r11 ADVICE).
+    Reachable in production via centered titles wider than the page."""
+    import numpy as np
+
+    from trace_data_pipeline_spark.reports import rasterize
+
+    img = np.full((20, 20, 3), 255, dtype=np.uint8)
+    # fully off-canvas: nothing may be painted at all
+    rasterize.blit_text(img, -40, 5, "888", (0, 0, 0), scale=2)
+    rasterize.blit_text(img, 5, -40, "888", (0, 0, 0), scale=2)
+    assert (img == 255).all()
+    # partially visible: pixels only where the glyph actually overlaps
+    rasterize.blit_text(img, -4, 2, "8", (0, 0, 0))
+    assert (img[:, 3:] == 255).all()  # right of the clipped glyph
+    assert (img != 255).any()  # but the visible sliver did draw
+
+    # end-to-end: an entity name long enough to center off-canvas must
+    # not smear a band across the title row
+    png = rasterize.render_series_page(
+        [("2024-01-01", 1.0, 1.0, 0)], title="X" * 100
+    )
+    from trace_data_pipeline_spark.datapipe.png import decode_png
+
+    w, h, _, buf = decode_png(png)
+    page = np.frombuffer(bytes(buf), dtype=np.uint8).reshape(h, w, 3)
+    band = page[10:24]
+    axis_frac = (
+        (band == np.array(rasterize.AXIS)).all(axis=-1).mean()
+    )
+    assert axis_frac < 0.5, f"title band smeared ({axis_frac:.0%} axis-color)"
+
+
+def test_xticks_render_dates():
+    """The x-axis must label ticks with %Y-%m dates from the figure
+    data (the reference's rank-spaced date axis,
+    `stage0/_error_plot_helpers.py:102-123`), not row indices. The
+    tick-label band is pinned pixel-exact against re-blitting the
+    expected date strings at the renderer's own positions."""
+    import numpy as np
+
+    from trace_data_pipeline_spark.datapipe.png import decode_png
+    from trace_data_pipeline_spark.reports import rasterize
+
+    rows = [
+        (f"2024-{m:02d}-15", 100.0 + i, 100.0 + i, 0)
+        for i, m in enumerate(range(1, 10))
+    ]
+    png = rasterize.render_series_page(rows, title="13")
+    w, h, _, buf = decode_png(png)
+    img = np.frombuffer(bytes(buf), dtype=np.uint8).reshape(h, w, 3)
+
+    left, right, bottom = 70, w - 20, h - 45
+    expected = np.full((h, w, 3), 255, dtype=np.uint8)
+    for i in np.linspace(0, len(rows) - 1, 5):
+        xi = int(round(left + (right - left) * int(i) / (len(rows) - 1)))
+        label = rows[int(i)][0][:7]
+        assert "-" in label and label.startswith("2024-")
+        rasterize.blit_text(
+            expected,
+            xi - rasterize.text_width(label) // 2,
+            bottom + 8,
+            label,
+            rasterize.AXIS,
+        )
+    band = slice(bottom + 8, bottom + 8 + 7)
+    assert (img[band] == expected[band]).all()
+    assert (img[band] != 255).any()  # the band really carries glyphs
+
+
+def test_compose_pages_grid_and_padding():
+    """compose_pages tiles panels row-major into 2-column grid pages
+    (the reference's A4 multi-panel layout), padding the final page
+    with background; mismatched panel shapes and per_page<1 raise."""
+    import numpy as np
+
+    from trace_data_pipeline_spark.reports import rasterize
+
+    panels = [
+        np.full((4, 6, 3), 10 * (i + 1), dtype=np.uint8) for i in range(5)
+    ]
+    pages = rasterize.compose_pages(panels, per_page=4)
+    assert len(pages) == 2  # ceil(5/4)
+    assert pages[0].shape == (8, 12, 3)  # 2 rows x 2 cols of 4x6
+    # row-major placement
+    assert (pages[0][:4, :6] == 10).all()
+    assert (pages[0][:4, 6:] == 20).all()
+    assert (pages[0][4:, :6] == 30).all()
+    assert (pages[0][4:, 6:] == 40).all()
+    # final page: one panel + background padding
+    assert (pages[1][:4, :6] == 50).all()
+    assert (pages[1][:4, 6:] == np.array(rasterize.BG)).all()
+    # per_page=1 degenerates to one panel per page, single column
+    ones = rasterize.compose_pages(panels, per_page=1)
+    assert len(ones) == 5 and ones[0].shape == (4, 6, 3)
+    with pytest.raises(ValueError, match="per_page"):
+        rasterize.compose_pages(panels, per_page=0)
+    with pytest.raises(ValueError, match="shape"):
+        rasterize.compose_pages(
+            [panels[0], np.zeros((2, 6, 3), dtype=np.uint8)]
+        )
+    assert rasterize.compose_pages([], per_page=4) == []
+
+
+def test_render_figures_multi_panel_pages(spark, tmp_path):
+    """per_page>1 composes entities into grid pages: page count is
+    ceil(entities / per_page), each page decodes at the grid
+    dimensions, and the panel content (flagged markers) survives the
+    composition."""
+    import numpy as np
+
+    from trace_data_pipeline_spark.datapipe.png import decode_png
+    from trace_data_pipeline_spark.plans import get_catalog
+    from trace_data_pipeline_spark.reports import rasterize, render_figures
+    from trace_data_pipeline_spark.reports.render import write_figure_data
+
+    sf = os.environ.get("TEST_SF_DIR", "/root/testdata/sf0.001")
+    frame = get_catalog()["r4_flagged_series"].builder(spark, sf)
+    fig_dir = write_figure_data(frame, str(tmp_path))
+    n_entities = frame.select("user_id").distinct().count()
+
+    per_page = 4
+    pages = render_figures(
+        fig_dir, str(tmp_path / "pages"), per_page=per_page
+    )
+    assert len(pages) == -(-n_entities // per_page) > 0
+    for page in pages:
+        w, h, ch, buf = decode_png(open(page, "rb").read())
+        assert (w, h, ch) == (2000, 800, 3)  # 2x2 grid of 1000x400
+    first = np.frombuffer(
+        bytes(decode_png(open(pages[0], "rb").read())[3]), dtype=np.uint8
+    ).reshape(800, 2000, 3)
+    assert (first == np.array(rasterize.COLOR_FLAGGED)).all(axis=-1).any()
 
 
 @pytest.mark.slow
@@ -233,6 +377,20 @@ def test_write_audit_report_end_to_end(spark, tmp_path):
         assert os.path.relpath(p, str(tmp_path / "report")) in tex.replace(
             "\n", ""
         ) or os.path.basename(p) in tex
+    # multi-panel composition (the reference's A4 grid figures): page
+    # count is ceil(entities / per_page) and the .tex references each
+    per_page = 4
+    m2 = write_audit_report(
+        spark,
+        sf,
+        str(tmp_path / "report4"),
+        figures=True,
+        figures_per_page=per_page,
+    )
+    assert len(m2["pages"]) == -(-affected // per_page)
+    tex2 = open(m2["tex"], encoding="utf-8").read()
+    for p in m2["pages"]:
+        assert os.path.exists(p) and os.path.basename(p) in tex2
 
 
 def test_render_figures_with_injected_backend(spark, tmp_path, monkeypatch):

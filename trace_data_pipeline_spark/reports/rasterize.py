@@ -101,9 +101,14 @@ def blit_text(img, x: int, y: int, text: str, color, scale: int = 1) -> None:
                     if cell != "#":
                         continue
                     y0, x0 = y + gy * scale, cx + gx * scale
+                    # clamp BOTH slice ends at 0: a cell fully off-canvas
+                    # left/top (x0 + scale <= 0) would otherwise produce a
+                    # negative stop, which Python wraps around to paint a
+                    # near-full-width band (r11 ADVICE — reachable with
+                    # centered titles longer than the canvas)
                     img[
-                        max(0, y0) : min(h, y0 + scale),
-                        max(0, x0) : min(w, x0 + scale),
+                        max(0, y0) : max(0, min(h, y0 + scale)),
+                        max(0, x0) : max(0, min(w, x0 + scale)),
                     ] = color
         cx += (_GLYPH_W + 1) * scale
 
@@ -133,20 +138,20 @@ def _ticks(lo: float, hi: float, n: int = 5) -> list[float]:
     return list(np.linspace(lo, hi, n))
 
 
-def render_series_page(
+def render_series_panel(
     rows,
     title: str,
     width: int = 1000,
     height: int = 400,
-) -> bytes:
-    """Render one figure page and return encoded PNG bytes.
+) -> np.ndarray:
+    """Render one figure panel into an (height, width, 3) uint8 buffer.
 
     `rows` is the sorted per-entity figure data the report sink loads
     from disk: (date_str, p_before, p_after, flag) tuples — the exact
     frame the reference's `_plot_panel` consumes. The panel: the raw
     series in light blue, the corrected series in solid blue, a red X
-    on every flagged point, 5 y-gridlines with numeric labels, index
-    x-ticks, legend, centered title."""
+    on every flagged point, 5 y-gridlines with numeric labels, %Y-%m
+    date x-ticks, legend, centered title."""
     img = np.full((height, width, 3), BG, dtype=np.uint8)
     left, right = 70, width - 20
     top, bottom = 40, height - 45
@@ -175,21 +180,30 @@ def render_series_page(
         draw_line(img, left, yy, right, yy, GRID)
         label = f"{tv:.4g}"
         blit_text(img, left - 6 - text_width(label), yy - 3, label, AXIS)
-    # x tick labels: index positions
+    # x tick labels: abbreviated DATES at integer rank positions — the
+    # reference's rank-spaced axis formats tick dates as %Y-%m
+    # (`stage0/_error_plot_helpers.py:102-123`); rows[i][0] already
+    # carries the ISO date string, so YYYY-MM is its first 7 chars
     n_xticks = min(5, len(rows)) or 1
     for i in np.linspace(0, max(len(rows) - 1, 0), n_xticks):
         xi = int(round(sx(int(i))))
         draw_line(img, xi, bottom, xi, bottom + 4, AXIS)
-        label = str(int(i))
+        label = str(rows[int(i)][0])[:7]
         blit_text(img, xi - text_width(label) // 2, bottom + 8, label, AXIS)
     # axes
     draw_line(img, left, top, left, bottom, AXIS)
     draw_line(img, left, bottom, right, bottom, AXIS)
 
-    # series
+    # series — the 2px corrected band first, then the 1px raw core on
+    # top: where the two coincide (the common case — corrections touch
+    # few points) BOTH stay visible (the band's border pixels frame the
+    # raw core) instead of the later line overdrawing the earlier one
+    # entirely, which on wide y-ranges erased the raw series from the
+    # plot area altogether. The reference gets the same effect from
+    # alpha blending (`_error_plot_helpers.py` plots raw at alpha=.5).
     for series, color, thickness in (
-        (p_before, COLOR_ALL, 1),
         (p_after, COLOR_CORRECTED, 2),
+        (p_before, COLOR_ALL, 1),
     ):
         for i in range(len(rows) - 1):
             if np.isfinite(series[i]) and np.isfinite(series[i + 1]):
@@ -226,4 +240,47 @@ def render_series_page(
         blit_text(img, lx + 26, ly, label, AXIS)
         ly += 12
 
+    return img
+
+
+def render_series_page(
+    rows,
+    title: str,
+    width: int = 1000,
+    height: int = 400,
+) -> bytes:
+    """Render one single-panel figure page and return PNG bytes."""
+    img = render_series_panel(rows, title, width, height)
     return encode_png(img.tobytes(), width, height, 3)
+
+
+def compose_pages(
+    panels: list[np.ndarray], per_page: int = 4, cols: int = 2
+) -> list[np.ndarray]:
+    """Tile rendered panel buffers into multi-panel page buffers — the
+    reference composes its A4 figures as a (rows x cols) grid of
+    per-CUSIP subplots, one page per `per_page` entities
+    (`stage0/_error_plot_helpers.py:281-455`). Pages fill row-major;
+    the last page pads missing cells with background. Returns
+    ceil(len(panels) / per_page) page buffers."""
+    if per_page < 1:
+        raise ValueError(f"per_page must be >= 1, got {per_page}")
+    if not panels:
+        return []
+    ph, pw, _ = panels[0].shape
+    for p in panels:
+        if p.shape != (ph, pw, 3):
+            raise ValueError(
+                f"all panels must share one shape; got {p.shape} vs "
+                f"{(ph, pw, 3)}"
+            )
+    cols = min(cols, per_page)
+    grid_rows = -(-per_page // cols)
+    pages: list[np.ndarray] = []
+    for start in range(0, len(panels), per_page):
+        page = np.full((ph * grid_rows, pw * cols, 3), BG, dtype=np.uint8)
+        for k, panel in enumerate(panels[start : start + per_page]):
+            r, c = divmod(k, cols)
+            page[r * ph : (r + 1) * ph, c * pw : (c + 1) * pw] = panel
+        pages.append(page)
+    return pages

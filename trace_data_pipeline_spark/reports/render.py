@@ -90,15 +90,24 @@ def _load_figure_data(figure_data_dir: str) -> dict:
     return series
 
 
-def render_figures(figure_data_dir: str, out_dir: str) -> list[str]:
-    """Render one PNG per entity from the on-disk figure data.
+def render_figures(
+    figure_data_dir: str, out_dir: str, per_page: int = 1
+) -> list[str]:
+    """Render PNG figure pages from the on-disk figure data.
 
-    With matplotlib installed the pages are matplotlib pages, exactly
-    as the reference renders them. Without it (this container), the
+    With the default `per_page=1`, one page per entity: matplotlib
+    pages when it is installed (the reference's own backend), else the
     built-in pure-numpy rasterizer (`reports/rasterize.py`) draws the
     same panel — raw series, corrected overlay, flagged X markers,
     axes/ticks/legend/title — and encodes it with the repo's own PNG
     codec, so the report is complete either way.
+
+    With `per_page>1`, entities tile into multi-panel grid pages the
+    way the reference composes its A4 figures (2 columns, one subplot
+    per CUSIP, `stage0/_error_plot_helpers.py:281-455`) — page count is
+    ceil(entities / per_page). Composition is the rasterizer's feature
+    (`rasterize.compose_pages`), so this mode always renders through it
+    regardless of matplotlib availability.
     """
     try:
         import matplotlib  # noqa: F401
@@ -108,6 +117,27 @@ def render_figures(figure_data_dir: str, out_dir: str) -> list[str]:
 
     pages: list[str] = []
     os.makedirs(out_dir, exist_ok=True)
+    if per_page > 1:
+        from trace_data_pipeline_spark.datapipe.png import encode_png
+        from trace_data_pipeline_spark.reports import rasterize
+
+        panels = []
+        for entity, rows in sorted(
+            _load_figure_data(figure_data_dir).items()
+        ):
+            rows.sort()
+            panels.append(
+                rasterize.render_series_panel(rows, title=str(entity))
+            )
+        for k, buf in enumerate(
+            rasterize.compose_pages(panels, per_page=per_page)
+        ):
+            page = os.path.join(out_dir, f"page_{k}.png")
+            h, w, _ = buf.shape
+            with open(page, "wb") as fh:
+                fh.write(encode_png(buf.tobytes(), w, h, 3))
+            pages.append(page)
+        return pages
     for entity, rows in sorted(_load_figure_data(figure_data_dir).items()):
         rows.sort()
         page = os.path.join(out_dir, f"series_{entity}.png")
@@ -145,6 +175,7 @@ def write_audit_report(
     *,
     date: str | None = None,
     figures: bool = False,
+    figures_per_page: int = 1,
 ) -> dict:
     """Build and write the full audit report for a scale directory.
 
@@ -154,6 +185,8 @@ def write_audit_report(
     included (matplotlib when installed, the built-in rasterizer
     otherwise); with the default `figures=False` the figure DATA is
     still on disk and the .tex references no pages.
+    `figures_per_page>1` tiles entities into grid pages the way the
+    reference composes its A4 multi-panel figures (see render_figures).
     """
     from trace_data_pipeline_spark.plans import get_catalog
     from trace_data_pipeline_spark.plans.settings import Stage0Settings
@@ -224,7 +257,11 @@ def write_audit_report(
     )
     pages: list[str] = []
     if figures:
-        pages = render_figures(fig_data, os.path.join(out_dir, "pages"))
+        pages = render_figures(
+            fig_data,
+            os.path.join(out_dir, "pages"),
+            per_page=figures_per_page,
+        )
 
     tex = latex.data_report(
         tables,

@@ -192,18 +192,13 @@ def main() -> None:
     # hypervisor windows) — the canary lets any reader normalize a
     # recorded total by machine state before calling something a
     # regression: compare value/canary_sec across rounds, not value.
+    from trace_data_pipeline_spark.canary import shuffle_canary_sec
+
     def _canary() -> float:
-        t0 = time.perf_counter()
-        (
-            spark.range(20_000_000)
-            .selectExpr("id % 997 AS k", "id * 2654435761 % 1000003 AS v")
-            .groupBy("k")
-            .agg({"v": "sum", "*": "count"})
-            .write.format("noop")
-            .mode("overwrite")
-            .save()
-        )
-        return time.perf_counter() - t0
+        # the SAME fixed job the floor-gate normalizes by
+        # (trace_data_pipeline_spark/canary.py) — shuffle + hash agg
+        # over 20M generated rows, pure JVM CPU
+        return shuffle_canary_sec(spark)
 
     # Two diagnostic canary axes (r10): the shuffle canary is pure-JVM
     # CPU and has been observed reading FASTER than its calibration
@@ -287,7 +282,9 @@ def main() -> None:
     canary_series: list[list[float]] = [[0, canary]]
     timings: dict[str, float] = {}
     first: dict[str, float] = {}
+    loop_index: dict[str, int] = {}
     for i, name in enumerate(sorted(catalog)):
+        loop_index[name] = i
         if i and i % CANARY_EVERY == 0:
             canary_series.append([i, round(_canary(), 3)])
         dt = run_once(name)
@@ -317,6 +314,21 @@ def main() -> None:
     canary_post = round(min(_canary() for _ in range(3)), 3)
     canary_series.append([len(catalog), canary_post])
 
+    # Per-segment canary normalization (r11 verdict item 2): SCALE.md
+    # teaches readers to divide a recorded number by (nearest canary /
+    # FLOORS_CANARY_SEC) before calling anything a regression — do the
+    # division here so the artifact carries calibration-box-equivalent
+    # seconds directly. Each entry normalizes by the canary sample
+    # NEAREST to it in loop order (the box state WHILE that entry ran,
+    # not a whole-run average smeared over a mid-run state shift).
+    def _nearest_canary_sec(idx: int) -> float:
+        return min(canary_series, key=lambda s: abs(s[0] - idx))[1]
+
+    queries_normalized = {
+        name: round(t * FLOORS_CANARY_SEC / _nearest_canary_sec(loop_index[name]), 3)
+        for name, t in timings.items()
+    }
+
     total = round(sum(timings.values()), 3)
     # The driver records only the LAST 2000 chars of this line when its
     # JSON parse fails (BENCH_r01..r04 all show "parsed": null), so the
@@ -330,7 +342,21 @@ def main() -> None:
     here = os.path.dirname(os.path.abspath(__file__))
     sidecar = os.path.join(here, "bench_sidecar.json")
     with open(sidecar, "w") as f:
-        json.dump({"queries_first": first, "sf": infer_sf(SF_DIR)}, f, indent=1)
+        json.dump(
+            {
+                "queries_first": first,
+                "queries_normalized": dict(
+                    sorted(
+                        queries_normalized.items(), key=lambda kv: (kv[1], kv[0])
+                    )
+                ),
+                "floors_canary_sec": FLOORS_CANARY_SEC,
+                "canary_series": canary_series,
+                "sf": infer_sf(SF_DIR),
+            },
+            f,
+            indent=1,
+        )
     # r5 verdict item 5: the driver's own parse has failed five rounds
     # running ("parsed": null), so also persist the COMPLETE per-query
     # table as an inspectable artifact — the judge reads this file even
@@ -358,6 +384,11 @@ def main() -> None:
                 },
                 "queries": ordered,
                 "queries_first": first,
+                "queries_normalized": dict(
+                    sorted(
+                        queries_normalized.items(), key=lambda kv: (kv[1], kv[0])
+                    )
+                ),
                 "value": total,
             },
             f,
@@ -376,6 +407,16 @@ def main() -> None:
                 "floors_canary_sec": FLOORS_CANARY_SEC,
                 "canary_series": canary_series,
                 "queries": ordered,
+                # normalized map second-to-last: when the driver's
+                # parse fails it records only the tail, which then
+                # still carries the slowest calibration-box-equivalent
+                # numbers plus the total
+                "queries_normalized": dict(
+                    sorted(
+                        queries_normalized.items(),
+                        key=lambda kv: (kv[1], kv[0]),
+                    )
+                ),
                 "value": total,
             }
         )

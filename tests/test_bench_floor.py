@@ -68,10 +68,30 @@ CEILINGS = {
 
 MAX_RUNS = 3
 
+# The shared shuffle canary (trace_data_pipeline_spark/canary.py)
+# measured min-of-5 under THIS gate's config (local[8], shuffle=8) on
+# the same box state that reproduced the CEILINGS' warm mins
+# (2026-08-15). The gate compares canary-NORMALIZED numbers (r11
+# verdict item 2): each measured run divides by max(1, live/calib)
+# before meeting its ceiling, so a uniformly slow hypervisor window
+# can no longer fail entries whose code is unchanged — while a real
+# 10x regression still fails every normalized attempt. The scale
+# clamps at 1.0: a faster-than-calibration box keeps the gate
+# strictly no looser than the raw comparison.
+GATE_CANARY_SEC = 0.345
+
+
+@pytest.fixture(scope="module")
+def canary_scale(spark):
+    from trace_data_pipeline_spark.canary import shuffle_canary_sec
+
+    live = min(shuffle_canary_sec(spark) for _ in range(3))
+    return max(1.0, live / GATE_CANARY_SEC)
+
 
 @pytest.mark.slow
 @pytest.mark.parametrize("name", sorted(CEILINGS))
-def test_bench_floor(spark, name):
+def test_bench_floor(spark, name, canary_scale):
     from trace_data_pipeline_spark.operators.caching import release_caches
     from trace_data_pipeline_spark.plans import get_catalog
 
@@ -84,11 +104,13 @@ def test_bench_floor(spark, name):
         builder(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         dt = time.perf_counter() - t0
         release_caches()
+        dt /= canary_scale  # calibration-box-equivalent seconds
         best = dt if best is None else min(best, dt)
         if best <= CEILINGS[name]:
             break
     assert best <= CEILINGS[name], (
-        f"{name}: best of {MAX_RUNS} runs {best:.2f}s exceeds the "
+        f"{name}: best of {MAX_RUNS} normalized runs {best:.2f}s "
+        f"(canary scale {canary_scale:.2f}) exceeds the "
         f"{CEILINGS[name]:.0f}s floor ceiling — a real perf regression "
-        "(hypervisor stalls cannot survive min-of-3)"
+        "(hypervisor stalls cannot survive min-of-3 + normalization)"
     )

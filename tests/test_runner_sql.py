@@ -208,3 +208,25 @@ def test_bench_emits_one_json_line():
     assert self_report["value"] == d["value"]
     assert set(self_report["queries_first"]) == set(d["queries"])
     assert self_report["host"]["cpus"]
+    # r11 verdict item 2: the canary-normalized per-query map must land
+    # in BOTH artifacts — every entry normalized by its nearest
+    # canary_series sample relative to FLOORS_CANARY_SEC, so readers
+    # compare calibration-box-equivalent seconds across rounds without
+    # redoing SCALE.md's division by hand
+    with open(os.path.join(repo, "bench_sidecar.json")) as f:
+        sidecar = json.load(f)
+    for art in (d, self_report, sidecar):
+        norm = art["queries_normalized"]
+        assert set(norm) == set(d["queries"])
+    series = dict(
+        (int(i), s) for i, s in self_report["host"]["canary_series"]
+    )
+    assert series, "canary series missing"
+    floors_canary = self_report["host"]["floors_canary_sec"]
+    names = sorted(d["queries"])
+    for idx, name in enumerate(names):
+        nearest = min(series.items(), key=lambda kv: abs(kv[0] - idx))[1]
+        expect = round(d["queries"][name] * floors_canary / nearest, 3)
+        assert abs(self_report["queries_normalized"][name] - expect) < 1e-9, (
+            name
+        )

@@ -327,3 +327,45 @@ def test_odd_first_coupon_zero_exchanges(spark):
     assert "Join" not in plan
     assert "SortAggregate" not in plan
     assert "ArrowEvalPython" in plan  # the solver is the only Python
+
+
+def test_error_checks_one_scan_two_kernels_one_row_combine(spark):
+    """r2 (a top-5 cost entry, r11 verdict item 4): the three flag
+    stages must share ONE pass over the trades frame — W1 reads the
+    events scan plus its broadcast anchor-side scan (the kernel runs on
+    the REDUCED anchor frame and joins back, never on the full fact),
+    while W2 and W3 consume the persisted predecessor, adding ZERO new
+    parquet scans; the only grouped-map kernels are W1's anchor kernel
+    and W2; the three 1-row per-stage aggregates combine as broadcast
+    1-row cross joins. Counted by DISTINCT node signature because every
+    InMemoryRelation re-prints its full child plan (cf. the p7 guard)
+    even though each cached subtree executes once."""
+    import re
+
+    plan = _plan(spark, "r2_error_checks")
+    # scans: exactly two distinct (full events + W1 anchor side), both
+    # of the events table — a W2/W3 recounting scan would add a third
+    scans = set(re.findall(r"FileScan parquet \[[^\]]*\]", plan))
+    assert len(scans) == 2, scans
+    locations = re.findall(r"Location: InMemoryFileIndex\(1 paths\)\[[^\]]*", plan)
+    assert locations and all("events.parquet" in loc for loc in locations)
+    # kernels: exactly two distinct grouped-map UDFs (W1 anchor, W2) —
+    # dedup by the kernel expression id
+    kernels = set(
+        re.findall(r"FlatMapGroupsInPandas \[[^\]]*\], kernel\([^)]*\)#\d+", plan)
+    )
+    assert len(kernels) == 2, kernels
+    # the per-stage 1-row aggregates combine as broadcast cross joins
+    assert plan.count("BroadcastNestedLoopJoin BuildRight, Cross") == 2
+    # the W1 anchor join-back is the single distinct hash join
+    bhj = {
+        ln[ln.index("BroadcastHashJoin") :]
+        for ln in plan.splitlines()
+        if "BroadcastHashJoin" in ln
+    }
+    assert len(bhj) == 1, bhj
+    # the diamond persists really are reused (cached consumers present)
+    assert "InMemoryTableScan" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortAggregate" not in plan

@@ -619,3 +619,66 @@ def test_a1s_panel_invariant_to_drop_granularity(spark, n_drops, monkeypatch):
     assert sorted(map(tuple, got), key=lambda t: (t[0], t[1])) == sorted(
         map(tuple, want), key=lambda t: (t[0], t[1])
     )
+
+
+def test_a1s_replay_memo_locked_and_fingerprint_keyed(tmp_path, monkeypatch):
+    """The replay memo's miss path is double-checked under a lock —
+    concurrent builders pay the ~multi-second replay ONCE — and the key
+    folds in a content fingerprint of the input events table, so a
+    REWRITTEN sf_dir within one session re-replays instead of serving
+    the previous contents' emissions (r11 ADVICE)."""
+    import threading
+    import time
+
+    import trace_data_pipeline_spark.plans.streaming_parity as sp
+
+    calls: list[str] = []
+
+    def fake_run(spark, sf_dir):
+        calls.append(sf_dir)
+        time.sleep(0.3)  # wide miss window: unlocked code runs it 4x
+        d = tmp_path / f"upd{len(calls)}"
+        d.mkdir()
+        return str(d)
+
+    monkeypatch.setattr(sp, "_run_replay", fake_run)
+
+    class _SC:
+        applicationId = "app-memo-test"
+
+    class _Read:
+        @staticmethod
+        def parquet(p):
+            return ("frame", p)
+
+    class _Spark:
+        sparkContext = _SC()
+        read = _Read()
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    (sf / "events.parquet").write_bytes(b"x" * 10)
+
+    sp._REPLAY_CACHE.clear()
+    fake_spark = _Spark()
+    results: list = []
+    threads = [
+        threading.Thread(
+            target=lambda: results.append(
+                sp.replay_daily_panel(fake_spark, str(sf))
+            )
+        )
+        for _ in range(4)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(calls) == 1, f"concurrent misses ran the replay {len(calls)}x"
+    assert len({r[1] for r in results}) == 1  # everyone read one staging dir
+
+    # same session, same path, REWRITTEN input -> fingerprint miss
+    (sf / "events.parquet").write_bytes(b"y" * 11)
+    sp.replay_daily_panel(fake_spark, str(sf))
+    assert len(calls) == 2, "rewritten input served stale emissions"
+    sp._REPLAY_CACHE.clear()

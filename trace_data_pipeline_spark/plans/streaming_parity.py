@@ -47,6 +47,7 @@ import atexit
 import os
 import shutil
 import tempfile
+import threading
 
 from pyspark.sql import functions as F
 
@@ -74,7 +75,8 @@ N_DROPS = 4
 # this to its cluster width instead — see _run_replay.
 STATE_PARTITIONS = 2
 
-# (applicationId, abs sf_dir) -> staging parquet dir of emissions.
+# (applicationId, abs sf_dir, input fingerprint) -> staging parquet
+# dir of emissions.
 # The replay is deterministic for a given input dir (chronological
 # drops, processAllAvailable barrier), so one run per Spark app is the
 # whole truth — re-running it for every register_views/queries() call
@@ -85,8 +87,12 @@ STATE_PARTITIONS = 2
 # turn the a1s floor into a scan benchmark. Staging dirs stay on disk
 # until atexit (a frame built before the boundary keeps reading its
 # dir safely; a rebuild gets a fresh dir).
-_REPLAY_CACHE: dict[tuple[str, str], str] = {}
+_REPLAY_CACHE: dict[tuple, str] = {}
 _REPLAY_BASES: list[str] = []
+# Serializes the miss path (r11 ADVICE): two threads building a1s
+# concurrently — or one building while release_caches() clears the
+# memo — must not both miss and pay the multi-second replay twice.
+_REPLAY_LOCK = threading.Lock()
 
 from trace_data_pipeline_spark.operators.caching import (  # noqa: E402
     register_release_hook,
@@ -223,17 +229,44 @@ def _run_replay(spark, sf_dir: str) -> str:
     return upd
 
 
+def _input_fingerprint(sf_dir: str) -> tuple:
+    """Cheap content fingerprint of the replay's input (the events
+    table): file count + max mtime + total bytes. Folded into the memo
+    key so a REWRITTEN sf_dir within one session misses instead of
+    serving the previous contents' emissions (r11 ADVICE)."""
+    path = os.path.join(os.path.abspath(sf_dir), "events.parquet")
+    n, mx, size = 0, 0.0, 0
+    if os.path.isdir(path):
+        for root, _, files in os.walk(path):
+            for fn in files:
+                st = os.stat(os.path.join(root, fn))
+                n, mx, size = n + 1, max(mx, st.st_mtime), size + st.st_size
+    elif os.path.exists(path):
+        st = os.stat(path)
+        n, mx, size = 1, st.st_mtime, st.st_size
+    return (n, mx, size)
+
+
 def replay_daily_panel(spark, sf_dir):
     """Return the raw EMISSIONS frame (one row per (window, user)
     update per micro-batch, stamped with `__batch`), running the replay
-    at most once per (application, sf_dir). The catalog builder reduces
-    this to the final panel; tests read the stamps to prove the replay
-    really produced N_DROPS cross-merging micro-batches."""
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    at most once per (application, sf_dir, input fingerprint). The
+    catalog builder reduces this to the final panel; tests read the
+    stamps to prove the replay really produced N_DROPS cross-merging
+    micro-batches. The miss path is double-checked under a module lock
+    so concurrent builders pay the replay once."""
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        _input_fingerprint(sf_dir),
+    )
     upd = _REPLAY_CACHE.get(key)
     if upd is None or not os.path.isdir(upd):
-        upd = _run_replay(spark, sf_dir)
-        _REPLAY_CACHE[key] = upd
+        with _REPLAY_LOCK:
+            upd = _REPLAY_CACHE.get(key)
+            if upd is None or not os.path.isdir(upd):
+                upd = _run_replay(spark, sf_dir)
+                _REPLAY_CACHE[key] = upd
     return spark.read.parquet(upd)
 
 

@@ -255,9 +255,10 @@ def test_xticks_render_dates():
         xi = int(round(left + (right - left) * int(i) / (len(rows) - 1)))
         label = rows[int(i)][0][:7]
         assert "-" in label and label.startswith("2024-")
+        tw = rasterize.text_width(label)
         rasterize.blit_text(
             expected,
-            xi - rasterize.text_width(label) // 2,
+            max(0, min(xi - tw // 2, w - tw)),  # renderer's edge clamp
             bottom + 8,
             label,
             rasterize.AXIS,

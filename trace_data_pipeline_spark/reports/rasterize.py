@@ -189,7 +189,11 @@ def render_series_panel(
         xi = int(round(sx(int(i))))
         draw_line(img, xi, bottom, xi, bottom + 4, AXIS)
         label = str(rows[int(i)][0])[:7]
-        blit_text(img, xi - text_width(label) // 2, bottom + 8, label, AXIS)
+        # center on the tick, but keep the whole label on-canvas (the
+        # rightmost tick sits at width-20; an unclamped centered label
+        # would lose its last glyph column)
+        lx = max(0, min(xi - text_width(label) // 2, width - text_width(label)))
+        blit_text(img, lx, bottom + 8, label, AXIS)
     # axes
     draw_line(img, left, top, left, bottom, AXIS)
     draw_line(img, left, bottom, right, bottom, AXIS)

@@ -156,12 +156,14 @@ def test_render_figures_numpy_fallback_produces_decodable_pages(
         w, h, ch, buf = decode_png(open(page, "rb").read())
         assert (w, h, ch) == (1000, 400, 3)
         img = np.frombuffer(bytes(buf), dtype=np.uint8).reshape(h, w, 3)
-        # search ONLY the plot area left of the legend box (which
-        # starts at x = width-170): the legend draws every series
-        # color unconditionally, so including it would satisfy these
-        # assertions even if the series themselves vanished (r11
-        # ADVICE)
-        plot = img[:, : w - 172]
+        # blank the legend RECTANGLE before searching: the legend draws
+        # every series color unconditionally, so including it would
+        # satisfy these assertions even if the series themselves
+        # vanished (r11 ADVICE). A rectangle, not whole columns — real
+        # flagged points near the series' right edge share the legend's
+        # x-range (sf0.01 entities 6/11/73/88) and must keep counting.
+        plot = img.copy()
+        plot[38:90, w - 180 :] = 255  # legend keys+labels live here
         for color in (
             rasterize.COLOR_ALL,
             rasterize.COLOR_CORRECTED,

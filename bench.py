@@ -315,17 +315,27 @@ def main() -> None:
     canary_series.append([len(catalog), canary_post])
 
     # Per-segment canary normalization (r11 verdict item 2): SCALE.md
-    # teaches readers to divide a recorded number by (nearest canary /
+    # teaches readers to divide a recorded number by (segment canary /
     # FLOORS_CANARY_SEC) before calling anything a regression — do the
     # division here so the artifact carries calibration-box-equivalent
-    # seconds directly. Each entry normalizes by the canary sample
-    # NEAREST to it in loop order (the box state WHILE that entry ran,
-    # not a whole-run average smeared over a mid-run state shift).
-    def _nearest_canary_sec(idx: int) -> float:
-        return min(canary_series, key=lambda s: abs(s[0] - idx))[1]
+    # seconds directly. The divisor is the MIN of the two samples
+    # bracketing the entry in loop order: entry timings are min-of-
+    # retries (stall-rejected), so the divisor must be stall-rejected
+    # too — a single stalled single-shot sample would otherwise
+    # understate its whole ~20-entry segment and mask real regressions
+    # there (round-12 review). Min-of-bracket rejects one stalled
+    # sample; the series endpoints are min-of-3 already.
+    def _segment_canary_sec(idx: int) -> float:
+        prev = max(
+            (s for s in canary_series if s[0] <= idx), key=lambda s: s[0]
+        )[1]
+        nxt = min(
+            (s for s in canary_series if s[0] > idx), key=lambda s: s[0]
+        )[1]
+        return min(prev, nxt)
 
     queries_normalized = {
-        name: round(t * FLOORS_CANARY_SEC / _nearest_canary_sec(loop_index[name]), 3)
+        name: round(t * FLOORS_CANARY_SEC / _segment_canary_sec(loop_index[name]), 3)
         for name, t in timings.items()
     }
 

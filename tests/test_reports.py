@@ -162,8 +162,11 @@ def test_render_figures_numpy_fallback_produces_decodable_pages(
         # vanished (r11 ADVICE). A rectangle, not whole columns — real
         # flagged points near the series' right edge share the legend's
         # x-range (sf0.01 entities 6/11/73/88) and must keep counting.
+        # The box comes from the renderer itself so a moved legend
+        # can't silently re-open the vacuous-pass hole.
+        y0, y1, x0, x1 = rasterize.legend_bbox(w, h)
         plot = img.copy()
-        plot[38:90, w - 180 :] = 255  # legend keys+labels live here
+        plot[y0:y1, x0:x1] = 255
         for color in (
             rasterize.COLOR_ALL,
             rasterize.COLOR_CORRECTED,
@@ -195,6 +198,10 @@ def test_rasterize_text_and_degenerate_series(tmp_path):
     assert (img == np.array(rasterize.COLOR_FLAGGED)).all(axis=-1).any()
     # the title's in-charset characters drew SOMETHING in the title band
     assert (img[:30] != 255).any()
+    # zero rows renders an empty panel (axes + legend, no ticks), not a
+    # crash — the date-label lookup must not index into an empty list
+    w0, h0, _, _ = decode_png(rasterize.render_series_page([], title="e"))
+    assert (w0, h0) == (1000, 400)
 
 
 def test_blit_text_clips_fully_offcanvas_cells():

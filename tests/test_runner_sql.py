@@ -218,15 +218,20 @@ def test_bench_emits_one_json_line():
     for art in (d, self_report, sidecar):
         norm = art["queries_normalized"]
         assert set(norm) == set(d["queries"])
-    series = dict(
+    series = [
         (int(i), s) for i, s in self_report["host"]["canary_series"]
-    )
+    ]
     assert series, "canary series missing"
     floors_canary = self_report["host"]["floors_canary_sec"]
     names = sorted(d["queries"])
     for idx, name in enumerate(names):
-        nearest = min(series.items(), key=lambda kv: abs(kv[0] - idx))[1]
-        expect = round(d["queries"][name] * floors_canary / nearest, 3)
+        # min of the two bracketing samples — the stall-rejected
+        # divisor bench.py documents
+        prev = max((s for s in series if s[0] <= idx), key=lambda s: s[0])[1]
+        nxt = min((s for s in series if s[0] > idx), key=lambda s: s[0])[1]
+        expect = round(
+            d["queries"][name] * floors_canary / min(prev, nxt), 3
+        )
         assert abs(self_report["queries_normalized"][name] - expect) < 1e-9, (
             name
         )

@@ -98,7 +98,16 @@ from trace_data_pipeline_spark.operators.caching import (  # noqa: E402
     register_release_hook,
 )
 
-register_release_hook(_REPLAY_CACHE.clear)
+def _clear_replay_cache() -> None:
+    # under the lock: a replay in flight at the query boundary would
+    # otherwise re-insert its memo entry AFTER the clear, quietly
+    # surviving the boundary (round-12 review) — serialized with the
+    # miss path, the clear lands strictly before or after a build
+    with _REPLAY_LOCK:
+        _REPLAY_CACHE.clear()
+
+
+register_release_hook(_clear_replay_cache)
 
 
 @atexit.register
@@ -230,21 +239,29 @@ def _run_replay(spark, sf_dir: str) -> str:
 
 
 def _input_fingerprint(sf_dir: str) -> tuple:
-    """Cheap content fingerprint of the replay's input (the events
-    table): file count + max mtime + total bytes. Folded into the memo
-    key so a REWRITTEN sf_dir within one session misses instead of
-    serving the previous contents' emissions (r11 ADVICE)."""
+    """Stat fingerprint of the replay's input (the events table): the
+    sorted per-file (relative name, size, mtime_ns) tuples. Folded into
+    the memo key so a REWRITTEN sf_dir within one session misses
+    instead of serving the previous contents' emissions (r11 ADVICE).
+    Per-file rather than aggregated (count + max mtime + total bytes):
+    aggregates collide on renames and on swaps that conserve totals
+    (round-12 review). The make-style limit remains: a rewrite that
+    preserves every name, size AND mtime (cp -p of equal-length
+    content) is indistinguishable without hashing bytes."""
     path = os.path.join(os.path.abspath(sf_dir), "events.parquet")
-    n, mx, size = 0, 0.0, 0
+    stats = []
     if os.path.isdir(path):
         for root, _, files in os.walk(path):
             for fn in files:
-                st = os.stat(os.path.join(root, fn))
-                n, mx, size = n + 1, max(mx, st.st_mtime), size + st.st_size
+                p = os.path.join(root, fn)
+                st = os.stat(p)
+                stats.append(
+                    (os.path.relpath(p, path), st.st_size, st.st_mtime_ns)
+                )
     elif os.path.exists(path):
         st = os.stat(path)
-        n, mx, size = 1, st.st_mtime, st.st_size
-    return (n, mx, size)
+        stats.append((os.path.basename(path), st.st_size, st.st_mtime_ns))
+    return tuple(sorted(stats))
 
 
 def replay_daily_panel(spark, sf_dir):

@@ -138,6 +138,28 @@ def _ticks(lo: float, hi: float, n: int = 5) -> list[float]:
     return list(np.linspace(lo, hi, n))
 
 
+def _legend_origin(width: int, height: int) -> tuple[int, int]:
+    """Top-left of the legend's first key line (inside the plot's
+    top-right corner)."""
+    right, top = width - 20, 40
+    return right - 150, top + 6
+
+
+def legend_bbox(width: int, height: int) -> tuple[int, int, int, int]:
+    """(y0, y1, x0, x1) rectangle covering everything the legend draws
+    (keys, markers, labels) with a small pad. ONE source of truth with
+    the renderer: tests that must ignore the legend's unconditional
+    series-color pixels blank exactly this region instead of
+    hardcoding the geometry (round-12 review)."""
+    lx, ly = _legend_origin(width, height)
+    return (
+        ly - 4,
+        ly + 2 * 12 + _GLYPH_H + 4,  # 3 entries at 12px pitch
+        lx - 4,
+        lx + 26 + text_width("CORRECTED") + 4,  # widest label
+    )
+
+
 def render_series_panel(
     rows,
     title: str,
@@ -184,8 +206,7 @@ def render_series_panel(
     # reference's rank-spaced axis formats tick dates as %Y-%m
     # (`stage0/_error_plot_helpers.py:102-123`); rows[i][0] already
     # carries the ISO date string, so YYYY-MM is its first 7 chars
-    n_xticks = min(5, len(rows)) or 1
-    for i in np.linspace(0, max(len(rows) - 1, 0), n_xticks):
+    for i in np.linspace(0, len(rows) - 1, min(5, len(rows))):
         xi = int(round(sx(int(i))))
         draw_line(img, xi, bottom, xi, bottom + 4, AXIS)
         label = str(rows[int(i)][0])[:7]
@@ -231,7 +252,7 @@ def render_series_panel(
     blit_text(
         img, (width - text_width(title, 2)) // 2, 10, title, AXIS, scale=2
     )
-    lx, ly = right - 150, top + 6
+    lx, ly = _legend_origin(width, height)
     for label, color in (
         ("ALL", COLOR_ALL),
         ("CORRECTED", COLOR_CORRECTED),

@@ -109,35 +109,39 @@ def render_figures(
     (`rasterize.compose_pages`), so this mode always renders through it
     regardless of matplotlib availability.
     """
-    try:
-        import matplotlib  # noqa: F401
-        import matplotlib.pyplot as plt
-    except ImportError:
-        plt = None
-
     pages: list[str] = []
     os.makedirs(out_dir, exist_ok=True)
     if per_page > 1:
         from trace_data_pipeline_spark.datapipe.png import encode_png
         from trace_data_pipeline_spark.reports import rasterize
 
-        panels = []
-        for entity, rows in sorted(
-            _load_figure_data(figure_data_dir).items()
-        ):
-            rows.sort()
-            panels.append(
-                rasterize.render_series_panel(rows, title=str(entity))
-            )
-        for k, buf in enumerate(
-            rasterize.compose_pages(panels, per_page=per_page)
-        ):
-            page = os.path.join(out_dir, f"page_{k}.png")
+        # compose one page group at a time: only per_page panels are
+        # ever alive (a thousands-of-entities report would otherwise
+        # hold every ~1.2 MB panel buffer before the first page writes)
+        entities = sorted(_load_figure_data(figure_data_dir).items())
+        for k in range(0, len(entities), per_page):
+            panels = []
+            for entity, rows in entities[k : k + per_page]:
+                rows.sort()
+                panels.append(
+                    rasterize.render_series_panel(rows, title=str(entity))
+                )
+            [buf] = rasterize.compose_pages(panels, per_page=per_page)
+            page = os.path.join(out_dir, f"page_{k // per_page}.png")
             h, w, _ = buf.shape
             with open(page, "wb") as fh:
                 fh.write(encode_png(buf.tobytes(), w, h, 3))
             pages.append(page)
         return pages
+    try:
+        # only the one-panel-per-entity path uses matplotlib; importing
+        # it above the per_page branch would pay backend setup for
+        # nothing
+        import matplotlib  # noqa: F401
+        import matplotlib.pyplot as plt
+    except ImportError:
+        plt = None
+
     for entity, rows in sorted(_load_figure_data(figure_data_dir).items()):
         rows.sort()
         page = os.path.join(out_dir, f"series_{entity}.png")

@@ -462,3 +462,55 @@ def test_render_figures_with_injected_backend(spark, tmp_path, monkeypatch):
     assert drawn.count(("plot", "All")) == n_entities
     assert drawn.count(("plot", "Corrected")) == n_entities
     assert drawn.count(("scatter", "Flagged")) == n_entities
+
+
+@pytest.mark.slow
+def test_audit_report_all_three_panel_types(spark, tmp_path):
+    """figure_error_types exports the reference's other two panel
+    types (`make_panel(error_type='bounce_back'|'init_price')`,
+    suffixed like its '_bb'/'_ie' filenames): one decodable page per
+    affected entity per type, flag counts agreeing with the r2 audit
+    chain the frames reuse, every page referenced by the .tex, and the
+    default decimal-shift locations untouched."""
+    import numpy as np
+
+    from trace_data_pipeline_spark.datapipe.png import decode_png
+    from trace_data_pipeline_spark.plans.errorcorrection import (
+        flagged_series_frames,
+    )
+    from trace_data_pipeline_spark.reports import rasterize, write_audit_report
+
+    sf = os.environ.get("TEST_SF_DIR", "/root/testdata/sf0.001")
+    with pytest.raises(ValueError, match="unknown figure error types"):
+        write_audit_report(
+            spark, sf, str(tmp_path / "x"), figure_error_types=("nope",)
+        )
+    m = write_audit_report(
+        spark,
+        sf,
+        str(tmp_path / "report"),
+        figures=True,
+        figure_error_types=("decimal_shift", "bounce_back", "init_price"),
+    )
+    tex = open(m["tex"], encoding="utf-8").read()
+    frames = flagged_series_frames(spark, sf, ("bounce_back", "init_price"))
+    for t, sfx in (("bounce_back", "bb"), ("init_price", "ie")):
+        n_entities = frames[t].select("user_id").distinct().count()
+        t_pages = m[f"pages_{sfx}"]
+        assert len(t_pages) == n_entities > 0
+        assert os.path.isdir(m[f"figure_data_{sfx}"])
+        for p in t_pages:
+            assert os.path.basename(p) in tex
+        w, h, ch, buf = decode_png(open(t_pages[0], "rb").read())
+        assert (w, h, ch) == (1000, 400, 3)
+        img = np.frombuffer(bytes(buf), dtype=np.uint8).reshape(h, w, 3)
+        y0, y1, x0, x1 = rasterize.legend_bbox(w, h)
+        plot = img.copy()
+        plot[y0:y1, x0:x1] = 255
+        # flagged markers really drew (every exported entity flags)
+        assert (
+            (plot == np.array(rasterize.COLOR_FLAGGED)).all(axis=-1).any()
+        )
+    # the default decimal-shift surface is unchanged by the extra types
+    assert m["figure_data"].endswith("figure_data")
+    assert m["pages"] and all("pages_" not in p for p in m["pages"])

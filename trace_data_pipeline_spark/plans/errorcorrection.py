@@ -647,3 +647,90 @@ def r4_flagged_series(spark, sf_dir):
             F.col("dec_shift_flag").cast("int").alias("dec_shift_flag"),
         )
     )
+
+
+def flagged_series_frames(
+    spark, sf_dir, error_types=("decimal_shift",)
+):
+    """Per-error-type flagged price series for the report sink's figure
+    pages — the reference's `make_panel` renders panels for THREE error
+    types with suffixed filenames ('_ds', '_bb', '_ie';
+    `stage0/_error_plot_helpers.py:281-455`):
+
+    - 'decimal_shift': the oracle-backed r4 frame (original +
+      suggested price, dec_shift_flag);
+    - 'bounce_back': W2 in flag mode over W1's survivors (the r2 chain
+      order), flag = filtered_error; bounce-back REMOVES rather than
+      corrects, so p_after == p_before, exactly as the reference plots
+      `rptd_pr` with markers on `filtered_error`;
+    - 'init_price': W3 in flag mode over W2's survivors, flag =
+      initial_error.
+
+    Each frame keeps affected entities only (flag-holders semi-join,
+    broadcast build side — collision-sized by construction) with the
+    uniform schema (event_id, user_id, d, p_before, p_after, flag).
+    Report-layer frames, deliberately NOT catalog entries: r4 is the
+    oracle-backed representative; these reuse its proven flag-mode
+    operators on the proven r2 chain order."""
+    from trace_data_pipeline_spark.operators.windows import (
+        initial_price_error_filter,
+    )
+
+    def _affected_only(frame, flag_col):
+        affected = (
+            frame.filter(F.col(flag_col) == 1).select("user_id").distinct()
+        )
+        return frame.join(F.broadcast(affected), "user_id", "left_semi").select(
+            "event_id",
+            "user_id",
+            F.date_format("d", "yyyy-MM-dd").alias("d"),
+            F.col("p").alias("p_before"),
+            F.col("p_after"),
+            F.col(flag_col).cast("int").alias("flag"),
+        )
+
+    out = {}
+    need_chain = {"bounce_back", "init_price"} & set(error_types)
+    if "decimal_shift" in error_types:
+        out["decimal_shift"] = r4_flagged_series(spark, sf_dir).select(
+            "event_id",
+            "user_id",
+            "d",
+            "p_before",
+            F.col("p_after"),
+            F.col("dec_shift_flag").alias("flag"),
+        )
+    if need_chain:
+        f1 = decimal_shift_corrector(
+            _corrupted_events(spark, sf_dir),
+            id_col="user_id",
+            date_col="d",
+            price_col="p",
+            order_cols=("ts", "event_id"),
+            mode="flag",
+        )
+        s1 = f1.filter(F.col("dec_shift_flag") == 0)
+        f2 = bounce_back_filter(
+            s1.select("user_id", "d", "ts", "event_id", "p"),
+            id_col="user_id",
+            price_col="p",
+            order_cols=("ts", "event_id"),
+            mode="flag",
+        )
+        if "bounce_back" in error_types:
+            out["bounce_back"] = _affected_only(
+                f2.withColumn("p_after", F.col("p")), "filtered_error"
+            )
+        if "init_price" in error_types:
+            s2 = f2.filter(F.col("filtered_error") == 0)
+            f3 = initial_price_error_filter(
+                s2,
+                "p",
+                ["user_id"],
+                ["ts", "event_id"],
+                mode="flag",
+            )
+            out["init_price"] = _affected_only(
+                f3.withColumn("p_after", F.col("p")), "initial_error"
+            )
+    return {t: out[t] for t in error_types}

@@ -50,15 +50,30 @@ def collect_report_rows(df: DataFrame, limit: int = MAX_REPORT_ROWS):
 
 
 def write_figure_data(
-    flagged_series: DataFrame, out_dir: str, entity_col: str = "user_id"
+    flagged_series: DataFrame,
+    out_dir: str,
+    entity_col: str = "user_id",
+    flag_col: str = "dec_shift_flag",
+    name: str = "figure_data",
 ) -> str:
-    """Write the per-entity flagged price series (the
-    `r4_flagged_series` frame) as csv partitioned by entity — the data
+    """Write a per-entity flagged price series (the `r4_flagged_series`
+    frame, or a `flagged_series_frames` sibling for the bounce-back /
+    init-price panel types) as csv partitioned by entity — the data
     behind the reference's per-CUSIP pages, written by Spark's own
-    writer (distributed, never collected)."""
-    path = os.path.join(out_dir, "figure_data")
+    writer (distributed, never collected). The on-disk flag column is
+    standardized to `flag` so one loader serves every panel type."""
+    from pyspark.sql import functions as F
+
+    path = os.path.join(out_dir, name)
     (
-        flagged_series.repartition(entity_col)
+        flagged_series.select(
+            entity_col,
+            "d",
+            "p_before",
+            "p_after",
+            F.col(flag_col).alias("flag"),
+        )
+        .repartition(entity_col)
         .write.mode("overwrite")
         .partitionBy(entity_col)
         .option("header", True)
@@ -84,7 +99,7 @@ def _load_figure_data(figure_data_dir: str) -> dict:
                         rec["d"],
                         float(rec["p_before"]),
                         float(rec["p_after"]),
-                        int(rec["dec_shift_flag"]),
+                        int(rec["flag"]),
                     )
                 )
     return series
@@ -180,6 +195,7 @@ def write_audit_report(
     date: str | None = None,
     figures: bool = False,
     figures_per_page: int = 1,
+    figure_error_types: tuple = ("decimal_shift",),
 ) -> dict:
     """Build and write the full audit report for a scale directory.
 
@@ -191,9 +207,21 @@ def write_audit_report(
     still on disk and the .tex references no pages.
     `figures_per_page>1` tiles entities into grid pages the way the
     reference composes its A4 multi-panel figures (see render_figures).
+    `figure_error_types` selects which of the reference's three panel
+    types export ('decimal_shift' default; add 'bounce_back' /
+    'init_price' for the reference's `make_panel(error_type=...)`
+    variants, suffixed '_bb' / '_ie' like its filenames —
+    `stage0/_error_plot_helpers.py:281-455`). The decimal-shift type
+    keeps the unsuffixed `figure_data`/`pages` locations and manifest
+    keys; extras land in `figure_data_{bb,ie}` / `pages_{bb,ie}`.
     """
     from trace_data_pipeline_spark.plans import get_catalog
     from trace_data_pipeline_spark.plans.settings import Stage0Settings
+
+    suffix = {"decimal_shift": "ds", "bounce_back": "bb", "init_price": "ie"}
+    unknown = set(figure_error_types) - set(suffix)
+    if unknown:  # fail before any distributed work
+        raise ValueError(f"unknown figure error types: {sorted(unknown)}")
 
     catalog = get_catalog()
     os.makedirs(out_dir, exist_ok=True)
@@ -256,20 +284,49 @@ def write_audit_report(
         ),
     ]
 
+    extra_types = tuple(
+        t for t in figure_error_types if t != "decimal_shift"
+    )
+    manifest: dict = {}
+
     fig_data = write_figure_data(
         catalog["r4_flagged_series"].builder(spark, sf_dir), out_dir
     )
     pages: list[str] = []
-    if figures:
+    if figures and "decimal_shift" in figure_error_types:
         pages = render_figures(
             fig_data,
             os.path.join(out_dir, "pages"),
             per_page=figures_per_page,
         )
+    all_pages = list(pages)
+    if extra_types:
+        from trace_data_pipeline_spark.plans.errorcorrection import (
+            flagged_series_frames,
+        )
+
+        frames = flagged_series_frames(spark, sf_dir, extra_types)
+        for t in extra_types:
+            sfx = suffix[t]
+            data_dir = write_figure_data(
+                frames[t],
+                out_dir,
+                flag_col="flag",
+                name=f"figure_data_{sfx}",
+            )
+            manifest[f"figure_data_{sfx}"] = data_dir
+            if figures:
+                t_pages = render_figures(
+                    data_dir,
+                    os.path.join(out_dir, f"pages_{sfx}"),
+                    per_page=figures_per_page,
+                )
+                manifest[f"pages_{sfx}"] = t_pages
+                all_pages.extend(t_pages)
 
     tex = latex.data_report(
         tables,
-        [os.path.relpath(p, out_dir) for p in pages],
+        [os.path.relpath(p, out_dir) for p in all_pages],
         abstract=(
             "Per-stage removal accounting for the cleaning pipeline, "
             "rendered from the engine's oracle-checked audit frames; "
@@ -281,4 +338,7 @@ def write_audit_report(
     tex_path = os.path.join(out_dir, "data_report.tex")
     with open(tex_path, "w", encoding="utf-8") as fh:
         fh.write(tex)
-    return {"tex": tex_path, "figure_data": fig_data, "pages": pages}
+    manifest.update(
+        {"tex": tex_path, "figure_data": fig_data, "pages": pages}
+    )
+    return manifest

@@ -671,7 +671,12 @@ def flagged_series_frames(
     uniform schema (event_id, user_id, d, p_before, p_after, flag).
     Report-layer frames, deliberately NOT catalog entries: r4 is the
     oracle-backed representative; these reuse its proven flag-mode
-    operators on the proven r2 chain order."""
+    operators on the proven r2 chain order. The kernel frames are
+    tracked-persisted for the same diamond reason r2 caches its f1/f2:
+    each feeds both its affected-set filter and the semi-join's probe
+    side (and f2 additionally the init_price stage), so without the
+    cache the grouped-map kernels would run once per consumer."""
+    from trace_data_pipeline_spark.operators.caching import tracked_persist
     from trace_data_pipeline_spark.operators.windows import (
         initial_price_error_filter,
     )
@@ -710,12 +715,14 @@ def flagged_series_frames(
             mode="flag",
         )
         s1 = f1.filter(F.col("dec_shift_flag") == 0)
-        f2 = bounce_back_filter(
-            s1.select("user_id", "d", "ts", "event_id", "p"),
-            id_col="user_id",
-            price_col="p",
-            order_cols=("ts", "event_id"),
-            mode="flag",
+        f2 = tracked_persist(
+            bounce_back_filter(
+                s1.select("user_id", "d", "ts", "event_id", "p"),
+                id_col="user_id",
+                price_col="p",
+                order_cols=("ts", "event_id"),
+                mode="flag",
+            )
         )
         if "bounce_back" in error_types:
             out["bounce_back"] = _affected_only(
@@ -723,12 +730,14 @@ def flagged_series_frames(
             )
         if "init_price" in error_types:
             s2 = f2.filter(F.col("filtered_error") == 0)
-            f3 = initial_price_error_filter(
-                s2,
-                "p",
-                ["user_id"],
-                ["ts", "event_id"],
-                mode="flag",
+            f3 = tracked_persist(
+                initial_price_error_filter(
+                    s2,
+                    "p",
+                    ["user_id"],
+                    ["ts", "event_id"],
+                    mode="flag",
+                )
             )
             out["init_price"] = _affected_only(
                 f3.withColumn("p_after", F.col("p")), "initial_error"

@@ -31,6 +31,50 @@ def test_runner_csv_roundtrip(spark, tmp_path):
     assert df.count() > 0
 
 
+def test_runner_report_stage_passes_figure_options(spark, tmp_path):
+    """The CLI's report stage forwards the figure options: multi-type
+    multi-panel rendering yields ceil(entities/per_page) pages per
+    panel type, surfaced as n_pages in the audit line."""
+    import os
+
+    from trace_data_pipeline_spark.plans import get_catalog
+    from trace_data_pipeline_spark.plans.errorcorrection import (
+        flagged_series_frames,
+    )
+
+    out = str(tmp_path / "rep")
+    [r] = run_stage(
+        spark,
+        "report",
+        TEST_SF_DIR,
+        out,
+        "parquet",
+        report_opts={
+            "figures": True,
+            "figures_per_page": 4,
+            "figure_error_types": ("decimal_shift", "bounce_back"),
+        },
+    )
+    json.dumps(r)
+    n_ds = (
+        get_catalog()["r4_flagged_series"]
+        .builder(spark, TEST_SF_DIR)
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    n_bb = (
+        flagged_series_frames(spark, TEST_SF_DIR, ("bounce_back",))[
+            "bounce_back"
+        ]
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert r["n_pages"] == -(-n_ds // 4) + -(-n_bb // 4) > 0
+    assert os.path.exists(r["path"])
+
+
 def test_sql_views_cover_catalog(spark):
     names = register_views(spark, TEST_SF_DIR, include_queries=True)
     assert "lineitem" in names and "w1_decimal_shift" in names

@@ -48,21 +48,36 @@ STAGES: dict[str, list[str]] = {
 }
 
 
-def run_stage(spark, stage: str, sf_dir: str, out: str, fmt: str) -> list[dict]:
+def run_stage(
+    spark,
+    stage: str,
+    sf_dir: str,
+    out: str,
+    fmt: str,
+    report_opts: dict | None = None,
+) -> list[dict]:
     if stage == "report":
-        # the LaTeX audit report + per-entity figure data (the
-        # reference's `_build_error_files.py` entry point, minus the
-        # matplotlib pages this container cannot render)
+        # the LaTeX audit report + per-entity figure data and pages
+        # (the reference's `_build_error_files.py` entry point; pages
+        # render via matplotlib when installed, else the built-in
+        # rasterizer)
         from trace_data_pipeline_spark.reports import write_audit_report
 
         t0 = time.perf_counter()
-        manifest = write_audit_report(spark, sf_dir, f"{out}/report")
+        manifest = write_audit_report(
+            spark, sf_dir, f"{out}/report", **(report_opts or {})
+        )
         release_caches()
         return [
             {
                 "stage": "report",
                 "query": "data_report",
                 "path": manifest["tex"],
+                "n_pages": sum(
+                    len(v)
+                    for k, v in manifest.items()
+                    if k.startswith("pages")
+                ),
                 "secs": round(time.perf_counter() - t0, 3),
             }
         ]
@@ -101,11 +116,44 @@ def main(argv: list[str] | None = None) -> None:
     )
     ap.add_argument("--format", choices=["parquet", "csv"], default="parquet")
     ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument(
+        "--figures",
+        action="store_true",
+        help="render PNG figure pages in the report stage",
+    )
+    ap.add_argument(
+        "--figures-per-page",
+        type=int,
+        default=1,
+        help="entities per report page (>1 tiles a 2-column grid)",
+    )
+    ap.add_argument(
+        "--figure-error-types",
+        default="decimal_shift",
+        help=(
+            "comma list of report panel types: decimal_shift,"
+            "bounce_back,init_price"
+        ),
+    )
     args = ap.parse_args(argv)
 
+    report_opts = {
+        "figures": args.figures,
+        "figures_per_page": args.figures_per_page,
+        "figure_error_types": tuple(
+            t.strip() for t in args.figure_error_types.split(",") if t.strip()
+        ),
+    }
     spark = get_spark(app_name="trace-pipeline-run", cpus=args.cpus)
     for stage in args.stages.split(","):
-        for line in run_stage(spark, stage.strip(), args.sf_dir, args.out, args.format):
+        for line in run_stage(
+            spark,
+            stage.strip(),
+            args.sf_dir,
+            args.out,
+            args.format,
+            report_opts=report_opts,
+        ):
             print(json.dumps(line))
 
 

@@ -215,3 +215,19 @@ class TestJdbcScan:
             )
         # no 5s backoff sleep happened
         assert time.monotonic() - t0 < 4.0
+
+
+def test_range_join_preserves_same_named_fact_columns(spark):
+    """Dropping the range table's bound columns must not destroy a
+    same-named column on the facts side (round-12 review: a name-based
+    drop removed every column called lo/hi)."""
+    facts = spark.createDataFrame(
+        [(5, "keep-me")], "v int, lo string"
+    )
+    ranges = spark.createDataFrame(
+        [(1, 9, "bucket")], "lo int, hi int, label string"
+    )
+    out = range_join(facts, "v", ranges, "lo", "hi", ["label"])
+    assert out.columns == ["v", "lo", "label"]
+    [row] = out.collect()
+    assert row["lo"] == "keep-me" and row["label"] == "bucket"

@@ -78,3 +78,34 @@ def test_salt_is_deterministic(spark):
     a = with_salt(li, 16).groupBy("__salt").count().toPandas()
     b = with_salt(li, 16).groupBy("__salt").count().toPandas()
     assert a.sort_values("__salt").equals(b.sort_values("__salt"))
+
+def test_split_and_salted_joins_reject_small_side_preserving(spark):
+    """Small-side-preserving joins would emit small rows from both legs
+    (split) or once per salt replica (salted) — both must refuse, and
+    the guard must accept every Spark alias of the valid types
+    (round-12 review)."""
+    import pytest
+
+    from trace_data_pipeline_spark.operators.skew import (
+        salted_join,
+        skewed_key_split_join,
+    )
+
+    big = spark.createDataFrame([(1, "x")], "k int, a string")
+    small = spark.createDataFrame([(1, "y"), (2, "z")], "k int, b string")
+    hot = spark.createDataFrame([(1,)], "k int")
+    for how in ("right", "full", "outer", "right_outer", "full_outer"):
+        with pytest.raises(ValueError, match="preserve the small side"):
+            skewed_key_split_join(big, small, ["k"], hot_keys=hot, how=how)
+        with pytest.raises(ValueError, match="preserve the small side"):
+            salted_join(big, small, ["k"], how=how)
+    # aliases of the valid big-side-preserving types must pass
+    for how in ("semi", "leftsemi", "left_semi", "anti", "leftanti",
+                "leftouter", "left"):
+        assert salted_join(big, small, ["k"], how=how).count() >= 0
+        assert (
+            skewed_key_split_join(
+                big, small, ["k"], hot_keys=hot, how=how
+            ).count()
+            >= 0
+        )

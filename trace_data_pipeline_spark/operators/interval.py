@@ -31,7 +31,10 @@ def range_join(
     v = F.col(value) if isinstance(value, str) else value
     r = F.broadcast(ranges.select(lo_col, hi_col, *payload_cols))
     cond = (v >= r[lo_col]) & (v <= r[hi_col])
-    out = facts.join(r, cond, "left").drop(lo_col, hi_col)
+    # drop the RANGE side's bound columns by reference, not by name —
+    # a name-based drop would also destroy a same-named facts column
+    # (round-12 review)
+    out = facts.join(r, cond, "left").drop(r[lo_col]).drop(r[hi_col])
     for c, d in (defaults or {}).items():
         out = out.withColumn(c, F.coalesce(F.col(c), F.lit(d)))
     return out

@@ -28,9 +28,27 @@ from pyspark.sql import functions as F
 
 def with_salt(df: DataFrame, salts: int, from_cols: Sequence[str] | None = None) -> DataFrame:
     """Deterministic salt column in [0, salts): hash of the given (or
-    all) columns — stable under task retry, unlike rand()."""
+    all) columns — stable under task retry, unlike rand().
+
+    Limit of content-derived salts (round-12 review): FULL-DUPLICATE
+    rows hash identically and land in ONE salt bucket, so a hot key
+    whose rows are byte-identical copies stays pinned to a single
+    reducer. When rows can duplicate, include a unique discriminator
+    (an event id, a file offset) in `from_cols`; a rand() salt is NOT
+    the fix — shuffle replay after a task retry would re-salt rows
+    differently and double-count/drop them."""
     cols = [F.col(c) for c in (from_cols or df.columns)]
     return df.withColumn("__salt", F.pmod(F.hash(*cols), F.lit(salts)))
+
+
+# Spark accepts several aliases per join type; normalize before
+# checking big-side preservation ('semi' and 'left_semi' are the same
+# join and must both pass the guard).
+_BIG_SIDE_PRESERVING = {"inner", "left", "leftouter", "semi", "leftsemi", "anti", "leftanti"}
+
+
+def _is_big_side_preserving(how: str) -> bool:
+    return how.lower().replace("_", "") in _BIG_SIDE_PRESERVING
 
 
 def salted_aggregate(
@@ -74,7 +92,7 @@ def salted_join(
     Only big-side-preserving joins are valid: a small-side-preserving
     `how` ('right'/'full') would emit each unmatched small-side row
     once PER SALT (it exists in all replicas and matches in none)."""
-    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+    if not _is_big_side_preserving(how):
         raise ValueError(
             f"salted_join cannot preserve the small side: how={how!r} "
             "would duplicate unmatched small-side rows once per salt; "
@@ -106,7 +124,18 @@ def skewed_key_split_join(
 ) -> DataFrame:
     """Hot/cold split: rows with hot keys join against a broadcast
     slice of the small side; the long tail takes the normal shuffle
-    join. Union of the two legs ≡ the plain join."""
+    join. Union of the two legs ≡ the plain join — ONLY for
+    big-side-preserving joins, hence the same guard as salted_join
+    (round-12 review): under 'right'/'full' a small-side row whose hot
+    key matches the big side would ALSO surface null-extended from the
+    cold leg, and an unmatched hot-key small row would surface from
+    both legs."""
+    if not _is_big_side_preserving(how):
+        raise ValueError(
+            f"skewed_key_split_join cannot preserve the small side: "
+            f"how={how!r} would emit small-side rows from both legs; "
+            "use inner/left/left_semi/left_anti"
+        )
     key_list = list(keys)
     big_hot = big.join(F.broadcast(hot_keys), key_list, "left_semi")
     big_cold = big.join(F.broadcast(hot_keys), key_list, "left_anti")

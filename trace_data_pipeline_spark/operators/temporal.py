@@ -52,7 +52,16 @@ def resample_ffill(
     """A14: align per-id sparse observations onto a shared date spine
     and forward-fill each value column. One shuffle on id; the fill is
     `last(col, ignorenulls=True)` over an unbounded-preceding window —
-    the Spark idiom for pandas resample('D').last().ffill()."""
+    the Spark idiom for pandas resample('D').last().ffill().
+
+    Spine contract (round-12 review): only observations whose date is
+    ON the spine contribute — the grid left-join discards off-spine
+    rows, so e.g. a Saturday print does not feed Monday's fill on a
+    business-day spine (pandas resampling over the data's own range
+    would carry it). The reference's treasury-curve use feeds daily
+    observations to a daily spine, where the two agree; pass a spine
+    that contains every observation date when off-spine rows must
+    count."""
     # the dates side is bounded (~10k rows for 30 years of daily spine)
     # — broadcast it explicitly rather than relying on AQE to notice
     grid = (

@@ -53,6 +53,28 @@ def test_asof_tiebreak_deterministic(spark):
     assert _rows(fwd) == {("A", 5, "first")}
 
 
+def test_asof_tiebreak_stable_across_partitions(spark):
+    """Duplicate right timestamps spread over ≥2 partitions must yield
+    the same (greatest-tiebreak) row as single-partition input — the
+    failure mode the call-site tiebreaks exist to prevent: without one,
+    F.last over equal sort keys is partition-order-dependent."""
+    left = spark.createDataFrame(
+        [("A", 10), ("B", 10)], "k string, t int"
+    )
+    dup_rows = [
+        (k, 10, f"{k}-v{seq}", seq) for k in ("A", "B") for seq in range(1, 9)
+    ]
+    expected = {("A", 10, "A-v8"), ("B", 10, "B-v8")}
+    for nparts in (1, 4, 8):
+        right = spark.createDataFrame(
+            dup_rows, "k string, t int, v string, seq int"
+        ).repartition(nparts)
+        out = asof_join(
+            left, right, on="t", by="k", value_cols=["v"], tiebreak_cols=["seq"]
+        )
+        assert _rows(out) == expected, f"nparts={nparts}"
+
+
 def test_asof_directions_and_exactness(spark):
     left = spark.createDataFrame(
         [("A", 2), ("A", 4), ("B", 1)], "k string, t int"

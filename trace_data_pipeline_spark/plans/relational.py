@@ -548,10 +548,21 @@ def j11_asof_backward(spark, sf_dir):
     left = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
     right = (
         ev.filter(F.col("event_type") == "purchase")
-        .select("user_id", "ts", F.col("value").alias("last_purchase_value"))
+        .select(
+            "user_id", "ts", F.col("value").alias("last_purchase_value"), "event_id"
+        )
     )
+    # event_id is monotone in input position, so the greatest-tiebreak
+    # pick reproduces merge_asof's last-positioned-row among duplicate
+    # right timestamps regardless of partitioning (testdata has unique
+    # (user_id, ts) purchases, but determinism must not rest on that).
     out = asof_join(
-        left, right, on="ts", by="user_id", value_cols=["last_purchase_value"]
+        left,
+        right,
+        on="ts",
+        by="user_id",
+        value_cols=["last_purchase_value"],
+        tiebreak_cols=["event_id"],
     )
     return out.select("event_id", "last_purchase_value")
 

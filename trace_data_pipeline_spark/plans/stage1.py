@@ -200,7 +200,13 @@ def _enriched(
         F.col("rd").alias("d"),
         F.struct("sp_num", "mdy_num").alias("__rat"),
     )
-    rated = asof_join(acc, rat, on="d", by="user_id", value_cols=["__rat"])
+    # _ratings is unique per (user_id, d) by construction (row_number
+    # filter), so the tiebreak is vacuous today — the struct payload is
+    # pinned as a total order anyway so that determinism among
+    # equal-date right rows never rests on that upstream invariant.
+    rated = asof_join(
+        acc, rat, on="d", by="user_id", value_cols=["__rat"], tiebreak_cols=["__rat"]
+    )
     rated = (
         rated.withColumn("sp_num", F.col("__rat.sp_num"))
         .withColumn("mdy_num", F.col("__rat.mdy_num"))

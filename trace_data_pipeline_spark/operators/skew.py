@@ -96,7 +96,8 @@ def salted_join(
         raise ValueError(
             f"salted_join cannot preserve the small side: how={how!r} "
             "would duplicate unmatched small-side rows once per salt; "
-            "use inner/left/left_semi/left_anti"
+            f"use one of {sorted(_BIG_SIDE_PRESERVING)} (Spark aliases "
+            "of these, e.g. 'left_semi', are accepted too)"
         )
     big_s = with_salt(big, salts)
     small_s = small.withColumn(
@@ -134,7 +135,8 @@ def skewed_key_split_join(
         raise ValueError(
             f"skewed_key_split_join cannot preserve the small side: "
             f"how={how!r} would emit small-side rows from both legs; "
-            "use inner/left/left_semi/left_anti"
+            f"use one of {sorted(_BIG_SIDE_PRESERVING)} (Spark aliases "
+            "of these, e.g. 'left_semi', are accepted too)"
         )
     key_list = list(keys)
     big_hot = big.join(F.broadcast(hot_keys), key_list, "left_semi")

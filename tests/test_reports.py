@@ -398,6 +398,18 @@ def test_write_audit_report_end_to_end(spark, tmp_path):
         figures_per_page=per_page,
     )
     assert len(m2["pages"]) == -(-affected // per_page)
+    # figure_error_types gates the r4 DATA pass too (not just pages):
+    # excluding 'decimal_shift' must leave no unsuffixed figure_data/
+    # pages on disk or in the manifest, while the selected type exports
+    m3 = write_audit_report(
+        spark,
+        sf,
+        str(tmp_path / "report_bb_only"),
+        figure_error_types=("bounce_back",),
+    )
+    assert "figure_data" not in m3 and "pages" not in m3
+    assert os.path.isdir(m3["figure_data_bb"])
+    assert not os.path.exists(tmp_path / "report_bb_only" / "figure_data")
     tex2 = open(m2["tex"], encoding="utf-8").read()
     for p in m2["pages"]:
         assert os.path.exists(p) and os.path.basename(p) in tex2

@@ -208,12 +208,14 @@ def write_audit_report(
     `figures_per_page>1` tiles entities into grid pages the way the
     reference composes its A4 multi-panel figures (see render_figures).
     `figure_error_types` selects which of the reference's three panel
-    types export ('decimal_shift' default; add 'bounce_back' /
-    'init_price' for the reference's `make_panel(error_type=...)`
-    variants, suffixed '_bb' / '_ie' like its filenames —
-    `stage0/_error_plot_helpers.py:281-455`). The decimal-shift type
-    keeps the unsuffixed `figure_data`/`pages` locations and manifest
-    keys; extras land in `figure_data_{bb,ie}` / `pages_{bb,ie}`.
+    types export — data AND pages; an excluded type's distributed pass
+    never runs and its manifest keys are absent ('decimal_shift'
+    default; add 'bounce_back' / 'init_price' for the reference's
+    `make_panel(error_type=...)` variants, suffixed '_bb' / '_ie' like
+    its filenames — `stage0/_error_plot_helpers.py:281-455`). The
+    decimal-shift type keeps the unsuffixed `figure_data`/`pages`
+    locations and manifest keys; extras land in `figure_data_{bb,ie}` /
+    `pages_{bb,ie}`.
     """
     from trace_data_pipeline_spark.plans import get_catalog
     from trace_data_pipeline_spark.plans.settings import Stage0Settings
@@ -289,16 +291,22 @@ def write_audit_report(
     )
     manifest: dict = {}
 
-    fig_data = write_figure_data(
-        catalog["r4_flagged_series"].builder(spark, sf_dir), out_dir
-    )
+    # The r4 pass (a full distributed flagged-series build) runs only
+    # when the decimal-shift panel type is selected — figure_error_types
+    # gates the DATA export too, not just the page render, and the
+    # manifest only advertises what was written.
+    fig_data: str | None = None
     pages: list[str] = []
-    if figures and "decimal_shift" in figure_error_types:
-        pages = render_figures(
-            fig_data,
-            os.path.join(out_dir, "pages"),
-            per_page=figures_per_page,
+    if "decimal_shift" in figure_error_types:
+        fig_data = write_figure_data(
+            catalog["r4_flagged_series"].builder(spark, sf_dir), out_dir
         )
+        if figures:
+            pages = render_figures(
+                fig_data,
+                os.path.join(out_dir, "pages"),
+                per_page=figures_per_page,
+            )
     all_pages = list(pages)
     if extra_types:
         from trace_data_pipeline_spark.plans.errorcorrection import (
@@ -338,7 +346,7 @@ def write_audit_report(
     tex_path = os.path.join(out_dir, "data_report.tex")
     with open(tex_path, "w", encoding="utf-8") as fh:
         fh.write(tex)
-    manifest.update(
-        {"tex": tex_path, "figure_data": fig_data, "pages": pages}
-    )
+    manifest["tex"] = tex_path
+    if fig_data is not None:
+        manifest.update({"figure_data": fig_data, "pages": pages})
     return manifest

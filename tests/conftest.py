@@ -40,13 +40,20 @@ def parity_recorder(request):
     records: dict[str, dict] = {}
 
     import json
-    from datetime import date
+    from datetime import datetime, timezone
+
+    def _now() -> str:
+        # Full UTC timestamp, not just a date (r12 verdict item 1): the
+        # staleness check is "proved >= the snapshot commit's
+        # timestamp", and a same-day edit after a same-day refresh is
+        # exactly the case a date-only stamp cannot distinguish.
+        return datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
 
     def record(name: str, evidence: dict) -> None:
-        # Per-entry date: a merged file can hold records proved on
-        # different days, so file-level "generated" alone can't speak
+        # Per-entry stamp: a merged file can hold records proved at
+        # different times, so file-level "generated" alone can't speak
         # for each entry's freshness (ADVICE r8).
-        records[name] = dict(evidence, proved=str(date.today()))
+        records[name] = dict(evidence, proved=_now())
 
     yield record if path else (lambda name, evidence: None)
     if not path or not records:
@@ -73,7 +80,7 @@ def parity_recorder(request):
     }
     entries.update(records)
     scales[TEST_SF_DIR] = {
-        "generated": str(date.today()),
+        "generated": _now(),
         "n_entries": len(entries),
         "n_oracle_backed": sum(1 for r in entries.values() if r["oracle"]),
         "entries": dict(sorted(entries.items())),

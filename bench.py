@@ -115,6 +115,41 @@ FLOORS: dict[str, float] = {
 # (r9: 24 entries did exactly that).
 FLOORS_CANARY_SEC = 0.477
 
+# The second box axis (r12 verdict item 3): entries whose hot path is a
+# grouped-map applyInPandas or Arrow pandas_udf kernel ride the Python
+# worker pool, which this box stalls INDEPENDENTLY of the JVM-shuffle
+# axis (r12: the Arrow canary moved +10% while w1/w2/w7's untouched
+# kernels "regressed" exactly that much; the shuffle canary was flat).
+# These entries normalize by the Arrow canary instead. Composites that
+# merely CONTAIN a kernel stage among heavy JVM stages (p0/p1/p2...)
+# stay on the shuffle axis — a mixed entry has no single honest axis
+# and the shuffle one covers its scan/join/agg majority.
+ARROW_AXIS = frozenset({
+    "w1_decimal_shift",          # grouped-map anchor kernel
+    "w2_bounce_back",            # grouped-map state machine
+    "w7_ultra_distressed",       # grouped-map anomaly kernels
+    "w10_bond_analytics",        # Arrow pandas_udf Newton solve
+    "w10c_bond_freqs",
+    "w10e_full_record",
+    "w10f_yield_to_worst",
+    "w10g_yield_to_worst_schedule",
+    "w10h_odd_first_coupon",
+    "d12_media_features",        # mapInPandas codecs
+    "d12b_png_features",
+    "d12c_jpeg_features",
+    "d12d_wav_features",
+    "d12e_video_frame_features",
+    "r2_error_checks",           # flag-only W1+W2 kernel chain
+    "r4_flagged_series",         # flag-mode W1 kernel + semi-join
+})
+
+# Arrow canary at the FLOORS calibration box state: the r11 driver
+# bench ran at the 0.477 s shuffle calibration floor and recorded the
+# Arrow canary at 0.66 s (r12 VERDICT.md "Performance vs baseline" —
+# the r12 run's 0.727 against it is the +10% drift that motivated this
+# axis split).
+FLOORS_ARROW_CANARY_SEC = 0.66
+
 
 def infer_sf(sf_dir: str) -> float:
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -124,6 +159,9 @@ def infer_sf(sf_dir: str) -> float:
 def main() -> None:
     spark = get_spark(app_name="trace-spark-bench")
     catalog = get_catalog()
+    unknown_axis = ARROW_AXIS - set(catalog)
+    if unknown_axis:  # a rename must not silently fall back to the wrong axis
+        raise SystemExit(f"ARROW_AXIS names not in catalog: {sorted(unknown_axis)}")
 
     # warm the JVM/codegen paths so per-query numbers measure the plans,
     # not first-use class loading
@@ -192,7 +230,10 @@ def main() -> None:
     # hypervisor windows) — the canary lets any reader normalize a
     # recorded total by machine state before calling something a
     # regression: compare value/canary_sec across rounds, not value.
-    from trace_data_pipeline_spark.canary import shuffle_canary_sec
+    from trace_data_pipeline_spark.canary import (
+        arrow_canary_sec,
+        shuffle_canary_sec,
+    )
 
     def _canary() -> float:
         # the SAME fixed job the floor-gate normalizes by
@@ -200,12 +241,15 @@ def main() -> None:
         # over 20M generated rows, pure JVM CPU
         return shuffle_canary_sec(spark)
 
-    # Two diagnostic canary axes (r10): the shuffle canary is pure-JVM
-    # CPU and has been observed reading FASTER than its calibration
-    # value in the same run whose catalog entries sat ~1.5x their warm
-    # floors — whatever stalls this box also hits dimensions the
-    # shuffle job never touches. These don't gate anything; they let a
-    # reader see WHICH axis a slow window degraded.
+    def _canary_arrow() -> float:
+        # the second normalization axis (shared job in canary.py):
+        # Arrow round-trip through the Python worker pool — the axis
+        # the ARROW_AXIS entries above normalize by
+        return arrow_canary_sec(spark)
+
+    # One further diagnostic axis (r10): doesn't gate or normalize
+    # anything; lets a reader see whether a slow window degraded file
+    # I/O specifically.
     def _canary_io() -> float:
         # cold-ish parquet scan + aggregate over the fact table
         t0 = time.perf_counter()
@@ -218,26 +262,15 @@ def main() -> None:
         )
         return time.perf_counter() - t0
 
-    def _canary_arrow() -> float:
-        # Arrow round-trip through the Python worker pool
-        t0 = time.perf_counter()
-        (
-            spark.range(2_000_000)
-            .repartition(8)
-            .mapInPandas(lambda it: it, "id long")
-            .write.format("noop")
-            .mode("overwrite")
-            .save()
-        )
-        return time.perf_counter() - t0
-
     canary = round(min(_canary() for _ in range(3)), 3)
     canary_io = round(min(_canary_io() for _ in range(3)), 3)
     canary_arrow = round(min(_canary_arrow() for _ in range(3)), 3)
-    # Live/calibration speed ratio for the retry ladder: on a box
-    # running slower than the FLOORS calibration window, the "is this a
-    # stall or the box?" threshold moves up with it.
+    # Live/calibration speed ratio for the retry ladder, per axis: on a
+    # box running slower than the FLOORS calibration window, the "is
+    # this a stall or the box?" threshold moves up with it — and an
+    # Arrow-axis entry's threshold moves with the Arrow axis.
     canary_scale = max(1.0, canary / FLOORS_CANARY_SEC)
+    arrow_scale = max(1.0, canary_arrow / FLOORS_ARROW_CANARY_SEC)
 
     def run_once(name: str) -> float:
         t0 = time.perf_counter()
@@ -280,6 +313,10 @@ def main() -> None:
     # of overhead on a ~100 s loop.
     CANARY_EVERY = 20
     canary_series: list[list[float]] = [[0, canary]]
+    # Parallel series for the Arrow axis (r12 verdict item 3), same
+    # cadence: ~6 extra samples ≈ 3-4 s on a ~100 s loop buys
+    # per-segment normalization for the 16 ARROW_AXIS entries.
+    arrow_series: list[list[float]] = [[0, canary_arrow]]
     timings: dict[str, float] = {}
     first: dict[str, float] = {}
     loop_index: dict[str, int] = {}
@@ -287,6 +324,7 @@ def main() -> None:
         loop_index[name] = i
         if i and i % CANARY_EVERY == 0:
             canary_series.append([i, round(_canary(), 3)])
+            arrow_series.append([i, round(_canary_arrow(), 3)])
         dt = run_once(name)
         first[name] = dt
         runs = 1
@@ -296,12 +334,13 @@ def main() -> None:
             runs += 1
         # r8 rule on top: while still >2x the pinned warm floor, keep
         # re-measuring (stalls can straddle two consecutive runs). The
-        # floor is canary-scaled (r9 verdict item 2): when the whole
-        # box is slow, floor-chasing retries cannot win — readers
-        # normalize the recorded value by canary_sec instead.
+        # floor is canary-scaled (r9 verdict item 2) on the entry's OWN
+        # axis: when the whole box is slow, floor-chasing retries
+        # cannot win — readers normalize the recorded value instead.
         floor = FLOORS.get(name)
         if floor is not None:
-            while dt > 2 * floor * canary_scale and runs < MAX_RUNS:
+            scale = arrow_scale if name in ARROW_AXIS else canary_scale
+            while dt > 2 * floor * scale and runs < MAX_RUNS:
                 dt = min(dt, run_once(name))
                 runs += 1
         timings[name] = dt
@@ -313,30 +352,38 @@ def main() -> None:
     # shift before trusting value/canary_sec normalization.
     canary_post = round(min(_canary() for _ in range(3)), 3)
     canary_series.append([len(catalog), canary_post])
+    canary_arrow_post = round(min(_canary_arrow() for _ in range(3)), 3)
+    arrow_series.append([len(catalog), canary_arrow_post])
 
     # Per-segment canary normalization (r11 verdict item 2): SCALE.md
     # teaches readers to divide a recorded number by (segment canary /
-    # FLOORS_CANARY_SEC) before calling anything a regression — do the
+    # calibration canary) before calling anything a regression — do the
     # division here so the artifact carries calibration-box-equivalent
-    # seconds directly. The divisor is the MIN of the two samples
-    # bracketing the entry in loop order: entry timings are min-of-
-    # retries (stall-rejected), so the divisor must be stall-rejected
-    # too — a single stalled single-shot sample would otherwise
-    # understate its whole ~20-entry segment and mask real regressions
-    # there (round-12 review). Min-of-bracket rejects one stalled
-    # sample; the series endpoints are min-of-3 already.
-    def _segment_canary_sec(idx: int) -> float:
-        prev = max(
-            (s for s in canary_series if s[0] <= idx), key=lambda s: s[0]
-        )[1]
-        nxt = min(
-            (s for s in canary_series if s[0] > idx), key=lambda s: s[0]
-        )[1]
+    # seconds directly, on each entry's own axis (r12 verdict item 3).
+    # The divisor is the MIN of the two samples bracketing the entry in
+    # loop order: entry timings are min-of-retries (stall-rejected), so
+    # the divisor must be stall-rejected too — a single stalled
+    # single-shot sample would otherwise understate its whole
+    # ~20-entry segment and mask real regressions there (round-12
+    # review). Min-of-bracket rejects one stalled sample; the series
+    # endpoints are min-of-3 already.
+    def _segment_sec(series: list[list[float]], idx: int) -> float:
+        prev = max((s for s in series if s[0] <= idx), key=lambda s: s[0])[1]
+        nxt = min((s for s in series if s[0] > idx), key=lambda s: s[0])[1]
         return min(prev, nxt)
 
+    def _normalized(name: str, t: float) -> float:
+        idx = loop_index[name]
+        if name in ARROW_AXIS:
+            return round(
+                t * FLOORS_ARROW_CANARY_SEC / _segment_sec(arrow_series, idx), 3
+            )
+        return round(
+            t * FLOORS_CANARY_SEC / _segment_sec(canary_series, idx), 3
+        )
+
     queries_normalized = {
-        name: round(t * FLOORS_CANARY_SEC / _segment_canary_sec(loop_index[name]), 3)
-        for name, t in timings.items()
+        name: _normalized(name, t) for name, t in timings.items()
     }
 
     total = round(sum(timings.values()), 3)
@@ -361,7 +408,10 @@ def main() -> None:
                     )
                 ),
                 "floors_canary_sec": FLOORS_CANARY_SEC,
+                "floors_arrow_canary_sec": FLOORS_ARROW_CANARY_SEC,
                 "canary_series": canary_series,
+                "arrow_canary_series": arrow_series,
+                "arrow_axis_entries": sorted(ARROW_AXIS),
                 "sf": infer_sf(SF_DIR),
             },
             f,
@@ -389,8 +439,12 @@ def main() -> None:
                     "canary_post_sec": canary_post,
                     "canary_io_sec": canary_io,
                     "canary_arrow_sec": canary_arrow,
+                    "canary_arrow_post_sec": canary_arrow_post,
                     "floors_canary_sec": FLOORS_CANARY_SEC,
+                    "floors_arrow_canary_sec": FLOORS_ARROW_CANARY_SEC,
                     "canary_series": canary_series,
+                    "arrow_canary_series": arrow_series,
+                    "arrow_axis_entries": sorted(ARROW_AXIS),
                 },
                 "queries": ordered,
                 "queries_first": first,
@@ -414,8 +468,11 @@ def main() -> None:
                 "canary_post_sec": canary_post,
                 "canary_io_sec": canary_io,
                 "canary_arrow_sec": canary_arrow,
+                "canary_arrow_post_sec": canary_arrow_post,
                 "floors_canary_sec": FLOORS_CANARY_SEC,
+                "floors_arrow_canary_sec": FLOORS_ARROW_CANARY_SEC,
                 "canary_series": canary_series,
+                "arrow_canary_series": arrow_series,
                 "queries": ordered,
                 # normalized map second-to-last: when the driver's
                 # parse fails it records only the tail, which then

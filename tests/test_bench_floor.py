@@ -64,53 +64,90 @@ CEILINGS = {
     # Pinned here so a future real slowdown fails in-repo.
     "r3_availability_by_rating": 6.0,  # min 1.5-1.9
     "r2_descriptive_by_rating": 6.0,   # min 1.7
+    # r12 verdict item 3: the grouped-map kernels, gated on the
+    # ARROW-normalized number (min-of-3 calibrated 2026-08-16 at
+    # local[8]/shuffle=8 alongside GATE_ARROW_CANARY_SEC below)
+    "w1_decimal_shift": 8.5,           # min 2.78
+    "w2_bounce_back": 6.0,             # min 2.06
+    "w7_ultra_distressed": 5.0,        # min 1.70
 }
+
+# Entries whose hot path is a grouped-map applyInPandas or Arrow
+# pandas_udf kernel normalize by the ARROW canary (r12 verdict item 3):
+# this box stalls the Python-worker/Arrow axis independently of the
+# JVM-shuffle axis (r12: +10% Arrow drift with a flat shuffle canary),
+# so a shuffle-normalized gate would mis-scale exactly these entries.
+# Mirrors bench.py's ARROW_AXIS ∩ CEILINGS.
+ARROW_AXIS = frozenset({
+    "w1_decimal_shift",
+    "w2_bounce_back",
+    "w7_ultra_distressed",
+    "w10e_full_record",
+    "w10f_yield_to_worst",
+    "w10g_yield_to_worst_schedule",
+    "w10h_odd_first_coupon",
+    "r2_error_checks",
+})
 
 MAX_RUNS = 3
 
-# The shared shuffle canary (trace_data_pipeline_spark/canary.py)
-# measured min-of-5 under THIS gate's config (local[8], shuffle=8) on
-# the same box state that reproduced the CEILINGS' warm mins
-# (2026-08-15). The gate compares canary-NORMALIZED numbers (r11
-# verdict item 2): each measured run divides by max(1, adjacent-live/
-# calib) before meeting its ceiling, so a slow hypervisor window can
-# no longer fail entries whose code is unchanged — while a real 10x
-# regression still fails every normalized attempt. The canary is
-# sampled ADJACENT to every run, not once per module: this gate spans
-# many minutes on a box whose state shifts on multi-minute windows,
-# and one ratio pinned at setup would loosen (or tighten) every later
-# ceiling with a state that no longer exists (round-12 review). The
-# scale clamps at 1.0: a faster-than-calibration box keeps the gate
-# strictly no looser than the raw comparison.
+# The shared canaries (trace_data_pipeline_spark/canary.py) measured
+# min-of-5 under THIS gate's config (local[8], shuffle=8) on the same
+# box state that reproduced the CEILINGS' warm mins (shuffle
+# 2026-08-15; arrow 2026-08-16 alongside the w1/w2/w7 calibration).
+# The gate compares canary-NORMALIZED numbers (r11 verdict item 2) on
+# each entry's own axis (r12 item 3): each measured run divides by
+# max(1, bracket-live/calib) before meeting its ceiling, so a slow
+# hypervisor window can no longer fail entries whose code is unchanged
+# — while a real 10x regression still fails every normalized attempt.
+# Each run is BRACKETED by two canary samples and the divisor takes
+# their MIN (r12 ADVICE item 1): a single post-run sample that itself
+# caught a 3-7x stall would inflate the scale and normalize away a
+# genuine 2-3x regression coinciding with it; min-of-bracket rejects
+# one stalled sample, mirroring bench.py's _segment_sec. The scale
+# clamps at 1.0: a faster-than-calibration box keeps the gate strictly
+# no looser than the raw comparison.
 GATE_CANARY_SEC = 0.345
+GATE_ARROW_CANARY_SEC = 0.518
 
 
 @pytest.mark.slow
 @pytest.mark.parametrize("name", sorted(CEILINGS))
 def test_bench_floor(spark, name):
-    from trace_data_pipeline_spark.canary import shuffle_canary_sec
+    from trace_data_pipeline_spark.canary import (
+        arrow_canary_sec,
+        shuffle_canary_sec,
+    )
     from trace_data_pipeline_spark.operators.caching import release_caches
     from trace_data_pipeline_spark.plans import get_catalog
 
     builder = get_catalog()[name].builder
+    if name in ARROW_AXIS:
+        canary_fn, calib = arrow_canary_sec, GATE_ARROW_CANARY_SEC
+    else:
+        canary_fn, calib = shuffle_canary_sec, GATE_CANARY_SEC
     # one warm-up of common physical shapes per session is done by the
     # first entry's first run; the retry ladder absorbs it
     best = None
     scales = []
+    pre = canary_fn(spark)
     for _ in range(MAX_RUNS):
         t0 = time.perf_counter()
         builder(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         dt = time.perf_counter() - t0
         release_caches()
-        scale = max(1.0, shuffle_canary_sec(spark) / GATE_CANARY_SEC)
+        post = canary_fn(spark)
+        scale = max(1.0, min(pre, post) / calib)
+        pre = post
         scales.append(scale)
         best = min(best, dt / scale) if best is not None else dt / scale
         if best <= CEILINGS[name]:
             break
     assert best <= CEILINGS[name], (
         f"{name}: best of {MAX_RUNS} normalized runs {best:.2f}s "
-        f"(canary scales {[f'{s:.2f}' for s in scales]}) exceeds the "
+        f"(canary scales {[f'{s:.2f}' for s in scales]}, axis "
+        f"{'arrow' if name in ARROW_AXIS else 'shuffle'}) exceeds the "
         f"{CEILINGS[name]:.0f}s floor ceiling — a real perf regression "
-        "(hypervisor stalls cannot survive min-of-3 + per-run "
+        "(hypervisor stalls cannot survive min-of-3 + min-of-bracket "
         "normalization)"
     )

@@ -35,3 +35,25 @@ def shuffle_canary_sec(spark) -> float:
         .save()
     )
     return time.perf_counter() - t0
+
+
+def arrow_canary_sec(spark) -> float:
+    """One sample of the SECOND box axis: an Arrow round-trip through
+    the Python worker pool (identity mapInPandas over 2M generated
+    rows). The shuffle canary has been observed reading FASTER than
+    calibration in the same window where every applyInPandas entry sat
+    ~1.5x its floor (r10) and +10% while their kernels were untouched
+    (r12) — whatever stalls this box hits the Python-worker/Arrow axis
+    independently of the JVM-shuffle axis, so entries whose hot path is
+    a grouped-map/pandas_udf kernel must normalize by THIS job, not the
+    shuffle one."""
+    t0 = time.perf_counter()
+    (
+        spark.range(2_000_000)
+        .repartition(8)
+        .mapInPandas(lambda it: it, "id long")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    return time.perf_counter() - t0

@@ -61,7 +61,14 @@ def resample_ffill(
     would carry it). The reference's treasury-curve use feeds daily
     observations to a daily spine, where the two agree; pass a spine
     that contains every observation date when off-spine rows must
-    count."""
+    count.
+
+    Uniqueness contract (round-13 review): `daily` must be unique per
+    (id_col, date_col) — a duplicate observation date would join the
+    grid twice and make the `F.last` fill partition-order-dependent.
+    Both call sites pre-reduce to one row per (id, date) (a14 via
+    last_by groupBy, the xlsx curve via its one-row-per-date parse);
+    reduce yours the same way before calling."""
     # the dates side is bounded (~10k rows for 30 years of daily spine)
     # — broadcast it explicitly rather than relying on AQE to notice
     grid = (

@@ -34,6 +34,7 @@ from trace_data_pipeline_spark.operators.windows import initial_price_error_filt
 
 _REF = pathlib.Path(os.environ.get("TDP_REFERENCE_DIR", "/root/reference"))
 _SRC = _REF / "stage0" / "create_daily_enhanced_trace.py"
+_SRC_S1 = _REF / "stage1" / "helper_functions.py"
 
 pytestmark = pytest.mark.skipif(
     not _SRC.exists(), reason="reference tree not available"
@@ -41,32 +42,44 @@ pytestmark = pytest.mark.skipif(
 
 
 @functools.lru_cache(maxsize=None)
-def _ref_fn(name: str):
-    """Compile ONE top-level function def out of the reference module.
+def _ref_fns(src: pathlib.Path, names: tuple[str, ...]):
+    """Compile selected top-level function defs out of a reference
+    module into one shared namespace.
 
-    `compile` runs with the postponed-annotations flag (the reference
-    file declares `from __future__ import annotations`), so the
-    extracted def never evaluates its type annotations and the exec
-    namespace only needs pandas/numpy.
+    - decorators are stripped (the stage1 kernels wear numba @jit,
+      which this container doesn't ship; the pure-Python bodies are
+      what we want to diff against anyway);
+    - `compile` runs with the postponed-annotations flag so the
+      extracted defs never evaluate their type annotations and the
+      exec namespace only needs pandas/numpy.
     """
     import __future__ as _fut
 
-    tree = ast.parse(_SRC.read_text())
-    node = next(
-        n
+    tree = ast.parse(src.read_text())
+    wanted = {
+        n.name: n
         for n in tree.body
-        if isinstance(n, ast.FunctionDef) and n.name == name
-    )
-    mod = ast.Module(body=[node], type_ignores=[])
-    code = compile(
-        ast.fix_missing_locations(mod),
-        str(_SRC),
-        "exec",
-        flags=_fut.annotations.compiler_flag,
-    )
+        if isinstance(n, ast.FunctionDef) and n.name in names
+    }
+    missing = set(names) - set(wanted)
+    assert not missing, f"reference functions not found: {missing}"
     ns = {"pd": pd, "np": np, "Optional": Optional}
-    exec(code, ns)
-    return ns[name]
+    for name in names:  # preserve caller-given order for intra-deps
+        node = wanted[name]
+        node.decorator_list = []
+        mod = ast.Module(body=[node], type_ignores=[])
+        code = compile(
+            ast.fix_missing_locations(mod),
+            str(src),
+            "exec",
+            flags=_fut.annotations.compiler_flag,
+        )
+        exec(code, ns)
+    return ns
+
+
+def _ref_fn(name: str):
+    return _ref_fns(_SRC, (name,))[name]
 
 
 def _panel(seed: int, n_ids: int = 24) -> pd.DataFrame:
@@ -196,6 +209,110 @@ def test_w2_bounce_back_matches_reference(spark, seed):
     )
     _assert_col_equal(got["filtered_error"], ref["filtered_error"], "flag")
     assert int(ref["filtered_error"].sum()) > 0
+
+
+def _distressed_panel(seed: int, n_ids: int = 20) -> pd.DataFrame:
+    """Daily distressed-bond panel exercising all four W7 sub-filters:
+    ultra-low prints (<0.10), exact suspicious round numbers, upward
+    spikes over a low base, exact-value plateau runs, null prices, and
+    four intraday price columns with occasional wide ranges at low
+    levels. Unique (id, date) keys keep both engines' sorts aligned."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for g in range(n_ids):
+        cid = f"D{g:03d}"
+        n = int(rng.integers(2, 50))
+        # log-uniform base: plenty of mass below 1.0 (distressed zone)
+        prices = np.exp(rng.uniform(np.log(0.005), np.log(120.0), size=n))
+        for i in range(n):
+            u = rng.uniform()
+            if u < 0.10:
+                prices[i] = float(
+                    rng.choice([0.001, 0.01, 0.05, 0.10, 0.25, 0.50, 0.75, 1.00])
+                )
+            elif u < 0.16 and i >= 1:
+                prices[i] = prices[i - 1] * float(rng.uniform(4.0, 12.0))
+        if rng.uniform() < 0.5:  # exact plateau run at an ultra-low level
+            s = int(rng.integers(0, n))
+            run = int(rng.integers(2, 7))
+            prices[s : s + run] = float(rng.choice([0.01, 0.05, 0.12, 0.25]))
+        for i in range(n):
+            if rng.uniform() < 0.03:
+                prices[i] = np.nan
+        for i in range(n):
+            p = prices[i]
+            if np.isnan(p):
+                intr = [None] * 4
+            else:
+                spread = float(rng.uniform(0.0, 1.6)) * p
+                intr = [
+                    None if rng.uniform() < 0.1 else float(p + d)
+                    for d in rng.uniform(-spread / 2, spread / 2, size=4)
+                ]
+            rows.append(
+                (cid, i, None if np.isnan(p) else float(p), *intr)
+            )
+    pdf = pd.DataFrame(
+        rows,
+        columns=[
+            "cusip_id",
+            "trd_exctn_dt",
+            "pr",
+            "prc_ew",
+            "prc_vw",
+            "prc_first",
+            "prc_last",
+        ],
+    )
+    pdf["row_id"] = np.arange(len(pdf))
+    return pdf.sort_values(["cusip_id", "trd_exctn_dt"], kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+@pytest.mark.parametrize("seed", [20260816, 977])
+def test_w7_ultra_distressed_matches_reference(spark, seed):
+    from trace_data_pipeline_spark.operators.distressed import (
+        ultra_distressed_filter as spark_udf,
+    )
+
+    pdf = _distressed_panel(seed)
+    ns = _ref_fns(
+        _SRC_S1,
+        (
+            "_compute_round_mask",
+            "_detect_anomalies_ultra",
+            "_detect_spikes_ultra",
+            "_detect_plateaus_ultra",
+            "flag_intraday_inconsistency_vectorized",
+            "ultra_distressed_filter",
+        ),
+    )
+    ref = ns["ultra_distressed_filter"](
+        pdf.copy(), keep_flag_columns=True, verbose=False
+    )
+    ref = ref.sort_values("row_id").reset_index(drop=True)
+
+    sdf = spark.createDataFrame(
+        pdf,
+        schema="cusip_id string, trd_exctn_dt int, pr double, prc_ew double, "
+        "prc_vw double, prc_first double, prc_last double, row_id long",
+    )
+    got = (
+        spark_udf(sdf.repartition(7, "row_id"))
+        .toPandas()
+        .sort_values("row_id")
+        .reset_index(drop=True)
+    )
+    for col in (
+        "flag_anomalous_price",
+        "flag_upward_spike",
+        "flag_plateau_sequence",
+        "flag_intraday_inconsistent",
+        "flag_refined_any",
+    ):
+        _assert_col_equal(got[col], ref[col], col)
+    assert int(ref["flag_refined_any"].sum()) > 0
 
 
 @pytest.mark.parametrize("seed", [20260816, 977])

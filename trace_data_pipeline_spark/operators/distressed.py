@@ -220,16 +220,20 @@ def ultra_distressed_filter(
     if len(cols) >= 2:
         vals = F.array_compact(F.array(*[c.cast("double") for c in cols]))
         cnt = F.size(vals)
-        mean = F.aggregate(
-            vals, F.lit(0.0), lambda acc, x: acc + x
-        ) / cnt.cast("double")
+        # try_divide, not `/`: AND does not guarantee short-circuit, so
+        # an all-null row (cnt=0) would hit ANSI divide-by-zero even
+        # though the cnt>=2 conjunct already excludes it
+        mean = F.try_divide(
+            F.aggregate(vals, F.lit(0.0), lambda acc, x: acc + x),
+            cnt.cast("double"),
+        )
         rng = F.array_max(vals) - F.array_min(vals)
         low = F.array_min(vals) < F.lit(intraday_price_threshold)
         intraday = F.when(
             (cnt >= 2)
             & low
             & (mean > 0)
-            & (rng / mean > F.lit(intraday_range_threshold)),
+            & (F.try_divide(rng, mean) > F.lit(intraday_range_threshold)),
             F.lit(1),
         ).otherwise(F.lit(0))
     else:

@@ -97,13 +97,20 @@ def agency_dedup(
     (`create_daily_enhanced_trace.py:2061-2229`). Keep customer trades
     and dealer-sells; drop dealer-buys that match a sell on the key set
     (time deliberately excluded from keys). Aggressive mode drops all
-    dealer-buys."""
+    dealer-buys.
+
+    NOT null-safe: the reference matches via pd.merge (`:2203-2209`),
+    where a NaN key never equals a NaN key, so a dealer-buy with a null
+    price/volume is always kept — and nulls ARE reachable here, because
+    agency cleaning runs before the price screens (`:523` vs `:608`).
+    Contrast J1/J3, whose reference builds string-concat keys where NaN
+    becomes the literal 'nan' and does match (anti_join_keys default)."""
     customer = trades.filter(customer_pred)
     sells = trades.filter(sell_pred)
     buys = trades.filter(buy_pred)
     if aggressive:
         return customer.unionByName(sells)
-    unmatched_buys = anti_join_keys(buys, sells, list(match_keys))
+    unmatched_buys = anti_join_keys(buys, sells, list(match_keys), null_safe=False)
     return customer.unionByName(sells).unionByName(unmatched_buys)
 
 

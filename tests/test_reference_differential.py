@@ -372,6 +372,241 @@ def test_j7_agency_dedup_matches_reference(spark, seed):
         assert len(ref_ids) < len(pdf)  # something was actually removed
 
 
+def _post_tape(seed: int) -> pd.DataFrame:
+    """Post-2012 TRACE message tape: T/R trades plus X/C cancellations
+    that duplicate a victim's full 8-key (same msg_seq_nb) and Y
+    reversals whose orig_msg_seq_nb points at a victim's msg_seq_nb —
+    with dangling X/C/Y rows matching nothing, duplicate-key trades,
+    and NaN prices (the reference's string-concat key renders NaN as
+    'nan', which DOES match — anti_join_keys' null-safe default)."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    msg = 1000
+    for g in range(10):
+        cid = f"P{g:03d}"
+        for _ in range(int(rng.integers(3, 40))):
+            msg += 1
+            d = pd.Timestamp(2015, 3, int(rng.integers(1, 28)))
+            tm = f"{int(rng.integers(9, 16)):02d}:00:{int(rng.integers(0, 60)):02d}"
+            p = np.nan if rng.uniform() < 0.05 else round(float(rng.uniform(90, 92)), 1)
+            v = float(rng.integers(1, 4) * 1000)
+            side = str(rng.choice(["B", "S"]))
+            cp = str(rng.choice(["C", "D"]))
+            rows.append([cid, d, tm, p, v, side, cp, str(msg), None, "T"])
+            u = rng.uniform()
+            if u < 0.25:  # cancel/correct the trade (same msg_seq_nb)
+                rows.append([cid, d, tm, p, v, side, cp, str(msg), None,
+                             str(rng.choice(["X", "C"]))])
+            elif u < 0.45:  # reverse it (orig_msg_seq_nb -> msg_seq_nb)
+                msg += 1
+                rows.append([cid, d, tm, p, v, side, cp, str(msg), str(msg - 1), "Y"])
+            elif u < 0.55:  # dangling control row matching nothing
+                msg += 1
+                rows.append([cid, d, tm, p, v, side, cp, str(msg + 500),
+                             str(msg + 900), str(rng.choice(["X", "C", "Y"]))])
+    pdf = pd.DataFrame(
+        rows,
+        columns=[
+            "cusip_id", "trd_exctn_dt", "trd_exctn_tm", "rptd_pr",
+            "entrd_vol_qt", "rpt_side_cd", "cntra_mp_id", "msg_seq_nb",
+            "orig_msg_seq_nb", "trc_st",
+        ],
+    )
+    pdf["row_id"] = np.arange(len(pdf))
+    return pdf
+
+
+@pytest.mark.parametrize("seed", [20260816, 977])
+def test_j1_j2_clean_post_matches_reference(spark, seed):
+    from trace_data_pipeline_spark.operators.cleaning import anti_join_keys
+
+    pdf = _post_tape(seed)
+    ref = _ref_fn("clean_post_20120206")(pdf.copy())
+    ref_ids = set(ref["row_id"].tolist())
+
+    sdf = spark.createDataFrame(
+        pdf,
+        schema="cusip_id string, trd_exctn_dt timestamp, trd_exctn_tm string, "
+        "rptd_pr double, entrd_vol_qt double, rpt_side_cd string, "
+        "cntra_mp_id string, msg_seq_nb string, orig_msg_seq_nb string, "
+        "trc_st string, row_id long",
+    ).repartition(7, "row_id")
+    tr = sdf.filter(F.col("trc_st").isin("T", "R"))
+    xc = sdf.filter(F.col("trc_st").isin("X", "C"))
+    y = sdf.filter(F.col("trc_st") == "Y")
+    keys7 = [
+        "cusip_id", "trd_exctn_dt", "trd_exctn_tm", "rptd_pr",
+        "entrd_vol_qt", "rpt_side_cd", "cntra_mp_id",
+    ]
+    step1 = anti_join_keys(tr, xc, [*keys7, "msg_seq_nb"])
+    step2 = anti_join_keys(
+        step1, y, {**{k: k for k in keys7}, "msg_seq_nb": "orig_msg_seq_nb"}
+    )
+    got_ids = {r.row_id for r in step2.select("row_id").collect()}
+    assert got_ids == ref_ids, (
+        f"kept-row sets differ; extra={sorted(got_ids - ref_ids)[:5]} "
+        f"missing={sorted(ref_ids - got_ids)[:5]}"
+    )
+    n_tr = int((pdf["trc_st"].isin(["T", "R"])).sum())
+    assert 0 < len(ref_ids) < n_tr  # both removal stages actually fired
+
+
+def _pre_tape(seed: int) -> pd.DataFrame:
+    """Pre-2012 TRACE message tape exercising every clean_pre stage:
+    C cancels (orig_msg_seq_nb → victim, trd_rpt_dt in the key),
+    W corrections — direct, same-group W→W chains (collapse to the
+    head), cross-group chains (the reference keeps the INTERMEDIATE W),
+    multi-pair groups (npair>1) and dangling Ws — plus asof_cd='R'
+    sequence-matched reversals, 'D'/'X' delayed rows, and dangling
+    cancels. No NaN keys: pre-2012 matching is pd.merge-based (NaN
+    never matches) AND the final inner re-merge would drop NaN-price
+    rows entirely — rows the price screens remove downstream anyway."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    msg = 5000
+
+    def add(cid, d, tm, rpt_tm, p, v, side, cp, m, om, st, asof):
+        rows.append([cid, cid + "B", d, tm,
+                     pd.Timestamp(2008, 6, 2), rpt_tm, p, v, side, cp,
+                     str(m), None if om is None else str(om), st, asof])
+
+    for g in range(12):
+        cid = f"Q{g:03d}"
+        for _ in range(int(rng.integers(3, 25))):
+            msg += 10
+            d = pd.Timestamp(2008, 5, int(rng.integers(1, 28)))
+            sec = int(rng.integers(0, 86_400))
+            tm = f"{sec // 3600:02d}:{sec % 3600 // 60:02d}:{sec % 60:02d}"
+            rpt_tm = f"{int(rng.integers(9, 17)):02d}:30:00"
+            p = round(float(rng.uniform(90, 92)), 1)
+            v = float(rng.integers(1, 4) * 1000)
+            side = str(rng.choice(["B", "S"]))
+            cp = str(rng.choice(["C", "D"]))
+            add(cid, d, tm, rpt_tm, p, v, side, cp, msg, None, "T", None)
+            u = rng.uniform()
+            if u < 0.12:  # cancel
+                add(cid, d, tm, rpt_tm, p, v, side, cp, msg + 1, msg, "C", None)
+            elif u < 0.24:  # direct W correction (its own time/price)
+                add(cid, d, tm, rpt_tm, p + 0.3, v, side, cp,
+                    msg + 1, msg, "W", None)
+            elif u < 0.32:  # same-group W→W chain: W2 corrects W1 at W1's time
+                wtm = f"{(sec + 60) % 86_400 // 3600:02d}:15:00"
+                add(cid, d, wtm, rpt_tm, p + 0.3, v, side, cp,
+                    msg + 1, msg, "W", None)
+                add(cid, d, wtm, rpt_tm, p + 0.6, v, side, cp,
+                    msg + 2, msg + 1, "W", None)
+            elif u < 0.38:  # cross-group chain: W2 at a DIFFERENT time
+                add(cid, d, "10:00:00", rpt_tm, p + 0.3, v, side, cp,
+                    msg + 1, msg, "W", None)
+                add(cid, d, "11:00:00", rpt_tm, p + 0.6, v, side, cp,
+                    msg + 2, msg + 1, "W", None)
+            elif u < 0.50:  # reversal report: same 6-key, own time
+                rsec = int(rng.integers(0, 86_400))
+                add(cid, d, f"{rsec // 3600:02d}:{rsec % 3600 // 60:02d}:{rsec % 60:02d}",
+                    rpt_tm, p, v, side, cp, msg + 1, None, "T", "R")
+            elif u < 0.56:  # delayed rows: dropped, never matched
+                add(cid, d, tm, rpt_tm, p, v, side, cp, msg + 1, None, "T",
+                    str(rng.choice(["D", "X"])))
+            elif u < 0.62:  # dangling C / W matching nothing
+                add(cid, d, tm, rpt_tm, p, v, side, cp, msg + 1, msg + 7000,
+                    str(rng.choice(["C", "W"])), None)
+        if rng.uniform() < 0.4:  # npair>1: two Ws in ONE group, two victims
+            d = pd.Timestamp(2008, 5, 30)
+            for j in range(2):
+                msg += 10
+                add(cid, d, f"14:00:0{j}", "15:00:00", 91.0 + j, 2000.0,
+                    "B", "C", msg, None, "T", None)
+                add(cid, d, "14:30:00", "15:00:00", 91.5 + j, 2000.0,
+                    "B", "C", msg + 1, msg, "W", None)
+    pdf = pd.DataFrame(
+        rows,
+        columns=[
+            "cusip_id", "bond_sym_id", "trd_exctn_dt", "trd_exctn_tm",
+            "trd_rpt_dt", "trd_rpt_tm", "rptd_pr", "entrd_vol_qt",
+            "rpt_side_cd", "cntra_mp_id", "msg_seq_nb", "orig_msg_seq_nb",
+            "trc_st", "asof_cd",
+        ],
+    )
+    pdf["row_id"] = np.arange(len(pdf))
+    return pdf
+
+
+@pytest.mark.parametrize("seed", [20260816, 977])
+def test_j3_j4_j5_clean_pre_matches_reference(spark, seed):
+    """Full pre-2012 chain: C-cancel anti-join (J3), napp/ntype/npair
+    correction-chain resolution with W substitution (J4), and 6-key
+    cumcount sequence-matched reversal removal (J5/J6) — composed from
+    the repo operators exactly as the stage plans do, against the
+    reference's clean_pre_20120206 row-for-row (row_id sets, so the
+    SUBSTITUTED W identities are checked too)."""
+    from trace_data_pipeline_spark.operators.cleaning import (
+        anti_join_keys,
+        agency_dedup,  # noqa: F401  (imported for parity of surface)
+        correction_chain_resolution,
+        sequence_match_removal,
+    )
+
+    pdf = _pre_tape(seed)
+    ref = _ref_fn("clean_pre_20120206")(pdf.copy())
+    ref_ids = set(ref["row_id"].tolist())
+
+    sdf = spark.createDataFrame(
+        pdf,
+        schema="cusip_id string, bond_sym_id string, trd_exctn_dt timestamp, "
+        "trd_exctn_tm string, trd_rpt_dt timestamp, trd_rpt_tm string, "
+        "rptd_pr double, entrd_vol_qt double, rpt_side_cd string, "
+        "cntra_mp_id string, msg_seq_nb string, orig_msg_seq_nb string, "
+        "trc_st string, asof_cd string, row_id long",
+    ).repartition(7, "row_id")
+    pre_t = sdf.filter(F.col("trc_st") == "T")
+    pre_c = sdf.filter(F.col("trc_st") == "C")
+    pre_w = sdf.filter(F.col("trc_st") == "W")
+
+    cancel_keys = [
+        "cusip_id", "trd_exctn_dt", "trd_exctn_tm", "rptd_pr",
+        "entrd_vol_qt", "trd_rpt_dt",
+    ]
+    step1 = anti_join_keys(
+        pre_t, pre_c,
+        {**{k: k for k in cancel_keys}, "msg_seq_nb": "orig_msg_seq_nb"},
+    )
+    step2 = correction_chain_resolution(
+        step1,
+        pre_w,
+        keys=["cusip_id", "trd_exctn_dt"],
+        pair_keys=["cusip_id", "bond_sym_id", "trd_exctn_dt", "trd_exctn_tm"],
+        dedup_cols=[
+            "cusip_id", "trd_exctn_dt", "msg_seq_nb", "orig_msg_seq_nb",
+            "rptd_pr", "entrd_vol_qt",
+        ],
+    )
+    rev = step2.filter(F.col("asof_cd") == "R")
+    base = step2.filter(
+        ~F.coalesce(F.col("asof_cd").isin("R", "X", "D"), F.lit(False))
+    )
+    keys6 = [
+        "cusip_id", "bond_sym_id", "trd_exctn_dt", "entrd_vol_qt",
+        "rptd_pr", "rpt_side_cd", "cntra_mp_id",
+    ]
+    step3 = sequence_match_removal(
+        base,
+        rev,
+        keys=keys6,
+        trade_order=["trd_exctn_tm", "trd_rpt_dt", "trd_rpt_tm", "msg_seq_nb"],
+        reversal_order=["trd_exctn_tm", "trd_rpt_dt", "trd_rpt_tm"],
+    )
+    got_ids = {r.row_id for r in step3.select("row_id").collect()}
+    assert got_ids == ref_ids, (
+        f"kept-row sets differ; extra={sorted(got_ids - ref_ids)[:8]} "
+        f"missing={sorted(ref_ids - got_ids)[:8]}"
+    )
+    # the tape must actually exercise cancellation, substitution and
+    # reversal: some W rows survive (substituted), some Ts are gone
+    assert any(pdf.loc[pdf["row_id"].isin(ref_ids), "trc_st"] == "W")
+    n_t = int((pdf["trc_st"] == "T").sum())
+    assert len(ref_ids) < n_t
+
+
 @pytest.mark.parametrize("seed", [20260816, 977])
 def test_j15_range_join_matches_reference(spark, seed):
     from trace_data_pipeline_spark.operators.interval import range_join

@@ -265,16 +265,27 @@ def test_bench_emits_one_json_line():
     series = [
         (int(i), s) for i, s in self_report["host"]["canary_series"]
     ]
-    assert series, "canary series missing"
+    arrow_series = [
+        (int(i), s) for i, s in self_report["host"]["arrow_canary_series"]
+    ]
+    assert series and arrow_series, "canary series missing"
     floors_canary = self_report["host"]["floors_canary_sec"]
+    floors_arrow = self_report["host"]["floors_arrow_canary_sec"]
+    arrow_axis = set(self_report["host"]["arrow_axis_entries"])
     names = sorted(d["queries"])
     for idx, name in enumerate(names):
-        # min of the two bracketing samples — the stall-rejected
-        # divisor bench.py documents
-        prev = max((s for s in series if s[0] <= idx), key=lambda s: s[0])[1]
-        nxt = min((s for s in series if s[0] > idx), key=lambda s: s[0])[1]
+        # per-axis normalization (r12 verdict item 3): Arrow-path
+        # entries divide by the Arrow canary segment, everything else
+        # by the shuffle segment — min of the two bracketing samples,
+        # the stall-rejected divisor bench.py documents
+        ser, floor = (
+            (arrow_series, floors_arrow) if name in arrow_axis
+            else (series, floors_canary)
+        )
+        prev = max((s for s in ser if s[0] <= idx), key=lambda s: s[0])[1]
+        nxt = min((s for s in ser if s[0] > idx), key=lambda s: s[0])[1]
         expect = round(
-            d["queries"][name] * floors_canary / min(prev, nxt), 3
+            d["queries"][name] * floor / min(prev, nxt), 3
         )
         assert abs(self_report["queries_normalized"][name] - expect) < 1e-9, (
             name

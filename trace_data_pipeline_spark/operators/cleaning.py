@@ -120,40 +120,111 @@ def correction_chain_resolution(
     keys: Sequence[str],
     msg_col: str = "msg_seq_nb",
     orig_col: str = "orig_msg_seq_nb",
+    pair_keys: Sequence[str] | None = None,
+    dedup_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """J4 (pre-2012 'W' records): resolve chains of corrections where a
-    W record may correct another W (`create_daily_enhanced_trace.py:
-    1827-1907`). A W whose msg_seq_nb is referenced by another W's
-    orig_msg_seq_nb is itself superseded; chain heads are the W rows
-    never referenced. Heads replace the T rows (and intermediate Ws)
-    they transitively point at.
+    W record may correct another W, replacing matched trades with their
+    corrected W rows (`create_daily_enhanced_trace.py:1811-1907`) —
+    the reference's napp/ntype/npair procedure, reproduced exactly:
 
-    Implementation: within (keys) — unpivot each W into its (msg) and
-    (orig) roles, count appearances per sequence number; numbers that
-    appear only as 'orig' belong to replaced records, numbers that
-    appear only as 'msg' are chain heads. Matched T rows are removed
-    with an anti-join on (keys, msg == head.orig-chain target) and the
-    head W rows are substituted in.
+    1. unpivot each W into its (msg) and (omsg) roles within
+       `pair_keys` (the reference pairs within (cusip, bond_sym, date,
+       time)); count appearances napp and distinct roles ntype per
+       sequence number;
+    2. keep numbers with napp==1 OR (napp>1 AND ntype==1) — a number
+       seen as BOTH someone's msg and someone's omsg is a chain middle
+       and drops out, which is what collapses same-group W→W chains to
+       their head;
+    3. npair = kept rows per pair group / 2; npair==1 groups pivot to
+       one (msg, omsg) pair — possibly pairing a head's msg with the
+       ORIGINAL trade's msg across a collapsed chain; npair>1 groups
+       fall back to each W's own (msg, orig) pair;
+    4. remove trades whose (keys, msg) is some pair's (keys, orig);
+       substitute the W rows of pairs that matched a trade (the
+       reference re-joins pair msgs to the W frame for full rows and
+       dedups on `dedup_cols` before the concat).
 
-    Note: this resolves one level of chaining per pass over single-link
-    chains the way the reference's appearance-count heuristic does —
-    semantics follow the reference's napp/ntype logic, not full
-    transitive closure.
+    Matching is pd.merge-style (null keys never match), like the
+    reference's merges here — NOT the string-concat 'nan'-matching of
+    the cancel stages.
+
+    NOTE the reference quirk this reproduces: a W→W chain across two
+    DIFFERENT pair groups (e.g. the second W reported at another
+    execution time) is NOT collapsed — each W pairs within its own
+    group, the trade matches the FIRST W's orig, and the substituted
+    row is that intermediate W, while the head W (whose orig points at
+    the other W, not at any trade) is dropped as unmatched.
+
+    Scale: three aggregates and four joins, all keyed on subsets of
+    (entity, date) — one shuffle partitioning reused throughout; the
+    corrections side is small and broadcasts.
     """
+    pk = [F.col(c) for c in (pair_keys if pair_keys is not None else keys)]
+    pk_names = list(pair_keys if pair_keys is not None else keys)
+    msg_side = corrections.select(
+        *pk, F.col(msg_col).alias("__nb"), F.lit("msg").alias("__role")
+    )
+    orig_side = corrections.select(
+        *pk, F.col(orig_col).alias("__nb"), F.lit("omsg").alias("__role")
+    )
+    combined = msg_side.unionByName(orig_side).filter(F.col("__nb").isNotNull())
+    counts = combined.groupBy(*pk, F.col("__nb")).agg(
+        F.count(F.lit(1)).alias("__napp"),
+        F.countDistinct("__role").alias("__ntype"),
+    )
+    kept_nb = counts.filter(
+        (F.col("__napp") == 1) | ((F.col("__napp") > 1) & (F.col("__ntype") == 1))
+    ).select(*pk, "__nb")
+    kept = combined.join(kept_nb, [*pk_names, "__nb"], "inner")
+    # npair counts kept rows (both roles) per pair group, halved
+    w_pair = Window.partitionBy(*pk)
+    kept = kept.withColumn("__npair", F.count(F.lit(1)).over(w_pair) / F.lit(2))
+    # npair == 1: the group collapses to ONE (msg, omsg) pair — the
+    # surviving msg-role number and omsg-role number, whoever's they were
+    pairs1 = (
+        kept.filter(F.col("__npair") == 1)
+        .groupBy(*pk)
+        .agg(
+            F.max(F.when(F.col("__role") == "msg", F.col("__nb"))).alias("__pmsg"),
+            F.max(F.when(F.col("__role") == "omsg", F.col("__nb"))).alias("__pomsg"),
+        )
+    )
+    # npair > 1: every kept msg-role number keeps its OWN W's orig
+    pairs2 = (
+        kept.filter((F.col("__npair") > 1) & (F.col("__role") == "msg"))
+        .select(*pk, F.col("__nb").alias("__pmsg"))
+        .join(
+            corrections.select(
+                *pk, F.col(msg_col).alias("__pmsg"), F.col(orig_col).alias("__pomsg")
+            ),
+            [*pk_names, "__pmsg"],
+            "left",
+        )
+    )
+    pairs = pairs1.select(*pk, "__pmsg", "__pomsg").unionByName(
+        pairs2.select(*pk, "__pmsg", "__pomsg")
+    )
+    # full W rows for each pair's msg; the pair's omsg becomes the
+    # substituted row's orig pointer
+    w_full = pairs.join(
+        corrections.drop(orig_col).withColumnRenamed(msg_col, "__pmsg"),
+        [*pk_names, "__pmsg"],
+        "left",
+    )
     k = [F.col(c) for c in keys]
-    msg_side = corrections.select(*k, F.col(msg_col).alias("nb"), F.lit("msg").alias("role"))
-    orig_side = corrections.select(*k, F.col(orig_col).alias("nb"), F.lit("omsg").alias("role"))
-    roles = msg_side.unionByName(orig_side).filter(F.col("nb").isNotNull())
-    counts = roles.groupBy(*k, F.col("nb")).agg(
-        F.count(F.lit(1)).alias("napp"),
-        F.countDistinct("role").alias("ntype"),
+    targets = w_full.select(*k, F.col("__pomsg").alias(msg_col)).dropDuplicates()
+    survivors = anti_join_keys(trades, targets, [*keys, msg_col], null_safe=False)
+    matched_keys = (
+        trades.join(targets, [*keys, msg_col], "left_semi")
+        .select(*k, F.col(msg_col).alias("__pomsg"))
+        .dropDuplicates()
     )
-    # chain heads: W rows whose msg_seq_nb never appears as another W's orig
-    referenced = counts.filter((F.col("ntype") == 2) | (F.col("napp") > 1)).select(
-        *k, F.col("nb").alias(msg_col)
+    w_to_add = (
+        w_full.join(matched_keys, [*keys, "__pomsg"], "left_semi")
+        .withColumnRenamed("__pmsg", msg_col)
+        .withColumn(orig_col, F.col("__pomsg"))
     )
-    heads = anti_join_keys(corrections, referenced, [*keys, msg_col])
-    # remove T rows targeted by any correction in the chain
-    targets = corrections.select(*k, F.col(orig_col).alias(msg_col)).dropDuplicates()
-    survivors = anti_join_keys(trades, targets, [*keys, msg_col])
-    return survivors.unionByName(heads.select(*trades.columns))
+    if dedup_cols:
+        w_to_add = w_to_add.dropDuplicates(list(dedup_cols))
+    return survivors.unionByName(w_to_add.select(*trades.columns))

@@ -36,33 +36,63 @@ from trace_data_pipeline_spark.sources import load_table
       SELECT l_orderkey, l_linenumber, l_returnflag,
              l_linenumber - 1 AS orig
       FROM lineitem WHERE l_returnflag = 'R'
-    ), roles AS (
+    ), combined AS (
       SELECT l_orderkey, l_linenumber AS nb, 'msg' AS role FROM w
       UNION ALL
       SELECT l_orderkey, orig AS nb, 'omsg' AS role FROM w
     ), counts AS (
       SELECT l_orderkey, nb, count(*) AS napp, count(DISTINCT role) AS ntype
-      FROM roles GROUP BY 1, 2
-    ), ref AS (
-      SELECT DISTINCT l_orderkey, nb FROM counts WHERE ntype = 2 OR napp > 1
-    ), heads AS (
-      SELECT w.l_orderkey, w.l_linenumber, w.l_returnflag FROM w
-      WHERE NOT EXISTS (SELECT 1 FROM ref
-                        WHERE ref.l_orderkey = w.l_orderkey
-                          AND ref.nb = w.l_linenumber)
+      FROM combined GROUP BY 1, 2
+    ), keptnb AS (
+      SELECT l_orderkey, nb FROM counts
+      WHERE napp = 1 OR (napp > 1 AND ntype = 1)
+    ), kept AS (
+      SELECT c.l_orderkey, c.nb, c.role,
+             count(*) OVER (PARTITION BY c.l_orderkey) / 2.0 AS npair
+      FROM combined c
+      JOIN keptnb k ON c.l_orderkey = k.l_orderkey AND c.nb = k.nb
+    ), pairs1 AS (
+      SELECT l_orderkey,
+             max(CASE WHEN role = 'msg' THEN nb END) AS pmsg,
+             max(CASE WHEN role = 'omsg' THEN nb END) AS pomsg
+      FROM kept WHERE npair = 1 GROUP BY 1
+    ), pairs2 AS (
+      SELECT k.l_orderkey, k.nb AS pmsg, w.orig AS pomsg
+      FROM kept k
+      LEFT JOIN w ON w.l_orderkey = k.l_orderkey AND w.l_linenumber = k.nb
+      WHERE k.npair > 1 AND k.role = 'msg'
+    ), pairs AS (
+      SELECT * FROM pairs1 UNION ALL SELECT * FROM pairs2
+    ), wfull AS (
+      SELECT p.l_orderkey, p.pmsg, p.pomsg, w.l_returnflag
+      FROM pairs p
+      LEFT JOIN w ON w.l_orderkey = p.l_orderkey AND w.l_linenumber = p.pmsg
+    ), targets AS (
+      SELECT DISTINCT l_orderkey, pomsg FROM wfull
     ), surv AS (
       SELECT t.* FROM t
-      WHERE NOT EXISTS (SELECT 1 FROM (SELECT DISTINCT l_orderkey, orig FROM w) x
+      WHERE NOT EXISTS (SELECT 1 FROM targets x
                         WHERE x.l_orderkey = t.l_orderkey
-                          AND x.orig = t.l_linenumber)
+                          AND x.pomsg = t.l_linenumber)
+    ), toadd AS (
+      SELECT f.l_orderkey, f.pmsg AS l_linenumber, f.l_returnflag
+      FROM wfull f
+      WHERE EXISTS (SELECT 1 FROM t JOIN targets x
+                      ON x.l_orderkey = t.l_orderkey
+                     AND x.pomsg = t.l_linenumber
+                    WHERE t.l_orderkey = f.l_orderkey
+                      AND t.l_linenumber = f.pomsg)
     )
-    SELECT * FROM surv UNION ALL SELECT * FROM heads
+    SELECT * FROM surv UNION ALL SELECT * FROM toadd
     """,
 )
 def j4_correction_chain(spark, sf_dir):
-    """J4: correction-chain resolution — W records may correct other W
-    records; chain heads substitute the trades they transitively
-    replace (unpivot roles → appearance counts → anti-joins → union)."""
+    """J4: correction-chain resolution with the reference's EXACT
+    napp/ntype/npair pairing (`create_daily_enhanced_trace.py:
+    1811-1907`): same-group W→W chains collapse to (head msg, trade
+    msg) pairs, multi-pair groups keep each W's own orig, matched
+    trades are removed and replaced by the pairs' W rows (unmatched
+    pairs substitute nothing)."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_returnflag"
     )

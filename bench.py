@@ -98,6 +98,9 @@ FLOORS: dict[str, float] = {
     # normalized to 1.6
     "w10h_odd_first_coupon": 1.6,
     "w11b_modified_following": 1.008,
+    # r13: warm min-of-3 0.48 at sf0.1 (per-date curve column algebra,
+    # one scan, no shuffle beyond the read)
+    "w9b_credit_spread": 0.48,
     "w1_decimal_shift": 1.462,
     "w2_bounce_back": 0.806,
     "w7_ultra_distressed": 0.985,

@@ -656,6 +656,52 @@ def test_j15_range_join_matches_reference(spark, seed):
     assert ref["ind17"].notna().sum() > 0 and ref["ind17"].isna().sum() > 0
 
 
+@pytest.mark.parametrize("seed", [20260816, 977])
+def test_w9_compute_credit_matches_reference(spark, seed):
+    """Per-row curve interpolation (ComputeCredit): random tenors
+    covering both clamps, exact node hits, NaN tenors (the reference's
+    bare `else` sends NaN to the 30y node), and NaN node values."""
+    from trace_data_pipeline_spark.operators.analytics import piecewise_linear_cols
+
+    rng = np.random.default_rng(seed)
+    n = 500
+    tmt = rng.uniform(-0.5, 40.0, n)
+    tmt[rng.uniform(size=n) < 0.05] = np.nan
+    # plant exact node hits
+    for v in (1.0, 2.0, 5.0, 7.0, 10.0, 20.0, 30.0):
+        tmt[int(rng.integers(0, n))] = v
+    curve = {
+        name: rng.uniform(1.0, 8.0, n)
+        for name in ("oneyr", "twoyr", "fiveyr", "sevyr", "tenyr",
+                     "twentyr", "thirtyr")
+    }
+    curve["thirtyr"][rng.uniform(size=n) < 0.05] = np.nan
+    pdf = pd.DataFrame(
+        {"cusip_id": [f"Y{i:04d}" for i in range(n)],
+         "trd_exctn_dt": 0, "tmt": tmt, **curve}
+    )
+    ns = _ref_fns(_SRC_S1, ("ComputeCredit",))
+    want = pd.Series(
+        [ns["ComputeCredit"](x)[2] for x in pdf.itertuples(index=False)]
+    )
+    sdf = spark.createDataFrame(pdf).repartition(7, "cusip_id")
+    got = (
+        sdf.withColumn(
+            "yld_interp",
+            piecewise_linear_cols(
+                "tmt",
+                [1.0, 2.0, 5.0, 7.0, 10.0, 20.0, 30.0],
+                [F.col(c) for c in ("oneyr", "twoyr", "fiveyr", "sevyr",
+                                    "tenyr", "twentyr", "thirtyr")],
+            ),
+        )
+        .toPandas()
+        .sort_values("cusip_id")
+        .reset_index(drop=True)
+    )
+    _assert_col_equal(got["yld_interp"], want, "yld_interp")
+
+
 def _distressed_panel(seed: int, n_ids: int = 20) -> pd.DataFrame:
     """Daily distressed-bond panel exercising all four W7 sub-filters:
     ultra-low prints (<0.10), exact suspicious round numbers, upward

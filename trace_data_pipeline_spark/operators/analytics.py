@@ -38,6 +38,26 @@ def piecewise_linear(x: Column | str, xs: Sequence[float], ys: Sequence[float]) 
     return F.when(c < F.lit(float(xs[0])), F.lit(float(ys[0]))).otherwise(expr)
 
 
+def piecewise_linear_cols(
+    x: Column | str, xs: Sequence[float], ys: Sequence[Column]
+) -> Column:
+    """W9 with a PER-ROW curve: np.interp-style interpolation where the
+    node VALUES are columns — the reference merges the day's treasury
+    key-rate curve onto each trade and interpolates row-wise
+    (`stage1/helper_functions.py:309-408`, ComputeCredit). Node
+    positions `xs` stay constant (ascending). Clamps exactly like the
+    reference's branch chain: x < xs[0] → ys[0]; anything matching no
+    branch — beyond xs[-1], NaN, null — falls to ys[-1] (the
+    reference's bare `else`)."""
+    c = F.col(x) if isinstance(x, str) else x
+    expr = F.when(c < F.lit(float(xs[0])), ys[0])
+    for i in range(1, len(xs)):
+        x0, x1 = float(xs[i - 1]), float(xs[i])
+        seg = ys[i - 1] + (c - F.lit(x0)) * (ys[i] - ys[i - 1]) / F.lit(x1 - x0)
+        expr = expr.when((c >= F.lit(x0)) & (c <= F.lit(x1)), seg)
+    return expr.otherwise(ys[-1])
+
+
 def pooled_stats(
     df: DataFrame,
     value: str,

@@ -22,6 +22,7 @@ from trace_data_pipeline_spark.operators.analytics import (
     concentration_metrics,
     map_via_case,
     piecewise_linear,
+    piecewise_linear_cols,
     pooled_stats,
     winsorize_by_group,
 )
@@ -779,6 +780,89 @@ def w9_curve_interp(spark, sf_dir):
     tmt = F.datediff(F.lit("2002-07-01").cast("date"), F.to_date("o_orderdate")) / 365.25
     out = orders.withColumn("yld", piecewise_linear(tmt, xs, ys))
     return out.select("o_orderkey", F.round("yld", 8).alias("yld"))
+
+
+@register(
+    "w9b_credit_spread",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, CAST(ts AS DATE) AS d,
+             CAST(user_id % 400 AS DOUBLE) / 10.0 AS tmt,
+             value AS ytm
+      FROM events
+    ), c AS (
+      SELECT *,
+             2.0 + CAST(day(d) % 10 AS DOUBLE) * 0.1 AS oneyr
+      FROM ev
+    ), y AS (
+      SELECT event_id, tmt, ytm, oneyr,
+             oneyr + 0.2 AS twoyr,  oneyr + 0.5 AS fiveyr,
+             oneyr + 0.7 AS sevyr,  oneyr + 1.0 AS tenyr,
+             oneyr + 1.5 AS twentyr, oneyr + 2.0 AS thirtyr
+      FROM c
+    )
+    SELECT event_id,
+           CASE
+             WHEN tmt < 1.0 THEN oneyr
+             WHEN tmt >= 1.0  AND tmt <= 2.0  THEN oneyr   + (tmt - 1.0)  * (twoyr   - oneyr)   / 1.0
+             WHEN tmt >= 2.0  AND tmt <= 5.0  THEN twoyr   + (tmt - 2.0)  * (fiveyr  - twoyr)   / 3.0
+             WHEN tmt >= 5.0  AND tmt <= 7.0  THEN fiveyr  + (tmt - 5.0)  * (sevyr   - fiveyr)  / 2.0
+             WHEN tmt >= 7.0  AND tmt <= 10.0 THEN sevyr   + (tmt - 7.0)  * (tenyr   - sevyr)   / 3.0
+             WHEN tmt >= 10.0 AND tmt <= 20.0 THEN tenyr   + (tmt - 10.0) * (twentyr - tenyr)   / 10.0
+             WHEN tmt >= 20.0 AND tmt <= 30.0 THEN twentyr + (tmt - 20.0) * (thirtyr - twentyr) / 10.0
+             ELSE thirtyr END AS yld_interp,
+           ytm - (CASE
+             WHEN tmt < 1.0 THEN oneyr
+             WHEN tmt >= 1.0  AND tmt <= 2.0  THEN oneyr   + (tmt - 1.0)  * (twoyr   - oneyr)   / 1.0
+             WHEN tmt >= 2.0  AND tmt <= 5.0  THEN twoyr   + (tmt - 2.0)  * (fiveyr  - twoyr)   / 3.0
+             WHEN tmt >= 5.0  AND tmt <= 7.0  THEN fiveyr  + (tmt - 5.0)  * (sevyr   - fiveyr)  / 2.0
+             WHEN tmt >= 7.0  AND tmt <= 10.0 THEN sevyr   + (tmt - 7.0)  * (tenyr   - sevyr)   / 3.0
+             WHEN tmt >= 10.0 AND tmt <= 20.0 THEN tenyr   + (tmt - 10.0) * (twentyr - tenyr)   / 10.0
+             WHEN tmt >= 20.0 AND tmt <= 30.0 THEN twentyr + (tmt - 20.0) * (thirtyr - twentyr) / 10.0
+             ELSE thirtyr END) AS credit_spread
+    FROM y
+    """,
+)
+def w9b_credit_spread(spark, sf_dir):
+    """W9 with the reference's PER-DATE curve (`helper_functions.py:
+    309-408`, ComputeCredit + calculate_credit_spreads): each trade
+    carries its execution day's key-rate nodes as columns; the tenor
+    interpolates against THOSE, and credit_spread = ytm − yld_interp.
+    Pure column algebra via piecewise_linear_cols — the reference's
+    joblib row-parallel loop becomes whole-stage codegen. The synthetic
+    curve derives deterministically from the date (so both engines
+    build identical node columns); tenors span below-1y and beyond-30y
+    to exercise both clamps."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.to_date("ts").alias("d"),
+        ((F.col("user_id") % 400).cast("double") / F.lit(10.0)).alias("tmt"),
+        F.col("value").alias("ytm"),
+    )
+    one = 2.0 + (F.dayofmonth("d") % 10).cast("double") * F.lit(0.1)
+    nodes = {
+        "oneyr": one,
+        "twoyr": one + 0.2,
+        "fiveyr": one + 0.5,
+        "sevyr": one + 0.7,
+        "tenyr": one + 1.0,
+        "twentyr": one + 1.5,
+        "thirtyr": one + 2.0,
+    }
+    cur = ev
+    for name, expr in nodes.items():
+        cur = cur.withColumn(name, expr)
+    yld = piecewise_linear_cols(
+        "tmt",
+        [1.0, 2.0, 5.0, 7.0, 10.0, 20.0, 30.0],
+        [F.col(c) for c in nodes],
+    )
+    cur = cur.withColumn("yld_interp", yld)
+    return cur.select(
+        "event_id",
+        "yld_interp",
+        (F.col("ytm") - F.col("yld_interp")).alias("credit_spread"),
+    )
 
 
 # ---------------------------------------------------------------- aggregations

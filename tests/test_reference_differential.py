@@ -702,6 +702,86 @@ def test_w9_compute_credit_matches_reference(spark, seed):
     _assert_col_equal(got["yld_interp"], want, "yld_interp")
 
 
+@pytest.mark.parametrize("seed", [20260816, 977])
+def test_a8_pooled_stats_matches_reference(spark, seed):
+    from trace_data_pipeline_spark.operators.analytics import pooled_stats
+
+    rng = np.random.default_rng(seed)
+    n = 3000
+    vals = rng.normal(100.0, 25.0, n)
+    vals[rng.uniform(size=n) < 0.05] = np.nan
+    pdf = pd.DataFrame({"g": 1, "value": vals})
+    ns = _ref_fns(_SRC_S1, ("compute_pooled_stats_fixed",))
+    ref = ns["compute_pooled_stats_fixed"](pdf, [("value", "Value")]).iloc[0]
+
+    got = (
+        pooled_stats(
+            spark.createDataFrame(pdf).repartition(7),
+            "value",
+            ["g"],
+            quantiles=(0.01, 0.05, 0.5, 0.95, 0.99),
+        )
+        .collect()[0]
+        .asDict()
+    )
+    for ours, theirs in (
+        ("mean", "Mean"),
+        ("q50", "Median"),
+        ("std", "SD"),
+        ("q01", "P1"),
+        ("q05", "P5"),
+        ("q95", "P95"),
+        ("q99", "P99"),
+    ):
+        assert round(got[ours], 2) == ref[theirs], (ours, got[ours], ref[theirs])
+
+
+@pytest.mark.parametrize("seed", [20260816, 977])
+@pytest.mark.parametrize(
+    "rating_filter",
+    [None, "investment_grade", "non_investment_grade", "defaulted"],
+)
+def test_a10_concentration_matches_reference(spark, seed, rating_filter):
+    """Including the two definitional corners the catalog data can't
+    distinguish: coverage counts entities whose CUMULATIVE share stays
+    within X% (not the first rank reaching it), and the top-N cut is
+    max(1, int(n·f)) — truncating, not ceil."""
+    from trace_data_pipeline_spark.operators.analytics import concentration_metrics
+
+    rng = np.random.default_rng(seed)
+    n_bonds = 73  # int(73*0.10)=7 != ceil(7.3)=8: exposes the ceil bug
+    pdf = pd.DataFrame(
+        {
+            "cusip_id": [f"Z{i:03d}" for i in range(n_bonds) for _ in range(4)],
+            "dvolume": rng.lognormal(3.0, 1.5, n_bonds * 4),
+            "spc_rating": [
+                int(r) for r in rng.integers(1, 23, n_bonds) for _ in range(4)
+            ],
+        }
+    )
+    ns = _ref_fns(_SRC_S1, ("compute_concentration_stats",))
+    ref = ns["compute_concentration_stats"](pdf, rating_filter)
+
+    sdf = spark.createDataFrame(pdf).repartition(7, "cusip_id")
+    if rating_filter == "investment_grade":
+        sdf = sdf.filter((F.col("spc_rating") >= 1) & (F.col("spc_rating") <= 10))
+    elif rating_filter == "non_investment_grade":
+        sdf = sdf.filter((F.col("spc_rating") > 10) & (F.col("spc_rating") <= 21))
+    elif rating_filter == "defaulted":
+        sdf = sdf.filter(F.col("spc_rating") == 22)
+    got = concentration_metrics(sdf, "cusip_id", "dvolume").collect()[0].asDict()
+
+    for ours, theirs, scale in (
+        ("herfindahl", "herfindahl", 1.0),
+        ("frac_for_50pct", "pct_for_50", 100.0),
+        ("frac_for_90pct", "pct_for_90", 100.0),
+        ("top_10pct_share", "top10_share", 100.0),
+        ("top_25pct_share", "top25_share", 100.0),
+    ):
+        g, w = got[ours] * scale, float(ref[theirs])
+        assert abs(g - w) <= 1e-9 * max(1.0, abs(w)), (ours, g, w)
+
+
 def _distressed_panel(seed: int, n_ids: int = 20) -> pd.DataFrame:
     """Daily distressed-bond panel exercising all four W7 sub-filters:
     ultra-low prints (<0.10), exact suspicious round numbers, upward

@@ -148,9 +148,11 @@ def concentration_metrics(
     top_fracs: Sequence[float] = (0.1, 0.25),
 ) -> DataFrame:
     """A10 (`stage1/helper_functions.py:2267-2334`): volume concentration.
-    Per-entity totals → descending cumulative share → share of entities
-    needed for X% of volume, top-fraction share, Herfindahl (Σ share² ·
-    10000). Returns a single row.
+    Per-entity totals → descending cumulative share → fraction of
+    entities whose cumulative share stays within X% of volume
+    (`(bond_volume_pct <= 50).sum() / n`), top-fraction share over the
+    reference's `max(1, int(n·f))` leaders (truncating, floor ≥ 1 —
+    NOT ceil), Herfindahl (Σ share² · 10000). Returns a single row.
 
     The per-entity aggregate shuffles once; the cumulative window runs
     over |entities| rows (small after aggregation)."""
@@ -175,16 +177,19 @@ def concentration_metrics(
     for cv in coverage:
         aggs.append(
             (
-                F.min(F.when(F.col("__cum") >= F.lit(cv), F.col("__rank")))
+                F.count(F.when(F.col("__cum") <= F.lit(cv), F.lit(1)))
                 / F.max("__n")
             ).alias(f"frac_for_{int(cv * 100)}pct")
         )
     for tf in top_fracs:
+        n_top = F.greatest(
+            F.lit(1), F.floor(F.col("__n") * F.lit(tf)).cast("long")
+        )
         aggs.append(
             F.sum(
-                F.when(
-                    F.col("__rank") <= F.ceil(F.col("__n") * F.lit(tf)), F.col("__share")
-                ).otherwise(F.lit(0.0))
+                F.when(F.col("__rank") <= n_top, F.col("__share")).otherwise(
+                    F.lit(0.0)
+                )
             ).alias(f"top_{int(tf * 100)}pct_share")
         )
     return ranked.agg(*aggs)

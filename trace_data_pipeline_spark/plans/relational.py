@@ -963,16 +963,16 @@ def a9_cross_sectional(spark, sf_dir):
     )
     SELECT MAX(n) AS n_entities,
            ROUND(SUM((v / total) * (v / total)) * 10000, 6) AS herfindahl,
-           ROUND(CAST(MIN(CASE WHEN cum / total >= 0.5 THEN rank END) AS DOUBLE)
+           ROUND(CAST(COUNT(CASE WHEN cum / total <= 0.5 THEN 1 END) AS DOUBLE)
                  / MAX(n), 6) AS frac_for_50pct,
-           ROUND(CAST(MIN(CASE WHEN cum / total >= 0.75 THEN rank END) AS DOUBLE)
+           ROUND(CAST(COUNT(CASE WHEN cum / total <= 0.75 THEN 1 END) AS DOUBLE)
                  / MAX(n), 6) AS frac_for_75pct,
-           ROUND(CAST(MIN(CASE WHEN cum / total >= 0.9 THEN rank END) AS DOUBLE)
+           ROUND(CAST(COUNT(CASE WHEN cum / total <= 0.9 THEN 1 END) AS DOUBLE)
                  / MAX(n), 6) AS frac_for_90pct,
-           ROUND(SUM(CASE WHEN rank <= CEIL(n * CAST(0.1 AS DOUBLE)) THEN v / total
-                          ELSE 0 END), 6) AS top_10pct_share,
-           ROUND(SUM(CASE WHEN rank <= CEIL(n * CAST(0.25 AS DOUBLE)) THEN v / total
-                          ELSE 0 END), 6) AS top_25pct_share
+           ROUND(SUM(CASE WHEN rank <= GREATEST(1, CAST(FLOOR(n * CAST(0.1 AS DOUBLE)) AS BIGINT))
+                          THEN v / total ELSE 0 END), 6) AS top_10pct_share,
+           ROUND(SUM(CASE WHEN rank <= GREATEST(1, CAST(FLOOR(n * CAST(0.25 AS DOUBLE)) AS BIGINT))
+                          THEN v / total ELSE 0 END), 6) AS top_25pct_share
     FROM ranked
     """,
 )

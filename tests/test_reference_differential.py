@@ -782,6 +782,140 @@ def test_a10_concentration_matches_reference(spark, seed, rating_filter):
         assert abs(g - w) <= 1e-9 * max(1.0, abs(w)), (ours, g, w)
 
 
+@pytest.mark.parametrize("window", [("09:30:00", "16:00:00"), ("22:00:00", "02:30:00")])
+@pytest.mark.parametrize("keep_missing", [False, True])
+def test_f8_trade_time_filter_matches_reference(spark, window, keep_missing):
+    """Inclusive window, wrap-around past midnight, malformed and
+    missing time strings, under both keep_missing settings."""
+    from trace_data_pipeline_spark.functions.scalars import hhmmss_to_seconds
+    from trace_data_pipeline_spark.operators.filters import time_window_filter
+
+    times = (
+        [f"{h:02d}:{m:02d}:30" for h in range(0, 24) for m in (0, 29, 59)]
+        + ["09:30:00", "16:00:00", "22:00:00", "02:30:00"]  # exact bounds
+        + [None, "bogus", "25:00:00", "12:61:00", "12:30"]  # unparseable
+    )
+    pdf = pd.DataFrame({"trd_exctn_tm": times})
+    pdf["row_id"] = np.arange(len(pdf))
+    ns = _ref_fns(_SRC, ("_hms_to_seconds", "filter_by_trade_time"))
+    ref = ns["filter_by_trade_time"](
+        pdf.copy(), list(window), keep_missing=keep_missing
+    )
+    ref_ids = set(ref["row_id"].tolist())
+
+    sdf = spark.createDataFrame(
+        pdf, schema="trd_exctn_tm string, row_id long"
+    ).repartition(5, "row_id")
+    got = time_window_filter(
+        sdf, hhmmss_to_seconds(F.col("trd_exctn_tm")), window[0], window[1],
+        keep_missing=keep_missing,
+    )
+    got_ids = {r.row_id for r in got.select("row_id").collect()}
+    assert got_ids == ref_ids, (
+        f"extra={sorted(got_ids - ref_ids)} missing={sorted(ref_ids - got_ids)}"
+    )
+    assert 0 < len(ref_ids) < len(pdf)
+
+
+@pytest.mark.parametrize("seed", [20260816, 977])
+def test_w6_log_return_filter_matches_reference(spark, seed):
+    """Strict > -0.25 gate (a product exactly at the threshold drops),
+    NaN products at series edges kept."""
+    from trace_data_pipeline_spark.operators.windows import (
+        consecutive_log_return_filter,
+    )
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for g in range(15):
+        n = int(rng.integers(1, 40))
+        base = float(rng.uniform(50, 150))
+        prices = base * np.exp(np.cumsum(rng.normal(0, 0.25, n)))
+        for i, p in enumerate(prices):
+            rows.append((f"G{g:02d}", i, float(p)))
+        # plant an exact-threshold pair: up by 0.5 in log, down by 0.5
+        if n >= 3 and rng.uniform() < 0.5:
+            rows.append((f"G{g:02d}", n, float(prices[-1] * np.exp(0.5))))
+            rows.append((f"G{g:02d}", n + 1, float(prices[-1])))
+    pdf = pd.DataFrame(rows, columns=["cusip_id", "seq", "rptd_pr"])
+    pdf["row_id"] = np.arange(len(pdf))
+
+    ns = _ref_fns(_SRC, ("add_filter_flags",))
+    ref = (
+        pdf.sort_values(["cusip_id", "seq"])
+        .groupby("cusip_id", group_keys=False)[list(pdf.columns)]
+        .apply(ns["add_filter_flags"])
+    )
+    ref_ids = set(ref["row_id"].tolist())
+
+    sdf = spark.createDataFrame(
+        pdf, schema="cusip_id string, seq int, rptd_pr double, row_id long"
+    ).repartition(7, "row_id")
+    got = consecutive_log_return_filter(
+        sdf, "rptd_pr", ["cusip_id"], ["seq"]
+    )
+    got_ids = {r.row_id for r in got.select("row_id").collect()}
+    assert got_ids == ref_ids, (
+        f"extra={sorted(got_ids - ref_ids)[:5]} "
+        f"missing={sorted(ref_ids - got_ids)[:5]}"
+    )
+    assert len(ref_ids) < len(pdf)
+
+
+def test_w8_rating_maps_match_reference(spark):
+    """CASE-chain dictionary maps vs the reference converters over the
+    full rating vocabulary plus unknowns and nulls; NAIC banding over
+    1..22 plus null."""
+    from trace_data_pipeline_spark.operators.analytics import map_via_case
+
+    ns = _ref_fns(_SRC_S1, ("convert_sp_to_numeric", "convert_moodys_to_numeric",
+                            "numeric_to_naic"))
+    sp_vocab = ["AAA", "AA+", "AA", "AA-", "A+", "A", "A-", "BBB+", "BBB",
+                "BBB-", "BB+", "BB", "BB-", "B+", "B", "B-", "CCC+", "CCC",
+                "CCC-", "CC", "C", "D", "NR", "WD", "", None]
+    mdy_vocab = ["Aaa", "Aa1", "Aa2", "Aa3", "A1", "A2", "A3", "Baa1", "Baa2",
+                 "Baa3", "Ba1", "Ba2", "Ba3", "B1", "B2", "B3", "Caa1", "Caa2",
+                 "Caa3", "Ca", "C", "NR", "", None]
+    sp_map = {r: ns["convert_sp_to_numeric"](r) for r in sp_vocab if r}
+    sp_map = {k: v for k, v in sp_map.items() if v == v}  # drop nan values
+    mdy_map = {r: ns["convert_moodys_to_numeric"](r) for r in mdy_vocab if r}
+    mdy_map = {k: v for k, v in mdy_map.items() if v == v}
+
+    pdf = pd.DataFrame({
+        "sp": sp_vocab + [None] * (max(0, len(mdy_vocab) - len(sp_vocab))),
+        "mdy": mdy_vocab + [None] * (max(0, len(sp_vocab) - len(mdy_vocab))),
+    })
+    sdf = spark.createDataFrame(pdf, schema="sp string, mdy string")
+    got = sdf.select(
+        "sp", "mdy",
+        map_via_case("sp", sp_map).alias("sp_num"),
+        map_via_case("mdy", mdy_map).alias("mdy_num"),
+    ).toPandas()
+    for _, r in got.iterrows():
+        want_sp = ns["convert_sp_to_numeric"](r["sp"])
+        want_mdy = ns["convert_moodys_to_numeric"](r["mdy"])
+        assert (r["sp_num"] == want_sp) or (
+            pd.isna(r["sp_num"]) and want_sp != want_sp
+        ), (r["sp"], r["sp_num"], want_sp)
+        assert (r["mdy_num"] == want_mdy) or (
+            pd.isna(r["mdy_num"]) and want_mdy != want_mdy
+        ), (r["mdy"], r["mdy_num"], want_mdy)
+
+    # NAIC banding: the w8b when-chain over every numeric rating
+    naic = (
+        F.when(F.col("n") <= 7, 1).when(F.col("n") <= 10, 2)
+        .when(F.col("n") <= 13, 3).when(F.col("n") <= 16, 4)
+        .when(F.col("n") <= 19, 5).when(F.col("n") <= 22, 6)
+    )
+    nums = spark.createDataFrame(
+        pd.DataFrame({"n": list(range(1, 23)) + [None]}), schema="n int"
+    )
+    got_naic = {r.n: r.naic for r in nums.select("n", naic.alias("naic")).collect()}
+    for n in range(1, 23):
+        assert got_naic[n] == ns["numeric_to_naic"](n), n
+    assert got_naic[None] is None  # reference: pd.isna → nan
+
+
 def _distressed_panel(seed: int, n_ids: int = 20) -> pd.DataFrame:
     """Daily distressed-bond panel exercising all four W7 sub-filters:
     ultra-low prints (<0.10), exact suspicious round numbers, upward

@@ -21,13 +21,18 @@ def hhmmss_to_seconds(col: Column | str) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     parts = F.split(c, ":")
-    valid = c.rlike(r"^\d{1,2}:\d{1,2}:\d{1,2}$")
-    secs = (
-        parts.getItem(0).cast("int") * 3600
-        + parts.getItem(1).cast("int") * 60
-        + parts.getItem(2).cast("int")
+    h = parts.getItem(0).cast("int")
+    m = parts.getItem(1).cast("int")
+    s = parts.getItem(2).cast("int")
+    # shape AND range: the reference rejects out-of-range components
+    # ("12:61:00", "25:00:00" → NaN), not just malformed strings
+    valid = (
+        c.rlike(r"^\d{1,2}:\d{1,2}:\d{1,2}$")
+        & (h <= 23) & (m <= 59) & (s <= 59)
     )
-    return F.when(valid, secs).otherwise(F.lit(None).cast("int"))
+    return F.when(valid, h * 3600 + m * 60 + s).otherwise(
+        F.lit(None).cast("int")
+    )
 
 
 def seconds_after_midnight(ts: Column | str) -> Column:

@@ -72,15 +72,16 @@ def consecutive_log_return_filter(
 ) -> DataFrame:
     """W6 (`create_daily_enhanced_trace.py:1377-1395`): drop rows where
     the product of the consecutive log-price changes (into and out of
-    the row) is below `threshold` — a spike-revert signature. Null
-    products (series edges) are kept."""
+    the row) is at or below `threshold` — a spike-revert signature. The
+    reference keeps `product > -0.25` STRICTLY, so a product exactly at
+    the threshold is dropped. Null products (series edges) are kept."""
     w = _w(id_cols, order_by)
     logp = F.log(F.col(price_col))
     d_in = logp - F.lag(logp, 1).over(w)
     d_out = F.lead(logp, 1).over(w) - logp
     prod = d_in * d_out
     return df.withColumn("__prod", prod).filter(
-        F.col("__prod").isNull() | (F.col("__prod") >= threshold)
+        F.col("__prod").isNull() | (F.col("__prod") > threshold)
     ).drop("__prod")
 
 

@@ -709,7 +709,7 @@ def w5_sequence_number(spark, sf_dir):
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
     SELECT event_id FROM d
-    WHERE d_in * d_out IS NULL OR d_in * d_out >= -0.25
+    WHERE d_in * d_out IS NULL OR d_in * d_out > -0.25
     """,
 )
 def w6_log_return_filter(spark, sf_dir):

@@ -101,6 +101,9 @@ FLOORS: dict[str, float] = {
     # r13: warm min-of-3 0.48 at sf0.1 (per-date curve column algebra,
     # one scan, no shuffle beyond the read)
     "w9b_credit_spread": 0.48,
+    # r13: warm min-of-3 2.33 at sf0.1 on a ~1.3x-slow window (two seq
+    # windows + anti/semi joins + full-row distinct)
+    "j18_standard_reversal": 2.3,
     "w1_decimal_shift": 1.462,
     "w2_bounce_back": 0.806,
     "w7_ultra_distressed": 0.985,

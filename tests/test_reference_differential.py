@@ -916,6 +916,89 @@ def test_w8_rating_maps_match_reference(spark):
     assert got_naic[None] is None  # reference: pd.isna → nan
 
 
+@pytest.mark.parametrize("seed", [20260816, 977])
+def test_j6_standard_reversal_matches_reference(spark, seed):
+    """TRACE Standard clean_reversal (SAS steps 4+5): header-level
+    sequence match + 8-key readmission + full-row DISTINCT. The tape
+    plants literal full-row duplicates (must collapse to one) and
+    same-8-key pairs where one header is reversed (BOTH body rows must
+    survive — the isin-mask semantics a per-row anti-join would get
+    wrong)."""
+    _SRC_STD = _REF / "stage0" / "create_daily_standard_trace.py"
+    from trace_data_pipeline_spark.operators.cleaning import (
+        standard_reversal_removal,
+    )
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    msg = 100
+    for g in range(10):
+        cid = f"S{g:03d}"
+        for _ in range(int(rng.integers(3, 25))):
+            msg += 10
+            d = pd.Timestamp(2019, 4, int(rng.integers(1, 28)))
+            tm = f"{int(rng.integers(9, 16)):02d}:00:00"
+            p = round(float(rng.uniform(95, 97)), 1)
+            v = float(rng.integers(1, 3) * 1000)
+            side = str(rng.choice(["B", "S"]))
+            cp = str(rng.choice(["C", "D"]))
+            rows.append([cid, cid + "B", d, tm, v, p, side, cp, None, str(msg)])
+            u = rng.uniform()
+            if u < 0.25:  # reversal report with the same 6-key
+                rows.append([cid, cid + "B", d, f"{int(rng.integers(9, 16)):02d}:30:00",
+                             v, p, side, cp, "R", str(msg + 1)])
+            elif u < 0.35:  # literal full-row duplicate (DISTINCT bites)
+                rows.append(list(rows[-1]))
+            elif u < 0.45:  # same-8-key pair (same msg!), one reversal
+                rows.append([cid, cid + "B", d, tm, v, p, side, cp, None, str(msg)])
+                rows.append([cid, cid + "B", d, "15:45:00", v, p, side, cp,
+                             "R", str(msg + 2)])
+            elif u < 0.52:  # delayed rows dropped outright
+                rows.append([cid, cid + "B", d, tm, v, p, side, cp,
+                             str(rng.choice(["X", "D"])), str(msg + 3)])
+    pdf = pd.DataFrame(
+        rows,
+        columns=[
+            "cusip_id", "bond_sym_id", "trd_exctn_dt", "trd_exctn_tm",
+            "entrd_vol_qt", "rptd_pr", "rpt_side_cd", "contra_party_type",
+            "asof_cd", "msg_seq_nb",
+        ],
+    )
+    ns = _ref_fns(_SRC_STD, ("add_seq", "clean_reversal"))
+    ref = ns["clean_reversal"](pdf.copy())
+    key_cols = list(pdf.columns)
+    ref_keys = set(map(tuple, ref[key_cols].astype(str).to_numpy().tolist()))
+
+    sdf = spark.createDataFrame(
+        pdf,
+        schema="cusip_id string, bond_sym_id string, trd_exctn_dt timestamp, "
+        "trd_exctn_tm string, entrd_vol_qt double, rptd_pr double, "
+        "rpt_side_cd string, contra_party_type string, asof_cd string, "
+        "msg_seq_nb string",
+    ).repartition(7, "msg_seq_nb")
+    got = standard_reversal_removal(
+        sdf,
+        group_keys=["cusip_id", "bond_sym_id", "trd_exctn_dt",
+                    "entrd_vol_qt", "rptd_pr", "rpt_side_cd",
+                    "contra_party_type"],
+        time_col="trd_exctn_tm",
+        msg_col="msg_seq_nb",
+        join_keys=["cusip_id", "trd_exctn_dt", "trd_exctn_tm",
+                   "entrd_vol_qt", "rptd_pr", "rpt_side_cd",
+                   "contra_party_type", "msg_seq_nb"],
+        reversal_pred=F.col("asof_cd") == "R",
+        drop_pred=F.col("asof_cd").isin("R", "X", "D"),
+    ).toPandas()
+    got_keys = set(map(tuple, got[key_cols].astype(str).to_numpy().tolist()))
+    # row COUNTS must match too (full-row DISTINCT semantics)
+    assert len(got) == len(ref), (len(got), len(ref))
+    assert got_keys == ref_keys, (
+        f"extra={sorted(got_keys - ref_keys)[:3]} "
+        f"missing={sorted(ref_keys - got_keys)[:3]}"
+    )
+    assert 0 < len(ref) < int(pdf["asof_cd"].isna().sum())
+
+
 def _distressed_panel(seed: int, n_ids: int = 20) -> pd.DataFrame:
     """Daily distressed-bond panel exercising all four W7 sub-filters:
     ultra-low prints (<0.10), exact suspicious round numbers, upward

@@ -85,6 +85,48 @@ def sequence_match_removal(
     return survivors.drop("__seq")
 
 
+def standard_reversal_removal(
+    df: DataFrame,
+    group_keys: Sequence[str],
+    time_col: str,
+    msg_col: str,
+    join_keys: Sequence[str],
+    reversal_pred: Column,
+    drop_pred: Column,
+) -> DataFrame:
+    """J6 for TRACE *Standard* (`create_daily_standard_trace.py:138-268`,
+    clean_reversal — SAS steps 4+5): build per-row HEADERS, sequence-
+    match the i-th header against the i-th reversal within `group_keys`
+    (headers ordered by time then msg, reversals by time), keep the
+    DISTINCT `join_keys` of surviving headers, SEMI-JOIN the body back
+    on those keys, then full-row DISTINCT.
+
+    This differs from per-row sequence removal exactly when keys
+    duplicate: if ANY header of a duplicated join-key survives, EVERY
+    body row with that key survives the semi-join (the reference's
+    isin-mask readmits them), and literal full-row duplicates then
+    collapse to one via the trailing DISTINCT (SAS SELECT DISTINCT).
+
+    Scale: both windows and both joins key on `group_keys`/`join_keys`
+    (all containing the entity id) — one shuffle partitioning reused;
+    the reversal side is small and broadcasts.
+    """
+    gk = list(group_keys)
+    rev = (
+        add_seq(df.filter(reversal_pred), gk, [time_col], "__seq")
+        .select(*[F.col(c) for c in gk], F.col("__seq"))
+    )
+    body = df.filter(~F.coalesce(drop_pred, F.lit(False)))
+    header_cols = list(dict.fromkeys([*gk, *join_keys, time_col, msg_col]))
+    hdr = add_seq(body.select(*header_cols), gk, [time_col, msg_col], "__seq")
+    surviving = (
+        hdr.join(rev, [*gk, "__seq"], "left_anti")
+        .select(*[F.col(c) for c in join_keys])
+        .dropDuplicates()
+    )
+    return body.join(surviving, list(join_keys), "left_semi").dropDuplicates()
+
+
 def agency_dedup(
     trades: DataFrame,
     customer_pred: Column,

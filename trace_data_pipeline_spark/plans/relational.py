@@ -31,6 +31,7 @@ from trace_data_pipeline_spark.operators.cleaning import (
     agency_dedup,
     anti_join_keys,
     sequence_match_removal,
+    standard_reversal_removal,
 )
 from trace_data_pipeline_spark.operators.daily_agg import bid_ask_panel
 from trace_data_pipeline_spark.operators.dedup import keep_first, prefer_sources
@@ -1252,6 +1253,91 @@ _P3_ORACLE = """
            CAST(SUM(CAST(volume AS BIGINT)) AS DOUBLE) AS qvolume
     FROM surv GROUP BY 1, 2
     """
+
+
+@register(
+    "j18_standard_reversal",
+    oracle="""
+    WITH norm AS (
+      SELECT l_suppkey AS id, l_partkey % 50 AS bond,
+             CAST(l_shipdate AS DATE) AS d, l_extendedprice AS pr,
+             l_quantity AS vol, l_linenumber % 9 AS tm,
+             l_orderkey % 1000 AS msg,
+             CASE WHEN l_linenumber % 11 = 0 THEN 'R'
+                  WHEN l_linenumber % 11 = 1 THEN 'X'
+                  WHEN l_linenumber % 11 = 2 THEN 'D' END AS asof_cd
+      FROM lineitem
+    ),
+    rev AS (
+      SELECT id, bond, d, vol, pr,
+             row_number() OVER (PARTITION BY id, bond, d, vol, pr
+                                ORDER BY tm) AS seq
+      FROM norm WHERE asof_cd = 'R'
+    ),
+    body AS (
+      SELECT * FROM norm WHERE asof_cd IS NULL
+    ),
+    hdr AS (
+      SELECT id, bond, d, vol, pr, tm, msg,
+             row_number() OVER (PARTITION BY id, bond, d, vol, pr
+                                ORDER BY tm, msg) AS seq
+      FROM body
+    ),
+    surviving AS (
+      SELECT DISTINCT h.id, h.d, h.tm, h.vol, h.pr, h.msg
+      FROM hdr h
+      WHERE NOT EXISTS (
+        SELECT 1 FROM rev r
+        WHERE r.id = h.id AND r.bond = h.bond AND r.d = h.d
+          AND r.vol = h.vol AND r.pr = h.pr AND r.seq = h.seq
+      )
+    )
+    SELECT id, strftime(d, '%Y-%m-%d') AS d, tm, vol, pr, msg
+    FROM (
+      -- full-row DISTINCT like the reference's clean6, THEN project:
+      -- two bonds sharing a join-key stay two rows
+      SELECT DISTINCT b.*
+      FROM body b
+      JOIN surviving s
+        ON s.id = b.id AND s.d = b.d AND s.tm = b.tm
+       AND s.vol = b.vol AND s.pr = b.pr AND s.msg = b.msg
+    )
+    """,
+)
+def j18_standard_reversal(spark, sf_dir):
+    """J6-standard (`create_daily_standard_trace.py:138-268`): the SAS
+    step-4/5 reversal removal — header-level sequence match, DISTINCT
+    surviving join-keys, semi-join back, full-row DISTINCT. Differs
+    from per-row removal when keys duplicate (one surviving header
+    readmits every body row with that key; literal duplicates collapse
+    to one). Coarse tm/msg domains force those duplicates here."""
+    li = load_table(spark, sf_dir, "lineitem")
+    norm = li.select(
+        F.col("l_suppkey").alias("id"),
+        (F.col("l_partkey") % 50).alias("bond"),
+        F.to_date("l_shipdate").alias("d"),
+        F.col("l_extendedprice").alias("pr"),
+        F.col("l_quantity").alias("vol"),
+        (F.col("l_linenumber") % 9).alias("tm"),
+        (F.col("l_orderkey") % 1000).alias("msg"),
+        F.when(F.col("l_linenumber") % 11 == 0, "R")
+        .when(F.col("l_linenumber") % 11 == 1, "X")
+        .when(F.col("l_linenumber") % 11 == 2, "D")
+        .alias("asof_cd"),
+    )
+    out = standard_reversal_removal(
+        norm,
+        group_keys=["id", "bond", "d", "vol", "pr"],
+        time_col="tm",
+        msg_col="msg",
+        join_keys=["id", "d", "tm", "vol", "pr", "msg"],
+        reversal_pred=F.col("asof_cd") == "R",
+        drop_pred=F.col("asof_cd").isin("R", "X", "D"),
+    )
+    return out.select(
+        "id", F.date_format("d", "yyyy-MM-dd").alias("d"),
+        "tm", "vol", "pr", "msg",
+    )
 
 
 @register("p3_standard_full", oracle=_P3_ORACLE)

@@ -916,6 +916,157 @@ def test_w8_rating_maps_match_reference(spark):
     assert got_naic[None] is None  # reference: pd.isna → nan
 
 
+def _chunk_tape(seed: int) -> pd.DataFrame:
+    """One Enhanced chunk spanning the 2012-02-06 regime change: the
+    pre tape (C/W/R machinery) reported 2008, the post tape (X/C/Y
+    machinery) reported 2015, both with the pre-segment screen columns
+    (days_to_sttl_ct / wis_fl / lckd_in_ind / sale_cndtn_cd, nulls
+    included) and dealer/customer sides for the agency pass."""
+    rng = np.random.default_rng(seed + 7)
+    pre = _pre_tape(seed)
+    post = _post_tape(seed)
+    post["bond_sym_id"] = post["cusip_id"] + "B"
+    post["trd_rpt_dt"] = pd.Timestamp(2015, 3, 2)
+    post["trd_rpt_tm"] = "10:00:00"
+    post["asof_cd"] = None
+    both = pd.concat(
+        [pre, post[pre.columns.drop("row_id").tolist() + ["row_id"]]],
+        ignore_index=True,
+    )
+    both["row_id"] = np.arange(len(both))
+    n = len(both)
+    both["days_to_sttl_ct"] = rng.choice(
+        ["000", "001", "002", "003", None], n, p=[0.4, 0.2, 0.1, 0.15, 0.15]
+    )
+    both["wis_fl"] = rng.choice(["Y", "N", None], n, p=[0.1, 0.7, 0.2])
+    both["lckd_in_ind"] = rng.choice(["Y", "N", None], n, p=[0.1, 0.7, 0.2])
+    both["sale_cndtn_cd"] = rng.choice(["@", "Z", None], n, p=[0.6, 0.15, 0.25])
+    return both
+
+
+@pytest.mark.parametrize("seed", [20260816, 977])
+@pytest.mark.parametrize("clean_agency", [True, False])
+def test_clean_trace_chunk_matches_reference(spark, seed, clean_agency):
+    """The FULL Enhanced chunk cleaner: report-date split at
+    2012-02-06, the four pre-segment null-keeping screens (F5/F11
+    semantics — the reference string-coerces NaN to 'None' first),
+    clean_pre + clean_post, concat, optional agency dedup. One
+    composite differential over every cleaning operator at once."""
+    import logging
+
+    from trace_data_pipeline_spark.operators.cleaning import (
+        agency_dedup,
+        anti_join_keys,
+        correction_chain_resolution,
+        sequence_match_removal,
+    )
+    from trace_data_pipeline_spark.operators.filters import (
+        isin_keep_null,
+        null_keeping_neq,
+    )
+
+    pdf = _chunk_tape(seed)
+    ns = _ref_fns(
+        _SRC,
+        (
+            "log_ct_filter",
+            "clean_post_20120206",
+            "clean_pre_20120206",
+            "clean_agency_transactions",
+            "clean_trace_chunk",
+        ),
+    )
+    ns["logging"] = logging
+    ns["ct_audit_records"] = []  # module-global sink log_ct_filter appends to
+    ref = ns["clean_trace_chunk"](pdf.copy(), clean_agency=clean_agency)
+    ref_ids = set(ref["row_id"].tolist())
+
+    sdf = spark.createDataFrame(
+        pdf,
+        schema="cusip_id string, bond_sym_id string, trd_exctn_dt timestamp, "
+        "trd_exctn_tm string, trd_rpt_dt timestamp, trd_rpt_tm string, "
+        "rptd_pr double, entrd_vol_qt double, rpt_side_cd string, "
+        "cntra_mp_id string, msg_seq_nb string, orig_msg_seq_nb string, "
+        "trc_st string, asof_cd string, row_id long, "
+        "days_to_sttl_ct string, wis_fl string, lckd_in_ind string, "
+        "sale_cndtn_cd string",
+    ).repartition(7, "row_id")
+    cutoff = F.lit("2012-02-06").cast("timestamp")
+    post = sdf.filter(F.col("trd_rpt_dt") >= cutoff)
+    pre = (
+        sdf.filter(F.col("trd_rpt_dt") < cutoff)
+        .filter(isin_keep_null("days_to_sttl_ct", ["000", "001", "002"]))
+        # a != b OR b IS NULL, with the LITERAL on the left: keeps
+        # null flags like the reference's 'None' != 'Y'
+        .filter(null_keeping_neq(F.lit("Y"), "wis_fl"))
+        .filter(null_keeping_neq(F.lit("Y"), "lckd_in_ind"))
+        .filter(isin_keep_null("sale_cndtn_cd", ["@"]))
+    )
+
+    # post-2012: X/C cancel anti-join then Y reversal anti-join
+    keys7 = [
+        "cusip_id", "trd_exctn_dt", "trd_exctn_tm", "rptd_pr",
+        "entrd_vol_qt", "rpt_side_cd", "cntra_mp_id",
+    ]
+    post_clean = anti_join_keys(
+        post.filter(F.col("trc_st").isin("T", "R")),
+        post.filter(F.col("trc_st").isin("X", "C")),
+        [*keys7, "msg_seq_nb"],
+    )
+    post_clean = anti_join_keys(
+        post_clean,
+        post.filter(F.col("trc_st") == "Y"),
+        {**{k: k for k in keys7}, "msg_seq_nb": "orig_msg_seq_nb"},
+    )
+
+    # pre-2012: C cancel → W chain resolution → R sequence reversal
+    cancel_keys = [
+        "cusip_id", "trd_exctn_dt", "trd_exctn_tm", "rptd_pr",
+        "entrd_vol_qt", "trd_rpt_dt",
+    ]
+    pre1 = anti_join_keys(
+        pre.filter(F.col("trc_st") == "T"),
+        pre.filter(F.col("trc_st") == "C"),
+        {**{k: k for k in cancel_keys}, "msg_seq_nb": "orig_msg_seq_nb"},
+    )
+    pre3 = correction_chain_resolution(
+        pre1,
+        pre.filter(F.col("trc_st") == "W"),
+        keys=["cusip_id", "trd_exctn_dt"],
+        pair_keys=["cusip_id", "bond_sym_id", "trd_exctn_dt", "trd_exctn_tm"],
+        dedup_cols=[
+            "cusip_id", "trd_exctn_dt", "msg_seq_nb", "orig_msg_seq_nb",
+            "rptd_pr", "entrd_vol_qt",
+        ],
+    )
+    pre_clean = sequence_match_removal(
+        pre3.filter(~F.coalesce(F.col("asof_cd").isin("R", "X", "D"), F.lit(False))),
+        pre3.filter(F.col("asof_cd") == "R"),
+        keys=[
+            "cusip_id", "bond_sym_id", "trd_exctn_dt", "entrd_vol_qt",
+            "rptd_pr", "rpt_side_cd", "cntra_mp_id",
+        ],
+        trade_order=["trd_exctn_tm", "trd_rpt_dt", "trd_rpt_tm", "msg_seq_nb"],
+        reversal_order=["trd_exctn_tm", "trd_rpt_dt", "trd_rpt_tm"],
+    )
+
+    combined = pre_clean.unionByName(post_clean)
+    if clean_agency:
+        combined = agency_dedup(
+            combined,
+            customer_pred=F.col("cntra_mp_id") == "C",
+            sell_pred=(F.col("rpt_side_cd") == "S") & (F.col("cntra_mp_id") == "D"),
+            buy_pred=(F.col("rpt_side_cd") == "B") & (F.col("cntra_mp_id") == "D"),
+            match_keys=["cusip_id", "trd_exctn_dt", "rptd_pr", "entrd_vol_qt"],
+        )
+    got_ids = {r.row_id for r in combined.select("row_id").collect()}
+    assert got_ids == ref_ids, (
+        f"kept-row sets differ; extra={sorted(got_ids - ref_ids)[:8]} "
+        f"missing={sorted(ref_ids - got_ids)[:8]}"
+    )
+    assert 0 < len(ref_ids) < len(pdf)
+
+
 @pytest.mark.parametrize("seed", [20260816, 977])
 def test_j6_standard_reversal_matches_reference(spark, seed):
     """TRACE Standard clean_reversal (SAS steps 4+5): header-level

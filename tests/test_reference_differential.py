@@ -944,16 +944,11 @@ def _chunk_tape(seed: int) -> pd.DataFrame:
     return both
 
 
-@pytest.mark.parametrize("seed", [20260816, 977])
-@pytest.mark.parametrize("clean_agency", [True, False])
-def test_clean_trace_chunk_matches_reference(spark, seed, clean_agency):
-    """The FULL Enhanced chunk cleaner: report-date split at
-    2012-02-06, the four pre-segment null-keeping screens (F5/F11
-    semantics — the reference string-coerces NaN to 'None' first),
-    clean_pre + clean_post, concat, optional agency dedup. One
-    composite differential over every cleaning operator at once."""
-    import logging
-
+def _spark_clean_chunk(sdf, clean_agency: bool = True):
+    """The Spark composite of clean_trace_chunk, built from the repo
+    operators: report-date split, the four pre-segment null-keeping
+    screens (F5/F11), clean_pre + clean_post, concat, optional agency
+    dedup."""
     from trace_data_pipeline_spark.operators.cleaning import (
         agency_dedup,
         anti_join_keys,
@@ -965,32 +960,6 @@ def test_clean_trace_chunk_matches_reference(spark, seed, clean_agency):
         null_keeping_neq,
     )
 
-    pdf = _chunk_tape(seed)
-    ns = _ref_fns(
-        _SRC,
-        (
-            "log_ct_filter",
-            "clean_post_20120206",
-            "clean_pre_20120206",
-            "clean_agency_transactions",
-            "clean_trace_chunk",
-        ),
-    )
-    ns["logging"] = logging
-    ns["ct_audit_records"] = []  # module-global sink log_ct_filter appends to
-    ref = ns["clean_trace_chunk"](pdf.copy(), clean_agency=clean_agency)
-    ref_ids = set(ref["row_id"].tolist())
-
-    sdf = spark.createDataFrame(
-        pdf,
-        schema="cusip_id string, bond_sym_id string, trd_exctn_dt timestamp, "
-        "trd_exctn_tm string, trd_rpt_dt timestamp, trd_rpt_tm string, "
-        "rptd_pr double, entrd_vol_qt double, rpt_side_cd string, "
-        "cntra_mp_id string, msg_seq_nb string, orig_msg_seq_nb string, "
-        "trc_st string, asof_cd string, row_id long, "
-        "days_to_sttl_ct string, wis_fl string, lckd_in_ind string, "
-        "sale_cndtn_cd string",
-    ).repartition(7, "row_id")
     cutoff = F.lit("2012-02-06").cast("timestamp")
     post = sdf.filter(F.col("trd_rpt_dt") >= cutoff)
     pre = (
@@ -1059,12 +1028,255 @@ def test_clean_trace_chunk_matches_reference(spark, seed, clean_agency):
             buy_pred=(F.col("rpt_side_cd") == "B") & (F.col("cntra_mp_id") == "D"),
             match_keys=["cusip_id", "trd_exctn_dt", "rptd_pr", "entrd_vol_qt"],
         )
+    return combined
+
+
+def _chunk_schema() -> str:
+    return (
+        "cusip_id string, bond_sym_id string, trd_exctn_dt timestamp, "
+        "trd_exctn_tm string, trd_rpt_dt timestamp, trd_rpt_tm string, "
+        "rptd_pr double, entrd_vol_qt double, rpt_side_cd string, "
+        "cntra_mp_id string, msg_seq_nb string, orig_msg_seq_nb string, "
+        "trc_st string, asof_cd string, row_id long, "
+        "days_to_sttl_ct string, wis_fl string, lckd_in_ind string, "
+        "sale_cndtn_cd string"
+    )
+
+
+def _ref_chunk_ns():
+    import logging
+
+    ns = _ref_fns(
+        _SRC,
+        (
+            "log_ct_filter",
+            "clean_post_20120206",
+            "clean_pre_20120206",
+            "clean_agency_transactions",
+            "clean_trace_chunk",
+        ),
+    )
+    ns["logging"] = logging
+    ns["ct_audit_records"] = []  # module-global sink log_ct_filter appends to
+    return ns
+
+
+@pytest.mark.parametrize("seed", [20260816, 977])
+@pytest.mark.parametrize("clean_agency", [True, False])
+def test_clean_trace_chunk_matches_reference(spark, seed, clean_agency):
+    """The FULL Enhanced chunk cleaner: report-date split at
+    2012-02-06, the four pre-segment null-keeping screens (F5/F11
+    semantics — the reference string-coerces NaN to 'None' first),
+    clean_pre + clean_post, concat, optional agency dedup. One
+    composite differential over every cleaning operator at once."""
+    pdf = _chunk_tape(seed)
+    ns = _ref_chunk_ns()
+    ref = ns["clean_trace_chunk"](pdf.copy(), clean_agency=clean_agency)
+    ref_ids = set(ref["row_id"].tolist())
+
+    sdf = spark.createDataFrame(pdf, schema=_chunk_schema()).repartition(7, "row_id")
+    combined = _spark_clean_chunk(sdf, clean_agency=clean_agency)
     got_ids = {r.row_id for r in combined.select("row_id").collect()}
     assert got_ids == ref_ids, (
         f"kept-row sets differ; extra={sorted(got_ids - ref_ids)[:8]} "
         f"missing={sorted(ref_ids - got_ids)[:8]}"
     )
     assert 0 < len(ref_ids) < len(pdf)
+
+
+def _corrupt_price(cid: str, p: float) -> float:
+    """Deterministic per-(cusip, price) decimal corruption: every row
+    carrying the same price value within a cusip moves together, so
+    the cancel/reversal/agency key relationships stay intact."""
+    import zlib
+
+    h = zlib.crc32(f"{cid}|{round(p, 6)}".encode()) % 100
+    if h < 4:
+        return p * 10.0
+    if h < 6:
+        return p * 100.0
+    if h < 8:
+        return p * 0.1
+    if h < 12:
+        return p + 55.0  # one-step spike: bounce-back bait, not a decimal shift
+    return p
+
+
+@pytest.mark.slow  # ~100 s/seed: the reference side is pure pandas loops
+@pytest.mark.parametrize("seed", [20260816, 977])
+def test_r2_error_checks_matches_reference(spark, seed):
+    """The reference's FULL error_checks chain (the r2 audit path) on a
+    synthetic TRACE tape behind a fake WRDS handle: Dick-Nielsen chunk
+    cleaning → decimal-shift flag pass → price screens → dollar-volume
+    screen → bounce-back flag → yld≠price screen → FISD merge +
+    offering-amount / maturity screens → initial-price flag. All three
+    returned audit frames (ds / bb / ie) are compared row-for-row
+    against the Spark composite built from the repo operators."""
+    import logging
+
+    from trace_data_pipeline_spark.operators.bounceback import (
+        bounce_back_filter as spark_bb,
+    )
+    from trace_data_pipeline_spark.operators.decimal_shift import (
+        decimal_shift_corrector as spark_ds,
+    )
+    from trace_data_pipeline_spark.operators.filters import null_keeping_neq
+    from trace_data_pipeline_spark.operators.windows import (
+        initial_price_error_filter as spark_ie,
+    )
+
+    rng = np.random.default_rng(seed + 13)
+    pdf = _chunk_tape(seed)
+    pdf["rptd_pr"] = [
+        _corrupt_price(c, p) if p == p else p
+        for c, p in zip(pdf["cusip_id"], pdf["rptd_pr"])
+    ]
+    yld = rng.uniform(size=len(pdf))
+    pdf["yld_pt"] = np.where(
+        yld < 0.05, pdf["rptd_pr"], np.where(yld < 0.10, pdf["rptd_pr"] + 1.0, np.nan)
+    )
+    pdf["entrd_vol_qt"] = pdf["entrd_vol_qt"] * 100  # clear the $10k screen
+    cusips = sorted(pdf["cusip_id"].unique())
+    fisd = pd.DataFrame(
+        {
+            "cusip_id": cusips,
+            "offering_amt": [
+                None if rng.uniform() < 0.1 else float(rng.choice([1.0, 500.0, 5000.0]))
+                for _ in cusips
+            ],
+            "maturity": [
+                None if rng.uniform() < 0.1
+                else pd.Timestamp(int(rng.choice([2005, 2030])), 6, 30)
+                for _ in cusips
+            ],
+        }
+    )
+
+    class FakeDB:
+        def raw_sql(self, sql, params=None):
+            ids = set(params["cusip_id"])
+            return pdf[pdf["cusip_id"].isin(ids)].reset_index(drop=True).copy()
+
+    # ONE extraction tuple: exec'd functions share their namespace as
+    # __globals__, so error_checks sees the cleaners and helpers
+    ns = _ref_fns(
+        _SRC,
+        (
+            "log_filter",
+            "filter_with_log",
+            "log_ct_filter",
+            "_normalize_volume_filter",
+            "_hms_to_seconds",
+            "filter_by_trade_time",
+            "filter_by_calendar",
+            "clean_post_20120206",
+            "clean_pre_20120206",
+            "clean_agency_transactions",
+            "clean_trace_chunk",
+            "decimal_shift_corrector",
+            "flag_price_change_errors",
+            "flag_initial_price_errors",
+            "error_checks",
+        ),
+    )
+    import gc as _gc
+    import time as _time
+
+    ns.update({"logging": logging, "gc": _gc, "time": _time,
+               "audit_records": [], "ct_audit_records": []})
+    ref_ds, ref_bb, ref_ie, *_ = ns["error_checks"](
+        FakeDB(),
+        [cusips],
+        fisd.copy(),
+        calendar_name=None,
+        ds_params={"output_type": "uncleaned"},
+    )
+
+    # ---- Spark composite ------------------------------------------------
+    sdf = spark.createDataFrame(
+        pdf, schema=_chunk_schema() + ", yld_pt double"
+    ).repartition(7, "row_id")
+    chunk = _spark_clean_chunk(sdf, clean_agency=True)
+    order5 = [
+        "trd_exctn_tm", "trd_rpt_dt", "trd_rpt_tm", "msg_seq_nb",
+    ]
+    ds = spark_ds(
+        chunk.withColumn("__od", F.col("trd_exctn_dt")),
+        id_col="cusip_id",
+        date_col="trd_exctn_dt",
+        price_col="rptd_pr",
+        order_cols=("__od", *order5),
+    ).drop("__od")
+    got_ds = (
+        ds.select("cusip_id", "trd_exctn_dt", "rptd_pr",
+                  F.col("dec_shift_flag").cast("byte").alias("dec_shift_flag"),
+                  "suggested_price")
+        .toPandas()
+    )
+    corrected = (
+        ds.withColumn(
+            "rptd_pr",
+            F.when(F.col("dec_shift_flag") == 1, F.col("suggested_price"))
+            .otherwise(F.col("rptd_pr")),
+        )
+        .drop("dec_shift_flag", "dec_shift_factor", "suggested_price")
+        .filter(F.col("rptd_pr") > 0)
+        .filter(F.col("rptd_pr") <= 1000)
+        .filter(F.col("entrd_vol_qt") * F.col("rptd_pr") / 100 >= 10000.0)
+    )
+    bb = spark_bb(
+        corrected,
+        id_col="cusip_id",
+        price_col="rptd_pr",
+        order_cols=("trd_exctn_dt", *order5),
+    )
+    got_bb = bb.select(
+        "cusip_id", "trd_exctn_dt", "rptd_pr",
+        F.col("filtered_error").cast("byte").alias("filtered_error"),
+    ).toPandas()
+    ie_base = (
+        bb.filter(F.col("filtered_error") == 0)
+        .filter(null_keeping_neq("rptd_pr", "yld_pt"))
+        .join(F.broadcast(spark.createDataFrame(
+            fisd, schema="cusip_id string, offering_amt double, maturity timestamp"
+        )), "cusip_id", "left")
+        .filter(F.col("entrd_vol_qt") < F.col("offering_amt") * 1000 * 0.50)
+        .filter(F.col("trd_exctn_dt") <= F.col("maturity"))
+    )
+    ie = spark_ie(
+        ie_base,
+        price_col="rptd_pr",
+        id_cols=["cusip_id"],
+        order_by=["trd_exctn_dt", *order5],
+        mode="flag",
+        flag_col="initial_error_flag",
+    )
+    got_ie = ie.select(
+        "cusip_id", "trd_exctn_dt", "rptd_pr",
+        F.col("initial_error_flag").cast("byte").alias("initial_error_flag"),
+    ).toPandas()
+
+    for got, ref, label in (
+        (got_ds, ref_ds, "ds"), (got_bb, ref_bb, "bb"), (got_ie, ref_ie, "ie")
+    ):
+        assert len(got) == len(ref), (label, len(got), len(ref))
+        cols = list(ref.columns)
+        g = got[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+        r = ref[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+        for c in cols:
+            if c in ("cusip_id",):
+                assert (g[c] == r[c]).all(), (label, c)
+            elif c == "trd_exctn_dt":
+                assert (
+                    pd.to_datetime(g[c]).to_numpy()
+                    == pd.to_datetime(r[c]).to_numpy()
+                ).all(), (label, c)
+            else:
+                _assert_col_equal(g[c], r[c].astype(float), f"{label}.{c}")
+    # every stage must have actually fired
+    assert int(ref_ds["dec_shift_flag"].sum()) > 0
+    assert int(ref_bb["filtered_error"].sum()) > 0
+    assert len(ref_ie) < len(ref_bb)
 
 
 @pytest.mark.parametrize("seed", [20260816, 977])

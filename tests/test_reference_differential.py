@@ -1362,6 +1362,126 @@ def test_j6_standard_reversal_matches_reference(spark, seed):
     assert 0 < len(ref) < int(pdf["asof_cd"].isna().sum())
 
 
+@pytest.mark.parametrize("seed", [20260816, 977])
+def test_a9_cross_sectional_matches_reference(spark, seed):
+    """Two-level stats: daily cross-sectional mean/median/std/quantiles,
+    then the time-series average of each daily stat, scaled AFTER and
+    rounded to 2dp (the reference's Panel B)."""
+    from trace_data_pipeline_spark.operators.analytics import pooled_stats
+
+    rng = np.random.default_rng(seed)
+    n = 2500
+    pdf = pd.DataFrame(
+        {
+            "trd_exctn_dt": rng.integers(0, 25, n),
+            "ytm": rng.normal(0.05, 0.02, n),
+        }
+    )
+    pdf.loc[rng.uniform(size=n) < 0.04, "ytm"] = np.nan
+    ns = _ref_fns(_SRC_S1, ("compute_cross_sectional_stats_fixed",))
+    ref = ns["compute_cross_sectional_stats_fixed"](pdf, [("ytm", "YTM")]).iloc[0]
+
+    daily = pooled_stats(
+        spark.createDataFrame(pdf).repartition(7),
+        "ytm",
+        ["trd_exctn_dt"],
+        quantiles=(0.01, 0.05, 0.5, 0.95, 0.99),
+    )
+    got = daily.agg(
+        *[
+            F.avg(c).alias(c)
+            for c in ("mean", "q50", "std", "q01", "q05", "q95", "q99")
+        ]
+    ).collect()[0].asDict()
+    for ours, theirs in (
+        ("mean", "Mean"), ("q50", "Median"), ("std", "SD"),
+        ("q01", "P1"), ("q05", "P5"), ("q95", "P95"), ("q99", "P99"),
+    ):
+        assert round(got[ours] * 100, 2) == ref[theirs], (
+            ours, got[ours] * 100, ref[theirs]
+        )
+
+
+@pytest.mark.parametrize("seed", [20260816, 977])
+def test_j13_j14_linker_extend_matches_reference(spark, seed):
+    """Forward-extend a monthly linker to a target month-end, only for
+    issuers whose ids are all present at the snapshot max date — the
+    reference's eligibility gate plus month-end cross join."""
+    from pandas.tseries.offsets import MonthEnd
+
+    from trace_data_pipeline_spark.operators.temporal import forward_extend
+
+    rng = np.random.default_rng(seed)
+    months = pd.date_range("2023-01-31", "2023-09-30", freq="ME")
+    rows = []
+    for g in range(20):
+        cid = f"L{g:03d}"
+        # each issuer observed over a random prefix of the months; the
+        # global max date is reached by several issuers
+        upto = len(months) if rng.uniform() < 0.4 else int(rng.integers(1, len(months)))
+        for m in months[:upto]:
+            rows.append(
+                (
+                    cid,
+                    m,
+                    None if rng.uniform() < 0.15 else int(rng.integers(1000, 9999)),
+                    None if rng.uniform() < 0.15 else int(rng.integers(10, 99)),
+                    None if rng.uniform() < 0.15 else int(rng.integers(100, 999)),
+                )
+            )
+    pdf = pd.DataFrame(rows, columns=["issuer_cusip", "date", "gvkey", "permno", "permco"])
+    ffill_to = pd.Timestamp("2024-02-10")
+    ns = _ref_fns(_SRC_S1, ("extend_and_ffill_linker",))
+    ns["MonthEnd"] = MonthEnd
+    ref = ns["extend_and_ffill_linker"](pdf.copy(), ffill_to)
+    ref_keys = sorted(
+        map(
+            tuple,
+            ref.assign(d=ref["date"].dt.strftime("%Y-%m-%d"))[
+                ["issuer_cusip", "d", "gvkey", "permno", "permco"]
+            ].fillna(-1).to_numpy().tolist(),
+        )
+    )
+
+    sdf = spark.createDataFrame(
+        pdf,
+        schema="issuer_cusip string, date timestamp, gvkey int, permno int, "
+        "permco int",
+    ).repartition(7, "issuer_cusip")
+    # eligibility gate: only rows with every id present may seed the
+    # extension; the spine is the month-end grid through the target
+    spine = spark.createDataFrame(
+        pd.DataFrame({"date": pd.date_range(months[0], ffill_to + MonthEnd(0), freq="ME")}),
+        schema="date timestamp",
+    )
+    eligible = sdf.filter(
+        F.col("gvkey").isNotNull()
+        & F.col("permno").isNotNull()
+        & F.col("permco").isNotNull()
+    )
+    # forward_extend snapshots at ITS input's max date; gate it to the
+    # GLOBAL max so ineligible-only max dates extend nothing
+    gmax = sdf.agg(F.max("date").alias("__g"))
+    seed_rows = eligible.join(
+        F.broadcast(gmax), F.col("date") == F.col("__g")
+    ).drop("__g").dropDuplicates(["issuer_cusip"])
+    ext = forward_extend(seed_rows, "date", spine)
+    got = sdf.unionByName(
+        ext.join(sdf.select("issuer_cusip", "date").dropDuplicates(),
+                 ["issuer_cusip", "date"], "left_anti")
+    ).toPandas()
+    got_keys = sorted(
+        map(
+            tuple,
+            got.assign(d=pd.to_datetime(got["date"]).dt.strftime("%Y-%m-%d"))[
+                ["issuer_cusip", "d", "gvkey", "permno", "permco"]
+            ].fillna(-1).to_numpy().tolist(),
+        )
+    )
+    assert got_keys == ref_keys
+    assert len(ref) > len(pdf)  # the extension actually fired
+
+
 def _distressed_panel(seed: int, n_ids: int = 20) -> pd.DataFrame:
     """Daily distressed-bond panel exercising all four W7 sub-filters:
     ultra-low prints (<0.10), exact suspicious round numbers, upward

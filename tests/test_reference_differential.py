@@ -1084,6 +1084,128 @@ def test_clean_trace_chunk_matches_reference(spark, seed, clean_agency):
     assert 0 < len(ref_ids) < len(pdf)
 
 
+@pytest.mark.parametrize("seed", [20260816, 977])
+def test_s3_f10_build_fisd_matches_reference(spark, seed):
+    """The FISD universe screens behind a fake WRDS handle — a gauntlet
+    of pandas null semantics the Spark side must spell out: `!= 'V'`
+    KEEPS NaN (object-dtype inequality), `~isin` KEEPS NaN, str.contains
+    na=False KEEPS NaN, to_numeric fillna(-1) EXCLUDES null frequencies,
+    dropna on the accrual fields, and the 365.25 tenor floor."""
+    import logging
+
+    rng = np.random.default_rng(seed)
+    n = 800
+    issue = pd.DataFrame(
+        {
+            "complete_cusip": [f"F{i:05d}" for i in range(n)],
+            "issue_id": np.arange(n),
+            "issue_name": rng.choice(
+                ["PLAIN NOTE", "EQUITY-LINKED NOTE", "Index Linked bond",
+                 "SR NT", None],
+                n, p=[0.5, 0.05, 0.05, 0.3, 0.1],
+            ),
+            "issuer_id": rng.integers(0, 60, n),
+            "foreign_currency": rng.choice(["N", "Y", None], n, p=[0.8, 0.15, 0.05]),
+            "coupon_type": rng.choice(["F", "V", "Z", None], n, p=[0.7, 0.15, 0.1, 0.05]),
+            "coupon": np.where(rng.uniform(size=n) < 0.06, np.nan,
+                               np.round(rng.uniform(1, 9, n), 3)),
+            "convertible": rng.choice(["N", "Y", None], n, p=[0.85, 0.1, 0.05]),
+            "asset_backed": rng.choice(["N", "Y", None], n, p=[0.85, 0.1, 0.05]),
+            "rule_144a": rng.choice(["N", "Y"], n),
+            "bond_type": rng.choice(["CDEB", "CMTN", "ABS", "USTC", "PS", None],
+                                    n, p=[0.5, 0.2, 0.1, 0.05, 0.05, 0.1]),
+            "private_placement": rng.choice(["N", "Y", None], n),
+            "interest_frequency": rng.choice(
+                ["2", "1", "4", "12", "13", "-1", None], n,
+                p=[0.5, 0.1, 0.1, 0.05, 0.05, 0.05, 0.15],
+            ),
+            "dated_date": [
+                None if rng.uniform() < 0.08
+                else pd.Timestamp(2010, 1, 1) + pd.Timedelta(days=int(rng.integers(0, 3000)))
+                for _ in range(n)
+            ],
+            "day_count_basis": rng.choice(["30/360", "ACT/ACT", None], n,
+                                          p=[0.6, 0.3, 0.1]),
+            "offering_date": [
+                None if rng.uniform() < 0.08
+                else pd.Timestamp(2010, 1, 1) + pd.Timedelta(days=int(rng.integers(0, 3000)))
+                for _ in range(n)
+            ],
+            "maturity": [
+                None if rng.uniform() < 0.08
+                else pd.Timestamp(2011, 1, 1) + pd.Timedelta(days=int(rng.integers(0, 8000)))
+                for _ in range(n)
+            ],
+            "principal_amt": rng.choice([1000.0, 25.0, np.nan], n, p=[0.8, 0.1, 0.1]),
+            "offering_amt": np.round(rng.uniform(10, 5000, n), 0),
+        }
+    )
+    issuer = pd.DataFrame(
+        {
+            "issuer_id": np.arange(60),
+            "country_domicile": rng.choice(["USA", "CAN"], 60),
+            "sic_code": rng.integers(1000, 9999, 60).astype(float),
+        }
+    )
+
+    class FakeDB:
+        def raw_sql(self, sql, params=None):
+            return (issuer if "mergedissuer" in sql else issue).copy()
+
+    ns = _ref_fns(_SRC, ("log_fisd_filter", "build_fisd"))
+    ns.update({"logging": logging, "fisd_audit_records": []})
+    ref_fisd, ref_off = ns["build_fisd"](FakeDB())
+    ref_ids = set(ref_fisd["complete_cusip"].tolist())
+
+    sdf = spark.createDataFrame(
+        issue.assign(
+            dated_date=pd.to_datetime(issue["dated_date"]),
+            offering_date=pd.to_datetime(issue["offering_date"]),
+            maturity=pd.to_datetime(issue["maturity"]),
+        )
+    ).join(F.broadcast(spark.createDataFrame(issuer)), "issuer_id", "left")
+    excluded_types = [
+        "TXMU","CCOV","CPAS","MBS","FGOV","USTC","USBD","USNT","USSP","USSI",
+        "FGS","USBL","ABS","O30Y","O10Y","O5Y","O3Y","O4W","O13W","O26W","O52W",
+        "CCUR","ADEB","AMTN","ASPZ","EMTN","ADNT","ARNT","TPCS","CPIK","PS","PSTK",
+    ]
+    freq = F.coalesce(F.col("interest_frequency").try_cast("int"), F.lit(-1))
+    name_linked = F.coalesce(
+        F.col("issue_name").rlike(
+            r"(?i)(EQUITY\-LINKED|EQUITY LINKED|EQUITYLINKED"
+            r"|INDEX\-LINKED|INDEX LINKED|INDEXLINKED)"
+        ),
+        F.lit(False),
+    )
+    tenor = F.datediff("maturity", "offering_date") / F.lit(365.25)
+    got = (
+        sdf.filter(F.col("foreign_currency") == "N")
+        # pandas object-dtype `!= 'V'` keeps NaN — spell the null branch
+        .filter((F.col("coupon_type") != "V") | F.col("coupon_type").isNull())
+        .filter(F.col("convertible") == "N")
+        .filter(F.col("asset_backed") == "N")
+        # pandas ~isin keeps NaN
+        .filter(~F.col("bond_type").isin(excluded_types) | F.col("bond_type").isNull())
+        .filter(~freq.isin([-1, 13, 14, 15, 16]))
+        .filter(
+            F.col("offering_date").isNotNull() & F.col("dated_date").isNotNull()
+            & F.col("day_count_basis").isNotNull() & F.col("coupon_type").isNotNull()
+            & F.col("coupon").isNotNull()
+        )
+        .filter(F.col("principal_amt") == 1000)
+        .filter(~name_linked)  # str.contains na=False keeps NaN
+        .filter(tenor >= 1.0)
+    )
+    got_ids = {r.complete_cusip for r in got.select("complete_cusip").collect()}
+    assert got_ids == ref_ids, (
+        f"extra={sorted(got_ids - ref_ids)[:5]} "
+        f"missing={sorted(ref_ids - got_ids)[:5]}"
+    )
+    assert 0 < len(ref_ids) < n
+    assert set(ref_off.columns) == {"cusip_id", "offering_amt", "maturity"} or \
+        set(ref_off.columns) == {"complete_cusip", "offering_amt", "maturity"}
+
+
 def _corrupt_price(cid: str, p: float) -> float:
     """Deterministic per-(cusip, price) decimal corruption: every row
     carrying the same price value within a cusip moves together, so

@@ -21,6 +21,8 @@ from collections.abc import Mapping, Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from trace_data_pipeline_spark.operators.caching import tracked_persist
+
 
 def anti_join_keys(
     df: DataFrame,
@@ -219,7 +221,9 @@ def correction_chain_resolution(
         (F.col("__napp") == 1) | ((F.col("__napp") > 1) & (F.col("__ntype") == 1))
     ).select(*pk, "__nb")
     kept = combined.join(kept_nb, [*pk_names, "__nb"], "inner")
-    # npair counts kept rows (both roles) per pair group, halved
+    # npair counts kept rows (both roles) per pair group, halved.
+    # (Not persisted: AQE already reuses the aggregation exchange for
+    # the two pair branches — measured no gain from materializing it.)
     w_pair = Window.partitionBy(*pk)
     kept = kept.withColumn("__npair", F.count(F.lit(1)).over(w_pair) / F.lit(2))
     # npair == 1: the group collapses to ONE (msg, omsg) pair — the
@@ -248,11 +252,19 @@ def correction_chain_resolution(
         pairs2.select(*pk, "__pmsg", "__pomsg")
     )
     # full W rows for each pair's msg; the pair's omsg becomes the
-    # substituted row's orig pointer
-    w_full = pairs.join(
-        corrections.drop(orig_col).withColumnRenamed(msg_col, "__pmsg"),
-        [*pk_names, "__pmsg"],
-        "left",
+    # substituted row's orig pointer. PERSISTED: w_full feeds THREE
+    # consumers (removal targets, the matched-key probe, and the
+    # substitution rows) — without materialization each one re-scans
+    # the fact table and recomputes the napp/ntype aggregation chain
+    # (observed: 8 scans in the j4 plan, ~3x runtime). w_full is
+    # |pairs| rows — the corrections' scale (a few % of trades), the
+    # smallest frame that cuts all three recomputations.
+    w_full = tracked_persist(
+        pairs.join(
+            corrections.drop(orig_col).withColumnRenamed(msg_col, "__pmsg"),
+            [*pk_names, "__pmsg"],
+            "left",
+        )
     )
     k = [F.col(c) for c in keys]
     targets = w_full.select(*k, F.col("__pomsg").alias(msg_col)).dropDuplicates()

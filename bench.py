@@ -70,10 +70,10 @@ FLOORS: dict[str, float] = {
     "j17_source_preference": 0.512,
     "j1_cancel_anti_join": 0.689,
     "j2_reversal_anti_join_asym": 0.525,
-    # r13: re-floored at 2.6 — the exact napp/ntype/npair rewrite adds
-    # the pair aggregation chain and the substitution joins (warm
-    # min-of-4 2.79 on a ~1.1x-slow window; w_full persisted)
-    "j4_correction_chain": 2.6,
+    # r13: re-floored — the exact napp/ntype/npair rewrite adds the
+    # pair aggregation chain and the substitution joins (warm min-of-6
+    # 2.46; persist-vs-not A/B was a wash at this scale)
+    "j4_correction_chain": 2.45,
     "j5_sequence_match": 0.541,
     "j7_agency_dedup": 0.552,
     "p0_stage0_panel": 1.796,

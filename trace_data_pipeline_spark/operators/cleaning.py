@@ -255,10 +255,12 @@ def correction_chain_resolution(
     # substituted row's orig pointer. PERSISTED: w_full feeds THREE
     # consumers (removal targets, the matched-key probe, and the
     # substitution rows) — without materialization each one re-scans
-    # the fact table and recomputes the napp/ntype aggregation chain
-    # (observed: 8 scans in the j4 plan, ~3x runtime). w_full is
-    # |pairs| rows — the corrections' scale (a few % of trades), the
-    # smallest frame that cuts all three recomputations.
+    # the corrections source and recomputes the napp/ntype aggregation
+    # chain (8 scans in the j4 plan). At sf0.1 an A/B measured a wash
+    # (scans are cheap locally); the persist is kept for the 100 TB
+    # posture, where re-deriving corrections from the fact table three
+    # times dominates. w_full is |pairs| rows — the corrections' scale,
+    # a few % of trades — the smallest frame cutting all three.
     w_full = tracked_persist(
         pairs.join(
             corrections.drop(orig_col).withColumnRenamed(msg_col, "__pmsg"),

@@ -104,6 +104,9 @@ FLOORS: dict[str, float] = {
     # r13: warm min-of-3 0.48 at sf0.1 (per-date curve column algebra,
     # one scan, no shuffle beyond the read)
     "w9b_credit_spread": 0.48,
+    # r13: warm min-of-3 0.86 at sf0.1 (two fact shuffles + an
+    # aggregate-scale broadcast range join for the alive denominator)
+    "a13b_trade_counts_by_month": 0.86,
     # r13: warm min-of-3 2.33 at sf0.1 on a ~1.3x-slow window (two seq
     # windows + anti/semi joins + full-row distinct)
     "j18_standard_reversal": 2.3,

@@ -1525,6 +1525,74 @@ def test_a9_cross_sectional_matches_reference(spark, seed):
 
 
 @pytest.mark.parametrize("seed", [20260816, 977])
+@pytest.mark.parametrize(
+    "rating_filter", [None, "investment_grade", "defaulted"]
+)
+def test_a13b_trade_counts_by_month_matches_reference(spark, seed, rating_filter):
+    """Zero-trade-month-aware sparsity averages: bonds with gap months
+    inside their first→last window must dilute the monthly average."""
+    from trace_data_pipeline_spark.operators.analytics import trade_counts_by_month
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for g in range(40):
+        cid = f"M{g:03d}"
+        rating = int(rng.integers(1, 23))
+        # random subset of 14 months — gaps inside the window guaranteed
+        lived = sorted(
+            rng.choice(14, size=int(rng.integers(1, 10)), replace=False)
+        )
+        for m in lived:
+            for _ in range(int(rng.integers(1, 6))):
+                d = pd.Timestamp(2020, 1, 1) + pd.DateOffset(months=int(m)) \
+                    + pd.Timedelta(days=int(rng.integers(0, 28)))
+                pr = float(rng.uniform(50, 150))
+                rows.append(
+                    (
+                        cid,
+                        d,
+                        pr,
+                        pr if rng.uniform() < 0.6 else None,
+                        pr if rng.uniform() < 0.5 else None,
+                        rating,
+                    )
+                )
+    pdf = pd.DataFrame(
+        rows,
+        columns=["cusip_id", "trd_exctn_dt", "pr", "prc_bid", "prc_ask",
+                 "spc_rating"],
+    )
+    ns = _ref_fns(_SRC_S1, ("compute_trade_counts_by_month",))
+    ref = ns["compute_trade_counts_by_month"](pdf, rating_filter)
+    if len(ref):  # empty result has NO columns in the reference
+        ref = ref.sort_values("year_month").reset_index(drop=True)
+
+    sdf = spark.createDataFrame(
+        pdf,
+        schema="cusip_id string, trd_exctn_dt timestamp, pr double, "
+        "prc_bid double, prc_ask double, spc_rating int",
+    ).repartition(7, "cusip_id")
+    if rating_filter == "investment_grade":
+        sdf = sdf.filter((F.col("spc_rating") >= 1) & (F.col("spc_rating") <= 10))
+    elif rating_filter == "defaulted":
+        sdf = sdf.filter(F.col("spc_rating") == 22)
+    got = (
+        trade_counts_by_month(sdf, "cusip_id", "trd_exctn_dt",
+                              ["pr", "prc_bid", "prc_ask"])
+        .toPandas()
+        .sort_values("year_month")
+        .reset_index(drop=True)
+    )
+    if len(ref) == 0:
+        assert len(got) == 0
+        return
+    assert list(got["year_month"]) == list(ref["year_month"])
+    _assert_col_equal(got["avg_pr_days"], ref["avg_pr_days"], "pr")
+    _assert_col_equal(got["avg_prc_bid_days"], ref["avg_bid_days"], "bid")
+    _assert_col_equal(got["avg_prc_ask_days"], ref["avg_ask_days"], "ask")
+
+
+@pytest.mark.parametrize("seed", [20260816, 977])
 def test_j13_j14_linker_extend_matches_reference(spark, seed):
     """Forward-extend a monthly linker to a target month-end, only for
     issuers whose ids are all present at the snapshot max date — the

@@ -38,6 +38,58 @@ def piecewise_linear(x: Column | str, xs: Sequence[float], ys: Sequence[float]) 
     return F.when(c < F.lit(float(xs[0])), F.lit(float(ys[0]))).otherwise(expr)
 
 
+def trade_counts_by_month(
+    df: DataFrame,
+    id_col: str,
+    date_col: str,
+    count_cols: Sequence[str],
+) -> DataFrame:
+    """Average per-bond monthly observation counts INCLUDING zero-trade
+    months (`stage1/helper_functions.py:1814-1908`,
+    compute_trade_counts_by_month): a bond is "alive" in every month of
+    its [first, last] trade window, and alive-but-silent months count
+    as zeros in the denominator.
+
+    Spark-first shape: no month spine is materialized — the zero months
+    only affect the DENOMINATOR, so avg = Σ month counts / #alive,
+    where #alive comes from a broadcast range join of two
+    post-aggregation frames (|bonds| × |months| candidates, both tiny
+    next to the fact table). Two fact shuffles total (the per-(id,
+    month) count and the per-id lifespan); everything after is
+    aggregate-scale.
+    """
+    month = F.date_trunc("month", F.col(date_col))
+    counts = (
+        df.groupBy(F.col(id_col), month.alias("__m"))
+        .agg(*[F.count(c).alias(f"__n_{c}") for c in count_cols])
+    )
+    life = df.groupBy(F.col(id_col)).agg(
+        F.min(month).alias("__first"), F.max(month).alias("__last")
+    )
+    months = counts.select("__m").distinct()
+    alive = (
+        months.join(
+            F.broadcast(life),
+            (F.col("__first") <= F.col("__m")) & (F.col("__m") <= F.col("__last")),
+        )
+        .groupBy("__m")
+        .agg(F.count(F.lit(1)).alias("__alive"))
+    )
+    sums = counts.groupBy("__m").agg(
+        *[F.sum(f"__n_{c}").alias(f"__s_{c}") for c in count_cols]
+    )
+    out = sums.join(alive, "__m")
+    for c in count_cols:
+        out = out.withColumn(
+            f"avg_{c}_days",
+            F.col(f"__s_{c}").cast("double") / F.col("__alive").cast("double"),
+        )
+    return out.select(
+        F.date_format("__m", "yyyy-MM").alias("year_month"),
+        *[F.col(f"avg_{c}_days") for c in count_cols],
+    )
+
+
 def piecewise_linear_cols(
     x: Column | str, xs: Sequence[float], ys: Sequence[Column]
 ) -> Column:

@@ -24,6 +24,7 @@ from trace_data_pipeline_spark.operators.analytics import (
     piecewise_linear,
     piecewise_linear_cols,
     pooled_stats,
+    trade_counts_by_month,
     winsorize_by_group,
 )
 from trace_data_pipeline_spark.operators.asof import asof_join
@@ -944,6 +945,62 @@ def a9_cross_sectional(spark, sf_dir):
         F.round(F.avg("n"), 6).alias("avg_daily_n"),
         F.round(F.avg("m"), 4).alias("avg_daily_price"),
         F.count(F.lit(1)).alias("n_days"),
+    )
+
+
+@register(
+    "a13b_trade_counts_by_month",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id,
+             date_trunc('month', CAST(ts AS DATE)) AS m,
+             value AS pr,
+             CASE WHEN event_id % 3 != 0 THEN value END AS prc_bid,
+             CASE WHEN event_id % 5 != 0 THEN value END AS prc_ask
+      FROM events
+    ),
+    counts AS (
+      SELECT user_id, m,
+             count(pr) AS n_pr, count(prc_bid) AS n_bid,
+             count(prc_ask) AS n_ask
+      FROM ev GROUP BY 1, 2
+    ),
+    life AS (
+      SELECT user_id, min(m) AS first_m, max(m) AS last_m
+      FROM ev GROUP BY 1
+    ),
+    alive AS (
+      SELECT c.m, count(*) AS n_alive
+      FROM (SELECT DISTINCT m FROM counts) c
+      JOIN life l ON l.first_m <= c.m AND c.m <= l.last_m
+      GROUP BY 1
+    ),
+    sums AS (
+      SELECT m, sum(n_pr) AS s_pr, sum(n_bid) AS s_bid, sum(n_ask) AS s_ask
+      FROM counts GROUP BY 1
+    )
+    SELECT strftime(s.m, '%Y-%m') AS year_month,
+           CAST(s.s_pr AS DOUBLE) / CAST(a.n_alive AS DOUBLE) AS avg_pr_days,
+           CAST(s.s_bid AS DOUBLE) / CAST(a.n_alive AS DOUBLE) AS avg_prc_bid_days,
+           CAST(s.s_ask AS DOUBLE) / CAST(a.n_alive AS DOUBLE) AS avg_prc_ask_days
+    FROM sums s JOIN alive a ON a.m = s.m
+    """,
+)
+def a13b_trade_counts_by_month(spark, sf_dir):
+    """Trade-sparsity averages with zero-trade months in the
+    denominator (`stage1/helper_functions.py:1814-1908`): a bond is
+    alive for every month of its first→last window; alive-but-silent
+    months dilute the average. No month spine — only the denominator
+    needs the zeros (see trade_counts_by_month)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date("ts").alias("d"),
+        F.col("value").alias("pr"),
+        F.when(F.col("event_id") % 3 != 0, F.col("value")).alias("prc_bid"),
+        F.when(F.col("event_id") % 5 != 0, F.col("value")).alias("prc_ask"),
+    )
+    return trade_counts_by_month(
+        ev, "user_id", "d", ["pr", "prc_bid", "prc_ask"]
     )
 
 

@@ -83,6 +83,17 @@ def _ref_fn(name: str):
     return _ref_fns(_SRC, (name,))[name]
 
 
+def _norm_ids(ids) -> set[int]:
+    """row_id set with nulls collapsed to -1: a substituted W row whose
+    pair msg matched no W (a bond_sym-split pivot cell) carries an
+    all-null payload — NaN row_id in pandas, None in Spark — and
+    NaN != NaN breaks naive set equality."""
+    return {
+        -1 if (x is None or (isinstance(x, float) and np.isnan(x))) else int(x)
+        for x in ids
+    }
+
+
 def _panel(seed: int, n_ids: int = 24) -> pd.DataFrame:
     """Randomized TRACE-like panel with planted pathologies.
 
@@ -315,8 +326,10 @@ def test_a1_a3_daily_panel_matches_reference(spark, seed):
 def test_j7_agency_dedup_matches_reference(spark, seed):
     """Null match keys ARE reachable at agency-dedup time (it runs
     before the price screens: `create_daily_enhanced_trace.py:523` vs
-    `:608`), and pd.merge does not match NaN keys — the corner that
-    null-safe matching would get wrong."""
+    `:608`), and pd.merge DOES match NaN keys (a NaN-priced buy merges
+    'both' against a NaN-priced sell) — null-SAFE matching is the
+    reference behavior. Deterministic NaN-match rows are appended so
+    every seed exercises the corner."""
     import logging
 
     from trace_data_pipeline_spark.operators.cleaning import agency_dedup
@@ -341,6 +354,21 @@ def test_j7_agency_dedup_matches_reference(spark, seed):
             "row_id": np.arange(n),
         }
     )
+    # deterministic NaN-key corners: a NaN-priced dealer-buy whose sell
+    # twin shares the NaN IS removed (pd.merge matches NaN); a NaN-vol
+    # dealer-buy with no matching sell is kept
+    extra = pd.DataFrame(
+        {
+            "cusip_id": ["Z00", "Z00", "Z01"],
+            "trd_exctn_dt": [9, 9, 9],
+            "rptd_pr": [np.nan, np.nan, 95.0],
+            "entrd_vol_qt": [7000.0, 7000.0, np.nan],
+            "rpt_side_cd": ["S", "B", "B"],
+            "cntra_mp_id": ["D", "D", "D"],
+            "row_id": [n, n + 1, n + 2],
+        }
+    )
+    pdf = pd.concat([pdf, extra], ignore_index=True)
     ns = _ref_fns(_SRC, ("clean_agency_transactions",))
     ns["logging"] = logging
 
@@ -370,6 +398,10 @@ def test_j7_agency_dedup_matches_reference(spark, seed):
             f"missing={sorted(ref_ids - got_ids)[:5]}"
         )
         assert len(ref_ids) < len(pdf)  # something was actually removed
+        assert n in ref_ids  # the NaN-priced dealer-sell is always kept
+        assert n + 1 not in ref_ids  # NaN-priced buy removed (NaN match)
+        if not aggressive:
+            assert n + 2 in ref_ids  # unmatched NaN-vol buy kept
 
 
 def _post_tape(seed: int) -> pd.DataFrame:
@@ -458,9 +490,14 @@ def _pre_tape(seed: int) -> pd.DataFrame:
     head), cross-group chains (the reference keeps the INTERMEDIATE W),
     multi-pair groups (npair>1) and dangling Ws — plus asof_cd='R'
     sequence-matched reversals, 'D'/'X' delayed rows, and dangling
-    cancels. No NaN keys: pre-2012 matching is pd.merge-based (NaN
-    never matches) AND the final inner re-merge would drop NaN-price
-    rows entirely — rows the price screens remove downstream anyway."""
+    cancels. Deterministic corner blocks (Q900+) exercise the NaN-key
+    and multi-bond_sym semantics: pd.merge DOES match NaN keys, the
+    string correction keys render a None msg as 'None' on BOTH sides
+    (matching), npair counts WITHOUT bond_sym, the npair==1 pivot can
+    split one (cusip,dt,tm) group across bond_sym cells leaving
+    one-sided pairs, pandas groupby drops null-keyed W roles, and a
+    null cusip propagates NaN through the whole key (matched by
+    nothing here since W-side keys are never null)."""
     rng = np.random.default_rng(seed)
     rows = []
     msg = 5000
@@ -518,6 +555,58 @@ def _pre_tape(seed: int) -> pd.DataFrame:
                     "B", "C", msg, None, "T", None)
                 add(cid, d, "14:30:00", "15:00:00", 91.5 + j, 2000.0,
                     "B", "C", msg + 1, msg, "W", None)
+
+    # ---- deterministic corner blocks (distinct cusips Q900+, so they
+    # can't collide with the random groups Q000–Q011 above) ----
+    d9 = pd.Timestamp(2008, 5, 15)
+    rpt9 = pd.Timestamp(2008, 6, 2)
+
+    def raw(cid, bond, tm, m, om, st, p=91.0, v=1000.0):
+        rows.append([cid, bond, d9, tm, rpt9, "15:30:00",
+                     p, v, "B", "C", m, om, st, None])
+
+    # A: npair counts WITHOUT bond_sym (`:1857`) — this same-(cusip,dt,
+    # tm) group spans two bond_syms, so npair=2 and the same-bond W→W
+    # chain does NOT collapse onto the trade (a per-bond npair of 1
+    # would wrongly remove trade 9000 and substitute W 9002)
+    raw("Q900", "Q900B", "14:00:00", "9000", None, "T")
+    raw("Q900", "Q900B", "14:00:00", "9001", "9000", "W", p=91.3)
+    raw("Q900", "Q900B", "14:00:00", "9002", "9001", "W", p=91.6)
+    raw("Q900", "Q900C", "14:00:00", "9010", "9009", "W", p=92.0)
+    # B: a W with a None orig pairs (msg, None) at npair>1; the string
+    # correction key renders None as 'None' on both sides, so the
+    # None-msg trade IS removed and the W substituted (pd.merge-and-
+    # concat null semantics, not "null never matches")
+    raw("Q901", "Q901B", "14:05:00", None, None, "T", p=90.5)
+    raw("Q901", "Q901B", "14:05:00", "9100", None, "T", p=90.6)
+    raw("Q901", "Q901B", "14:05:00", "9101", None, "W", p=90.7)
+    raw("Q901", "Q901B", "14:05:00", "9102", "9100", "W", p=90.8)
+    # C: napp/ntype are per-BOND (5-key groupby) — 9200 appears once in
+    # each bond group, so it is NOT a chain middle; both its roles stay,
+    # npair=2, and the MIDDLE W (9200←9202) is what replaces trade 9202
+    raw("Q902", "Q902B", "14:10:00", "9201", "9200", "W", p=93.1)
+    raw("Q902", "Q902C", "14:10:00", "9200", "9202", "W", p=93.2)
+    raw("Q902", "Q902B", "14:10:00", "9202", None, "T", p=93.0)
+    # C2: npair==1 with the two kept roles in DIFFERENT bonds → the
+    # 4-key pivot splits the group into two ONE-SIDED pairs. Bond B's
+    # kept row is omsg-only (9510 is msg twice+omsg once → dropped;
+    # 9520 is a middle; 9500 survives), bond C's is msg-only (mirror):
+    # pair (null, 9500) removes trade 9500 and substitutes an all-null
+    # payload row (null row_id); pair (9530, null) matches nothing
+    raw("Q905", "Q905B", "14:25:00", "9510", "9500", "W", p=94.1)
+    raw("Q905", "Q905B", "14:25:00", "9510", "9520", "W", p=94.2)
+    raw("Q905", "Q905B", "14:25:00", "9520", "9510", "W", p=94.3)
+    raw("Q905", "Q905C", "14:25:00", "9530", "9540", "W", p=94.4)
+    raw("Q905", "Q905C", "14:25:00", "9550", "9540", "W", p=94.5)
+    raw("Q905", "Q905C", "14:25:00", "9540", "9550", "W", p=94.6)
+    raw("Q905", "Q905B", "14:25:00", "9500", None, "T", p=94.0)
+    # D: a W with a null TIME is inert (pandas groupby drops null-keyed
+    # rows), so trade 9300 survives; a null-cusip trade's correction
+    # key collapses to NaN, matched by nothing (W-side keys non-null)
+    raw("Q903", "Q903B", "14:15:00", "9300", None, "T")
+    raw("Q903", "Q903B", None, "9301", "9300", "W")
+    rows.append([None, "Q904B", d9, "14:20:00", rpt9, "15:30:00",
+                 91.0, 1000.0, "B", "C", "9400", None, "T", None])
     pdf = pd.DataFrame(
         rows,
         columns=[
@@ -548,7 +637,7 @@ def test_j3_j4_j5_clean_pre_matches_reference(spark, seed):
 
     pdf = _pre_tape(seed)
     ref = _ref_fn("clean_pre_20120206")(pdf.copy())
-    ref_ids = set(ref["row_id"].tolist())
+    ref_ids = _norm_ids(ref["row_id"].tolist())
 
     sdf = spark.createDataFrame(
         pdf,
@@ -575,6 +664,7 @@ def test_j3_j4_j5_clean_pre_matches_reference(spark, seed):
         pre_w,
         keys=["cusip_id", "trd_exctn_dt"],
         pair_keys=["cusip_id", "bond_sym_id", "trd_exctn_dt", "trd_exctn_tm"],
+        npair_keys=["cusip_id", "trd_exctn_dt", "trd_exctn_tm"],
         dedup_cols=[
             "cusip_id", "trd_exctn_dt", "msg_seq_nb", "orig_msg_seq_nb",
             "rptd_pr", "entrd_vol_qt",
@@ -595,7 +685,7 @@ def test_j3_j4_j5_clean_pre_matches_reference(spark, seed):
         trade_order=["trd_exctn_tm", "trd_rpt_dt", "trd_rpt_tm", "msg_seq_nb"],
         reversal_order=["trd_exctn_tm", "trd_rpt_dt", "trd_rpt_tm"],
     )
-    got_ids = {r.row_id for r in step3.select("row_id").collect()}
+    got_ids = _norm_ids(r.row_id for r in step3.select("row_id").collect())
     assert got_ids == ref_ids, (
         f"kept-row sets differ; extra={sorted(got_ids - ref_ids)[:8]} "
         f"missing={sorted(ref_ids - got_ids)[:8]}"
@@ -605,6 +695,18 @@ def test_j3_j4_j5_clean_pre_matches_reference(spark, seed):
     assert any(pdf.loc[pdf["row_id"].isin(ref_ids), "trc_st"] == "W")
     n_t = int((pdf["trc_st"] == "T").sum())
     assert len(ref_ids) < n_t
+    # the deterministic corner blocks resolved the reference way:
+    by_msg = pdf.set_index("msg_seq_nb")["row_id"]
+    assert by_msg["9000"] in ref_ids          # A: npair w/o bond_sym
+    assert by_msg["9002"] not in ref_ids      # A: chain W NOT substituted
+    nan_msg_q901 = pdf[(pdf["cusip_id"] == "Q901") & pdf["msg_seq_nb"].isna()]
+    assert int(nan_msg_q901["row_id"].iloc[0]) not in ref_ids  # B: 'None' matches
+    assert by_msg["9101"] in ref_ids          # B: W substituted for it
+    assert by_msg["9202"] not in ref_ids      # C: one-sided pair removes
+    assert -1 in ref_ids                      # C: all-null payload row
+    assert by_msg["9300"] in ref_ids          # D: null-time W inert
+    null_cusip = pdf[pdf["cusip_id"].isna()]
+    assert int(null_cusip["row_id"].iloc[0]) in ref_ids  # D: null key kept
 
 
 @pytest.mark.parametrize("seed", [20260816, 977])
@@ -785,15 +887,20 @@ def test_a10_concentration_matches_reference(spark, seed, rating_filter):
 @pytest.mark.parametrize("window", [("09:30:00", "16:00:00"), ("22:00:00", "02:30:00")])
 @pytest.mark.parametrize("keep_missing", [False, True])
 def test_f8_trade_time_filter_matches_reference(spark, window, keep_missing):
-    """Inclusive window, wrap-around past midnight, malformed and
-    missing time strings, under both keep_missing settings."""
-    from trace_data_pipeline_spark.functions.scalars import hhmmss_to_seconds
+    """Inclusive window, wrap-around past midnight, malformed, missing,
+    out-of-range, fractional-second and padded time strings, under both
+    keep_missing settings — against _hms_to_seconds/filter_by_trade_time
+    (the RANGE-CHECKED parser; time_to_seconds is the unchecked one and
+    has its own differential test)."""
+    from trace_data_pipeline_spark.functions.scalars import hms_to_seconds_checked
     from trace_data_pipeline_spark.operators.filters import time_window_filter
 
     times = (
         [f"{h:02d}:{m:02d}:30" for h in range(0, 24) for m in (0, 29, 59)]
         + ["09:30:00", "16:00:00", "22:00:00", "02:30:00"]  # exact bounds
         + [None, "bogus", "25:00:00", "12:61:00", "12:30"]  # unparseable
+        + ["23:59:59.5", "09:30:00.25", " 10:15:00 ", "4:5:6",  # _hms quirks
+           "12:30:60.0", "12:30:59.999", "-1:00:00", "004:30:00"]
     )
     pdf = pd.DataFrame({"trd_exctn_tm": times})
     pdf["row_id"] = np.arange(len(pdf))
@@ -807,7 +914,7 @@ def test_f8_trade_time_filter_matches_reference(spark, window, keep_missing):
         pdf, schema="trd_exctn_tm string, row_id long"
     ).repartition(5, "row_id")
     got = time_window_filter(
-        sdf, hhmmss_to_seconds(F.col("trd_exctn_tm")), window[0], window[1],
+        sdf, hms_to_seconds_checked(F.col("trd_exctn_tm")), window[0], window[1],
         keep_missing=keep_missing,
     )
     got_ids = {r.row_id for r in got.select("row_id").collect()}
@@ -815,6 +922,39 @@ def test_f8_trade_time_filter_matches_reference(spark, window, keep_missing):
         f"extra={sorted(got_ids - ref_ids)} missing={sorted(ref_ids - got_ids)}"
     )
     assert 0 < len(ref_ids) < len(pdf)
+
+
+def test_time_to_seconds_unchecked_matches_reference(spark):
+    """time_to_seconds (`create_daily_enhanced_trace.py:128-163`) is the
+    UNCHECKED parser: plain int() arithmetic, no range validation —
+    '12:61:00' → 46860 and '25:00:00' → 90000, not NaN. Only a non-3-
+    part shape or a non-integer component yields NaN. hhmmss_to_seconds
+    is its Spark twin; the range-checked _hms_to_seconds twin is
+    hms_to_seconds_checked (pinned by the F8 test above)."""
+    from trace_data_pipeline_spark.functions.scalars import hhmmss_to_seconds
+
+    probes = [
+        "09:30:00", "4:5:6", "25:00:00", "12:61:00", "00:00:61",
+        "-1:30:00", "+1:02:03", "12:30", "a:b:c", "", None,
+        "12:30:22.5", " 10:15:00", "004:30:00", "1:2:3:4", "09::30",
+    ]
+    pdf = pd.DataFrame({"t": probes})
+    ref = _ref_fn("time_to_seconds")(pdf["t"])
+    sdf = spark.createDataFrame(pdf, schema="t string")
+    got = [
+        r.s
+        for r in sdf.coalesce(1)
+        .select(hhmmss_to_seconds("t").alias("s"))
+        .collect()
+    ]
+    for p, g, w in zip(probes, got, ref.tolist()):
+        if pd.isna(w):
+            assert g is None, (p, g, w)
+        else:
+            assert g == int(w), (p, g, w)
+    # the unchecked/checked divergence actually fired
+    assert got[probes.index("25:00:00")] == 90_000
+    assert got[probes.index("12:61:00")] == 46_860
 
 
 @pytest.mark.parametrize("seed", [20260816, 977])
@@ -1003,6 +1143,7 @@ def _spark_clean_chunk(sdf, clean_agency: bool = True):
         pre.filter(F.col("trc_st") == "W"),
         keys=["cusip_id", "trd_exctn_dt"],
         pair_keys=["cusip_id", "bond_sym_id", "trd_exctn_dt", "trd_exctn_tm"],
+        npair_keys=["cusip_id", "trd_exctn_dt", "trd_exctn_tm"],
         dedup_cols=[
             "cusip_id", "trd_exctn_dt", "msg_seq_nb", "orig_msg_seq_nb",
             "rptd_pr", "entrd_vol_qt",
@@ -1072,11 +1213,11 @@ def test_clean_trace_chunk_matches_reference(spark, seed, clean_agency):
     pdf = _chunk_tape(seed)
     ns = _ref_chunk_ns()
     ref = ns["clean_trace_chunk"](pdf.copy(), clean_agency=clean_agency)
-    ref_ids = set(ref["row_id"].tolist())
+    ref_ids = _norm_ids(ref["row_id"].tolist())
 
     sdf = spark.createDataFrame(pdf, schema=_chunk_schema()).repartition(7, "row_id")
     combined = _spark_clean_chunk(sdf, clean_agency=clean_agency)
-    got_ids = {r.row_id for r in combined.select("row_id").collect()}
+    got_ids = _norm_ids(r.row_id for r in combined.select("row_id").collect())
     assert got_ids == ref_ids, (
         f"kept-row sets differ; extra={sorted(got_ids - ref_ids)[:8]} "
         f"missing={sorted(ref_ids - got_ids)[:8]}"
@@ -1249,6 +1390,10 @@ def test_r2_error_checks_matches_reference(spark, seed):
 
     rng = np.random.default_rng(seed + 13)
     pdf = _chunk_tape(seed)
+    # the reference side pulls its rows through a cusip-keyed WRDS query
+    # (FakeDB below): the pre tape's null-cusip corner row is out of
+    # universe there, so drop it from BOTH sides of this comparison
+    pdf = pdf[pdf["cusip_id"].notna()].reset_index(drop=True)
     pdf["rptd_pr"] = [
         _corrupt_price(c, p) if p == p else p
         for c, p in zip(pdf["cusip_id"], pdf["rptd_pr"])
@@ -1258,7 +1403,9 @@ def test_r2_error_checks_matches_reference(spark, seed):
         yld < 0.05, pdf["rptd_pr"], np.where(yld < 0.10, pdf["rptd_pr"] + 1.0, np.nan)
     )
     pdf["entrd_vol_qt"] = pdf["entrd_vol_qt"] * 100  # clear the $10k screen
-    cusips = sorted(pdf["cusip_id"].unique())
+    # the pre tape's deterministic corner block includes one null-cusip
+    # trade; the FISD universe frame naturally has no null-key row
+    cusips = sorted(c for c in pdf["cusip_id"].unique() if c is not None)
     fisd = pd.DataFrame(
         {
             "cusip_id": cusips,
@@ -1799,3 +1946,225 @@ def test_w3_initial_price_matches_reference(spark, seed):
     _assert_col_equal(
         got["initial_error_flag"], ref["initial_error_flag"], "flag"
     )
+
+
+def test_business_days_per_month_matches_reference(spark):
+    """compute_business_days_per_month (`stage1/helper_functions.py:
+    1783-1812`) counts pd.bdate_range(freq='B') days — PLAIN weekdays,
+    no holiday calendar — per month. Ranges chosen to hit partial
+    months, weekend endpoints, a leap February, and a year boundary."""
+    from trace_data_pipeline_spark.functions.nyse_calendar import (
+        business_days_per_month,
+    )
+
+    ref_fn = _ref_fns(_SRC_S1, ("compute_business_days_per_month",))[
+        "compute_business_days_per_month"
+    ]
+    for start, end in (
+        ("2024-01-01", "2024-03-31"),   # leap February
+        ("2023-12-15", "2024-01-20"),   # year boundary, partial months
+        ("2024-06-08", "2024-06-09"),   # weekend-only range → empty
+        ("2002-07-01", "2003-06-30"),
+    ):
+        ref = ref_fn(start, end)
+        got = {
+            r.year_month: r.business_days
+            for r in business_days_per_month(spark, start, end).collect()
+        }
+        want = dict(zip(ref["year_month"], ref["business_days"]))
+        assert got == want, (start, end, got, want)
+
+
+def _stats_panel(seed: int) -> pd.DataFrame:
+    """Panel for the Table-3/4 stats differentials: several dates, vars
+    with scattered nulls, one ALL-null var, single-obs days (std=NaN),
+    and the ytm/credit_spread ×100 scaling candidates."""
+    rng = np.random.default_rng(seed)
+    n = 900
+    pdf = pd.DataFrame(
+        {
+            "trd_exctn_dt": rng.integers(0, 25, n),
+            "pr": np.where(rng.uniform(size=n) < 0.08, np.nan,
+                           rng.uniform(40, 140, n)),
+            "ytm": np.where(rng.uniform(size=n) < 0.12, np.nan,
+                            rng.uniform(0.01, 0.12, n)),
+            "credit_spread": np.where(rng.uniform(size=n) < 0.15, np.nan,
+                                      rng.uniform(-0.01, 0.08, n)),
+            "allnull": np.full(n, np.nan),
+        }
+    )
+    # a single-observation day: its daily std is NaN on both engines
+    pdf.loc[len(pdf)] = {"trd_exctn_dt": 99, "pr": 101.5, "ytm": 0.05,
+                         "credit_spread": 0.01, "allnull": np.nan}
+    return pdf
+
+
+_STAT_VARS = [
+    ("pr", "Price"),
+    ("ytm", "YTM"),
+    ("credit_spread", "Spread"),
+    ("not_a_column", "Skipped"),
+    ("allnull", "AllNull"),
+]
+
+
+@pytest.mark.parametrize("seed", [20260816, 977])
+def test_pooled_stats_fixed_matches_reference(spark, seed):
+    """compute_pooled_stats_fixed (`stage1/helper_functions.py:
+    3664-3700`, Table 4 Panel A): pooled mean/median/std/P1/P5/P95/P99
+    per variable, ytm+credit_spread ×100 BEFORE the stats, absent and
+    all-null variables skipped, round-half-even to 2dp."""
+    from trace_data_pipeline_spark.operators.analytics import pooled_stats
+
+    pdf = _stats_panel(seed)
+    ref = _ref_fns(_SRC_S1, ("compute_pooled_stats_fixed",))[
+        "compute_pooled_stats_fixed"
+    ](pdf.copy(), _STAT_VARS)
+    assert list(ref["Variable"]) == ["Price", "YTM", "Spread"]
+
+    sdf = spark.createDataFrame(
+        pdf,
+        schema="trd_exctn_dt int, pr double, ytm double, "
+        "credit_spread double, allnull double",
+    ).repartition(7)
+    for var_name, label in _STAT_VARS[:3]:
+        col = (
+            (F.col(var_name) * 100).alias(var_name)
+            if var_name in ("ytm", "credit_spread")
+            else F.col(var_name)
+        )
+        scaled = sdf.select(col, F.lit("all").alias("g"))
+        row = (
+            pooled_stats(scaled, var_name, ["g"], (0.01, 0.05, 0.95, 0.99))
+            .join(
+                scaled.groupBy("g").agg(F.median(var_name).alias("med")), "g"
+            )
+            .collect()[0]
+        )
+        want = ref[ref["Variable"] == label].iloc[0]
+        for got_v, ref_k in (
+            (row["mean"], "Mean"), (row["med"], "Median"), (row["std"], "SD"),
+            (row["q01"], "P1"), (row["q05"], "P5"),
+            (row["q95"], "P95"), (row["q99"], "P99"),
+        ):
+            assert round(got_v, 2) == want[ref_k], (label, ref_k, got_v)
+
+
+@pytest.mark.parametrize("seed", [20260816, 977])
+def test_cross_sectional_stats_fixed_matches_reference(spark, seed):
+    """compute_cross_sectional_stats_fixed (`stage1/helper_functions.py:
+    3703-3760`, Table 4 Panel B): per-day stats then the time-series
+    average of each — single-obs days contribute NaN std that BOTH
+    engines skip in the average; ytm/credit_spread scale ×100 AFTER."""
+    pdf = _stats_panel(seed)
+    ref = _ref_fns(_SRC_S1, ("compute_cross_sectional_stats_fixed",))[
+        "compute_cross_sectional_stats_fixed"
+    ](pdf.copy(), _STAT_VARS)
+    # absent column skipped; the all-null var yields a NaN row
+    assert list(ref["Variable"]) == ["Price", "YTM", "Spread", "AllNull"]
+
+    sdf = spark.createDataFrame(
+        pdf,
+        schema="trd_exctn_dt int, pr double, ytm double, "
+        "credit_spread double, allnull double",
+    ).repartition(7)
+    qs = (0.01, 0.05, 0.95, 0.99)
+    for var_name, label in [v for v in _STAT_VARS if v[0] != "not_a_column"]:
+        daily = sdf.groupBy("trd_exctn_dt").agg(
+            F.avg(var_name).alias("m"),
+            F.median(var_name).alias("md"),
+            F.stddev_samp(var_name).alias("sd"),
+            F.percentile(
+                F.col(var_name), F.array(*[F.lit(q) for q in qs])
+            ).alias("qs"),
+        )
+        row = daily.agg(
+            F.avg("m").alias("Mean"),
+            F.avg("md").alias("Median"),
+            F.avg("sd").alias("SD"),
+            *[
+                F.avg(F.get("qs", i)).alias(k)
+                for i, k in enumerate(("P1", "P5", "P95", "P99"))
+            ],
+        ).collect()[0]
+        want = ref[ref["Variable"] == label].iloc[0]
+        scale = 100.0 if var_name in ("ytm", "credit_spread") else 1.0
+        for k in ("Mean", "Median", "SD", "P1", "P5", "P95", "P99"):
+            if pd.isna(want[k]):
+                assert row[k] is None, (label, k, row[k])
+            else:
+                assert round(row[k] * scale, 2) == want[k], (label, k, row[k])
+
+
+@pytest.mark.parametrize("seed", [20260816, 977])
+def test_data_availability_table_matches_reference(spark, seed):
+    """make_data_availability_table (`stage1/helper_functions.py:
+    3454-3596`, Table 3): non-missing counts and %-missing for the
+    seven report variables across the four spc_rating categories —
+    the reference's numbers regexed out of its own LaTeX and compared
+    against a one-pass conditional-aggregation Spark frame."""
+    import re as _re
+
+    rng = np.random.default_rng(seed)
+    n = 800
+    pdf = pd.DataFrame(
+        {
+            "spc_rating": rng.integers(1, 23, n),
+            "trd_exctn_dt": rng.integers(0, 20, n),
+        }
+    )
+    for c, miss in (
+        ("pr", 0.02), ("prc_bid", 0.3), ("prc_ask", 0.35),
+        ("credit_spread", 0.2), ("sp_rating", 0.1), ("mdy_rating", 0.15),
+        ("permno", 0.5),
+    ):
+        pdf[c] = np.where(rng.uniform(size=n) < miss, np.nan,
+                          rng.uniform(1, 100, n))
+    ns = _ref_fns(_SRC_S1, ("escape_latex", "make_data_availability_table"))
+    tex = ns["make_data_availability_table"](pdf.copy(), "2002-07-01", "2024-12-31")
+
+    want = {}
+    for line in tex.splitlines():
+        m = _re.match(
+            r"([\w ().]+?) & ([\d,]+) & ([\d.]+) & ([\d,]+) & ([\d.]+) & "
+            r"([\d,]+) & ([\d.]+) & ([\d,]+) & ([\d.]+) \\\\", line.strip()
+        )
+        if m:
+            g = m.groups()
+            want[g[0].strip()] = [
+                (int(g[i].replace(",", "")), float(g[i + 1]))
+                for i in (1, 3, 5, 7)
+            ]
+    assert len(want) == 7  # all seven variable rows parsed
+
+    sdf = spark.createDataFrame(pdf).repartition(7)
+    cats = {
+        0: F.lit(True),
+        1: (F.col("spc_rating") >= 1) & (F.col("spc_rating") <= 10),
+        2: (F.col("spc_rating") > 10) & (F.col("spc_rating") <= 21),
+        3: F.col("spc_rating") == 22,
+    }
+    variables = [
+        ("pr", "Price (VW)"), ("prc_bid", "Price (Bid)"),
+        ("prc_ask", "Price (Ask)"), ("credit_spread", "Spread"),
+        ("sp_rating", "Rating (SP)"), ("mdy_rating", "Rating (MD)"),
+        ("permno", "PERMNO"),
+    ]
+    aggs = []
+    for ci, pred in cats.items():
+        aggs.append(F.sum(F.when(pred, 1).otherwise(0)).alias(f"n_{ci}"))
+        for var, _ in variables:
+            aggs.append(
+                F.sum(
+                    F.when(pred & F.col(var).isNotNull(), 1).otherwise(0)
+                ).alias(f"obs_{ci}_{var}")
+            )
+    got = sdf.agg(*aggs).collect()[0]
+    for var, display in variables:
+        for ci in cats:
+            total = got[f"n_{ci}"]
+            obs = got[f"obs_{ci}_{var}"]
+            pct = (total - obs) / total * 100 if total > 0 else 0.0
+            w_obs, w_pct = want[display][ci]
+            assert obs == w_obs, (display, ci, obs, w_obs)
+            assert f"{pct:.2f}" == f"{w_pct:.2f}", (display, ci, pct, w_pct)

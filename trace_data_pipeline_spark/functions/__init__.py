@@ -1,6 +1,7 @@
 from trace_data_pipeline_spark.functions.ordered import first_by, last_by, order_key
 from trace_data_pipeline_spark.functions.scalars import (
     hhmmss_to_seconds,
+    hms_to_seconds_checked,
     seconds_after_midnight,
     years_between,
 )
@@ -10,6 +11,7 @@ __all__ = [
     "last_by",
     "order_key",
     "hhmmss_to_seconds",
+    "hms_to_seconds_checked",
     "seconds_after_midnight",
     "years_between",
 ]

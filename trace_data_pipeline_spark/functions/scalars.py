@@ -16,22 +16,51 @@ from pyspark.sql import functions as F
 def hhmmss_to_seconds(col: Column | str) -> Column:
     """'HH:MM:SS' string → seconds after midnight (null on parse failure).
 
-    Mirrors `create_daily_enhanced_trace.py:128-163` including its
-    null-on-invalid semantics (pandas `errors='coerce'`).
+    Mirrors `create_daily_enhanced_trace.py:128-163` (time_to_seconds)
+    exactly: split on ':', require THREE parts, plain int() arithmetic
+    with NO range check — '12:61:00' → 46860 and '25:00:00' → 90000,
+    not null. Only a non-3-part shape or a non-integer component nulls
+    out (int() raising ↔ try_cast). try_cast matches int()'s tolerance
+    for surrounding whitespace and a leading sign.
     """
     c = F.col(col) if isinstance(col, str) else col
     parts = F.split(c, ":")
-    h = parts.getItem(0).cast("int")
-    m = parts.getItem(1).cast("int")
-    s = parts.getItem(2).cast("int")
-    # shape AND range: the reference rejects out-of-range components
-    # ("12:61:00", "25:00:00" → NaN), not just malformed strings
+    h = F.get(parts, 0).try_cast("int")
+    m = F.get(parts, 1).try_cast("int")
+    s = F.get(parts, 2).try_cast("int")
     valid = (
-        c.rlike(r"^\d{1,2}:\d{1,2}:\d{1,2}$")
-        & (h <= 23) & (m <= 59) & (s <= 59)
+        (F.size(parts) == 3)
+        & h.isNotNull() & m.isNotNull() & s.isNotNull()
     )
     return F.when(valid, h * 3600 + m * 60 + s).otherwise(
         F.lit(None).cast("int")
+    )
+
+
+def hms_to_seconds_checked(col: Column | str) -> Column:
+    """'HH:MM:SS[.fff]' string → float seconds after midnight, null on
+    parse failure OR out-of-range components.
+
+    Mirrors `create_daily_enhanced_trace.py:1322-1341` (_hms_to_seconds,
+    the trade-time-window parser) exactly — a DIFFERENT function from
+    time_to_seconds: it strips whitespace, parses seconds as FLOAT
+    ('22.5' is valid), and rejects out-of-range components
+    (0≤h≤23, 0≤m≤59, 0.0≤s<60.0 — strict at 60). A NaN seconds part
+    fails the range test, like the reference's comparison chain.
+    """
+    c = F.trim((F.col(col) if isinstance(col, str) else col).cast("string"))
+    parts = F.split(c, ":")
+    h = F.get(parts, 0).try_cast("int")
+    m = F.get(parts, 1).try_cast("int")
+    s = F.get(parts, 2).try_cast("double")
+    valid = (
+        (F.size(parts) == 3)
+        & h.isNotNull() & m.isNotNull() & s.isNotNull()
+        & (h >= 0) & (h <= 23) & (m >= 0) & (m <= 59)
+        & (s >= 0.0) & (s < 60.0)
+    )
+    return F.when(valid, h * 3600 + m * 60 + s).otherwise(
+        F.lit(None).cast("double")
     )
 
 

@@ -143,18 +143,19 @@ def agency_dedup(
     (time deliberately excluded from keys). Aggressive mode drops all
     dealer-buys.
 
-    NOT null-safe: the reference matches via pd.merge (`:2203-2209`),
-    where a NaN key never equals a NaN key, so a dealer-buy with a null
-    price/volume is always kept — and nulls ARE reachable here, because
-    agency cleaning runs before the price screens (`:523` vs `:608`).
-    Contrast J1/J3, whose reference builds string-concat keys where NaN
-    becomes the literal 'nan' and does match (anti_join_keys default)."""
+    NULL-SAFE: the reference matches via pd.merge (`:2203-2209`), and
+    pd.merge DOES treat NaN keys as equal (a NaN-priced buy merges
+    'both' against a NaN-priced sell) — null keys ARE reachable here
+    because agency cleaning runs before the price screens (`:523` vs
+    `:608`), so a dealer-buy with a null price/volume IS dropped when a
+    sell shares the null. Pinned by test_j7's deterministic NaN-match
+    rows."""
     customer = trades.filter(customer_pred)
     sells = trades.filter(sell_pred)
     buys = trades.filter(buy_pred)
     if aggressive:
         return customer.unionByName(sells)
-    unmatched_buys = anti_join_keys(buys, sells, list(match_keys), null_safe=False)
+    unmatched_buys = anti_join_keys(buys, sells, list(match_keys), null_safe=True)
     return customer.unionByName(sells).unionByName(unmatched_buys)
 
 
@@ -165,33 +166,55 @@ def correction_chain_resolution(
     msg_col: str = "msg_seq_nb",
     orig_col: str = "orig_msg_seq_nb",
     pair_keys: Sequence[str] | None = None,
+    npair_keys: Sequence[str] | None = None,
     dedup_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """J4 (pre-2012 'W' records): resolve chains of corrections where a
     W record may correct another W, replacing matched trades with their
     corrected W rows (`create_daily_enhanced_trace.py:1811-1907`) —
-    the reference's napp/ntype/npair procedure, reproduced exactly:
+    the reference's napp/ntype/npair procedure, reproduced exactly,
+    including its THREE distinct key sets:
 
-    1. unpivot each W into its (msg) and (omsg) roles within
-       `pair_keys` (the reference pairs within (cusip, bond_sym, date,
-       time)); count appearances napp and distinct roles ntype per
-       sequence number;
+    1. unpivot each W into its (msg) and (omsg) roles; count
+       appearances napp and distinct roles ntype per sequence number
+       within `pair_keys` (the reference's 5-key groupby: cusip,
+       bond_sym, date, time, nb). pandas groupby(dropna=True) silently
+       drops rows with ANY null group key — reproduced by filtering the
+       unpivoted frame to non-null pair keys and nb;
     2. keep numbers with napp==1 OR (napp>1 AND ntype==1) — a number
        seen as BOTH someone's msg and someone's omsg is a chain middle
        and drops out, which is what collapses same-group W→W chains to
        their head;
-    3. npair = kept rows per pair group / 2; npair==1 groups pivot to
-       one (msg, omsg) pair — possibly pairing a head's msg with the
-       ORIGINAL trade's msg across a collapsed chain; npair>1 groups
-       fall back to each W's own (msg, orig) pair;
-    4. remove trades whose (keys, msg) is some pair's (keys, orig);
-       substitute the W rows of pairs that matched a trade (the
-       reference re-joins pair msgs to the W frame for full rows and
-       dedups on `dedup_cols` before the concat).
+    3. npair = kept rows per `npair_keys` group / 2 — the reference
+       counts WITHOUT bond_sym (cusip, date, time only; `:1857`).
+       npair==1 groups pivot BY `pair_keys` to one (msg, omsg) pair
+       (so a (cusip,date,time) group spanning two bond_syms pivots to
+       TWO rows, each with one null side); npair>1 groups fall back to
+       each kept msg's own (msg, orig) pair, re-joined to the W frame
+       on `npair_keys` + msg (`:1868-1873` — again no bond_sym, so a
+       msg duplicated across bond_syms fans out);
+    4. the pairs re-join the W frame for full rows on `npair_keys` +
+       msg (`w_clean` drops bond_sym before the merge, `:1879-1883`),
+       with pd.merge null-key semantics (null msg matches null msg);
+    5. remove trades whose string correction key (keys + msg, where a
+       null msg renders as the literal 'nan' and MATCHES, while a null
+       in `keys` collapses the whole key to null — which matches other
+       null keys via isin) equals some pair row's (keys + orig) key;
+       substitute the pair rows whose key matched a trade, deduped on
+       `dedup_cols` before the concat.
 
-    Matching is pd.merge-style (null keys never match), like the
-    reference's merges here — NOT the string-concat 'nan'-matching of
-    the cancel stages.
+    `npair_keys` defaults to `pair_keys` (right for callers with no
+    bond_sym-like extra pair column); both must contain `keys`, and
+    `npair_keys` ⊆ `pair_keys`.
+
+    Deviations from bug-for-bug parity, both order-dependent in the
+    reference and not reproducible distributively without an explicit
+    order column: (a) the npair==1 pivot uses aggfunc='first' — first
+    in W-frame order — reproduced as MIN(nb) per role (identical unless
+    two kept numbers share (pair_keys, role) in an npair==1 group AND
+    arrive out of ascending order); (b) the final drop_duplicates keeps
+    the first duplicate in frame order — reproduced as the row minimal
+    on the remaining columns.
 
     NOTE the reference quirk this reproduces: a W→W chain across two
     DIFFERENT pair groups (e.g. the second W reported at another
@@ -204,15 +227,29 @@ def correction_chain_resolution(
     (entity, date) — one shuffle partitioning reused throughout; the
     corrections side is small and broadcasts.
     """
-    pk = [F.col(c) for c in (pair_keys if pair_keys is not None else keys)]
+    import functools
+    import operator
+
     pk_names = list(pair_keys if pair_keys is not None else keys)
+    nk_names = list(npair_keys if npair_keys is not None else pk_names)
+    assert set(nk_names) <= set(pk_names), "npair_keys must be ⊆ pair_keys"
+    assert set(keys) <= set(nk_names), "keys must be ⊆ npair_keys"
+    pk = [F.col(c) for c in pk_names]
+    nk = [F.col(c) for c in nk_names]
+
     msg_side = corrections.select(
         *pk, F.col(msg_col).alias("__nb"), F.lit("msg").alias("__role")
     )
     orig_side = corrections.select(
         *pk, F.col(orig_col).alias("__nb"), F.lit("omsg").alias("__role")
     )
-    combined = msg_side.unionByName(orig_side).filter(F.col("__nb").isNotNull())
+    # pandas groupby(dropna=True): any null group key drops the row
+    all_nonnull = functools.reduce(
+        operator.and_,
+        [F.col(c).isNotNull() for c in pk_names],
+        F.col("__nb").isNotNull(),
+    )
+    combined = msg_side.unionByName(orig_side).filter(all_nonnull)
     counts = combined.groupBy(*pk, F.col("__nb")).agg(
         F.count(F.lit(1)).alias("__napp"),
         F.countDistinct("__role").alias("__ntype"),
@@ -220,38 +257,46 @@ def correction_chain_resolution(
     kept_nb = counts.filter(
         (F.col("__napp") == 1) | ((F.col("__napp") > 1) & (F.col("__ntype") == 1))
     ).select(*pk, "__nb")
+    # no nulls remain in the keys, so the plain equi-joins below are
+    # exactly pd.merge (which matches null keys — unreachable here)
     kept = combined.join(kept_nb, [*pk_names, "__nb"], "inner")
-    # npair counts kept rows (both roles) per pair group, halved.
+    # npair counts kept rows (both roles) per npair_keys group, halved
+    # (`:1857` — WITHOUT the bond_sym-like extra pair columns).
     # (Not persisted: AQE already reuses the aggregation exchange for
     # the two pair branches — measured no gain from materializing it.)
-    w_pair = Window.partitionBy(*pk)
+    w_pair = Window.partitionBy(*nk)
     kept = kept.withColumn("__npair", F.count(F.lit(1)).over(w_pair) / F.lit(2))
-    # npair == 1: the group collapses to ONE (msg, omsg) pair — the
-    # surviving msg-role number and omsg-role number, whoever's they were
+    # npair == 1: the group collapses to ONE (msg, omsg) pair per
+    # pair_keys pivot cell — possibly a row per bond_sym with one null
+    # side when the npair group spans several
     pairs1 = (
         kept.filter(F.col("__npair") == 1)
         .groupBy(*pk)
         .agg(
-            F.max(F.when(F.col("__role") == "msg", F.col("__nb"))).alias("__pmsg"),
-            F.max(F.when(F.col("__role") == "omsg", F.col("__nb"))).alias("__pomsg"),
+            F.min(F.when(F.col("__role") == "msg", F.col("__nb"))).alias("__pmsg"),
+            F.min(F.when(F.col("__role") == "omsg", F.col("__nb"))).alias("__pomsg"),
         )
     )
-    # npair > 1: every kept msg-role number keeps its OWN W's orig
+    # npair > 1: every kept msg-role number keeps its OWN W's orig —
+    # re-joined on npair_keys + msg (no bond_sym; duplicate msgs fan out
+    # like the reference's pd.merge)
     pairs2 = (
         kept.filter((F.col("__npair") > 1) & (F.col("__role") == "msg"))
-        .select(*pk, F.col("__nb").alias("__pmsg"))
+        .select(*nk, F.col("__nb").alias("__pmsg"))
         .join(
             corrections.select(
-                *pk, F.col(msg_col).alias("__pmsg"), F.col(orig_col).alias("__pomsg")
+                *nk, F.col(msg_col).alias("__pmsg"), F.col(orig_col).alias("__pomsg")
             ),
-            [*pk_names, "__pmsg"],
+            [*nk_names, "__pmsg"],
             "left",
         )
     )
-    pairs = pairs1.select(*pk, "__pmsg", "__pomsg").unionByName(
-        pairs2.select(*pk, "__pmsg", "__pomsg")
+    pairs = pairs1.select(*nk, "__pmsg", "__pomsg").unionByName(
+        pairs2.select(*nk, "__pmsg", "__pomsg")
     )
-    # full W rows for each pair's msg; the pair's omsg becomes the
+    # full W rows for each pair's msg, joined on npair_keys + msg with
+    # pd.merge null semantics (a null pmsg from a bond_sym-split pivot
+    # cell matches a null-msg W row). The pair's omsg becomes the
     # substituted row's orig pointer. PERSISTED: w_full feeds THREE
     # consumers (removal targets, the matched-key probe, and the
     # substitution rows) — without materialization each one re-scans
@@ -261,26 +306,64 @@ def correction_chain_resolution(
     # posture, where re-deriving corrections from the fact table three
     # times dominates. w_full is |pairs| rows — the corrections' scale,
     # a few % of trades — the smallest frame cutting all three.
+    payload = corrections.drop(orig_col)
+    rhs = payload.select(
+        *[F.col(c).alias(f"__r_{c}") for c in nk_names],
+        F.col(msg_col).alias("__r_pmsg"),
+        *[F.col(c) for c in payload.columns if c not in {*nk_names, msg_col}],
+    )
+    join_cond = functools.reduce(
+        operator.and_,
+        [F.col(c) == F.col(f"__r_{c}") for c in nk_names],
+        F.col("__pmsg").eqNullSafe(F.col("__r_pmsg")),
+    )
     w_full = tracked_persist(
-        pairs.join(
-            corrections.drop(orig_col).withColumnRenamed(msg_col, "__pmsg"),
-            [*pk_names, "__pmsg"],
-            "left",
+        pairs.join(rhs, join_cond, "left").drop(
+            "__r_pmsg", *[f"__r_{c}" for c in nk_names]
         )
     )
-    k = [F.col(c) for c in keys]
-    targets = w_full.select(*k, F.col("__pomsg").alias(msg_col)).dropDuplicates()
-    survivors = anti_join_keys(trades, targets, [*keys, msg_col], null_safe=False)
-    matched_keys = (
-        trades.join(targets, [*keys, msg_col], "left_semi")
-        .select(*k, F.col(msg_col).alias("__pomsg"))
-        .dropDuplicates()
+
+    # the reference's string correction key (`:1885-1893`): cusip + '_'
+    # + date + '_' + str(msg). A null msg renders as the literal 'nan'
+    # (matches other null msgs); a null cusip/date propagates NaN
+    # through the concat, collapsing the WHOLE key to null — and
+    # .isin() matches NaN against NaN, so null keys match EACH OTHER
+    # regardless of the other components. Reproduced as a single key
+    # expression matched with eqNullSafe.
+    def ckey(msg_expr: Column) -> Column:
+        any_null = functools.reduce(
+            operator.or_, [F.col(c).isNull() for c in keys]
+        )
+        return F.when(any_null, F.lit(None).cast("string")).otherwise(
+            F.concat_ws(
+                "\x1f",
+                *[F.col(c).cast("string") for c in keys],
+                F.coalesce(msg_expr.cast("string"), F.lit("\x00nan")),
+            )
+        )
+
+    targets = w_full.select(ckey(F.col("__pomsg")).alias("__rmkey")).dropDuplicates()
+    survivors = trades.join(
+        targets, ckey(F.col(msg_col)).eqNullSafe(F.col("__rmkey")), "left_anti"
     )
+    t_keys = trades.select(ckey(F.col(msg_col)).alias("__tkey")).dropDuplicates()
     w_to_add = (
-        w_full.join(matched_keys, [*keys, "__pomsg"], "left_semi")
+        w_full.join(
+            t_keys, ckey(F.col("__pomsg")).eqNullSafe(F.col("__tkey")), "left_semi"
+        )
         .withColumnRenamed("__pmsg", msg_col)
         .withColumn(orig_col, F.col("__pomsg"))
     )
     if dedup_cols:
-        w_to_add = w_to_add.dropDuplicates(list(dedup_cols))
+        # deterministic stand-in for pandas keep='first': the row
+        # minimal on the remaining columns (see docstring deviations)
+        others = [c for c in w_to_add.columns if c not in set(dedup_cols)]
+        w_dd = Window.partitionBy(*[F.col(c) for c in dedup_cols]).orderBy(
+            *[F.col(c).asc_nulls_first() for c in others]
+        )
+        w_to_add = (
+            w_to_add.withColumn("__rn", F.row_number().over(w_dd))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
     return survivors.unionByName(w_to_add.select(*trades.columns))

@@ -89,16 +89,20 @@ def time_window_filter(
     """F8: inclusive intraday window with wrap-around support
     (`create_daily_enhanced_trace.py:1322-1375`): end < start means the
     window crosses midnight → t >= start OR t <= end. Invalid/missing
-    bounds → no-op, matching the reference."""
+    bounds → no-op, matching the reference. Bounds parse with the same
+    _hms_to_seconds semantics as the row values (float seconds allowed,
+    strict < 60) — pass `hms_to_seconds_checked(...)` as `seconds` for
+    full reference parity on string times."""
 
-    def parse(s: str | None) -> int | None:
-        if not s:
+    def parse(s: str | None) -> float | None:
+        if not s or not str(s).strip():
             return None
         try:
-            h, m, sec = (int(x) for x in s.split(":"))
+            h_s, m_s, sec_s = str(s).strip().split(":")
+            h, m, sec = int(h_s), int(m_s), float(sec_s)
         except ValueError:
             return None
-        if not (0 <= h <= 23 and 0 <= m <= 59 and 0 <= sec <= 59):
+        if not (0 <= h <= 23 and 0 <= m <= 59 and 0.0 <= sec < 60.0):
             return None
         return h * 3600 + m * 60 + sec
 

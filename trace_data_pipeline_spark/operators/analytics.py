@@ -52,11 +52,13 @@ def trade_counts_by_month(
 
     Spark-first shape: no month spine is materialized — the zero months
     only affect the DENOMINATOR, so avg = Σ month counts / #alive,
-    where #alive comes from a broadcast range join of two
-    post-aggregation frames (|bonds| × |months| candidates, both tiny
-    next to the fact table). Two fact shuffles total (the per-(id,
-    month) count and the per-id lifespan); everything after is
-    aggregate-scale.
+    where #alive comes from a range join of the per-bond lifespan frame
+    against the BROADCAST distinct-months frame (months is the tiny
+    side — dozens of rows; `life` is one row per bond, millions at the
+    100 TB posture, and stays distributed). The |bonds| × |alive-months|
+    expansion is aggregated straight down to per-month counts. Two fact
+    shuffles total (the per-(id, month) count and the per-id lifespan);
+    everything after is aggregate-scale.
     """
     month = F.date_trunc("month", F.col(date_col))
     counts = (
@@ -68,8 +70,8 @@ def trade_counts_by_month(
     )
     months = counts.select("__m").distinct()
     alive = (
-        months.join(
-            F.broadcast(life),
+        life.join(
+            F.broadcast(months),
             (F.col("__first") <= F.col("__m")) & (F.col("__m") <= F.col("__last")),
         )
         .groupBy("__m")

@@ -500,6 +500,27 @@ def main() -> None:
             }
         )
     )
+    # LAST line: a compact (<1 KB) summary. The driver keeps only a
+    # 4 KB stdout tail and the full line above (~8 KB at 113 entries)
+    # overflows it, leaving BENCH_r{N}.json with "parsed": null — the
+    # final line always fits and parses. Full per-query numbers live in
+    # BENCH_SELF.json and in the full line.
+    top10 = dict(sorted(ordered.items(), key=lambda kv: -kv[1])[:10])
+    print(
+        json.dumps(
+            {
+                "metric": "catalog_wall_clock",
+                "unit": "sec",
+                "sf": infer_sf(SF_DIR),
+                "n_queries": len(ordered),
+                "canary_sec": round(canary, 3),
+                "canary_arrow_sec": round(canary_arrow, 3),
+                "queries": {k: round(v, 3) for k, v in top10.items()},
+                "value": round(total, 3),
+            },
+            separators=(",", ":"),
+        )
+    )
 
 
 if __name__ == "__main__":

@@ -526,3 +526,64 @@ def test_audit_report_all_three_panel_types(spark, tmp_path):
     # the default decimal-shift surface is unchanged by the extra types
     assert m["figure_data"].endswith("figure_data")
     assert m["pages"] and all("pages_" not in p for p in m["pages"])
+
+
+def test_write_distressed_report_end_to_end(spark, tmp_path):
+    """The stage-1 distressed report sink at sf0.001 (the reference's
+    make_distressed_panel + build_distressed_summary_table +
+    build_distressed_report_tex path): a parseable .tex whose summary
+    counts agree with the oracle-checked w7 frame, figure data
+    partitioned by FLAGGED entity only, and one rendered page per
+    flagged entity."""
+    from pyspark.sql import functions as F
+
+    from trace_data_pipeline_spark.plans import get_catalog
+    from trace_data_pipeline_spark.reports import write_distressed_report
+
+    sf = os.environ.get("TEST_SF_DIR", "/root/testdata/sf0.001")
+    manifest = write_distressed_report(
+        spark, sf, str(tmp_path / "distressed"), figures=True
+    )
+    tex = open(manifest["tex"], encoding="utf-8").read()
+    assert r"\label{tab:distressed_summary}" in tex
+    assert r"\texttt{flag\_anomalous\_price}" in tex
+    assert r"\end{document}" in tex
+
+    # summary counts must agree with the oracle-checked w7 frame
+    w7 = get_catalog()["w7_ultra_distressed"].builder(spark, sf)
+    total = w7.count()
+    flagged_rows = w7.filter(F.col("flag_refined_any") == 1).count()
+    flagged_entities = (
+        w7.filter(F.col("flag_refined_any") == 1)
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    s = manifest["summary"]
+    assert int(s["total_rows"]) == total
+    assert int(s["flagged_rows"]) == flagged_rows
+    assert int(s["flagged_entities"]) == flagged_entities
+    assert f"{total:,}" in tex and f"{flagged_rows:,}" in tex
+
+    # figure data: one partition dir per FLAGGED entity (r5 is the
+    # flagged-entity series, the exact frame the reference plots)
+    parts = [
+        d
+        for d in os.listdir(manifest["figure_data"])
+        if d.startswith("user_id=")
+    ]
+    assert len(parts) == flagged_entities > 0
+    assert len(manifest["pages"]) == flagged_entities
+    for p in manifest["pages"]:
+        assert os.path.exists(p)
+        assert os.path.basename(p) in tex
+
+    # multi-panel composition, like the reference's (4, 2) A4 grids
+    m2 = write_distressed_report(
+        spark,
+        sf,
+        str(tmp_path / "distressed8"),
+        figures=True,
+        figures_per_page=8,
+    )
+    assert len(m2["pages"]) == -(-flagged_entities // 8)

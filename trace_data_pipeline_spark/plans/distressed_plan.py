@@ -140,6 +140,37 @@ FROM assembled
 )
 
 
+_R5_ORACLE = (
+    "WITH w7 AS (\n"
+    + _W7_ORACLE
+    + "\n)\nSELECT user_id, d, pr_last AS pr, flag_refined_any AS flag\n"
+    "FROM w7 WHERE user_id IN (SELECT user_id FROM w7 WHERE flag_refined_any = 1)"
+)
+
+
+@register("r5_distressed_series", oracle=_R5_ORACLE)
+def r5_distressed_series(spark, sf_dir):
+    """Stage-1 distressed report figure data: the full daily price
+    series of every entity the W7 ultra-distressed filter flagged, with
+    the per-day flag — exactly the frame the reference's per-CUSIP
+    distressed panels consume (`stage1/_distressed_plot_helpers.py:
+    152-230` _plot_panel_distressed via `stage1_pipeline.py:1631-1716`,
+    which plots only flagged CUSIPs: All line + kept-only Filtered line
+    + Eliminated markers). Shape: one W7 pass, a broadcast semi-join on
+    the (small) flagged-entity set — the series stays distributed; the
+    report sink renders pages from this frame without collecting it."""
+    w7 = w7_ultra_distressed(spark, sf_dir)
+    flagged = (
+        w7.filter(F.col("flag_refined_any") == 1).select("user_id").distinct()
+    )
+    return w7.join(F.broadcast(flagged), "user_id", "left_semi").select(
+        "user_id",
+        "d",
+        F.col("pr_last").alias("pr"),
+        F.col("flag_refined_any").alias("flag"),
+    )
+
+
 @register("w7_ultra_distressed", oracle=_W7_ORACLE)
 def w7_ultra_distressed(spark, sf_dir):
     """W7: all four ultra-distressed sub-filters over the daily panel of

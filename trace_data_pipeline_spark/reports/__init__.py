@@ -18,6 +18,7 @@ Split deliberately in two:
 
 from trace_data_pipeline_spark.reports.latex import (  # noqa: F401
     data_report,
+    distressed_summary_table,
     escape_tex,
     parameters_table,
     removal_table,
@@ -27,4 +28,5 @@ from trace_data_pipeline_spark.reports.render import (  # noqa: F401
     collect_report_rows,
     render_figures,
     write_audit_report,
+    write_distressed_report,
 )

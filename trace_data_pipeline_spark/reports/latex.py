@@ -149,6 +149,64 @@ def removal_table(
     return table_env(body, caption, label, note)
 
 
+def distressed_summary_table(
+    total_rows: int,
+    total_entities: int,
+    flagged_rows: int,
+    flagged_entities: int,
+    flag_breakdown: Mapping[str, int] | None = None,
+    caption: str = "Ultra Distressed Filter Summary",
+    label: str = "tab:distressed_summary",
+) -> str:
+    """The stage-1 distressed report's summary table
+    (`stage1/_distressed_plot_helpers.py:377-455`,
+    build_distressed_summary_table): total vs flagged observation and
+    entity counts with percentages, plus an optional per-flag-type
+    breakdown block."""
+
+    def _pct(n: int, d: int) -> str:
+        return f"{(100 * n / d if d > 0 else 0):.2f}" + r"\%"
+
+    lines = [
+        r"\begin{tabular}{lr}",
+        r"\midrule",
+        r"Metric & Value \\",
+        r"\midrule",
+        rf"Total Observations & {_fmt_int(total_rows)} \\",
+        rf"Total Entities & {_fmt_int(total_entities)} \\",
+        r"\midrule",
+        rf"Flagged Observations & {_fmt_int(flagged_rows)}"
+        rf" ({_pct(flagged_rows, total_rows)}) \\",
+        rf"Flagged Entities & {_fmt_int(flagged_entities)}"
+        rf" ({_pct(flagged_entities, total_entities)}) \\",
+    ]
+    if flag_breakdown:
+        lines += [
+            r"\midrule",
+            r"\multicolumn{2}{c}{\textbf{Breakdown by Flag Type}} \\",
+            r"\midrule",
+        ]
+        lines += [
+            rf"\texttt{{{escape_tex(col)}}} & {_fmt_int(cnt)}"
+            rf" ({_pct(cnt, total_rows)}) \\"
+            for col, cnt in flag_breakdown.items()
+        ]
+    lines += [r"\bottomrule", r"\end{tabular}"]
+    return table_env(
+        "\n".join(lines),
+        caption,
+        label,
+        note=(
+            "This table summarizes the impact of the ultra distressed "
+            "filter applied in Stage 1. The filter identifies "
+            "observations with anomalous price behavior including "
+            "ultra-low prices, upward price spikes, plateau sequences, "
+            "and intraday price inconsistencies. Flagged observations "
+            "are candidates for exclusion from downstream analysis."
+        ),
+    )
+
+
 def parameters_table(
     panels: Mapping[str, Sequence[tuple[str, object]]],
     caption: str = "Error-Correction Filters and Module Parameters",

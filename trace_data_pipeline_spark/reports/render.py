@@ -350,3 +350,104 @@ def write_audit_report(
     if fig_data is not None:
         manifest.update({"figure_data": fig_data, "pages": pages})
     return manifest
+
+
+def write_distressed_report(
+    spark,
+    sf_dir: str,
+    out_dir: str,
+    *,
+    date: str | None = None,
+    figures: bool = False,
+    figures_per_page: int = 1,
+) -> dict:
+    """The stage-1 distressed diagnostic report — the reference's
+    per-CUSIP distressed panel figures + LaTeX summary built from the
+    W7 flags (`stage1/_distressed_plot_helpers.py:152-370`
+    make_distressed_panel / build_distressed_summary_table /
+    build_distressed_report_tex, called from
+    `stage1_pipeline.py:1631-1716`).
+
+    Distribution discipline mirrors write_audit_report: the summary is
+    a ONE-ROW aggregate collected through the bounded sink; the
+    per-entity figure data is the oracle-checked `r5_distressed_series`
+    frame (only flagged entities' series), written partitioned by
+    entity by Spark's own writer — never collected; pages render
+    through matplotlib when installed, else the built-in rasterizer
+    (`reports/rasterize.py` + compose_pages), exactly like the stage-0
+    report's pages.
+    """
+    from pyspark.sql import functions as F
+
+    from trace_data_pipeline_spark.plans import get_catalog
+
+    catalog = get_catalog()
+    os.makedirs(out_dir, exist_ok=True)
+
+    flag_cols = (
+        "flag_anomalous_price",
+        "flag_upward_spike",
+        "flag_plateau_sequence",
+        "flag_intraday_inconsistent",
+    )
+    w7 = catalog["w7_ultra_distressed"].builder(spark, sf_dir)
+    [summary] = collect_report_rows(
+        w7.agg(
+            F.count(F.lit(1)).alias("total_rows"),
+            F.countDistinct("user_id").alias("total_entities"),
+            F.sum("flag_refined_any").alias("flagged_rows"),
+            F.countDistinct(
+                F.when(F.col("flag_refined_any") == 1, F.col("user_id"))
+            ).alias("flagged_entities"),
+            *[F.sum(c).alias(c) for c in flag_cols],
+        )
+    )
+
+    series = catalog["r5_distressed_series"].builder(spark, sf_dir)
+    fig_data = write_figure_data(
+        series.select(
+            "user_id",
+            "d",
+            F.col("pr").alias("p_before"),
+            F.col("pr").alias("p_after"),
+            "flag",
+        ),
+        out_dir,
+        flag_col="flag",
+        name="figure_data_distressed",
+    )
+    pages: list[str] = []
+    if figures:
+        pages = render_figures(
+            fig_data,
+            os.path.join(out_dir, "pages_distressed"),
+            per_page=figures_per_page,
+        )
+
+    tex = latex.data_report(
+        [
+            latex.distressed_summary_table(
+                int(summary["total_rows"]),
+                int(summary["total_entities"]),
+                int(summary["flagged_rows"] or 0),
+                int(summary["flagged_entities"] or 0),
+                {c: int(summary[c] or 0) for c in flag_cols},
+            )
+        ],
+        [os.path.relpath(p, out_dir) for p in pages],
+        abstract=(
+            "Impact summary of the stage-1 ultra-distressed filter; for "
+            "every flagged entity, the full daily price series with "
+            "eliminated observations marked is exported alongside."
+        ),
+        date=date,
+    )
+    tex_path = os.path.join(out_dir, "distressed_report.tex")
+    with open(tex_path, "w", encoding="utf-8") as fh:
+        fh.write(tex)
+    return {
+        "tex": tex_path,
+        "figure_data": fig_data,
+        "pages": pages,
+        "summary": summary,
+    }

@@ -1551,3 +1551,226 @@ def r1_audit_report(spark, sf_dir):
         ]
     )
     return agg.select(F.inline(stages))
+
+
+@register(
+    "r6_default_dynamics",
+    oracle="""
+    WITH rated AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             CASE WHEN (user_id + day(CAST(ts AS DATE))) % 11 = 0 THEN 22
+                  ELSE 1 + user_id % 21 END AS spc
+      FROM events
+    ), life AS (
+      SELECT user_id, min(d) AS f, max(d) AS l FROM rated GROUP BY 1
+    ), fd AS (
+      SELECT user_id, min(d) AS fdef FROM rated WHERE spc = 22 GROUP BY 1
+    ), fu AS (
+      SELECT r.user_id, min(r.d) AS fup
+      FROM rated r JOIN fd ON fd.user_id = r.user_id AND r.d > fd.fdef
+      WHERE r.spc < 22 GROUP BY 1
+    ), binfo AS (
+      SELECT life.user_id, f, l, fdef, fup
+      FROM life LEFT JOIN fd USING (user_id) LEFT JOIN fu USING (user_id)
+    ), bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM rated),
+    spine0 AS (
+      SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                          CAST(hi AS TIMESTAMP),
+                                          INTERVAL 1 DAY)) AS DATE) AS d
+      FROM bounds
+    ), spine AS (
+      SELECT d FROM spine0 WHERE isodow(d) <= 5
+    ), totals AS (
+      SELECT sp.d, count(*) AS tb
+      FROM spine sp JOIN binfo b ON b.f <= sp.d AND sp.d <= b.l
+      GROUP BY 1
+    ), defs AS (
+      SELECT sp.d, count(*) AS db
+      FROM spine sp JOIN binfo b
+        ON b.fdef IS NOT NULL AND b.fdef <= sp.d AND sp.d <= b.l
+       AND (b.fup IS NULL OR sp.d < b.fup)
+      GROUP BY 1
+    ), daily AS (
+      SELECT sp.d, COALESCE(t.tb, 0) AS tb, COALESCE(x.db, 0) AS db
+      FROM spine sp LEFT JOIN totals t ON t.d = sp.d
+                    LEFT JOIN defs x ON x.d = sp.d
+    )
+    SELECT strftime(CAST(d + ((8 - isodow(d)) % 7) * INTERVAL 1 DAY AS DATE),
+                    '%Y-%m-%d') AS week,
+           CAST(SUM(db) AS BIGINT) AS count_defaulted,
+           CAST(SUM(db) AS DOUBLE)
+             / CAST(NULLIF(SUM(tb), 0) AS DOUBLE) * 100.0 AS pct_defaulted
+    FROM daily GROUP BY 1
+    """,
+)
+def r6_default_dynamics(spark, sf_dir):
+    """Dynamics-of-default figure data (`stage1/helper_functions.py:
+    1504-1781`, create_dynamics_of_default_plot — which the REFERENCE
+    DISABLED for memory: its bond x business-day cross-join blows up).
+    Weekly (W-MON) count and share of currently-defaulted bonds among
+    alive bonds: a bond is alive on every business day of its
+    [first, last] trade window and defaulted from its first rating-22
+    day until its first later sub-22 day.
+
+    Spark-first shape: NO bond x day expansion — both daily counts come
+    from an interval SWEEP (+1 at each interval start, -1 after its
+    end, cumulative-summed over the calendar) whose windowed frame is
+    O(calendar days), not O(bonds x days); the per-bond interval frames
+    are two shuffles on user_id. The weekly resample is a groupBy on
+    the W-MON label. Survives millions of bonds where the reference's
+    expansion could not."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    spc = F.when(
+        (F.col("user_id") + F.dayofmonth("d")) % 11 == 0, F.lit(22)
+    ).otherwise(F.lit(1) + F.col("user_id") % 21)
+    rated = ev.select("user_id", "d", spc.alias("spc"))
+    life = rated.groupBy("user_id").agg(
+        F.min("d").alias("f"), F.max("d").alias("l")
+    )
+    fd = (
+        rated.filter(F.col("spc") == 22)
+        .groupBy("user_id")
+        .agg(F.min("d").alias("fdef"))
+    )
+    fu = (
+        rated.join(fd, "user_id")
+        .filter((F.col("d") > F.col("fdef")) & (F.col("spc") < 22))
+        .groupBy("user_id")
+        .agg(F.min("d").alias("fup"))
+    )
+    binfo = life.join(fd, "user_id", "left").join(fu, "user_id", "left")
+
+    bounds = rated.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = bounds.select(F.explode(F.sequence("lo", "hi")).alias("d")).filter(
+        (F.dayofweek("d") >= 2) & (F.dayofweek("d") <= 6)  # Mon..Fri
+    )
+
+    t_delta = life.select(
+        F.col("f").alias("d"), F.lit(1).alias("delta")
+    ).unionByName(
+        life.select(F.date_add("l", 1).alias("d"), F.lit(-1).alias("delta"))
+    )
+    defaulted = binfo.filter(F.col("fdef").isNotNull())
+    end_excl = F.least(
+        F.date_add("l", 1), F.coalesce("fup", F.date_add("l", 1))
+    )
+    d_delta = defaulted.select(
+        F.col("fdef").alias("d"), F.lit(1).alias("delta")
+    ).unionByName(defaulted.select(end_excl.alias("d"), F.lit(-1).alias("delta")))
+
+    def daily_counts(deltas, name):
+        # the windowed frame is per-DATE (calendar-bounded), so the
+        # single-ordering window is over a dimension, not the fact table
+        pts = (
+            spine.select("d", F.lit(0).alias("delta"), F.lit(1).alias("sp"))
+            .unionByName(deltas.select("d", "delta", F.lit(0).alias("sp")))
+            .groupBy("d")
+            .agg(F.sum("delta").alias("delta"), F.max("sp").alias("sp"))
+        )
+        w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+        return (
+            pts.withColumn(name, F.sum("delta").over(w))
+            .filter(F.col("sp") == 1)
+            .select("d", name)
+        )
+
+    daily = daily_counts(t_delta, "tb").join(
+        daily_counts(d_delta, "db"), "d", "left"
+    )
+    week = F.date_add("d", (F.lit(2) - F.dayofweek("d") + 7) % 7)
+    return (
+        daily.groupBy(F.date_format(week, "yyyy-MM-dd").alias("week"))
+        .agg(
+            F.sum(F.coalesce("db", F.lit(0))).alias("count_defaulted"),
+            F.sum("tb").alias("t"),
+        )
+        .select(
+            "week",
+            "count_defaulted",
+            (
+                F.col("count_defaulted").cast("double")
+                / F.when(F.col("t") == 0, None)
+                .otherwise(F.col("t"))
+                .cast("double")
+                * F.lit(100.0)
+            ).alias("pct_defaulted"),
+        )
+    )
+
+
+@register(
+    "r7_herfindahl_by_month",
+    oracle="""
+    WITH rated AS (
+      SELECT user_id,
+             strftime(date_trunc('month', CAST(ts AS DATE)), '%Y-%m')
+               AS year_month,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents,
+             CASE WHEN (user_id + day(CAST(ts AS DATE))) % 11 = 0 THEN 22
+                  ELSE 1 + user_id % 21 END AS spc
+      FROM events
+    ), classed AS (
+      SELECT CASE WHEN spc <= 10 THEN 'IG'
+                  WHEN spc = 22 THEN 'DEF'
+                  ELSE 'NIG' END AS rating_class,
+             year_month, user_id, cents
+      FROM rated
+    ), bond_vol AS (
+      SELECT rating_class, year_month, user_id, SUM(cents) AS v
+      FROM classed GROUP BY 1, 2, 3
+    )
+    SELECT rating_class, year_month,
+           10000.0 * (CAST(SUM(v * v) AS DOUBLE)
+                      / (CAST(NULLIF(SUM(v), 0) AS DOUBLE)
+                         * CAST(NULLIF(SUM(v), 0) AS DOUBLE))) AS hhi
+    FROM bond_vol GROUP BY 1, 2
+    """,
+)
+def r7_herfindahl_by_month(spark, sf_dir):
+    """Herfindahl-over-time figure data (`stage1/helper_functions.py:
+    3095-3230`, create_herfindahl_over_time_plot): monthly HHI of
+    per-bond dollar-volume shares, 0-10,000 scale, per rating class.
+
+    Float discipline: the reference sums squared SHARES (order-
+    dependent float accumulation); here HHI = 10000 * Σv² / (Σv)² over
+    EXACT integer cent sums — algebraically identical, and the only
+    float ops are one conversion, one multiply chain and one division
+    in a fixed order, so both engines produce the same bits. Two
+    shuffles (per-bond-month sum, per-class-month sum); the sweep is
+    map-side combinable all the way."""
+    ev = load_table(spark, sf_dir, "events")
+    d = F.to_date("ts")
+    spc = F.when(
+        (F.col("user_id") + F.dayofmonth(d)) % 11 == 0, F.lit(22)
+    ).otherwise(F.lit(1) + F.col("user_id") % 21)
+    cls = (
+        F.when(spc <= 10, "IG").when(spc == 22, "DEF").otherwise("NIG")
+    )
+    base = ev.select(
+        cls.alias("rating_class"),
+        F.date_format(F.date_trunc("month", d), "yyyy-MM").alias("year_month"),
+        "user_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    bond_vol = base.groupBy("rating_class", "year_month", "user_id").agg(
+        F.sum("cents").alias("v")
+    )
+    s1 = F.when(F.col("s1") == 0, None).otherwise(F.col("s1")).cast("double")
+    return (
+        bond_vol.groupBy("rating_class", "year_month")
+        .agg(
+            F.sum(F.col("v") * F.col("v")).alias("s2"),
+            F.sum("v").alias("s1"),
+        )
+        .select(
+            "rating_class",
+            "year_month",
+            (F.lit(10000.0) * (F.col("s2").cast("double") / (s1 * s1))).alias(
+                "hhi"
+            ),
+        )
+    )

@@ -70,6 +70,14 @@ CEILINGS = {
     "w1_decimal_shift": 8.5,           # min 2.78
     "w2_bounce_back": 6.0,             # min 2.06
     "w7_ultra_distressed": 5.0,        # min 1.70
+    # r13 verdict item 5: the mapInPandas codec entries were the other
+    # half of the Arrow drift band but had no floors at all
+    # (arrow-normalized min-of-3 calibrated 2026-08-16, live canary
+    # ~0.67-0.71 against the 0.518 calibration → scale ~1.3)
+    "d12b_png_features": 2.5,          # normalized min 0.64
+    "d12c_jpeg_features": 2.5,         # normalized min 0.72
+    "d12d_wav_features": 2.0,          # normalized min 0.50
+    "d12e_video_frame_features": 4.5,  # normalized min 1.37
 }
 
 # Entries whose hot path is a grouped-map applyInPandas or Arrow
@@ -86,6 +94,10 @@ ARROW_AXIS = frozenset({
     "w10f_yield_to_worst",
     "w10g_yield_to_worst_schedule",
     "w10h_odd_first_coupon",
+    "d12b_png_features",
+    "d12c_jpeg_features",
+    "d12d_wav_features",
+    "d12e_video_frame_features",
     "r2_error_checks",
 })
 

@@ -222,8 +222,11 @@ def test_eager_replay_builders_construct_bounded(spark):
 
 @pytest.mark.slow
 def test_bench_emits_one_json_line():
-    """The driver parses bench.py stdout as ONE JSON line — a stray
-    print or progress bar on stdout breaks the round's BENCH record."""
+    """The driver parses bench.py stdout from a 4 KB TAIL — the full
+    per-query JSON line overflows it at 114+ entries, so the FINAL line
+    is a compact (<1 KB) summary that always fits and parses, preceded
+    by the full line. Any stray print or progress bar still breaks the
+    round's BENCH record."""
     import json
     import os
     import subprocess
@@ -238,9 +241,14 @@ def test_bench_emits_one_json_line():
     )
     assert out.returncode == 0, out.stderr[-2000:]
     lines = [ln for ln in out.stdout.splitlines() if ln.strip()]
-    assert len(lines) == 1, f"stdout had {len(lines)} non-empty lines"
+    assert len(lines) == 2, f"stdout had {len(lines)} non-empty lines"
     d = json.loads(lines[0])
     assert set(d) >= {"metric", "value", "unit", "queries", "sf"}
+    compact = json.loads(lines[-1])
+    assert set(compact) >= {"metric", "value", "unit", "queries", "sf"}
+    assert len(lines[-1].encode()) < 2048, "compact line must fit a 4KB tail"
+    assert compact["n_queries"] == len(d["queries"])
+    assert compact["value"] == round(d["value"], 3)
     from trace_data_pipeline_spark.plans import get_catalog
 
     assert set(d["queries"]) == set(get_catalog())

@@ -63,19 +63,19 @@ QUERIES = ("p1_stage0_full", "w1_decimal_shift", "w2_bounce_back",
            "d28_incremental_dedup", "a1_daily_panel", "p6_portfolio_panel")
 
 
-def _generate_sf1(spark) -> None:
+def _generate_scaled(spark, dst_dir: str, n_copies: int) -> None:
     from pyspark.sql import functions as F
 
     from trace_data_pipeline_spark.sources import load_table
 
-    os.makedirs(SF1, exist_ok=True)
+    os.makedirs(dst_dir, exist_ok=True)
     for table, shifts in SHIFTS.items():
-        dst = os.path.join(SF1, f"{table}.parquet")
+        dst = os.path.join(dst_dir, f"{table}.parquet")
         if os.path.exists(dst):
             continue
         src = load_table(spark, SF01, table)
         copies = []
-        for i in range(COPIES):
+        for i in range(n_copies):
             c = src
             for col, unit in shifts.items():
                 c = c.withColumn(col, F.col(col) + F.lit(i * unit))
@@ -90,6 +90,10 @@ def _generate_sf1(spark) -> None:
         for c in copies[1:]:
             out = out.unionByName(c)
         out.write.mode("overwrite").parquet(dst)
+
+
+def _generate_sf1(spark) -> None:
+    _generate_scaled(spark, SF1, COPIES)
 
 
 @pytest.mark.slow
@@ -119,3 +123,48 @@ def test_sf1_linear_scaling(spark):
             f"super-linear blowup ({t1 / t01:.0f}× for 10× data)"
         )
     print("\nSCALE_SMOKE " + repr(report))
+
+
+SF3 = os.path.join(REPO, ".scale", "sf3")
+
+# the five WORST sf0.1→sf1 wall ratios from SCALE.md (r13 verdict item
+# 8): if those ratios were fixed per-query overhead (Arrow/session
+# setup) amortizing, the next 3× step must come in well under 3× —
+# if they were genuine super-linearity, it comes in above.
+WORST = ("w2_bounce_back", "d28_incremental_dedup", "w10e_full_record",
+         "d4_minhash_lsh_pairs", "w1_decimal_shift")
+
+
+@pytest.mark.slow
+def test_sf3_ratio_amortization(spark):
+    """Third measured scale point (sf1 → sf3, 3× data) for the five
+    entries with the worst sf0.1→sf1 ratios. The bound is generous
+    (wall ≤ 7.5× the sf1 time + 10 s for 3× data — the same 2.5×
+    headroom as the sf1 gate); the per-entry sf3/sf1 ratios printed
+    for SCALE.md are the real deliverable and should sit near 3."""
+    from trace_data_pipeline_spark.operators.caching import release_caches
+    from trace_data_pipeline_spark.plans import get_catalog
+
+    _generate_sf1(spark)
+    _generate_scaled(spark, SF3, 3 * COPIES)
+    catalog = get_catalog()
+
+    def run(name, sf_dir):
+        t0 = time.perf_counter()
+        catalog[name].builder(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        dt = time.perf_counter() - t0
+        release_caches()
+        return dt
+
+    report = {}
+    for name in WORST:
+        t1 = run(name, SF1)
+        t3 = run(name, SF3)
+        report[name] = (round(t1, 2), round(t3, 2), round(t3 / t1, 1))
+        assert t3 <= 7.5 * t1 + 10.0, (
+            f"{name}: sf3 took {t3:.1f}s vs sf1 {t1:.1f}s — "
+            f"super-linear blowup ({t3 / t1:.0f}× for 3× data)"
+        )
+    print("\nSCALE_SMOKE_SF3 " + repr(report))

@@ -2168,3 +2168,38 @@ def test_data_availability_table_matches_reference(spark, seed):
             w_obs, w_pct = want[display][ci]
             assert obs == w_obs, (display, ci, obs, w_obs)
             assert f"{pct:.2f}" == f"{w_pct:.2f}", (display, ci, pct, w_pct)
+
+
+def test_distressed_summary_table_matches_reference():
+    """build_distressed_summary_table (`stage1/_distressed_plot_helpers
+    .py:377-455`): the repo's distressed_summary_table must embed the
+    same counts, the same %.2f percentages (including the zero-total
+    guard), and the same flag-breakdown rows as the reference's LaTeX,
+    for both a populated and an empty dataset."""
+    import re as _re
+
+    src = _REF / "stage1" / "_distressed_plot_helpers.py"
+    if not src.exists():
+        pytest.skip("reference distressed helpers not available")
+    ns = _ref_fns(src, ("_escape_latex", "build_distressed_summary_table"))
+    from trace_data_pipeline_spark.reports.latex import distressed_summary_table
+
+    cases = [
+        (123_456, 4_321, 7_890, 321,
+         {"flag_anomalous_price": 4000, "flag_upward_spike": 1890,
+          "flag_plateau_sequence": 1500, "flag_intraday_inconsistent": 500}),
+        (0, 0, 0, 0, {"flag_anomalous_price": 0}),  # zero-total guard
+    ]
+    num = _re.compile(r"([\d,]+) \((\d+\.\d{2})\\%\)")
+    for total_rows, total_cusips, flagged_rows, flagged_cusips, brk in cases:
+        ref = ns["build_distressed_summary_table"](
+            total_rows, total_cusips, flagged_rows, flagged_cusips, brk
+        )
+        got = distressed_summary_table(
+            total_rows, total_cusips, flagged_rows, flagged_cusips, brk
+        )
+        assert num.findall(got) == num.findall(ref), (got, ref)
+        # totals render identically (plain comma-formatted ints)
+        assert f"{total_rows:,}" in got and f"{total_cusips:,}" in got
+        for col in brk:
+            assert col.replace("_", r"\_") in got

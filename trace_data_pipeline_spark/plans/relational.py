@@ -1774,3 +1774,383 @@ def r7_herfindahl_by_month(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "r8_active_dormant",
+    oracle="""
+    WITH base AS (
+      SELECT CASE WHEN spc <= 10 THEN 'IG' WHEN spc = 22 THEN 'DEF'
+                  ELSE 'NIG' END AS rating_class,
+             user_id, d, date_trunc('month', d) AS m
+      FROM (SELECT user_id, CAST(ts AS DATE) AS d,
+                   CASE WHEN (user_id + day(CAST(ts AS DATE))) % 11 = 0
+                        THEN 22 ELSE 1 + user_id % 21 END AS spc,
+                   CASE WHEN event_id % 7 != 0 THEN value END AS pr
+            FROM events)
+      WHERE pr IS NOT NULL
+    ), mt AS (
+      SELECT rating_class, user_id, m, max(d) AS mtd
+      FROM base GROUP BY 1, 2, 3
+    ), life AS (
+      SELECT rating_class, user_id, min(m) AS f, max(m) AS l
+      FROM base GROUP BY 1, 2
+    ), spine AS (
+      SELECT rating_class, user_id,
+             unnest(generate_series(f, l, INTERVAL 1 MONTH)) AS m
+      FROM life
+    ), ffl AS (
+      SELECT s.rating_class, s.user_id, s.m,
+             max(mt.mtd) OVER (PARTITION BY s.rating_class, s.user_id
+                               ORDER BY s.m
+                               ROWS UNBOUNDED PRECEDING) AS lt
+      FROM spine s LEFT JOIN mt
+        ON mt.rating_class = s.rating_class AND mt.user_id = s.user_id
+       AND mt.m = s.m
+    ), cl AS (
+      SELECT rating_class, m,
+             date_diff('day', lt, last_day(CAST(m AS DATE))) AS ds
+      FROM ffl
+    ), agg AS (
+      SELECT rating_class, strftime(m, '%Y-%m') AS year_month,
+             SUM(CASE WHEN ds <= 30 THEN 1 ELSE 0 END) AS n_active,
+             SUM(CASE WHEN ds > 30 AND ds <= 90 THEN 1 ELSE 0 END)
+               AS n_inactive,
+             SUM(CASE WHEN ds > 90 THEN 1 ELSE 0 END) AS n_dormant,
+             COUNT(*) AS n_alive
+      FROM cl GROUP BY 1, 2
+    )
+    SELECT rating_class, year_month,
+           CAST(n_active AS BIGINT) AS n_active,
+           CAST(n_inactive AS BIGINT) AS n_inactive,
+           CAST(n_dormant AS BIGINT) AS n_dormant,
+           CAST(n_active AS DOUBLE) / CAST(n_alive AS DOUBLE) * 100.0
+             AS pct_active,
+           CAST(n_inactive AS DOUBLE) / CAST(n_alive AS DOUBLE) * 100.0
+             AS pct_inactive,
+           CAST(n_dormant AS DOUBLE) / CAST(n_alive AS DOUBLE) * 100.0
+             AS pct_dormant
+    FROM agg
+    """,
+)
+def r8_active_dormant(spark, sf_dir):
+    """Active/Inactive/Dormant bonds over time
+    (`stage1/helper_functions.py:2889-3092`,
+    create_active_dormant_bonds_plot): per rating class and month,
+    classify every ALIVE bond by days from month-end to its last trade
+    up to that month (<=30 active, 31-90 inactive, >90 dormant), as
+    shares summing to 100. Lifespans are per (class, bond) — a bond
+    whose rating migrates gets a lifespan within each class, like the
+    reference's filter-then-group.
+
+    Spark shape: the reference loops months and re-filters the tape per
+    month (quadratic in months); here the "last trade up to month m" is
+    a RUNNING MAX over a per-bond month spine (bounded explode,
+    |bonds| x alive-months), one window, one aggregation."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    d = F.to_date("ts")
+    spc = F.when(
+        (F.col("user_id") + F.dayofmonth(d)) % 11 == 0, F.lit(22)
+    ).otherwise(F.lit(1) + F.col("user_id") % 21)
+    cls = F.when(spc <= 10, "IG").when(spc == 22, "DEF").otherwise("NIG")
+    pr = F.when(F.col("event_id") % 7 != 0, F.col("value"))
+    base = (
+        ev.select(
+            cls.alias("rating_class"),
+            "user_id",
+            d.alias("d"),
+            F.date_trunc("month", d).alias("m"),
+            pr.alias("pr"),
+        )
+        .filter(F.col("pr").isNotNull())
+    )
+    mt = base.groupBy("rating_class", "user_id", "m").agg(
+        F.max("d").alias("mtd")
+    )
+    life = base.groupBy("rating_class", "user_id").agg(
+        F.min("m").alias("f"), F.max("m").alias("l")
+    )
+    spine = life.select(
+        "rating_class",
+        "user_id",
+        F.explode(
+            F.sequence("f", "l", F.expr("interval 1 month"))
+        ).alias("m"),
+    )
+    w = (
+        Window.partitionBy("rating_class", "user_id")
+        .orderBy("m")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ffl = spine.join(mt, ["rating_class", "user_id", "m"], "left").withColumn(
+        "lt", F.max("mtd").over(w)
+    )
+    ds = F.datediff(F.last_day(F.col("m").cast("date")), F.col("lt"))
+    agg = (
+        ffl.select("rating_class", "m", ds.alias("ds"))
+        .groupBy(
+            "rating_class", F.date_format("m", "yyyy-MM").alias("year_month")
+        )
+        .agg(
+            F.sum(F.when(F.col("ds") <= 30, 1).otherwise(0)).alias("n_active"),
+            F.sum(
+                F.when((F.col("ds") > 30) & (F.col("ds") <= 90), 1).otherwise(0)
+            ).alias("n_inactive"),
+            F.sum(F.when(F.col("ds") > 90, 1).otherwise(0)).alias("n_dormant"),
+            F.count(F.lit(1)).alias("n_alive"),
+        )
+    )
+    t = F.col("n_alive").cast("double")
+    return agg.select(
+        "rating_class",
+        "year_month",
+        "n_active",
+        "n_inactive",
+        "n_dormant",
+        (F.col("n_active").cast("double") / t * F.lit(100.0)).alias(
+            "pct_active"
+        ),
+        (F.col("n_inactive").cast("double") / t * F.lit(100.0)).alias(
+            "pct_inactive"
+        ),
+        (F.col("n_dormant").cast("double") / t * F.lit(100.0)).alias(
+            "pct_dormant"
+        ),
+    )
+
+
+@register(
+    "r9_zero_trade_bonds",
+    oracle="""
+    WITH base AS (
+      SELECT CASE WHEN spc <= 10 THEN 'IG' WHEN spc = 22 THEN 'DEF'
+                  ELSE 'NIG' END AS rating_class,
+             user_id, date_trunc('month', d) AS m
+      FROM (SELECT user_id, CAST(ts AS DATE) AS d,
+                   CASE WHEN (user_id + day(CAST(ts AS DATE))) % 11 = 0
+                        THEN 22 ELSE 1 + user_id % 21 END AS spc
+            FROM events)
+    ), life AS (
+      SELECT rating_class, user_id, min(m) AS f, max(m) AS l
+      FROM base GROUP BY 1, 2
+    ), months AS (
+      SELECT DISTINCT rating_class, m FROM base
+    ), alive AS (
+      SELECT mo.rating_class, mo.m, count(*) AS n_alive
+      FROM months mo JOIN life li
+        ON li.rating_class = mo.rating_class
+       AND li.f <= mo.m AND mo.m <= li.l
+      GROUP BY 1, 2
+    ), traded AS (
+      SELECT rating_class, m, count(DISTINCT user_id) AS n_traded
+      FROM base GROUP BY 1, 2
+    )
+    SELECT a.rating_class, strftime(a.m, '%Y-%m') AS year_month,
+           CAST(a.n_alive AS BIGINT) AS n_alive,
+           CAST(t.n_traded AS BIGINT) AS n_traded,
+           CAST(a.n_alive - t.n_traded AS DOUBLE)
+             / CAST(a.n_alive AS DOUBLE) * 100.0 AS zero_trade_pct
+    FROM alive a JOIN traded t
+      ON t.rating_class = a.rating_class AND t.m = a.m
+    """,
+)
+def r9_zero_trade_bonds(spark, sf_dir):
+    """Zero-trade bonds over time (`stage1/helper_functions.py:
+    2507-2697`, create_zero_trade_bonds_plot): per rating class and
+    month, the share of alive bonds with NO observation that month.
+
+    Reference quirk reproduced: its per-type "traded" counts are
+    len() of the per-(bond, month) groupby frames — a group EXISTS for
+    any row that month even when every price of that type is null, so
+    the pr/bid/ask lines are identical by construction; this entry
+    emits the single shared series. Alive counts come from the a13b
+    broadcast months-side range join, not a month loop."""
+    ev = load_table(spark, sf_dir, "events")
+    d = F.to_date("ts")
+    spc = F.when(
+        (F.col("user_id") + F.dayofmonth(d)) % 11 == 0, F.lit(22)
+    ).otherwise(F.lit(1) + F.col("user_id") % 21)
+    cls = F.when(spc <= 10, "IG").when(spc == 22, "DEF").otherwise("NIG")
+    base = ev.select(
+        cls.alias("rating_class"),
+        "user_id",
+        F.date_trunc("month", d).alias("m"),
+    )
+    life = base.groupBy("rating_class", "user_id").agg(
+        F.min("m").alias("f"), F.max("m").alias("l")
+    )
+    months = base.select(
+        F.col("rating_class").alias("__rc"), F.col("m").alias("__m")
+    ).distinct()
+    alive = (
+        life.join(
+            F.broadcast(months),
+            (F.col("rating_class") == F.col("__rc"))
+            & (F.col("f") <= F.col("__m"))
+            & (F.col("__m") <= F.col("l")),
+        )
+        .groupBy(
+            F.col("__rc").alias("rating_class"), F.col("__m").alias("m")
+        )
+        .agg(F.count(F.lit(1)).alias("n_alive"))
+    )
+    traded = base.groupBy("rating_class", "m").agg(
+        F.countDistinct("user_id").alias("n_traded")
+    )
+    return (
+        alive.join(traded, ["rating_class", "m"])
+        .select(
+            "rating_class",
+            F.date_format("m", "yyyy-MM").alias("year_month"),
+            "n_alive",
+            "n_traded",
+            (
+                (F.col("n_alive") - F.col("n_traded")).cast("double")
+                / F.col("n_alive").cast("double")
+                * F.lit(100.0)
+            ).alias("zero_trade_pct"),
+        )
+    )
+
+
+@register(
+    "r10_trading_intensity",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, d, date_trunc('month', d) AS m, pr,
+             CASE WHEN spc <= 5 THEN '1-5 (AAA-A-)'
+                  WHEN spc <= 10 THEN '6-10 (BBB+-)'
+                  WHEN spc <= 15 THEN '11-15 (BB+-)'
+                  WHEN spc <= 21 THEN '16-21 (B+-)'
+                  ELSE '22 (D)' END AS rating_group
+      FROM (SELECT user_id, CAST(ts AS DATE) AS d,
+                   CASE WHEN (user_id + day(CAST(ts AS DATE))) % 11 = 0
+                        THEN 22 ELSE 1 + user_id % 21 END AS spc,
+                   CASE WHEN event_id % 7 != 0 THEN value END AS pr
+            FROM events)
+    ), counts AS (
+      SELECT rating_group, user_id, m, count(pr) AS days_traded
+      FROM base GROUP BY 1, 2, 3
+    ), life AS (
+      SELECT rating_group, user_id, min(m) AS f, max(m) AS l
+      FROM base GROUP BY 1, 2
+    ), months AS (
+      SELECT DISTINCT rating_group, m FROM base
+    ), alive AS (
+      SELECT mo.rating_group, mo.m, count(*) AS n_alive
+      FROM months mo JOIN life li
+        ON li.rating_group = mo.rating_group
+       AND li.f <= mo.m AND mo.m <= li.l
+      GROUP BY 1, 2
+    ), sums AS (
+      SELECT rating_group, m, SUM(days_traded) AS total_days
+      FROM counts GROUP BY 1, 2
+    ), bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM base),
+    bd0 AS (
+      SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                          CAST(hi AS TIMESTAMP),
+                                          INTERVAL 1 DAY)) AS DATE) AS bd
+      FROM bounds
+    ), bdays AS (
+      SELECT strftime(date_trunc('month', bd), '%Y-%m') AS year_month,
+             count(*) AS business_days
+      FROM bd0 WHERE isodow(bd) <= 5 GROUP BY 1
+    )
+    SELECT a.rating_group, strftime(a.m, '%Y-%m') AS year_month,
+           CAST(s.total_days AS DOUBLE) / CAST(a.n_alive AS DOUBLE)
+             AS avg_days,
+           CAST(s.total_days AS DOUBLE) / CAST(a.n_alive AS DOUBLE)
+             / CAST(b.business_days AS DOUBLE) * 100.0 AS probability
+    FROM alive a
+    JOIN sums s ON s.rating_group = a.rating_group AND s.m = a.m
+    LEFT JOIN bdays b ON b.year_month = strftime(a.m, '%Y-%m')
+    """,
+)
+def r10_trading_intensity(spark, sf_dir):
+    """Trading-intensity heatmap data (`stage1/helper_functions.py:
+    3256-3451`, create_trading_intensity_heatmap): per 5-bucket rating
+    group and month, the average probability (%) of a valid price on a
+    business day — zero-trade alive months count in the denominator
+    (the a13b spine-free trick), divided by the weekday count per
+    month (compute_business_days_per_month — plain weekdays).
+
+    Spark shape: two fact aggregations + the broadcast months-side
+    alive range join + the calendar-bounded business-day frame; no
+    month loop, no bond x day expansion."""
+    from trace_data_pipeline_spark.functions.nyse_calendar import (
+        business_days_per_month,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    d = F.to_date("ts")
+    spc = F.when(
+        (F.col("user_id") + F.dayofmonth(d)) % 11 == 0, F.lit(22)
+    ).otherwise(F.lit(1) + F.col("user_id") % 21)
+    grp = (
+        F.when(spc <= 5, "1-5 (AAA-A-)")
+        .when(spc <= 10, "6-10 (BBB+-)")
+        .when(spc <= 15, "11-15 (BB+-)")
+        .when(spc <= 21, "16-21 (B+-)")
+        .otherwise("22 (D)")
+    )
+    pr = F.when(F.col("event_id") % 7 != 0, F.col("value"))
+    base = ev.select(
+        grp.alias("rating_group"),
+        "user_id",
+        d.alias("d"),
+        F.date_trunc("month", d).alias("m"),
+        pr.alias("pr"),
+    )
+    counts = base.groupBy("rating_group", "user_id", "m").agg(
+        F.count("pr").alias("days_traded")
+    )
+    life = base.groupBy("rating_group", "user_id").agg(
+        F.min("m").alias("f"), F.max("m").alias("l")
+    )
+    months = base.select(
+        F.col("rating_group").alias("__rg"), F.col("m").alias("__m")
+    ).distinct()
+    alive = (
+        life.join(
+            F.broadcast(months),
+            (F.col("rating_group") == F.col("__rg"))
+            & (F.col("f") <= F.col("__m"))
+            & (F.col("__m") <= F.col("l")),
+        )
+        .groupBy(
+            F.col("__rg").alias("rating_group"), F.col("__m").alias("m")
+        )
+        .agg(F.count(F.lit(1)).alias("n_alive"))
+    )
+    sums = counts.groupBy("rating_group", "m").agg(
+        F.sum("days_traded").alias("total_days")
+    )
+    bounds = base.agg(
+        F.date_format(F.min("d"), "yyyy-MM-dd").alias("lo"),
+        F.date_format(F.max("d"), "yyyy-MM-dd").alias("hi"),
+    ).collect()[0]
+    bdays = business_days_per_month(spark, bounds["lo"], bounds["hi"])
+    avg = F.col("total_days").cast("double") / F.col("n_alive").cast("double")
+    return (
+        alive.join(sums, ["rating_group", "m"])
+        .select(
+            "rating_group",
+            F.date_format("m", "yyyy-MM").alias("year_month"),
+            F.col("total_days"),
+            F.col("n_alive"),
+            avg.alias("avg_days"),
+        )
+        .join(F.broadcast(bdays), "year_month", "left")
+        .select(
+            "rating_group",
+            "year_month",
+            "avg_days",
+            (
+                F.col("avg_days")
+                / F.col("business_days").cast("double")
+                * F.lit(100.0)
+            ).alias("probability"),
+        )
+    )

@@ -369,3 +369,22 @@ def test_error_checks_one_scan_two_kernels_one_row_combine(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "SortAggregate" not in plan
+
+
+def test_alive_range_joins_broadcast_months(spark):
+    """The zero-month-aware 'alive bonds per month' frames (a13b and
+    the r9/r10 report entries) range-join per-bond lifespans against
+    the distinct-months frame: the MONTHS side (dozens of rows) must be
+    the broadcast side of a BroadcastNestedLoopJoin — broadcasting the
+    bonds side would OOM at the 100 TB posture (r13 ADVICE item 5)."""
+    # a13b has no equi key → BroadcastNestedLoopJoin; r9/r10 carry the
+    # rating class as an equi key → BroadcastHashJoin with the range as
+    # the residual condition (strictly better)
+    for name, kind in (
+        ("a13b_trade_counts_by_month", "BroadcastNestedLoopJoin"),
+        ("r9_zero_trade_bonds", "BroadcastHashJoin"),
+        ("r10_trading_intensity", "BroadcastHashJoin"),
+    ):
+        plan = _plan(spark, name)
+        assert kind in plan, (name, plan[:2000])
+        assert "CartesianProduct" not in plan, name

@@ -52,9 +52,11 @@ from trace_data_pipeline_spark.sources import load_table
       FROM combined c
       JOIN keptnb k ON c.l_orderkey = k.l_orderkey AND c.nb = k.nb
     ), pairs1 AS (
+      -- min() mirrors the operator's deterministic stand-in for the
+      -- reference pivot's aggfunc='first' (single-valued cells here)
       SELECT l_orderkey,
-             max(CASE WHEN role = 'msg' THEN nb END) AS pmsg,
-             max(CASE WHEN role = 'omsg' THEN nb END) AS pomsg
+             min(CASE WHEN role = 'msg' THEN nb END) AS pmsg,
+             min(CASE WHEN role = 'omsg' THEN nb END) AS pomsg
       FROM kept WHERE npair = 1 GROUP BY 1
     ), pairs2 AS (
       SELECT k.l_orderkey, k.nb AS pmsg, w.orig AS pomsg

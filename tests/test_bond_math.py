@@ -744,3 +744,78 @@ def test_cfh_oracle_fragment_symmetric_with_engine_kernel():
     ).fetchall()
     assert pv1 > cf1 * (1.0 / (1.0 + y)) ** q
     con.close()
+
+
+def test_duration_convexity_are_price_derivatives(spark):
+    """Black-box check of the GetNewVarsPy-shaped contract
+    (`stage1/helper_functions.py:54-250`): QuantLib DEFINES modified
+    duration as -(1/P_full)·dP_full/dy and convexity as
+    (1/P_full)·d²P_full/dy², with Macaulay = modified·(1+y/f). Those
+    relations are checked numerically against the engine's OWN
+    price→yield map (central differences over perturbed clean prices;
+    accrued is yield-independent so dP_clean/dy = dP_full/dy), across
+    frequencies, day counts, and discount/premium prices — no QuantLib
+    and no schedule re-derivation, so the check is not circular."""
+    from pyspark.sql import functions as F
+
+    from trace_data_pipeline_spark.operators.bond_record import (
+        attach_full_record,
+    )
+
+    # two step sizes: a small one for the FIRST derivative (duration)
+    # and a larger one for the SECOND (convexity) — the second
+    # difference's numerator is ~y''·h², and at h=0.5 it sits near the
+    # Newton solver's fixed-iteration ytm precision (~1e-7)
+    h, h2 = 0.5, 3.0
+    rows = []
+    k = 0
+    for freq, f in (("1", 1.0), ("2", 2.0), ("4", 4.0)):
+        for dcb in ("30/360", "ACT/ACT", "ACT/360", "ACT/365"):
+            for p in (88.0, 101.5):
+                k += 1
+                for i, dp in enumerate((-h, 0.0, h, -h2, h2)):
+                    rows.append(
+                        (k, "F", freq, 5.25, dcb, "2031-09-20", 96,
+                         "2024-03-11", p + dp, f, i)
+                    )
+    df = spark.createDataFrame(
+        rows,
+        "k int, ctype string, ifreq string, c_pct double, dcb string,"
+        " maturity string, hist_m int, trade_d string, p double,"
+        " f double, i int",
+    ).select(
+        "k", "ctype", "ifreq", "c_pct", "dcb",
+        F.col("maturity").cast("date").alias("maturity"),
+        "hist_m",
+        F.col("trade_d").cast("date").alias("trade_d"),
+        "p", "f", "i",
+    )
+    recs = {}
+    for r in attach_full_record(df).collect():
+        recs.setdefault(r["k"], {})[r["i"]] = r
+    assert len(recs) == 24
+    for k, tri in recs.items():
+        y0, y1, y2 = (tri[i]["ytm"] for i in (0, 1, 2))
+        mid = tri[1]
+        assert None not in (y0, y1, y2), k
+        pf, mod, mac, conv, f = (
+            mid["prfull"], mid["mod_dur"], mid["mac_dur"],
+            mid["convexity"], mid["f"],
+        )
+        # Macaulay = modified × (1 + y/f) — up to the Newton solver's
+        # ytm tolerance propagating through the two sums
+        assert abs(mac - mod * (1 + y1 / f)) <= 1e-6 * mac, k
+        # dy/dP = -1/(P_full · D_mod)
+        dydp = (y2 - y0) / (2 * h)
+        assert abs(dydp - (-1.0 / (pf * mod))) <= 2e-3 * abs(dydp), (
+            k, dydp, -1.0 / (pf * mod),
+        )
+        # convexity = (1/P_full)·d²P/dy², via the inverse-function rule
+        # P'' = -y''·(P')³ with P' = 1/y' — wide-step second difference
+        yl, yr = tri[3]["ytm"], tri[4]["ytm"]
+        d2ydp2 = (yr - 2 * y1 + yl) / (h2 * h2)
+        dpdy = 1.0 / ((yr - yl) / (2 * h2))
+        d2pdy2 = -d2ydp2 * dpdy**3
+        assert abs(d2pdy2 / pf - conv) <= 2e-2 * conv, (
+            k, d2pdy2 / pf, conv,
+        )

@@ -14,6 +14,11 @@ Split deliberately in two:
   renders PNG figures: matplotlib when importable (the reference's
   backend), otherwise `rasterize` — a pure-numpy panel renderer over
   the repo's own PNG codec — so pages exist in this container too.
+
+Two documents: `write_audit_report` (the stage-0 error report) and
+`write_distressed_report` (the stage-1 distressed diagnostic —
+`stage1/_distressed_plot_helpers.py` + `stage1_pipeline.py:1631-1716`
+— over the W7 flags via the oracle-checked `r5_distressed_series`).
 """
 
 from trace_data_pipeline_spark.reports.latex import (  # noqa: F401

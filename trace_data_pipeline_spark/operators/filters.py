@@ -20,9 +20,6 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
-from trace_data_pipeline_spark.functions.scalars import hhmmss_to_seconds
-
-
 @dataclass
 class AuditLedger:
     """Append-only filter audit (reference's global record lists,

@@ -2154,3 +2154,84 @@ def r10_trading_intensity(spark, sf_dir):
             ).alias("probability"),
         )
     )
+
+
+@register(
+    "r11_weekly_panel_series",
+    oracle="""
+    WITH base AS (
+      SELECT d + ((8 - isodow(d)) % 7) * INTERVAL 1 DAY AS w,
+             CAST(round(value * 100, 0) AS BIGINT) AS pr_cents,
+             (user_id % 50 + 1) * 1000 AS amt
+      FROM (SELECT user_id, CAST(ts AS DATE) AS d, value,
+                   CASE WHEN (user_id + day(CAST(ts AS DATE))) % 11 = 0
+                        THEN 22 ELSE 1 + user_id % 21 END AS spc
+            FROM events)
+      WHERE spc = 22
+    ), agg AS (
+      SELECT w, count(*) AS n,
+             CAST(SUM(pr_cents) AS BIGINT) AS s,
+             CAST(SUM(amt * pr_cents) AS BIGINT) AS mc
+      FROM base GROUP BY 1
+    ), bounds AS (SELECT min(w) AS lo, max(w) AS hi FROM base),
+    spine AS (
+      SELECT unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                    CAST(hi AS TIMESTAMP),
+                                    INTERVAL 7 DAY)) AS w
+      FROM bounds
+    )
+    SELECT strftime(CAST(sp.w AS DATE), '%Y-%m-%d') AS week,
+           CAST(a.s AS DOUBLE) / 100.0 / CAST(a.n AS DOUBLE) AS pr,
+           COALESCE(CAST(a.mc AS DOUBLE) / 1.0e10, 0.0) AS market_cap
+    FROM spine sp LEFT JOIN agg a ON a.w = sp.w
+    """,
+)
+def r11_weekly_panel_series(spark, sf_dir):
+    """Stage-1 quality-report weekly time-series frame
+    (`stage1/helper_functions.py:1312-1502`, create_time_series_plots,
+    'defaulted' variant — the richest): W-MON weekly resample over the
+    defaulted slice with pandas-resample bin semantics — the weekly
+    index is CONTIGUOUS from first to last label, so gap weeks exist
+    with a NULL mean and a 0.0 market-cap SUM (resample('W-MON').sum()
+    of an empty bin), and market_cap = amt_outstanding·pr·10/1e9 is
+    summed, not averaged, exactly like the reference's defaulted
+    branch.
+
+    Float discipline: weekly means are exact-integer cent sums divided
+    once; the market-cap sum is an exact integer product sum divided by
+    1e10 — bit-equal across engines with no rounding step."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    d = F.to_date("ts")
+    spc = F.when(
+        (F.col("user_id") + F.dayofmonth(d)) % 11 == 0, F.lit(22)
+    ).otherwise(F.lit(1) + F.col("user_id") % 21)
+    week = F.date_add(d, (F.lit(2) - F.dayofweek(d) + 7) % 7)
+    pr_cents = F.round(F.col("value") * 100, 0).cast("long")
+    amt = ((F.col("user_id") % 50 + 1) * 1000).cast("long")
+    base = ev.filter(spc == 22).select(
+        week.alias("w"),
+        pr_cents.alias("pr_cents"),
+        amt.alias("amt"),
+    )
+    agg = base.groupBy("w").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("pr_cents").alias("s"),
+        F.sum(F.col("amt") * F.col("pr_cents")).alias("mc"),
+    )
+    spine = base.agg(F.min("w").alias("lo"), F.max("w").alias("hi")).select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 7 days"))
+        ).alias("w")
+    )
+    return spine.join(agg, "w", "left").select(
+        F.date_format("w", "yyyy-MM-dd").alias("week"),
+        (
+            F.col("s").cast("double") / F.lit(100.0)
+            / F.col("n").cast("double")
+        ).alias("pr"),
+        F.coalesce(
+            F.col("mc").cast("double") / F.lit(1.0e10), F.lit(0.0)
+        ).alias("market_cap"),
+    )

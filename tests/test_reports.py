@@ -587,3 +587,110 @@ def test_write_distressed_report_end_to_end(spark, tmp_path):
         figures_per_page=8,
     )
     assert len(m2["pages"]) == -(-flagged_entities // 8)
+
+
+def test_write_quality_report_end_to_end(spark, tmp_path):
+    """The stage-1 quality report (the reference's stage-1
+    build_latex_document path): availability / descriptive /
+    concentration / filter-record tables whose numbers agree with the
+    oracle-checked frames, plus one rendered page per quality series."""
+    from trace_data_pipeline_spark.plans import get_catalog
+    from trace_data_pipeline_spark.reports import write_quality_report
+
+    sf = os.environ.get("TEST_SF_DIR", "/root/testdata/sf0.001")
+    manifest = write_quality_report(
+        spark, sf, str(tmp_path / "quality"), figures=True
+    )
+    tex = open(manifest["tex"], encoding="utf-8").read()
+    for label in (
+        "tab:data_availability", "tab:descriptive",
+        "tab:concentration", "tab:stage1",
+    ):
+        assert rf"\label{{{label}}}" in tex
+    assert r"\end{document}" in tex
+
+    # availability panel A totals must equal the stage-1 frame row count
+    from trace_data_pipeline_spark.plans.stage1 import build_stage1
+
+    n = build_stage1(spark, sf).count()
+    pa = dict(
+        (v, (obs, pct))
+        for v, obs, pct in manifest["availability"]["Panel A: All"]
+    )
+    assert pa["pr"][0] == n  # pr is never null in the final panel
+    assert all(0.0 <= pct <= 100.0 for _, pct in pa.values())
+
+    # descriptive numbers straight from the oracle-checked r2 frame
+    r2 = get_catalog()["r2_descriptive_by_rating"].builder(spark, sf).collect()
+    for row in r2[:3]:
+        assert f"{float(row['mean']):.4f}" in tex
+
+    # concentration fractions are valid and rendered as percents
+    for cls, s in manifest["concentration"].items():
+        assert 0.0 < s["top_10pct_share"] <= 1.0, cls
+        assert f"{s['top_10pct_share'] * 100:.3f}" in tex
+
+    # five quality series → five csv partitions and five pages
+    parts = [
+        d
+        for d in os.listdir(manifest["figure_data"])
+        if d.startswith("series=")
+    ]
+    expected = {
+        "series=default_count", "series=default_pct", "series=hhi_IG",
+        "series=hhi_NIG", "series=hhi_DEF", "series=weekly_price_def",
+        "series=weekly_mktcap_def",
+    }
+    assert set(parts) <= expected and len(parts) >= 5
+    assert len(manifest["pages"]) == len(parts)
+    for p in manifest["pages"]:
+        assert os.path.exists(p) and os.path.basename(p) in tex
+
+
+def test_concentration_table_matches_reference():
+    """make_concentration_table (`stage1/helper_functions.py:3599-3661`)
+    vs the repo twin: identical %.3f cells for the same stats (the repo
+    keeps fractions; the reference takes pre-scaled percents)."""
+    import pathlib
+    import re as _re
+
+    ref_src = pathlib.Path(
+        os.environ.get("TDP_REFERENCE_DIR", "/root/reference")
+    ) / "stage1" / "helper_functions.py"
+    if not ref_src.exists():
+        pytest.skip("reference tree not available")
+    import ast
+
+    tree = ast.parse(ref_src.read_text())
+    fn = next(
+        n for n in tree.body
+        if isinstance(n, ast.FunctionDef) and n.name == "make_concentration_table"
+    )
+    ns: dict = {}
+    exec(compile(ast.Module(body=[fn], type_ignores=[]), str(ref_src), "exec"), ns)
+
+    from trace_data_pipeline_spark.reports.latex import concentration_table
+
+    frac = {
+        "IG": {"top_10pct_share": 0.412345, "top_25pct_share": 0.69,
+               "frac_for_50pct": 0.0512, "frac_for_90pct": 0.2533},
+        "NIG": {"top_10pct_share": 0.55, "top_25pct_share": 0.81,
+                "frac_for_50pct": 0.031, "frac_for_90pct": 0.19},
+        "DEF": {"top_10pct_share": 0.77, "top_25pct_share": 0.93,
+                "frac_for_50pct": 0.012, "frac_for_90pct": 0.08},
+    }
+    to_ref = lambda s: {  # noqa: E731
+        "top10_share": s["top_10pct_share"] * 100,
+        "top25_share": s["top_25pct_share"] * 100,
+        "pct_for_50": s["frac_for_50pct"] * 100,
+        "pct_for_90": s["frac_for_90pct"] * 100,
+    }
+    ref = ns["make_concentration_table"](
+        to_ref(frac["IG"]), to_ref(frac["NIG"]), to_ref(frac["DEF"]),
+        "2002-07-01", "2024-12-31",
+    )
+    got = concentration_table(
+        frac["IG"], frac["NIG"], frac["DEF"], "2002-07-01", "2024-12-31"
+    )
+    num = _re.compile(r"\d+\.\d{3}")
+    assert num.findall(got) == num.findall(ref), (got, ref)

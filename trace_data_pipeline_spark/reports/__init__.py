@@ -22,7 +22,10 @@ Two documents: `write_audit_report` (the stage-0 error report) and
 """
 
 from trace_data_pipeline_spark.reports.latex import (  # noqa: F401
+    availability_table,
+    concentration_table,
     data_report,
+    descriptive_stats_table,
     distressed_summary_table,
     escape_tex,
     parameters_table,
@@ -34,4 +37,5 @@ from trace_data_pipeline_spark.reports.render import (  # noqa: F401
     render_figures,
     write_audit_report,
     write_distressed_report,
+    write_quality_report,
 )

@@ -207,6 +207,140 @@ def distressed_summary_table(
     )
 
 
+def concentration_table(
+    stats_ig: Mapping[str, float],
+    stats_nig: Mapping[str, float],
+    stats_def: Mapping[str, float],
+    min_date: str,
+    max_date: str,
+    caption: str = "Trading Concentration Metrics by Rating Category",
+    label: str = "tab:concentration",
+) -> str:
+    """Table 8 (`stage1/helper_functions.py:3599-3661`,
+    make_concentration_table): top-10%/25% volume shares and the bond
+    share needed for 50%/90% of volume, one column per rating category.
+    Stats dicts use the engine's fraction convention
+    (`operators/analytics.py::concentration_metrics`); rendering scales
+    to the reference's %.3f percents."""
+
+    def _row(key: str) -> str:
+        return " & ".join(
+            f"{s[key] * 100:.3f}" for s in (stats_ig, stats_nig, stats_def)
+        )
+
+    lines = [
+        r"\begin{tabular}{lrrr}",
+        r"\midrule",
+        r"Metric & Investment & Non-Investment & Defaulted \\",
+        r"       & Grade (1-10) & Grade (11-21) & (22) \\",
+        r"\midrule",
+        r"\multicolumn{4}{l}{\textbf{Panel A: Volume Share of Top"
+        r" Bonds (\%)}} \\",
+        r"\midrule",
+        rf"Top 10\% of bonds & {_row('top_10pct_share')} \\",
+        rf"Top 25\% of bonds & {_row('top_25pct_share')} \\",
+        r"\midrule",
+        r"\multicolumn{4}{l}{\textbf{Panel B: Bonds Needed for Volume"
+        r" Share (\% of bonds)}} \\",
+        r"\midrule",
+        rf"50\% of volume & {_row('frac_for_50pct')} \\",
+        rf"90\% of volume & {_row('frac_for_90pct')} \\",
+        r"\bottomrule",
+        r"\end{tabular}",
+    ]
+    return table_env(
+        "\n".join(lines),
+        caption,
+        label,
+        note=(
+            f"This table presents trading concentration metrics by "
+            f"rating category for the period {min_date} to {max_date}. "
+            "Panel A shows the share of total dollar volume captured by "
+            "the top 10% and 25% most actively traded bonds; Panel B the "
+            "share of bonds needed to account for 50% and 90% of total "
+            "dollar volume (lower values indicate higher concentration)."
+        ),
+    )
+
+
+def availability_table(
+    panels: Mapping[str, Sequence[tuple[str, int, float]]],
+    min_date: str,
+    max_date: str,
+    caption: str = "Data Availability by Rating Category",
+    label: str = "tab:data_availability",
+) -> str:
+    """Table 3 (`stage1/helper_functions.py:3454-3596`,
+    make_data_availability_table): per variable, the non-missing count
+    and %-missing across the rating panels. `panels` maps panel title →
+    [(variable, observations, pct_missing), ...] — every panel must
+    list the same variables in the same order."""
+    titles = list(panels)
+    per_var: dict[str, list[tuple[int, float]]] = {}
+    for rows in panels.values():
+        for var, obs, pct in rows:
+            per_var.setdefault(var, []).append((obs, pct))
+    head1 = " & ".join(
+        rf"\multicolumn{{2}}{{c}}{{\textbf{{{escape_tex(t)}}}}}"
+        for t in titles
+    )
+    lines = [
+        rf"\begin{{tabular}}{{l{'rr' * len(titles)}}}",
+        r"\toprule",
+        rf"& {head1} \\",
+        "Variable "
+        + " & Obs. & \\% Missing" * len(titles)
+        + r" \\",
+        r"\midrule",
+    ]
+    for var, cells in per_var.items():
+        body = " & ".join(f"{o:,} & {p:.2f}" for o, p in cells)
+        lines.append(rf"{escape_tex(var)} & {body} \\")
+    lines += [r"\bottomrule", r"\end{tabular}"]
+    return table_env(
+        "\n".join(lines),
+        caption,
+        label,
+        note=(
+            "For each panel, the number of non-missing observations and "
+            "the percentage of missing values per variable. The sample "
+            f"spans {min_date} to {max_date}."
+        ),
+    )
+
+
+def descriptive_stats_table(
+    rows: Sequence[Mapping[str, object]],
+    caption: str = "Daily Descriptive Statistics by Rating Category",
+    label: str = "tab:descriptive",
+    note: str | None = None,
+) -> str:
+    """Tables 4–7 (`stage1/helper_functions.py:3754-3835`,
+    make_descriptive_stats_table_fixed): the pooled per-class stats
+    block, one row per (rating class, variable) from the oracle-checked
+    `r2_descriptive_by_rating` frame."""
+    body_rows = [
+        (
+            escape_tex(r["rating_class"]),
+            escape_tex(r["var"]),
+            _fmt_int(r["n"]),
+            f"{float(r['mean']):.4f}",
+            f"{float(r['std']):.4f}",
+            f"{float(r['q05']):.4f}",
+            f"{float(r['q50']):.4f}",
+            f"{float(r['q95']):.4f}",
+        )
+        for r in rows
+    ]
+    body = tabular(
+        ("Class", "Variable", "N", "Mean", "SD", "P5", "Median", "P95"),
+        body_rows,
+        "llrrrrrr",
+        escape=False,
+    )
+    return table_env(body, caption, label, note)
+
+
 def parameters_table(
     panels: Mapping[str, Sequence[tuple[str, object]]],
     caption: str = "Error-Correction Filters and Module Parameters",

@@ -352,6 +352,187 @@ def write_audit_report(
     return manifest
 
 
+def write_quality_report(
+    spark,
+    sf_dir: str,
+    out_dir: str,
+    *,
+    date: str | None = None,
+    figures: bool = False,
+    figures_per_page: int = 1,
+) -> dict:
+    """The stage-1 QUALITY report — the reference's build_latex_document
+    for stage 1 (`stage1/helper_functions.py:4085-4228`, assembling
+    make_data_availability_table / make_descriptive_stats_table_fixed /
+    make_concentration_table / make_filter_records_table plus the
+    quality-figure pages, called from `stage1_pipeline.py`).
+
+    Same distribution discipline as the other two documents: every
+    table source is either an oracle-checked catalog entry
+    (`r2_descriptive_by_rating`, `t2_filter_report`) or a one-row/
+    per-class bounded aggregate over the stage-1 panel; the quality
+    FIGURE series (default dynamics, HHI over time, weekly panel —
+    `r6`/`r7`/`r11`) are written as per-series csv by Spark's writer
+    and rendered through the shared page pipeline.
+    """
+    from pyspark.sql import functions as F
+
+    from trace_data_pipeline_spark.operators.analytics import (
+        concentration_metrics,
+    )
+    from trace_data_pipeline_spark.plans import get_catalog
+    from trace_data_pipeline_spark.plans.stage1 import _classed, build_stage1
+
+    catalog = get_catalog()
+    os.makedirs(out_dir, exist_ok=True)
+    classed = _classed(build_stage1(spark, sf_dir))
+
+    # Table 3: availability — one pass of conditional aggregates
+    avail_vars = ("pr", "ytm_w", "spread_w", "comp_rating")
+    cats = {
+        "Panel A: All": F.lit(True),
+        "Panel B: Inv. Grade": F.col("rating_class") == "IG",
+        "Panel C: Non-Inv. Grade": F.col("rating_class") == "NIG",
+        "Panel D: Defaulted": F.col("rating_class") == "DEF",
+    }
+    aggs = []
+    for ci, pred in enumerate(cats.values()):
+        aggs.append(F.sum(F.when(pred, 1).otherwise(0)).alias(f"n_{ci}"))
+        aggs += [
+            F.sum(
+                F.when(pred & F.col(v).isNotNull(), 1).otherwise(0)
+            ).alias(f"obs_{ci}_{v}")
+            for v in avail_vars
+        ]
+    [arow] = collect_report_rows(classed.agg(*aggs))
+    [span] = collect_report_rows(
+        classed.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    )
+    panels = {}
+    for ci, title in enumerate(cats):
+        total = arow[f"n_{ci}"]
+        panels[title] = [
+            (
+                v,
+                arow[f"obs_{ci}_{v}"],
+                (total - arow[f"obs_{ci}_{v}"]) / total * 100
+                if total > 0
+                else 0.0,
+            )
+            for v in avail_vars
+        ]
+
+    # Table 8: concentration per class on the dollar-volume proxy
+    vol = classed.select(
+        "rating_class",
+        "user_id",
+        (F.col("pr") * F.col("n_trades")).alias("dvol"),
+    )
+    conc = {
+        cls: collect_report_rows(
+            concentration_metrics(
+                vol.filter(F.col("rating_class") == cls), "user_id", "dvol"
+            )
+        )[0]
+        for cls in ("IG", "NIG", "DEF")
+    }
+
+    tables = [
+        latex.availability_table(panels, span["lo"], span["hi"]),
+        latex.descriptive_stats_table(
+            sorted(
+                collect_report_rows(
+                    catalog["r2_descriptive_by_rating"].builder(spark, sf_dir)
+                ),
+                key=lambda r: (r["rating_class"], r["var"]),
+            )
+        ),
+        latex.concentration_table(
+            conc["IG"], conc["NIG"], conc["DEF"], span["lo"], span["hi"]
+        ),
+        latex.removal_table(
+            sorted(
+                collect_report_rows(
+                    catalog["t2_filter_report"].builder(spark, sf_dir)
+                ),
+                key=lambda r: r["stage_idx"],
+            ),
+            caption="Stage 1 Sequential Filter Record",
+            label="tab:stage1",
+            before_key="n_before",
+            after_key="n_after",
+            removed_key="n_removed",
+            pct_key="pct_of_start",
+        ),
+    ]
+
+    # quality-figure series: one named series per panel line, reshaped
+    # to the shared (entity, d, p_before, p_after, flag) figure schema
+    r6 = catalog["r6_default_dynamics"].builder(spark, sf_dir)
+    r7 = catalog["r7_herfindahl_by_month"].builder(spark, sf_dir)
+    r11 = catalog["r11_weekly_panel_series"].builder(spark, sf_dir)
+
+    def series(df, name_expr, d_col, v_col):
+        v = F.col(v_col).cast("double")
+        return df.select(
+            name_expr.alias("series"),
+            F.col(d_col).alias("d"),
+            v.alias("p_before"),
+            v.alias("p_after"),
+            F.lit(0).alias("flag"),
+        ).filter(v.isNotNull())
+
+    fig_frame = (
+        series(r6, F.lit("default_count"), "week", "count_defaulted")
+        .unionByName(series(r6, F.lit("default_pct"), "week", "pct_defaulted"))
+        .unionByName(
+            series(
+                r7,
+                F.concat(F.lit("hhi_"), F.col("rating_class")),
+                "year_month",
+                "hhi",
+            )
+        )
+        .unionByName(series(r11, F.lit("weekly_price_def"), "week", "pr"))
+        .unionByName(series(r11, F.lit("weekly_mktcap_def"), "week",
+                            "market_cap"))
+    )
+    fig_data = write_figure_data(
+        fig_frame, out_dir, entity_col="series", flag_col="flag",
+        name="figure_data_quality",
+    )
+    pages: list[str] = []
+    if figures:
+        pages = render_figures(
+            fig_data,
+            os.path.join(out_dir, "pages_quality"),
+            per_page=figures_per_page,
+        )
+
+    tex = latex.data_report(
+        tables,
+        [os.path.relpath(p, out_dir) for p in pages],
+        abstract=(
+            "Stage-1 data-quality report: availability, pooled "
+            "descriptive statistics and trading concentration by rating "
+            "category, the sequential filter record, and the quality "
+            "time-series figures (default dynamics, trading "
+            "concentration over time, weekly defaulted-bond panel)."
+        ),
+        date=date,
+    )
+    tex_path = os.path.join(out_dir, "quality_report.tex")
+    with open(tex_path, "w", encoding="utf-8") as fh:
+        fh.write(tex)
+    return {
+        "tex": tex_path,
+        "figure_data": fig_data,
+        "pages": pages,
+        "availability": panels,
+        "concentration": conc,
+    }
+
+
 def write_distressed_report(
     spark,
     sf_dir: str,

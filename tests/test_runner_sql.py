@@ -75,6 +75,34 @@ def test_runner_report_stage_passes_figure_options(spark, tmp_path):
     assert os.path.exists(r["path"])
 
 
+def test_runner_distressed_and_quality_stages(spark, tmp_path):
+    """The two stage-1 report stages dispatch through the CLI: each
+    writes its .tex, renders pages when asked, and drops the
+    audit-report-only figure_error_types option instead of crashing."""
+    import os
+
+    for stage, tex_name in (
+        ("report_distressed", "distressed_report.tex"),
+        ("report_quality", "quality_report.tex"),
+    ):
+        [r] = run_stage(
+            spark,
+            stage,
+            TEST_SF_DIR,
+            str(tmp_path / stage),
+            "parquet",
+            report_opts={
+                "figures": True,
+                "figures_per_page": 4,
+                "figure_error_types": ("decimal_shift",),  # must be dropped
+            },
+        )
+        json.dumps(r)
+        assert os.path.basename(r["path"]) == tex_name
+        assert os.path.exists(r["path"])
+        assert r["n_pages"] > 0, stage
+
+
 def test_sql_views_cover_catalog(spark):
     names = register_views(spark, TEST_SF_DIR, include_queries=True)
     assert "lineitem" in names and "w1_decimal_shift" in names

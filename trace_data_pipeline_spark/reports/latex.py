@@ -197,12 +197,12 @@ def distressed_summary_table(
         caption,
         label,
         note=(
-            "This table summarizes the impact of the ultra distressed "
-            "filter applied in Stage 1. The filter identifies "
-            "observations with anomalous price behavior including "
-            "ultra-low prices, upward price spikes, plateau sequences, "
-            "and intraday price inconsistencies. Flagged observations "
-            "are candidates for exclusion from downstream analysis."
+            "Impact of the stage-1 ultra-distressed screen: counts and "
+            "shares of observations and entities flagged by any of the "
+            "four anomaly detectors (ultra-low price, upward spike, "
+            "plateau run, intraday inconsistency), with the per-flag "
+            "breakdown. Flagged rows are exclusion candidates "
+            "downstream."
         ),
     )
 

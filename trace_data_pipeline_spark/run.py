@@ -56,21 +56,32 @@ def run_stage(
     fmt: str,
     report_opts: dict | None = None,
 ) -> list[dict]:
-    if stage == "report":
-        # the LaTeX audit report + per-entity figure data and pages
-        # (the reference's `_build_error_files.py` entry point; pages
-        # render via matplotlib when installed, else the built-in
-        # rasterizer)
-        from trace_data_pipeline_spark.reports import write_audit_report
+    if stage in ("report", "report_distressed", "report_quality"):
+        # the three LaTeX documents: stage-0 audit report
+        # (`_build_error_files.py`), stage-1 distressed diagnostic
+        # (`_distressed_plot_helpers.py`), stage-1 quality report
+        # (`helper_functions.py::build_latex_document`); pages render
+        # via matplotlib when installed, else the built-in rasterizer
+        from trace_data_pipeline_spark import reports
 
+        opts = dict(report_opts or {})
+        if stage == "report":
+            writer_fn, sub = reports.write_audit_report, "report"
+        else:
+            # the error-panel type switch is audit-report-only
+            opts.pop("figure_error_types", None)
+            writer_fn = (
+                reports.write_distressed_report
+                if stage == "report_distressed"
+                else reports.write_quality_report
+            )
+            sub = stage
         t0 = time.perf_counter()
-        manifest = write_audit_report(
-            spark, sf_dir, f"{out}/report", **(report_opts or {})
-        )
+        manifest = writer_fn(spark, sf_dir, f"{out}/{sub}", **opts)
         release_caches()
         return [
             {
-                "stage": "report",
+                "stage": stage,
                 "query": "data_report",
                 "path": manifest["tex"],
                 "n_pages": sum(
@@ -112,7 +123,10 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument(
         "--stages",
         default="stage0,stage1,datapipe",
-        help="comma list from: " + ",".join(STAGES) + ",report",
+        help=(
+            "comma list from: " + ",".join(STAGES)
+            + ",report,report_distressed,report_quality"
+        ),
     )
     ap.add_argument("--format", choices=["parquet", "csv"], default="parquet")
     ap.add_argument("--cpus", type=int, default=None)

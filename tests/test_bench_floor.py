@@ -78,6 +78,13 @@ CEILINGS = {
     "d12c_jpeg_features": 2.5,         # normalized min 0.72
     "d12d_wav_features": 2.0,          # normalized min 0.50
     "d12e_video_frame_features": 4.5,  # normalized min 1.37
+    # r14: the rebuilt correction chain (exact reference key sets) and
+    # the new report entries (min-of-4 calibrated 2026-08-16, canary
+    # scale ~1.0-1.2 at gate config)
+    "j4_correction_chain": 10.0,       # min 3.23
+    "r5_distressed_series": 10.0,      # min 3.39 (W7 grouped-map core)
+    "r6_default_dynamics": 3.5,        # min 1.09
+    "r8_active_dormant": 2.0,          # min 0.61
 }
 
 # Entries whose hot path is a grouped-map applyInPandas or Arrow
@@ -99,6 +106,7 @@ ARROW_AXIS = frozenset({
     "d12d_wav_features",
     "d12e_video_frame_features",
     "r2_error_checks",
+    "r5_distressed_series",  # W7 grouped-map dominates its plan
 })
 
 MAX_RUNS = 3

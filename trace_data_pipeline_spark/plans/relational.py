@@ -2235,3 +2235,280 @@ def r11_weekly_panel_series(spark, sf_dir):
             F.col("mc").cast("double") / F.lit(1.0e10), F.lit(0.0)
         ).alias("market_cap"),
     )
+
+
+@register(
+    "r12_industry_marketcap_share",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(ts AS DATE) AS d,
+             1 + user_id % 17 AS ff17num,
+             CAST(round(value * 100, 0) AS BIGINT)
+               * ((user_id % 50 + 1) * 1000) AS mc_units
+      FROM events
+    ), wk AS (
+      SELECT d + ((8 - isodow(d)) % 7) * INTERVAL 1 DAY
+               - INTERVAL 6 DAY AS week,
+             ff17num, mc_units
+      FROM base
+    ), grp AS (
+      SELECT week, ff17num, CAST(SUM(mc_units) AS BIGINT) AS s
+      FROM wk GROUP BY 1, 2
+    ), tot AS (
+      SELECT week, CAST(SUM(mc_units) AS BIGINT) AS t
+      FROM wk GROUP BY 1
+    )
+    SELECT strftime(CAST(g.week AS DATE), '%Y-%m-%d') AS week,
+           g.ff17num,
+           CAST(g.s AS DOUBLE) / 1.0e13 AS market_cap,
+           100.0 * CAST(g.s AS DOUBLE) / CAST(t.t AS DOUBLE) AS pct
+    FROM grp g JOIN tot t ON t.week = g.week
+    """,
+)
+def r12_industry_marketcap_share(spark, sf_dir):
+    """Industry market-cap composition over time
+    (`stage1/helper_functions.py:4642-4810`,
+    create_industry_marketcap_evolution_plot): weekly SUM of
+    market cap (pr·10·amt_outstanding/1e12) per FF industry, as a share
+    of the week's total. Two quirks reproduced: the week label is
+    pd.Period('W-MON').to_timestamp() — the period START (the TUESDAY
+    six days before the Monday end), NOT the resample('W-MON') Monday
+    label the other weekly frames use; and shares are computed before
+    the pivot's fillna(0), so absent (week, industry) cells are simply
+    missing rows. Market-cap sums run in exact integer units
+    (cents × amt) so both engines divide the same integers."""
+    ev = load_table(spark, sf_dir, "events")
+    d = F.to_date("ts")
+    week = F.date_add(
+        F.date_add(d, (F.lit(2) - F.dayofweek(d) + 7) % 7), -6
+    )
+    mc_units = (
+        F.round(F.col("value") * 100, 0).cast("long")
+        * ((F.col("user_id") % 50 + 1) * 1000).cast("long")
+    )
+    base = ev.select(
+        week.alias("week"),
+        (F.lit(1) + F.col("user_id") % 17).alias("ff17num"),
+        mc_units.alias("mc_units"),
+    )
+    grp = base.groupBy("week", "ff17num").agg(F.sum("mc_units").alias("s"))
+    tot = base.groupBy("week").agg(F.sum("mc_units").alias("t"))
+    return grp.join(tot, "week").select(
+        F.date_format("week", "yyyy-MM-dd").alias("week"),
+        "ff17num",
+        (F.col("s").cast("double") / F.lit(1.0e13)).alias("market_cap"),
+        (
+            F.lit(100.0) * F.col("s").cast("double")
+            / F.col("t").cast("double")
+        ).alias("pct"),
+    )
+
+
+_SIZE_EDGES = (0.005, 0.01, 0.02, 0.05, 0.1, 0.2, 0.5,
+               1.0, 2.0, 5.0, 10.0, 20.0)
+_SIZE_LABELS = ("le5k", "le10k", "le20k", "le50k", "le100k", "le200k",
+                "le500k", "le1M", "le2M", "le5M", "le10M", "le20M",
+                "le20Mplus")
+
+
+def _r13_cum_sql(panel: str, pred: str) -> str:
+    cols = ",\n".join(
+        f"           100.0 * CAST(SUM(CASE WHEN dvolume >= 0 AND "
+        f"dvolume < {e} THEN 1 ELSE 0 END) AS DOUBLE) "
+        f"/ CAST(COUNT(*) AS DOUBLE) AS {lab}"
+        for e, lab in zip(_SIZE_EDGES, _SIZE_LABELS[:-1])
+    )
+    return f"""
+      SELECT '{panel}' AS panel,
+             strftime(date_trunc('month', d), '%Y-%m') AS year_month,
+{cols},
+           100.0 * CAST(SUM(CASE WHEN dvolume >= 0 THEN 1 ELSE 0 END)
+                        AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS {_SIZE_LABELS[-1]}
+      FROM rated WHERE {pred} GROUP BY 1, 2
+    """
+
+
+@register(
+    "r13_trade_size_cumulative",
+    oracle="""
+    WITH rated AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CASE WHEN event_id % 19 = 0 THEN NULL
+                  ELSE value / 50.0 END AS dvolume,
+             CASE WHEN (user_id + day(CAST(ts AS DATE))) % 11 = 0
+                  THEN 22 ELSE 1 + user_id % 21 END AS spc
+      FROM events
+    )
+    """
+    + _r13_cum_sql("all_bonds", "TRUE")
+    + " UNION ALL "
+    + _r13_cum_sql("investment_grade", "spc >= 1 AND spc <= 10")
+    + " UNION ALL "
+    + _r13_cum_sql("non_investment_grade", "spc >= 11 AND spc <= 22"),
+)
+def r13_trade_size_cumulative(spark, sf_dir):
+    """Trade-size distribution over time
+    (`stage1/helper_functions.py:4979-5147`,
+    create_trade_size_distribution_plot): per rating panel and month,
+    the CUMULATIVE share of trades below each dollar-volume threshold
+    (pd.cut right=False buckets cumsum'd). Reference quirks reproduced:
+    the denominator is ALL rows that month — null and negative dvolume
+    rows count in the total but fall in no bucket (pd.cut → NaN), so
+    the top 'everything' line need not reach 100; the NIG panel
+    includes defaulted (11–22). Counts are exact integers; each share
+    is one division."""
+    ev = load_table(spark, sf_dir, "events")
+    d = F.to_date("ts")
+    spc = F.when(
+        (F.col("user_id") + F.dayofmonth(d)) % 11 == 0, F.lit(22)
+    ).otherwise(F.lit(1) + F.col("user_id") % 21)
+    dvol = F.when(F.col("event_id") % 19 == 0, F.lit(None)).otherwise(
+        F.col("value") / 50.0
+    )
+    rated = ev.select(
+        F.date_format(F.date_trunc("month", d), "yyyy-MM").alias(
+            "year_month"
+        ),
+        dvol.alias("dvolume"),
+        spc.alias("spc"),
+    )
+    panels = (
+        ("all_bonds", F.lit(True)),
+        ("investment_grade", (F.col("spc") >= 1) & (F.col("spc") <= 10)),
+        ("non_investment_grade", (F.col("spc") >= 11) & (F.col("spc") <= 22)),
+    )
+    outs = []
+    for name, pred in panels:
+        aggs = [
+            (
+                F.lit(100.0)
+                * F.sum(
+                    F.when(
+                        (F.col("dvolume") >= 0) & (F.col("dvolume") < e), 1
+                    ).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias(lab)
+            for e, lab in zip(_SIZE_EDGES, _SIZE_LABELS[:-1])
+        ]
+        aggs.append(
+            (
+                F.lit(100.0)
+                * F.sum(
+                    F.when(F.col("dvolume") >= 0, 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias(_SIZE_LABELS[-1])
+        )
+        outs.append(
+            rated.filter(pred)
+            .groupBy("year_month")
+            .agg(*aggs)
+            .select(F.lit(name).alias("panel"), "year_month", *_SIZE_LABELS)
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+@register(
+    "r14_rating_maturity_mix",
+    oracle="""
+    WITH rated AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CASE WHEN (user_id + day(CAST(ts AS DATE))) % 11 = 0
+                  THEN 22 ELSE 1 + user_id % 21 END AS spc,
+             (user_id % 25) + 0.5 AS bond_maturity
+      FROM events
+    ), wk AS (
+      SELECT d + ((8 - isodow(d)) % 7) * INTERVAL 1 DAY
+               - INTERVAL 6 DAY AS week,
+             CASE WHEN spc BETWEEN 1 AND 7 THEN 'AAA+ to A-'
+                  WHEN spc BETWEEN 8 AND 10 THEN 'BBB+ to BBB-'
+                  WHEN spc BETWEEN 11 AND 13 THEN 'BB+ to BB-'
+                  WHEN spc BETWEEN 14 AND 16 THEN 'B+ to B-'
+                  WHEN spc BETWEEN 17 AND 21 THEN 'CCC+ to C'
+                  ELSE 'D' END AS rating_category,
+             CASE WHEN bond_maturity < 3 THEN '1 to 3 Year'
+                  WHEN bond_maturity < 5 THEN '3 to 5 Year'
+                  WHEN bond_maturity < 10 THEN '5 to 10 Year'
+                  ELSE '10 Year Plus' END AS maturity_category
+      FROM rated
+    ), long_ AS (
+      SELECT week, 'rating' AS panel, rating_category AS category FROM wk
+      UNION ALL
+      SELECT week, 'maturity', maturity_category FROM wk
+    ), cnt AS (
+      SELECT panel, week, category, COUNT(*) AS n
+      FROM long_ GROUP BY 1, 2, 3
+    ), tot AS (
+      SELECT panel, week, COUNT(*) AS t FROM long_ GROUP BY 1, 2
+    )
+    SELECT c.panel, strftime(CAST(c.week AS DATE), '%Y-%m-%d') AS week,
+           c.category, CAST(c.n AS BIGINT) AS n,
+           100.0 * CAST(c.n AS DOUBLE) / CAST(t.t AS DOUBLE) AS pct
+    FROM cnt c JOIN tot t ON t.panel = c.panel AND t.week = c.week
+    """,
+)
+def r14_rating_maturity_mix(spark, sf_dir):
+    """Rating/maturity composition over time
+    (`stage1/helper_functions.py:5491-5760`,
+    create_rating_maturity_evolution_plot): weekly trade shares by the
+    six NAIC-style rating buckets (Panel A) and the four maturity
+    buckets (Panel B), on the same Period('W-MON').to_timestamp()
+    week-START label as r12. Counts are exact; each share is one
+    division; absent (week, category) cells are missing rows (the
+    pivot's fillna(0) is presentation)."""
+    ev = load_table(spark, sf_dir, "events")
+    d = F.to_date("ts")
+    spc = F.when(
+        (F.col("user_id") + F.dayofmonth(d)) % 11 == 0, F.lit(22)
+    ).otherwise(F.lit(1) + F.col("user_id") % 21)
+    mat = (F.col("user_id") % 25) + 0.5
+    week = F.date_add(
+        F.date_add(d, (F.lit(2) - F.dayofweek(d) + 7) % 7), -6
+    )
+    rating_cat = (
+        F.when(spc.between(1, 7), "AAA+ to A-")
+        .when(spc.between(8, 10), "BBB+ to BBB-")
+        .when(spc.between(11, 13), "BB+ to BB-")
+        .when(spc.between(14, 16), "B+ to B-")
+        .when(spc.between(17, 21), "CCC+ to C")
+        .otherwise("D")
+    )
+    mat_cat = (
+        F.when(mat < 3, "1 to 3 Year")
+        .when(mat < 5, "3 to 5 Year")
+        .when(mat < 10, "5 to 10 Year")
+        .otherwise("10 Year Plus")
+    )
+    wk = ev.select(
+        week.alias("week"),
+        rating_cat.alias("rating_category"),
+        mat_cat.alias("maturity_category"),
+    )
+    long_ = wk.select(
+        "week", F.lit("rating").alias("panel"),
+        F.col("rating_category").alias("category"),
+    ).unionByName(
+        wk.select(
+            "week", F.lit("maturity").alias("panel"),
+            F.col("maturity_category").alias("category"),
+        )
+    )
+    cnt = long_.groupBy("panel", "week", "category").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = long_.groupBy("panel", "week").agg(F.count(F.lit(1)).alias("t"))
+    return cnt.join(tot, ["panel", "week"]).select(
+        "panel",
+        F.date_format("week", "yyyy-MM-dd").alias("week"),
+        "category",
+        "n",
+        (
+            F.lit(100.0) * F.col("n").cast("double")
+            / F.col("t").cast("double")
+        ).alias("pct"),
+    )

@@ -2512,3 +2512,244 @@ def r14_rating_maturity_mix(spark, sf_dir):
             / F.col("t").cast("double")
         ).alias("pct"),
     )
+
+
+@register(
+    "r15_trade_frequency_hist",
+    oracle="""
+    WITH base AS (
+      SELECT CASE WHEN spc <= 10 THEN 'IG' WHEN spc = 22 THEN 'DEF'
+                  ELSE 'NIG' END AS rating_class,
+             user_id, date_trunc('month', d) AS m, pr
+      FROM (SELECT user_id, CAST(ts AS DATE) AS d,
+                   CASE WHEN (user_id + day(CAST(ts AS DATE))) % 11 = 0
+                        THEN 22 ELSE 1 + user_id % 21 END AS spc,
+                   CASE WHEN event_id % 7 != 0 THEN value END AS pr
+            FROM events)
+    ), counts AS (
+      SELECT rating_class, user_id, m, count(pr) AS days
+      FROM base GROUP BY 1, 2, 3
+    ), life AS (
+      SELECT rating_class,
+             CAST(SUM(date_diff('month', f, l) + 1) AS BIGINT)
+               AS total_bond_months,
+             CAST(COUNT(*) AS BIGINT) AS n_bonds
+      FROM (SELECT rating_class, user_id, min(m) AS f, max(m) AS l
+            FROM base GROUP BY 1, 2)
+      GROUP BY 1
+    ), grp AS (
+      SELECT rating_class, days, CAST(COUNT(*) AS BIGINT) AS n
+      FROM counts GROUP BY 1, 2
+    ), ngroups AS (
+      SELECT rating_class, CAST(SUM(n) AS BIGINT) AS n_grp FROM grp
+      GROUP BY 1
+    ), with_zero AS (
+      SELECT g.rating_class, g.days,
+             g.n + CASE WHEN g.days = 0
+                        THEN l.total_bond_months - ng.n_grp
+                        ELSE 0 END AS n
+      FROM grp g
+      JOIN life l ON l.rating_class = g.rating_class
+      JOIN ngroups ng ON ng.rating_class = g.rating_class
+      UNION ALL
+      SELECT l.rating_class, 0 AS days,
+             l.total_bond_months - ng.n_grp AS n
+      FROM life l JOIN ngroups ng ON ng.rating_class = l.rating_class
+      WHERE NOT EXISTS (SELECT 1 FROM grp g
+                        WHERE g.rating_class = l.rating_class
+                          AND g.days = 0)
+        AND l.total_bond_months > ng.n_grp
+    ), inrange AS (
+      SELECT * FROM with_zero WHERE days < 23
+    ), tot AS (
+      SELECT rating_class, CAST(SUM(n) AS BIGINT) AS t FROM inrange
+      GROUP BY 1
+    )
+    SELECT i.rating_class, CAST(i.days AS BIGINT) AS days,
+           CAST(i.n AS BIGINT) AS n,
+           100.0 * CAST(i.n AS DOUBLE) / CAST(t.t AS DOUBLE) AS pct
+    FROM inrange i JOIN tot t ON t.rating_class = i.rating_class
+    """,
+)
+def r15_trade_frequency_hist(spark, sf_dir):
+    """Trade-frequency histogram frame
+    (`stage1/helper_functions.py:2337-2504`,
+    create_trade_frequency_histogram): per rating class, the
+    distribution of days-traded per bond-month INCLUDING the zero
+    bond-months (alive months with no observation, reconstructed as
+    total-alive-bond-months minus observed groups — never materialized
+    per row). Matplotlib's bins=range(0,24) with density=True keeps
+    only days<23 in both the counts and the normalization — reproduced
+    by the in-range filter before the share division. Exact integer
+    counts, one division per row."""
+    ev = load_table(spark, sf_dir, "events")
+    d = F.to_date("ts")
+    spc = F.when(
+        (F.col("user_id") + F.dayofmonth(d)) % 11 == 0, F.lit(22)
+    ).otherwise(F.lit(1) + F.col("user_id") % 21)
+    cls = F.when(spc <= 10, "IG").when(spc == 22, "DEF").otherwise("NIG")
+    pr = F.when(F.col("event_id") % 7 != 0, F.col("value"))
+    base = ev.select(
+        cls.alias("rating_class"),
+        "user_id",
+        F.date_trunc("month", d).alias("m"),
+        pr.alias("pr"),
+    )
+    counts = base.groupBy("rating_class", "user_id", "m").agg(
+        F.count("pr").alias("days")
+    )
+    life = (
+        base.groupBy("rating_class", "user_id")
+        .agg(F.min("m").alias("f"), F.max("m").alias("l"))
+        .groupBy("rating_class")
+        .agg(
+            F.sum(
+                (F.months_between("l", "f").cast("long") + 1)
+            ).alias("total_bond_months")
+        )
+    )
+    grp = counts.groupBy("rating_class", "days").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    ngroups = grp.groupBy("rating_class").agg(F.sum("n").alias("n_grp"))
+    sides = life.join(ngroups, "rating_class").select(
+        "rating_class",
+        (F.col("total_bond_months") - F.col("n_grp")).alias("n_zero"),
+    )
+    with_zero = (
+        grp.join(sides, "rating_class")
+        .select(
+            "rating_class",
+            "days",
+            (
+                F.col("n")
+                + F.when(F.col("days") == 0, F.col("n_zero")).otherwise(0)
+            ).alias("n"),
+        )
+        .unionByName(
+            # classes where NO observed group has days == 0 still get
+            # their zero bucket from the reconstructed zero months
+            sides.join(
+                grp.filter(F.col("days") == 0).select("rating_class"),
+                "rating_class",
+                "left_anti",
+            )
+            .filter(F.col("n_zero") > 0)
+            .select(
+                "rating_class",
+                F.lit(0).cast("int").alias("days"),
+                F.col("n_zero").alias("n"),
+            )
+        )
+    )
+    inrange = with_zero.filter(F.col("days") < 23)
+    tot = inrange.groupBy("rating_class").agg(F.sum("n").alias("t"))
+    return inrange.join(tot, "rating_class").select(
+        "rating_class",
+        F.col("days").cast("long").alias("days"),
+        F.col("n").cast("long").alias("n"),
+        (
+            F.lit(100.0) * F.col("n").cast("double")
+            / F.col("t").cast("double")
+        ).alias("pct"),
+    )
+
+
+@register(
+    "r16_concentration_over_time",
+    oracle="""
+    WITH base AS (
+      SELECT CASE WHEN spc <= 10 THEN 'IG' WHEN spc = 22 THEN 'DEF'
+                  ELSE 'NIG' END AS rating_class,
+             user_id, strftime(date_trunc('month', d), '%Y-%m')
+               AS year_month,
+             cents
+      FROM (SELECT user_id, CAST(ts AS DATE) AS d,
+                   CASE WHEN (user_id + day(CAST(ts AS DATE))) % 11 = 0
+                        THEN 22 ELSE 1 + user_id % 21 END AS spc,
+                   CAST(round(value * 100, 0) AS BIGINT) AS cents
+            FROM events)
+    ), bv AS (
+      SELECT rating_class, year_month, user_id,
+             CAST(SUM(cents) AS BIGINT) AS v
+      FROM base GROUP BY 1, 2, 3
+    ), ranked AS (
+      SELECT rating_class, year_month, v,
+             CAST(SUM(v) OVER (PARTITION BY rating_class, year_month
+                               ORDER BY v DESC, user_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum,
+             CAST(SUM(v) OVER (PARTITION BY rating_class, year_month)
+                  AS BIGINT) AS t,
+             COUNT(*) OVER (PARTITION BY rating_class, year_month) AS nb
+      FROM bv
+    )
+    SELECT rating_class, year_month,
+           100.0 * CAST(SUM(CASE WHEN CAST(cum AS DOUBLE)
+                                      / CAST(t AS DOUBLE) * 100.0 <= 50
+                                 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(max(nb) AS DOUBLE) AS pct_for_50,
+           100.0 * CAST(SUM(CASE WHEN CAST(cum AS DOUBLE)
+                                      / CAST(t AS DOUBLE) * 100.0 <= 75
+                                 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(max(nb) AS DOUBLE) AS pct_for_75,
+           100.0 * CAST(SUM(CASE WHEN CAST(cum AS DOUBLE)
+                                      / CAST(t AS DOUBLE) * 100.0 <= 90
+                                 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(max(nb) AS DOUBLE) AS pct_for_90
+    FROM ranked GROUP BY 1, 2
+    """,
+)
+def r16_concentration_over_time(spark, sf_dir):
+    """Trading concentration over time
+    (`stage1/helper_functions.py:2700-2886`,
+    create_concentration_over_time_plot): per rating class and MONTH,
+    the share of bonds accounting for 50/75/90% of dollar volume — the
+    monthly twin of a10's pooled concentration. Per-bond volumes
+    cumulate as exact integer cents along the (volume DESC, bond ASC)
+    order (pandas' stable descending sort of the cusip-sorted groupby
+    output), so the <=threshold comparisons are engine-identical; one
+    window partitioning serves the running sum, the total and the bond
+    count."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    d = F.to_date("ts")
+    spc = F.when(
+        (F.col("user_id") + F.dayofmonth(d)) % 11 == 0, F.lit(22)
+    ).otherwise(F.lit(1) + F.col("user_id") % 21)
+    cls = F.when(spc <= 10, "IG").when(spc == 22, "DEF").otherwise("NIG")
+    base = ev.select(
+        cls.alias("rating_class"),
+        "user_id",
+        F.date_format(F.date_trunc("month", d), "yyyy-MM").alias(
+            "year_month"
+        ),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    bv = base.groupBy("rating_class", "year_month", "user_id").agg(
+        F.sum("cents").alias("v")
+    )
+    part = Window.partitionBy("rating_class", "year_month")
+    w_cum = part.orderBy(F.col("v").desc(), F.col("user_id")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = bv.select(
+        "rating_class",
+        "year_month",
+        F.sum("v").over(w_cum).alias("cum"),
+        F.sum("v").over(part).alias("t"),
+        F.count(F.lit(1)).over(part).alias("nb"),
+    )
+    pct = F.col("cum").cast("double") / F.col("t").cast("double") * F.lit(
+        100.0
+    )
+    aggs = [
+        (
+            F.lit(100.0)
+            * F.sum(F.when(pct <= th, 1).otherwise(0)).cast("double")
+            / F.max("nb").cast("double")
+        ).alias(f"pct_for_{th}")
+        for th in (50, 75, 90)
+    ]
+    return ranked.groupBy("rating_class", "year_month").agg(*aggs)

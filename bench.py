@@ -432,8 +432,13 @@ def main() -> None:
     # r5 verdict item 5: the driver's own parse has failed five rounds
     # running ("parsed": null), so also persist the COMPLETE per-query
     # table as an inspectable artifact — the judge reads this file even
-    # when the stdout capture truncates.
-    with open(os.path.join(here, "BENCH_SELF.json"), "w") as f:
+    # when the stdout capture truncates. SPARK_GRAFT_BENCH_SELF
+    # redirects it so test invocations (the stdout-contract test runs
+    # bench at sf0.001) don't dirty the committed sf0.1 artifact.
+    self_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_SELF", os.path.join(here, "BENCH_SELF.json")
+    )
+    with open(self_path, "w") as f:
         json.dump(
             {
                 "metric": "catalog_wall_clock",

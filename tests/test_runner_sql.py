@@ -260,9 +260,14 @@ def test_bench_emits_one_json_line():
     import subprocess
     import sys
 
+    import tempfile
+
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # redirect the self-report so this sf0.001 run can't dirty the
+    # committed sf0.1 BENCH_SELF.json (the r11-r13 working-tree churn)
+    self_json = os.path.join(tempfile.mkdtemp(), "BENCH_SELF.json")
     env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
-               SPARK_GRAFT_CPUS="8")
+               SPARK_GRAFT_CPUS="8", SPARK_GRAFT_BENCH_SELF=self_json)
     out = subprocess.run(
         [sys.executable, os.path.join(repo, "bench.py")],
         capture_output=True, text=True, timeout=900, env=env, cwd=repo,
@@ -282,7 +287,7 @@ def test_bench_emits_one_json_line():
     assert set(d["queries"]) == set(get_catalog())
     # r5 verdict item 5: the full per-query table must also land in the
     # BENCH_SELF.json artifact, matching the stdout line
-    with open(os.path.join(repo, "BENCH_SELF.json")) as f:
+    with open(self_json) as f:
         self_report = json.load(f)
     assert self_report["queries"] == d["queries"]
     assert self_report["value"] == d["value"]

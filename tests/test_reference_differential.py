@@ -2203,3 +2203,183 @@ def test_distressed_summary_table_matches_reference():
         assert f"{total_rows:,}" in got and f"{total_cusips:,}" in got
         for col in brk:
             assert col.replace("_", r"\_") in got
+
+
+def _std_tape(seed: int) -> pd.DataFrame:
+    """TRACE *Standard* message tape for the full chunk cleaner:
+    G/M/H/N/I/O status letters folding to T/C/W, '5MM+'/'1MM+'/junk
+    volume strings, 6-key C cancels (time in the key, orig pointer),
+    same-group and cross-bond W chains for the napp/ntype/npair
+    machinery, and R/X/D rows for the SAS step-4/5 reversal removal."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    msg = 3000
+
+    def add(cid, bond, d, tm, vol_tx, p, side, cp, m, om, st, asof):
+        rows.append([cid, bond, d, tm, vol_tx, p, side, cp,
+                     None if m is None else str(m),
+                     None if om is None else str(om), st, asof])
+
+    t_like = ["T", "G", "M"]
+    c_like = ["C", "H", "N"]
+    w_like = ["W", "I", "O"]
+    for g in range(10):
+        cid = f"U{g:03d}"
+        for _ in range(int(rng.integers(4, 22))):
+            msg += 10
+            d = pd.Timestamp(2019, 4, int(rng.integers(1, 28)))
+            tm = f"{int(rng.integers(9, 16)):02d}:00:00"
+            vol = str(rng.choice(["1000.0", "2000.0", "5MM+", "1MM+", "junk"]))
+            p = round(float(rng.uniform(95, 97)), 1)
+            side = str(rng.choice(["B", "S"]))
+            cp = str(rng.choice(["C", "D"]))
+            st = str(rng.choice(t_like))
+            add(cid, cid + "B", d, tm, vol, p, side, cp, msg, None, st, None)
+            u = rng.uniform()
+            if u < 0.15:  # cancel with the full 6-key incl. time
+                add(cid, cid + "B", d, tm, vol, p, side, cp,
+                    msg + 1, msg, str(rng.choice(c_like)), None)
+            elif u < 0.28:  # direct W correction
+                add(cid, cid + "B", d, tm, vol, p + 0.3, side, cp,
+                    msg + 1, msg, str(rng.choice(w_like)), None)
+            elif u < 0.36:  # same-group W→W chain (collapses to head)
+                add(cid, cid + "B", d, tm, vol, p + 0.3, side, cp,
+                    msg + 1, msg, "W", None)
+                add(cid, cid + "B", d, tm, vol, p + 0.6, side, cp,
+                    msg + 2, msg + 1, "I", None)
+            elif u < 0.46:  # reversal report for clean_reversal
+                add(cid, cid + "B", d, f"{int(rng.integers(9, 16)):02d}:30:00",
+                    vol, p, side, cp, msg + 1, None, "T", "R")
+            elif u < 0.52:  # delayed rows dropped by step 4/5
+                add(cid, cid + "B", d, tm, vol, p, side, cp, msg + 1, None,
+                    "T", str(rng.choice(["X", "D"])))
+            elif u < 0.58:  # dangling cancel/W matching nothing
+                add(cid, cid + "B", d, tm, vol, p, side, cp, msg + 1,
+                    msg + 7000, str(rng.choice(c_like + w_like)), None)
+    # cross-bond npair group (two bond_syms, one cusip/date/time)
+    d9 = pd.Timestamp(2019, 4, 30)
+    add("U900", "U900B", d9, "14:00:00", "1000.0", 95.0, "B", "C",
+        "7000", None, "T", None)
+    add("U900", "U900B", d9, "14:00:00", "1000.0", 95.3, "B", "C",
+        "7001", "7000", "W", None)
+    add("U900", "U900B", d9, "14:00:00", "1000.0", 95.6, "B", "C",
+        "7002", "7001", "O", None)
+    add("U900", "U900C", d9, "14:00:00", "1000.0", 96.0, "B", "C",
+        "7010", "7009", "I", None)
+    pdf = pd.DataFrame(
+        rows,
+        columns=[
+            "cusip_id", "bond_sym_id", "trd_exctn_dt", "trd_exctn_tm",
+            "ascii_rptd_vol_tx", "rptd_pr", "rpt_side_cd",
+            "contra_party_type", "msg_seq_nb", "orig_msg_seq_nb",
+            "trc_st", "asof_cd",
+        ],
+    )
+    return pdf
+
+
+@pytest.mark.parametrize("seed", [20260816, 977])
+def test_clean_trace_standard_chunk_matches_reference(spark, seed):
+    """The FULL Standard chunk cleaner
+    (`create_daily_standard_trace.py:1679-1910`,
+    clean_trace_standard_chunk): '5MM+'/'1MM+' volume decode with
+    errors='coerce', G/M→T H/N→C I/O→W status folds, the 6-key
+    string-concat cancel anti-join (time AND volume in the key), the
+    napp/ntype/npair W-correction machinery (npair WITHOUT bond_sym),
+    and the SAS step-4/5 reversal removal — composed from the repo
+    operators exactly as p3_standard_full does, compared as full-row
+    multisets (the substituted W rows' rewritten msg/orig included)."""
+    from trace_data_pipeline_spark.operators.cleaning import (
+        anti_join_keys,
+        correction_chain_resolution,
+        standard_reversal_removal,
+    )
+
+    _SRC_STD = _REF / "stage0" / "create_daily_standard_trace.py"
+    pdf = _std_tape(seed)
+    ns = _ref_fns(
+        _SRC_STD, ("add_seq", "clean_reversal", "clean_trace_standard_chunk")
+    )
+    ref = ns["clean_trace_standard_chunk"](pdf.copy())
+
+    cmp_cols = [
+        "cusip_id", "bond_sym_id", "trd_exctn_dt", "trd_exctn_tm",
+        "entrd_vol_qt", "rptd_pr", "rpt_side_cd", "contra_party_type",
+        "msg_seq_nb", "orig_msg_seq_nb", "trc_st", "asof_cd",
+    ]
+
+    def rows_multiset(frame: pd.DataFrame):
+        out = frame[cmp_cols].copy()
+        for c in cmp_cols:
+            out[c] = out[c].map(
+                lambda x: "∅" if pd.isna(x) else str(x)
+            )
+        from collections import Counter
+
+        return Counter(map(tuple, out.to_numpy().tolist()))
+
+    sdf = spark.createDataFrame(
+        pdf,
+        schema="cusip_id string, bond_sym_id string, trd_exctn_dt timestamp,"
+        " trd_exctn_tm string, ascii_rptd_vol_tx string, rptd_pr double,"
+        " rpt_side_cd string, contra_party_type string, msg_seq_nb string,"
+        " orig_msg_seq_nb string, trc_st string, asof_cd string",
+    ).repartition(7, "msg_seq_nb")
+    norm = sdf.withColumn(
+        "entrd_vol_qt",
+        F.when(F.col("ascii_rptd_vol_tx") == "5MM+", 5000000.0)
+        .when(F.col("ascii_rptd_vol_tx") == "1MM+", 1000000.0)
+        .otherwise(F.col("ascii_rptd_vol_tx").try_cast("double")),
+    ).withColumn(
+        "trc_st",
+        F.when(F.col("trc_st").isin("G", "M"), "T")
+        .when(F.col("trc_st").isin("H", "N"), "C")
+        .when(F.col("trc_st").isin("I", "O"), "W")
+        .otherwise(F.col("trc_st")),
+    )
+    t = norm.filter(F.col("trc_st") == "T").drop("ascii_rptd_vol_tx")
+    c = norm.filter(F.col("trc_st") == "C").drop("ascii_rptd_vol_tx")
+    w = norm.filter(F.col("trc_st") == "W").drop("ascii_rptd_vol_tx")
+    cancel_keys = [
+        "cusip_id", "trd_exctn_dt", "trd_exctn_tm", "rptd_pr",
+        "entrd_vol_qt",
+    ]
+    step2 = anti_join_keys(
+        t, c, {**{k: k for k in cancel_keys}, "msg_seq_nb": "orig_msg_seq_nb"}
+    )
+    step3 = correction_chain_resolution(
+        step2,
+        w,
+        keys=["cusip_id", "trd_exctn_dt"],
+        pair_keys=["cusip_id", "bond_sym_id", "trd_exctn_dt", "trd_exctn_tm"],
+        npair_keys=["cusip_id", "trd_exctn_dt", "trd_exctn_tm"],
+        dedup_cols=[
+            "cusip_id", "trd_exctn_dt", "msg_seq_nb", "orig_msg_seq_nb",
+            "rptd_pr", "entrd_vol_qt",
+        ],
+    )
+    got = standard_reversal_removal(
+        step3,
+        group_keys=["cusip_id", "bond_sym_id", "trd_exctn_dt",
+                    "entrd_vol_qt", "rptd_pr", "rpt_side_cd",
+                    "contra_party_type"],
+        time_col="trd_exctn_tm",
+        msg_col="msg_seq_nb",
+        join_keys=["cusip_id", "trd_exctn_dt", "trd_exctn_tm",
+                   "entrd_vol_qt", "rptd_pr", "rpt_side_cd",
+                   "contra_party_type", "msg_seq_nb"],
+        reversal_pred=F.col("asof_cd") == "R",
+        drop_pred=F.col("asof_cd").isin("R", "X", "D"),
+    ).toPandas()
+
+    ref_ms = rows_multiset(ref)
+    got_ms = rows_multiset(got)
+    assert got_ms == ref_ms, (
+        f"extra={list((got_ms - ref_ms).items())[:3]} "
+        f"missing={list((ref_ms - got_ms).items())[:3]}"
+    )
+    # the tape exercised every stage: folds happened (no G/M/H/N/I/O
+    # survive), substituted W rows exist, and rows were removed
+    assert set(ref["trc_st"]) <= {"T", "W"}
+    assert (ref["trc_st"] == "W").any()
+    assert len(ref) < int(pdf["trc_st"].isin(["T", "G", "M"]).sum())

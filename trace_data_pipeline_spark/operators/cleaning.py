@@ -57,14 +57,49 @@ def add_seq(
     keys: Sequence[str],
     order_by: Sequence[Column | str],
     seq_col: str = "seq",
+    null_keys_null_seq: bool = False,
 ) -> DataFrame:
     """W5: SAS BY-group sequence number — cumcount+1 per key group
     (`create_daily_standard_trace.py:109-117`). A total `order_by` makes
-    it deterministic under shuffle."""
+    it deterministic under shuffle.
+
+    null_keys_null_seq mirrors pandas groupby(dropna=True).cumcount():
+    a row with ANY null group key is excluded from every group and its
+    sequence is NaN (not a number within the all-nulls partition, which
+    is what a plain Spark window would assign)."""
     w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
         *[F.col(c) if isinstance(c, str) else c for c in order_by]
     )
-    return df.withColumn(seq_col, F.row_number().over(w))
+    seq: Column = F.row_number().over(w)
+    if null_keys_null_seq:
+        import functools
+        import operator
+
+        any_null = functools.reduce(
+            operator.or_, [F.col(k).isNull() for k in keys]
+        )
+        seq = F.when(any_null, F.lit(None)).otherwise(seq)
+    return df.withColumn(seq_col, seq)
+
+
+def semi_join_keys(
+    df: DataFrame,
+    keepers: DataFrame,
+    keys: Sequence[str],
+    null_safe: bool = True,
+) -> DataFrame:
+    """Null-safe left_semi twin of anti_join_keys: keep rows of `df`
+    whose composite key appears in `keepers` — pd.MultiIndex.isin
+    semantics, where a null component matches a null component."""
+    rhs = keepers.select(
+        *[F.col(k).alias(f"__kp_{k}") for k in keys]
+    ).dropDuplicates()
+    op = "eqNullSafe" if null_safe else "__eq__"
+    cond = None
+    for k in keys:
+        c = getattr(F.col(k), op)(F.col(f"__kp_{k}"))
+        cond = c if cond is None else (cond & c)
+    return df.join(rhs, cond, "left_semi")
 
 
 def sequence_match_removal(
@@ -109,24 +144,38 @@ def standard_reversal_removal(
     isin-mask readmits them), and literal full-row duplicates then
     collapse to one via the trailing DISTINCT (SAS SELECT DISTINCT).
 
+    NULL keys follow the reference exactly: pandas cumcount gives a
+    null-keyed row a NaN sequence (add_seq null_keys_null_seq), the
+    header-reversal merge matches NaN==NaN (null-safe anti-join — so a
+    null-keyed header IS removed when a null-keyed reversal aligns),
+    and the final MultiIndex.isin readmission matches NaN tuples
+    (null-safe semi-join — a plain equi-join silently dropped every
+    null-keyed body row).
+
     Scale: both windows and both joins key on `group_keys`/`join_keys`
     (all containing the entity id) — one shuffle partitioning reused;
     the reversal side is small and broadcasts.
     """
     gk = list(group_keys)
     rev = (
-        add_seq(df.filter(reversal_pred), gk, [time_col], "__seq")
+        add_seq(
+            df.filter(reversal_pred), gk, [time_col], "__seq",
+            null_keys_null_seq=True,
+        )
         .select(*[F.col(c) for c in gk], F.col("__seq"))
     )
     body = df.filter(~F.coalesce(drop_pred, F.lit(False)))
     header_cols = list(dict.fromkeys([*gk, *join_keys, time_col, msg_col]))
-    hdr = add_seq(body.select(*header_cols), gk, [time_col, msg_col], "__seq")
+    hdr = add_seq(
+        body.select(*header_cols), gk, [time_col, msg_col], "__seq",
+        null_keys_null_seq=True,
+    )
     surviving = (
-        hdr.join(rev, [*gk, "__seq"], "left_anti")
+        anti_join_keys(hdr, rev, [*gk, "__seq"], null_safe=True)
         .select(*[F.col(c) for c in join_keys])
         .dropDuplicates()
     )
-    return body.join(surviving, list(join_keys), "left_semi").dropDuplicates()
+    return semi_join_keys(body, surviving, list(join_keys)).dropDuplicates()
 
 
 def agency_dedup(

@@ -46,10 +46,10 @@ FLOORS: dict[str, float] = {
     "a8_pooled_stats": 0.923,
     "d10_cosine_topk": 1.888,
     "d11_lsh_cosine_pairs": 0.68,
-    "d12b_png_features": 0.602,
-    "d12c_jpeg_features": 0.655,
-    "d12d_wav_features": 0.556,
-    "d12e_video_frame_features": 0.797,
+    "d12b_png_features": 0.666,
+    "d12c_jpeg_features": 0.73,
+    "d12d_wav_features": 0.649,
+    "d12e_video_frame_features": 1.024,
     "d13_ivf_topk": 0.905,
     "d15_winnow_fingerprint": 0.589,
     "d17_pq_encode": 0.769,
@@ -86,20 +86,17 @@ FLOORS: dict[str, float] = {
     "p7_factor_panel": 2.653,
     "p8_tail_risk_panel": 2.11,
     "r2_descriptive_by_rating": 1.667,
-    "r2_error_checks": 2.767,
+    "r2_error_checks": 3.24,
     "r3_availability_by_rating": 1.797,
-    "r4_flagged_series": 2.08,
+    "r4_flagged_series": 2.432,
     "s4_hot_cold_join": 0.694,
     "t2_filter_report": 0.96,
     "w10b_daycount": 0.698,
-    "w10c_bond_freqs": 0.834,
-    "w10e_full_record": 1.547,
-    "w10f_yield_to_worst": 0.597,
-    "w10g_yield_to_worst_schedule": 1.613,
-    # r10: measured warm min 1.88 on a window running 1.5x the FLOORS
-    # calibration state (w10e same-session 2.32 vs floor 1.55) —
-    # normalized to 1.6
-    "w10h_odd_first_coupon": 1.6,
+    "w10c_bond_freqs": 0.912,
+    "w10e_full_record": 1.925,
+    "w10f_yield_to_worst": 0.664,
+    "w10g_yield_to_worst_schedule": 1.249,
+    "w10h_odd_first_coupon": 1.308,
     "w11b_modified_following": 1.008,
     # r13: warm min-of-3 0.48 at sf0.1 (per-date curve column algebra,
     # one scan, no shuffle beyond the read)
@@ -110,9 +107,9 @@ FLOORS: dict[str, float] = {
     # r13: warm min-of-3 2.33 at sf0.1 on a ~1.3x-slow window (two seq
     # windows + anti/semi joins + full-row distinct)
     "j18_standard_reversal": 2.3,
-    "w1_decimal_shift": 1.462,
-    "w2_bounce_back": 0.806,
-    "w7_ultra_distressed": 0.985,
+    "w1_decimal_shift": 1.69,
+    "w2_bounce_back": 0.94,
+    "w7_ultra_distressed": 1.223,
 }
 
 # Box-speed canary measured in the same box state as the FLOORS
@@ -155,12 +152,15 @@ ARROW_AXIS = frozenset({
     "r4_flagged_series",         # flag-mode W1 kernel + semi-join
 })
 
-# Arrow canary at the FLOORS calibration box state: the r11 driver
-# bench ran at the 0.477 s shuffle calibration floor and recorded the
-# Arrow canary at 0.66 s (r12 VERDICT.md "Performance vs baseline" —
-# the r12 run's 0.727 against it is the +10% drift that motivated this
-# axis split).
-FLOORS_ARROW_CANARY_SEC = 0.66
+# Arrow canary at the ARROW-AXIS floors' calibration box state. r15
+# re-pin: the canary job changed from an identity mapInPandas to a
+# grouped-map applyInPandas kernel (canary.py — the r14 window proved
+# the identity round-trip tracks a different axis than the grouped-map
+# entries), so BOTH this calibration and every ARROW_AXIS entry floor
+# above were re-measured min-of-3/min-of-6 in ONE session on
+# 2026-08-16, after a worktree A/B against the r13-end commit showed
+# the r14 raw drift was box state, not code (SCALE.md round-15).
+FLOORS_ARROW_CANARY_SEC = 0.994
 
 
 def infer_sf(sf_dir: str) -> float:

@@ -128,7 +128,11 @@ MAX_RUNS = 3
 # clamps at 1.0: a faster-than-calibration box keeps the gate strictly
 # no looser than the raw comparison.
 GATE_CANARY_SEC = 0.345
-GATE_ARROW_CANARY_SEC = 0.518
+# r15: the arrow canary job changed to a grouped-map applyInPandas
+# kernel (canary.py) — re-calibrated min-of-6 under this gate's config
+# (local[8], shuffle=8) on 2026-08-16 in the same session as the
+# bench-config re-pin (bench.py FLOORS_ARROW_CANARY_SEC).
+GATE_ARROW_CANARY_SEC = 0.934
 
 
 @pytest.mark.slow

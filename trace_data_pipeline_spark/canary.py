@@ -37,21 +37,48 @@ def shuffle_canary_sec(spark) -> float:
     return time.perf_counter() - t0
 
 
+def _grouped_kernel(pdf):
+    """Fixed synthetic grouped-map kernel: sort + diff + rolling median
+    + reduce — the same pandas op mix the W1/W2/W7 kernels run, scaled
+    to a ~0.5 s job."""
+    import pandas as pd
+
+    s = pdf.sort_values("t")
+    v = s["v"]
+    r = v.diff().abs().fillna(0.0).rolling(20, min_periods=1).median()
+    return pd.DataFrame(
+        {"g": [int(s["g"].iat[0])], "x": [float((v - r).sum())]}
+    )
+
+
 def arrow_canary_sec(spark) -> float:
-    """One sample of the SECOND box axis: an Arrow round-trip through
-    the Python worker pool (identity mapInPandas over 2M generated
-    rows). The shuffle canary has been observed reading FASTER than
-    calibration in the same window where every applyInPandas entry sat
-    ~1.5x its floor (r10) and +10% while their kernels were untouched
-    (r12) — whatever stalls this box hits the Python-worker/Arrow axis
-    independently of the JVM-shuffle axis, so entries whose hot path is
-    a grouped-map/pandas_udf kernel must normalize by THIS job, not the
-    shuffle one."""
+    """One sample of the SECOND box axis: a grouped-map applyInPandas
+    job through the Python worker pool. The shuffle canary has been
+    observed reading FASTER than calibration in the same window where
+    every applyInPandas entry sat ~1.5x its floor (r10) and +10% while
+    their kernels were untouched (r12) — whatever stalls this box hits
+    the Python-worker/Arrow axis independently of the JVM-shuffle axis,
+    so entries whose hot path is a grouped-map/pandas_udf kernel must
+    normalize by THIS job, not the shuffle one.
+
+    r14→r15 revision: the job was an identity mapInPandas round-trip,
+    and the r14 driver window proved it tracks a DIFFERENT axis than
+    the grouped-map entries — the identity canary read equal-or-FASTER
+    than calibration while w1/w2/w7/r2 raws ran 2-3x their floors, and
+    a same-session worktree A/B against the r13-end commit showed no
+    code regression (SCALE.md round-15 entry). The canary now runs the
+    actual hot shape (group-hash exchange, per-group pandas kernel
+    invocations, real pandas compute), so grouped-map stalls move it."""
     t0 = time.perf_counter()
     (
-        spark.range(2_000_000)
-        .repartition(8)
-        .mapInPandas(lambda it: it, "id long")
+        spark.range(500_000)
+        .selectExpr(
+            "id % 1000 AS g",
+            "id AS t",
+            "CAST(id * 2654435761 % 9973 AS DOUBLE) / 100.0 AS v",
+        )
+        .groupBy("g")
+        .applyInPandas(_grouped_kernel, "g long, x double")
         .write.format("noop")
         .mode("overwrite")
         .save()

@@ -2383,3 +2383,540 @@ def test_clean_trace_standard_chunk_matches_reference(spark, seed):
     assert set(ref["trc_st"]) <= {"T", "W"}
     assert (ref["trc_st"] == "W").any()
     assert len(ref) < int(pdf["trc_st"].isin(["T", "G", "M"]).sum())
+
+
+# --------------------------------------------------------------------------
+# W10 ↔ the QuantLib contract (r13/r14 verdict carry-item): a pure-Python
+# port of GetNewVarsPy's schedule/solve contract
+# (`stage1/helper_functions.py:44-255`) lives in tests/ql_contract.py —
+# backward schedule, ModifiedFollowing, stepwise compounded discounting,
+# accrued, the 9-output record, and every branch exit. These tests diff
+# `operators/bond_record.py::attach_full_record` (and the w10h stub
+# construction) against it over the full convention grid.
+#
+# Exactness domain: 30/360 (and '' which the reference folds into it) on
+# schedules whose dates are all weekdays (ModifiedFollowing is then the
+# identity, matching the engine's unadjusted-grid model) with
+# day-of-month <= 28 (no month-end clamping, 30/360 additivity). There
+# the engine's (t - 1 + q)-period discount model IS QuantLib's stepwise
+# time accumulation, so all 9 outputs must agree to solver/rounding
+# tolerance. ACT bases deviate by design (QuantLib's FixedRateLeg pays
+# rate*dcf(start,end) per period — ACT/360 semiannual pays ~rate*181/360,
+# not rate/2 — while the engine's uniform rate/m model matches how the
+# bonds are QUOTED); the bounded test quantifies that gap and pins it.
+
+
+def _weekday_clean_combos(pm: int, n_hist_min: int, n_hist_max: int,
+                          want: int) -> list:
+    """Deterministic scan for (maturity, n_hist) whose whole unadjusted
+    backward grid lands on weekdays (so ModifiedFollowing is a no-op and
+    the oracle grid equals the engine grid)."""
+    from datetime import date, timedelta
+
+    from tests.ql_contract import add_months, is_business_day
+
+    out = []
+    d = date(2028, 1, 10)
+    while len(out) < want and d < date(2033, 1, 1):
+        d += timedelta(days=1)
+        if d.day > 28 or not is_business_day(d):
+            continue
+        for n_hist in range(n_hist_max, n_hist_min - 1, -1):
+            grid = [add_months(d, -pm * k) for k in range(n_hist + 1)]
+            if all(is_business_day(g) for g in grid):
+                out.append((d, n_hist))
+                break
+    return out
+
+
+def _sub_business_days(d, n):
+    from datetime import timedelta
+
+    from tests.ql_contract import is_business_day
+
+    out = d
+    for _ in range(n):
+        out -= timedelta(days=1)
+        while not is_business_day(out):
+            out -= timedelta(days=1)
+    return out
+
+
+def _w10_grid(bases: list) -> pd.DataFrame:
+    """The differential grid: every interest_frequency code x settle
+    scenario x price/coupon cycle on weekday-clean schedules, plus the
+    branch-exit corners (zero types, missing coupon, NoFrequency,
+    settle >= maturity)."""
+    from datetime import timedelta
+
+    from tests.ql_contract import add_months
+
+    rows = []
+    rid = 0
+    prices = [72.5, 96.0, 104.0, 118.0]
+    coupons = [2.5, 5.0, 7.25, 9.0]
+    freq_specs = [("1", 12, 1), ("2", 6, 2), ("4", 3, 4), ("12", 1, 12),
+                  ("0", 6, 2), ("99", 6, 2)]  # code, pm, m-effective
+    for fi, (code, pm, m_eff) in enumerate(freq_specs):
+        n_lo, n_hi = (2, 6) if pm == 1 else (2, 10)
+        combos = _weekday_clean_combos(pm, n_lo, n_hi, want=10)
+        assert len(combos) >= 6, f"no weekday-clean combos for pm={pm}"
+        for ci, (mat, n_hist) in enumerate(combos):
+            dated = add_months(mat, -pm * n_hist)
+            first_cpn = add_months(mat, -pm * (n_hist - 1))
+            scen = (fi + ci) % 5
+            if scen == 0:  # mid-period
+                trade = dated + timedelta(
+                    days=(pm * 30 * (n_hist // 2)) + 11
+                )
+            elif scen == 1:  # settle exactly on a coupon date
+                trade = _sub_business_days(
+                    add_months(mat, -pm * max(1, n_hist // 2)), 2
+                )
+            elif scen == 2:  # in the last coupon period
+                trade = _sub_business_days(mat, 7)
+            elif scen == 3:  # before the first coupon
+                trade = dated + timedelta(days=1)
+            else:  # settle lands at/after maturity -> NaN record
+                trade = _sub_business_days(mat, 1)
+            rows.append(dict(
+                rid=rid, p=prices[rid % 4], c_pct=coupons[(rid // 2) % 4],
+                ctype="F", ifreq=code, dcb=bases[rid % len(bases)],
+                maturity=mat, hist_m=pm * n_hist, trade_d=trade,
+            ))
+            rid += 1
+    # branch-exit corners (30/360 only — branch logic, not day counts)
+    mat, n_hist = _weekday_clean_combos(6, 4, 8, want=1)[0]
+    dated = add_months(mat, -6 * n_hist)
+    trade = dated + timedelta(days=100)
+    for p, c, ctype, ifreq in [
+        (82.0, 5.0, "Z", "2"),     # explicit zero type (coupon ignored)
+        (82.0, 0.0, "Z", "0"),
+        (82.0, 0.0, "F", "2"),     # F, zero coupon, below par -> zero
+        (82.0, None, "F", "2"),    # F, MISSING coupon, below par -> zero
+        (101.5, 0.0, "F", "0"),    # F, zero coupon, at/above par -> None
+        (101.5, None, "F", "2"),   # F, missing coupon, above par -> None
+        (96.0, 5.0, "F", "0"),     # 0-code with coupon -> semiannual
+        (96.0, 5.0, "F", "99"),    # 99-code with coupon -> semiannual
+    ]:
+        rows.append(dict(
+            rid=rid, p=p, c_pct=c, ctype=ctype, ifreq=ifreq, dcb="30/360",
+            maturity=mat, hist_m=6 * n_hist, trade_d=trade,
+        ))
+        rid += 1
+    return pd.DataFrame(rows)
+
+
+def _engine_w10_records(spark, pdf: pd.DataFrame) -> pd.DataFrame:
+    from trace_data_pipeline_spark.operators.bond_record import (
+        RECORD_COLS,
+        attach_full_record,
+    )
+
+    sdf = spark.createDataFrame(
+        pdf,
+        schema="rid long, p double, c_pct double, ctype string,"
+        " ifreq string, dcb string, maturity date, hist_m int,"
+        " trade_d date",
+    ).repartition(5, "rid")
+    out = (
+        attach_full_record(sdf)
+        .select("rid", *RECORD_COLS)
+        .toPandas()
+        .sort_values("rid")
+        .set_index("rid")
+    )
+    return out
+
+
+def _oracle_w10_records(pdf: pd.DataFrame) -> pd.DataFrame:
+    from tests.ql_contract import add_months, get_new_vars_contract
+
+    recs = {}
+    for r in pdf.itertuples(index=False):
+        dated = add_months(r.maturity, -int(r.hist_m))
+        recs[r.rid] = get_new_vars_contract(
+            pr=float(r.p),
+            coupon=float("nan") if r.c_pct is None or pd.isna(r.c_pct)
+            else float(r.c_pct),
+            coupon_type=r.ctype,
+            interest_frequency=r.ifreq,
+            day_count_basis=r.dcb,
+            maturity=r.maturity,
+            trd_exctn_dt=r.trade_d,
+            dated_date=dated,
+            offering_date=dated,
+        )
+    out = pd.DataFrame.from_dict(recs, orient="index").drop(
+        columns=["settle"]
+    )
+    out.index.name = "rid"
+    # engine names: mac_dur/mod_dur already aligned
+    return out.sort_index()
+
+
+def _m_eff(pdf: pd.DataFrame) -> "np.ndarray":
+    """Effective compounding frequency per grid row (the reference's
+    mapping; zero branch compounds annually)."""
+    out = []
+    for r in pdf.itertuples(index=False):
+        c_missing = r.c_pct is None or pd.isna(r.c_pct)
+        if r.ctype == "Z" or (
+            r.ctype == "F" and (c_missing or r.c_pct == 0) and r.p < 100
+        ):
+            out.append(1)
+        else:
+            out.append({"1": 1, "2": 2, "4": 4, "12": 12}.get(r.ifreq, 2))
+    return np.asarray(out, dtype=float)
+
+
+def test_w10_record_matches_quantlib_contract_30_360(spark):
+    """All 9 outputs of attach_full_record vs the QuantLib-contract
+    oracle, exact (solver + 6dp-rounding tolerance) on the 30/360
+    exactness domain, including NaN-pattern equality on every branch
+    exit. ~68 rows x 6 frequency codes x 5 settle scenarios.
+
+    One documented carve-out (bond_record.py deviations list): yields
+    below -90% PER PERIOD sit outside the engine solver's clamp range
+    (the -0.9 floor keeps (1+y)^-250 inside float range), so such rows
+    — price far above the remaining flows, settlement in the last
+    period — degrade to the all-null record where the contract oracle
+    still finds the root."""
+    pdf = _w10_grid(bases=["30/360", ""])
+    got = _engine_w10_records(spark, pdf)
+    want = _oracle_w10_records(pdf)
+    assert list(got.index) == list(want.index)
+    n_nan = int(want["ytm"].isna().sum())
+    assert 0 < n_nan < len(want)  # both populations exercised
+    w_y = want["ytm"].to_numpy(float)
+    deep = ~np.isnan(w_y) & (w_y < -0.9 * _m_eff(pdf))
+    for col in ("ytm", "prclean", "prfull", "acclast", "accpmt",
+                "accall", "mac_dur", "mod_dur", "convexity"):
+        g, w = got[col].to_numpy(float), want[col].to_numpy(float)
+        pat_ok = (np.isnan(g) == np.isnan(w)) | (deep & np.isnan(g))
+        assert pat_ok.all(), (
+            f"{col}: NaN pattern, rids "
+            f"{list(got.index[~pat_ok])[:5]}"
+        )
+        ok = np.isnan(w) | np.isnan(g) | np.isclose(
+            g, w, rtol=1e-6, atol=2e-6
+        )
+        assert ok.all(), (
+            f"{col}: rids {list(got.index[~ok])[:5]} "
+            f"got {g[~ok][:5]} want {w[~ok][:5]}"
+        )
+
+
+def test_w10_record_act_bases_bounded_vs_quantlib_contract(spark):
+    """ACT/ACT, ACT/360, ACT/365 vs the contract. acclast is EXACT (both
+    sides accrue rate x dcf(last, settle)); the priced outputs deviate
+    only through QuantLib's per-period rate*dcf coupon amounts and
+    stepwise ACT times vs the engine's uniform rate/m // (t-1+q)/m
+    quote-convention model (bond_record.py docstring, deviations list).
+    Measured on this grid over the quoted regime (|ytm| < 50%):
+    |Δytm| < 1e-2 absolute (worst: monthly ACT/360 stubs weeks from
+    maturity; < 9e-4 for bonds with > 1y to run), prices re-fit exactly
+    (both models price the same market quote), |Δaccpmt| < 0.2 per 100
+    face, durations/convexity < 2.5% relative — pinned here so the gap
+    can't silently widen."""
+    pdf = _w10_grid(bases=["ACT/ACT", "ACT/360", "ACT/365"])
+    got = _engine_w10_records(spark, pdf)
+    want = _oracle_w10_records(pdf)
+    g_y, w_y = got["ytm"].to_numpy(float), want["ytm"].to_numpy(float)
+    deep = ~np.isnan(w_y) & (w_y < -0.9 * _m_eff(pdf))
+    pat_ok = (np.isnan(g_y) == np.isnan(w_y)) | (deep & np.isnan(g_y))
+    assert pat_ok.all()
+    # the quote-convention gap scales with |y| — extreme stub yields
+    # (price far from the few remaining flows annualizes to hundreds of
+    # per cent) amplify any time/amount model difference without bound,
+    # so the pinned bounds cover the quoted regime (|y| < 50%)
+    live = ~np.isnan(w_y) & ~np.isnan(g_y) & (np.abs(w_y) < 0.5)
+    assert live.sum() > 30
+    # acclast: exact (identical dcf on both sides)
+    g, w = got["acclast"].to_numpy(float), want["acclast"].to_numpy(float)
+    assert np.isclose(g[live], w[live], rtol=1e-9, atol=2e-6).all()
+    assert np.abs(g_y[live] - w_y[live]).max() < 1e-2
+    # both models re-fit the same market clean price exactly
+    for col in ("prfull", "prclean"):
+        g, w = got[col].to_numpy(float), want[col].to_numpy(float)
+        assert np.abs(g[live] - w[live]).max() < 2e-6, col
+    for col in ("accpmt", "accall"):
+        g, w = got[col].to_numpy(float), want[col].to_numpy(float)
+        assert np.abs(g[live] - w[live]).max() < 0.2, col
+    for col in ("mac_dur", "mod_dur", "convexity"):
+        g, w = got[col].to_numpy(float), want[col].to_numpy(float)
+        rel = np.abs(g[live] - w[live]) / np.abs(w[live])
+        assert rel.max() < 0.035, col
+
+
+def test_w10h_stub_matches_quantlib_contract_30_360(spark):
+    """The odd-first-coupon path (w10h / bond_analytics_stub) vs the
+    contract's backward schedule with a genuine short first stub:
+    off-grid dated dates, settlement inside the irregular first period,
+    30/360 weekday-clean grids. Exact on ytm/acclast/prfull/durations/
+    convexity."""
+    from datetime import timedelta
+
+    from pyspark.sql import functions as SF
+
+    from tests.ql_contract import (
+        add_months,
+        advance_business_days,
+        get_new_vars_contract,
+        is_business_day,
+    )
+    from trace_data_pipeline_spark.functions.daycount import dcf_by_basis
+    from trace_data_pipeline_spark.operators.bond_math import (
+        bond_analytics_stub,
+    )
+
+    rows = []
+    rid = 0
+    for pm, m in [(6, 2), (3, 4)]:
+        for mat, n_hist in _weekday_clean_combos(pm, 2, 8, want=30):
+            first_cpn = add_months(mat, -pm * n_hist)
+            prev_grid = add_months(mat, -pm * (n_hist + 1))
+            span = (first_cpn - prev_grid).days
+            d_off = 1 + (rid * 13) % (span - 10)
+            dated = prev_grid + timedelta(days=d_off)
+            if not is_business_day(dated):
+                continue
+            trade = dated + timedelta(
+                days=((rid % 3) * (first_cpn - dated).days) // 5
+            )
+            settle = advance_business_days(trade, 2)
+            if not (dated <= settle < first_cpn):
+                continue
+            rows.append(dict(
+                rid=rid, m=m, pm=pm, c_pct=2.0 + (rid % 8),
+                p=70.0 + (rid * 7 % 50), maturity=mat, n_hist=n_hist,
+                dated=dated, first_cpn=first_cpn, prev_grid=prev_grid,
+                trade_d=trade,
+            ))
+            rid += 1
+    pdf = pd.DataFrame(rows)
+    assert len(pdf) >= 15
+
+    sdf = spark.createDataFrame(
+        pdf,
+        schema="rid long, m int, pm int, c_pct double, p double,"
+        " maturity date, n_hist int, dated date, first_cpn date,"
+        " prev_grid date, trade_d date",
+    )
+    basis = SF.lit("30/360")
+    from trace_data_pipeline_spark.functions.daycount import (
+        add_business_days,
+    )
+
+    par = (
+        sdf.withColumn("settle", add_business_days(SF.col("trade_d"), 2))
+        .withColumn("n", (SF.col("n_hist") + 1).cast("int"))
+        .withColumn("c", SF.col("c_pct") / (100.0 * SF.col("m")))
+        .withColumn(
+            "cf1",
+            SF.col("c_pct")
+            * dcf_by_basis(basis, SF.col("dated"), SF.col("first_cpn")),
+        )
+        .withColumn(
+            "acclast_r",
+            SF.col("c_pct")
+            * dcf_by_basis(basis, SF.col("dated"), SF.col("settle")),
+        )
+        .withColumn(
+            "q",
+            (
+                dcf_by_basis(basis, SF.col("dated"), SF.col("first_cpn"))
+                - dcf_by_basis(basis, SF.col("dated"), SF.col("settle"))
+            )
+            / dcf_by_basis(basis, SF.col("prev_grid"), SF.col("first_cpn")),
+        )
+        .withColumn("pd", SF.col("p") + SF.col("acclast_r"))
+    )
+    solved = par.withColumn(
+        "r",
+        bond_analytics_stub(
+            SF.col("pd"), SF.col("c"), SF.col("n"), SF.col("m"),
+            SF.col("q"), SF.col("cf1"),
+        ),
+    )
+    got = (
+        solved.select(
+            "rid",
+            SF.col("r.ytm").alias("ytm"),
+            SF.col("acclast_r").alias("acclast"),
+            (SF.col("pd") + SF.col("r.pv_residual")).alias("prfull"),
+            SF.col("r.mac_dur").alias("mac_dur"),
+            SF.col("r.mod_dur").alias("mod_dur"),
+            SF.col("r.convexity").alias("convexity"),
+            SF.col("r.pv_residual").alias("resid"),
+        )
+        .toPandas()
+        .sort_values("rid")
+        .set_index("rid")
+    )
+    assert (got["resid"].abs() < 1e-6).all()
+
+    for r in pdf.itertuples(index=False):
+        w = get_new_vars_contract(
+            pr=float(r.p), coupon=float(r.c_pct), coupon_type="F",
+            interest_frequency=str(r.m), day_count_basis="30/360",
+            maturity=r.maturity, trd_exctn_dt=r.trade_d,
+            dated_date=r.dated, offering_date=r.dated,
+        )
+        g = got.loc[r.rid]
+        for col in ("ytm", "acclast", "prfull", "mac_dur", "mod_dur",
+                    "convexity"):
+            assert abs(g[col] - w[col]) <= 2e-6 + 1e-6 * abs(w[col]), (
+                f"rid {r.rid} {col}: got {g[col]} want {w[col]}"
+            )
+
+
+def test_w10i_act_exact_matches_quantlib_contract(spark):
+    """The ACT-exact record (w10i / bond_analytics_times) vs the
+    QuantLib-contract oracle on ACT/ACT, ACT/360 and ACT/365: per-flow
+    rate*dcf amounts and stepwise ACT times make ALL 9 outputs exact
+    (solver/rounding tolerance) on weekday-clean grids — the gap the
+    bounded w10e test documents is closed by this operator. Same
+    deep-negative-yield carve-out as the 30/360 test (the -0.9
+    per-period solver clamp)."""
+    from pyspark.sql import functions as SF
+
+    from tests.ql_contract import add_months
+    from trace_data_pipeline_spark.functions.daycount import (
+        add_business_days,
+        coupon_bracket,
+        dcf_by_basis,
+    )
+    from trace_data_pipeline_spark.operators.bond_math import (
+        bond_analytics_times,
+    )
+
+    grid = _w10_grid(bases=["ACT/ACT", "ACT/360", "ACT/365"])
+    # coupon-bond rows only (zeros are already exact in the w10e test);
+    # map the reference's '0'/'99' codes to their semiannual default
+    pm_map = {"1": 12, "2": 6, "4": 3, "12": 1, "0": 6, "99": 6}
+    rows = grid[(grid["ctype"] == "F") & (grid["c_pct"].astype(float) > 0)]
+    pdf = rows.assign(
+        pm=[pm_map[i] for i in rows["ifreq"]],
+        m=[12 // pm_map[i] for i in rows["ifreq"]],
+        dated=[
+            add_months(mt, -int(h))
+            for mt, h in zip(rows["maturity"], rows["hist_m"])
+        ],
+    )
+
+    sdf = spark.createDataFrame(
+        pdf[["rid", "p", "c_pct", "dcb", "maturity", "trade_d", "pm", "m",
+             "dated"]],
+        schema="rid long, p double, c_pct double, dcb string,"
+        " maturity date, trade_d date, pm int, m int, dated date",
+    )
+    st = sdf.withColumn("settle", add_business_days(SF.col("trade_d"), 2))
+    last_cpn, next_cpn = coupon_bracket(
+        SF.col("settle"), SF.col("maturity"), SF.col("pm"), max_periods=250
+    )
+    basis = SF.col("dcb")
+    sched = st.withColumn("last_cpn", last_cpn).withColumn(
+        "next_cpn", next_cpn
+    )
+    months_left = (SF.year("maturity") - SF.year("last_cpn")) * 12 + (
+        SF.month("maturity") - SF.month("last_cpn")
+    )
+    par = (
+        sched.withColumn("n", (months_left / SF.col("pm")).cast("int"))
+        .withColumn(
+            "t1",
+            dcf_by_basis(basis, SF.col("last_cpn"), SF.col("next_cpn"))
+            - dcf_by_basis(basis, SF.col("last_cpn"), SF.col("settle")),
+        )
+        .withColumn(
+            "acclast_r",
+            SF.col("c_pct")
+            * dcf_by_basis(basis, SF.col("last_cpn"), SF.col("settle")),
+        )
+        .withColumn(
+            "accpmt_r",
+            SF.col("c_pct")
+            * dcf_by_basis(basis, SF.col("dated"), SF.col("last_cpn")),
+        )
+        .withColumn("pd", SF.col("p") + SF.col("acclast_r"))
+    )
+
+    def _grid_date(i):
+        return SF.add_months(
+            SF.col("maturity"), -(SF.col("pm") * (SF.col("n") - i))
+        )
+
+    arr = par.withColumn(
+        "ts",
+        SF.when(
+            SF.col("n") >= 1,
+            SF.transform(
+                SF.sequence(SF.lit(1), SF.col("n")),
+                lambda i: SF.col("t1")
+                + dcf_by_basis(basis, SF.col("next_cpn"), _grid_date(i)),
+            ),
+        ),
+    ).withColumn(
+        "cfs",
+        SF.when(
+            SF.col("n") >= 1,
+            SF.transform(
+                SF.sequence(SF.lit(1), SF.col("n")),
+                lambda i: SF.col("c_pct")
+                * dcf_by_basis(basis, _grid_date(i - 1), _grid_date(i))
+                + SF.when(i == SF.col("n"), SF.lit(100.0)).otherwise(0.0),
+            ),
+        ),
+    )
+    solved = arr.withColumn(
+        "r",
+        bond_analytics_times(
+            SF.col("pd"), SF.col("m"), SF.col("ts"), SF.col("cfs")
+        ),
+    )
+    ok = (SF.col("n") >= 1) & (SF.abs(SF.col("r.pv_residual")) <= 1e-6)
+    got = (
+        solved.select(
+            "rid",
+            SF.when(ok, SF.col("r.ytm")).alias("ytm"),
+            SF.when(
+                ok, SF.col("pd") + SF.col("r.pv_residual") - SF.col("acclast_r")
+            ).alias("prclean"),
+            SF.when(ok, SF.col("pd") + SF.col("r.pv_residual")).alias(
+                "prfull"
+            ),
+            SF.when(ok, SF.col("acclast_r")).alias("acclast"),
+            SF.when(ok, SF.col("accpmt_r")).alias("accpmt"),
+            SF.when(ok, SF.col("acclast_r") + SF.col("accpmt_r")).alias(
+                "accall"
+            ),
+            SF.when(ok, SF.col("r.mac_dur")).alias("mac_dur"),
+            SF.when(ok, SF.col("r.mod_dur")).alias("mod_dur"),
+            SF.when(ok, SF.col("r.convexity")).alias("convexity"),
+        )
+        .toPandas()
+        .sort_values("rid")
+        .set_index("rid")
+    )
+
+    want = _oracle_w10_records(pdf)
+    want = want.loc[got.index]
+    w_y = want["ytm"].to_numpy(float)
+    m_eff = pdf.set_index("rid").loc[got.index, "m"].to_numpy(float)
+    deep = ~np.isnan(w_y) & (w_y < -0.9 * m_eff)
+    n_live = int((~np.isnan(w_y)).sum())
+    assert n_live > 40
+    for col in ("ytm", "prclean", "prfull", "acclast", "accpmt",
+                "accall", "mac_dur", "mod_dur", "convexity"):
+        g, w = got[col].to_numpy(float), want[col].to_numpy(float)
+        pat_ok = (np.isnan(g) == np.isnan(w)) | (deep & np.isnan(g))
+        assert pat_ok.all(), (
+            f"{col}: NaN pattern, rids {list(got.index[~pat_ok])[:5]}"
+        )
+        both = ~np.isnan(g) & ~np.isnan(w)
+        okv = ~both | np.isclose(g, w, rtol=1e-6, atol=2e-6)
+        assert okv.all(), (
+            f"{col}: rids {list(got.index[~okv])[:5]} "
+            f"got {g[~okv][:5]} want {w[~okv][:5]}"
+        )

@@ -263,3 +263,92 @@ def bond_analytics_stub(
         q_frac.to_numpy(dtype=float),
         cf1=first_cf.to_numpy(dtype=float),
     )
+
+
+@F.pandas_udf(_SCHEMA)
+def bond_analytics_times(
+    dirty: pd.Series,
+    freq: pd.Series,
+    times: pd.Series,
+    amounts: pd.Series,
+) -> pd.DataFrame:
+    """ACT-exact variant (closes the r15 contract-differential gap for
+    ACT bases): fits the dirty price to flows at EXPLICIT per-flow
+    times (years from settlement, QuantLib's stepwise accumulation —
+    closed-form under ACT additivity) with EXPLICIT per-flow amounts
+    (rate x dcf(accrual start, end) per 100 face, QuantLib's
+    FixedRateLeg — NOT the uniform rate/m quote convention of
+    `bond_analytics_frac`). times/amounts are equal-length arrays per
+    row; discounting is (1 + y/m)^(-t*m).
+
+    Same fixed contract as the rest of the family — 25 Newton steps
+    from y/m = 0.06/m, clamped per-period to [-0.9, 10], t-SEQUENTIAL
+    term accumulation so the DuckDB list-algebra oracle replays it
+    bit-for-bit, all-NaN on non-convergence."""
+    import numpy as np
+
+    p = dirty.to_numpy(dtype=float)
+    m = freq.to_numpy(dtype="int64")
+    rows = len(p)
+    n = np.array([0 if v is None else len(v) for v in times])
+    n_max = int(n.max()) if rows else 0
+    t_mat = np.zeros((rows, n_max))
+    cf_mat = np.zeros((rows, n_max))
+    for i, (tv, av) in enumerate(zip(times, amounts)):
+        if tv is None or av is None or len(tv) != len(av):
+            n[i] = 0
+            continue
+        t_mat[i, : len(tv)] = np.asarray(tv, dtype=float)
+        cf_mat[i, : len(av)] = np.asarray(av, dtype=float)
+    valid = (n >= 1) & (p > 0.0) & (m >= 1) & np.isfinite(p)
+    valid &= np.isfinite(t_mat).all(axis=1) & (t_mat >= 0).all(axis=1)
+
+    mf = m.astype(float)
+    x = 0.06 / mf  # per-period seed, as in _solve_frame
+
+    def _pv_dpv(xv):
+        pv = np.zeros(rows)
+        dpv = np.zeros(rows)
+        with np.errstate(all="ignore"):
+            base = 1.0 + xv
+            for j in range(n_max):
+                live = j < n
+                tm = t_mat[:, j] * mf
+                v = np.where(live, np.power(base, -tm), 0.0)
+                pv += cf_mat[:, j] * v
+                dpv += np.where(
+                    live,
+                    -tm * cf_mat[:, j] * np.power(base, -tm - 1.0),
+                    0.0,
+                )
+        return pv, dpv
+
+    for _ in range(NEWTON_ITERS):
+        pv, dpv = _pv_dpv(x)
+        with np.errstate(all="ignore"):
+            step = np.where(valid, (pv - p) / dpv, 0.0)
+        x = np.clip(x - step, Y_MIN, Y_MAX)
+    pv = np.zeros(rows)
+    wsum = np.zeros(rows)
+    csum = np.zeros(rows)
+    with np.errstate(all="ignore"):
+        base = 1.0 + x
+        for j in range(n_max):
+            live = j < n
+            t = t_mat[:, j]
+            v = np.where(live, np.power(base, -t * mf), 0.0)
+            pv += cf_mat[:, j] * v
+            wsum += t * cf_mat[:, j] * v
+            csum += t * (t + 1.0 / mf) * cf_mat[:, j] * v
+        mac = wsum / pv
+        out = pd.DataFrame(
+            {
+                "ytm": x * mf,
+                "mac_dur": mac,
+                "mod_dur": mac / base,
+                "convexity": csum / (base * base) / pv,
+                "pv_residual": pv - p,
+            }
+        )
+    out.loc[~valid] = float("nan")
+    return out

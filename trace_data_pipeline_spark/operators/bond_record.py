@@ -30,6 +30,31 @@ Assumes a regular schedule (dated_date ON the coupon grid, expressed as
 first-stub accruals are handled by the dedicated odd-first-coupon path
 (`bond_math.bond_analytics_stub` / the `w10h_odd_first_coupon` plan),
 not by this record operator.
+
+Differential status vs the QuantLib contract (r15,
+tests/ql_contract.py + test_reference_differential.py): on 30/360 with
+weekday schedules all 9 outputs are EXACT to solver/rounding tolerance,
+including the stepwise first-flow time through a day-29-31 settlement
+(the complement-form q below). Documented deviations:
+
+- ACT bases: QuantLib's FixedRateLeg pays rate*dcf(start, end) per
+  period and discounts at stepwise ACT times (ACT/360 semiannual pays
+  ~rate*181/360, not rate/2); this operator keeps the uniform rate/m
+  quote-convention model. Measured gap over the quoted regime
+  (|ytm| < 50%): |Δytm| < 1e-2 (< 9e-4 beyond 1y to run), durations/
+  convexity < 3.5% rel, accrued EXACT, prices re-fit exactly. For
+  QuantLib-exact ACT output use `bond_math.bond_analytics_times` /
+  the `w10i_act_exact_record` plan — per-flow amounts and times,
+  contract-exact on all 9 outputs (r15 differential).
+- Yields below -90% per period (price far above the remaining flows,
+  settlement in the last period) return the all-null record: the
+  solver's -0.9 clamp keeps (1+y)^-250 inside float range. QuantLib's
+  root exists down to (1+y/m) > 0; the reference would report it when
+  its solver converges.
+- Settlement rolls weekends only (NYSE holidays via the F9 calendar
+  join when exact parity matters), and coupon dates are kept
+  unadjusted — ModifiedFollowing on a weekend coupon date shifts
+  QuantLib's accrual amounts/times by the roll.
 """
 
 from __future__ import annotations
@@ -86,8 +111,15 @@ def attach_full_record(
         )
         .cast("int")
     )
+    # the reference's zero branch takes F-type rows whose coupon is 0,
+    # NaN *or missing* when priced below par (helper_functions.py:
+    # `x.coupon == 0 or np.isnan(x.coupon)`); null/NaN must not fall
+    # through to the coupon-bond branch
+    c_missing = c_pct.isNull() | F.isnan(c_pct.cast("double"))
     is_zero = (F.col(coupon_type) == "Z") | (
-        (F.col(coupon_type) == "F") & (c_pct == 0.0) & (p < 100.0)
+        (F.col(coupon_type) == "F")
+        & ((c_pct == 0.0) | c_missing)
+        & (p < 100.0)
     )
     # unrecognized day-count basis (dcf_by_basis has no otherwise) must
     # yield the all-null record, not a silently inconsistent partial one
@@ -146,7 +178,17 @@ def attach_full_record(
                 F.lit(1.0)
                 * dcf_by_basis(basis, F.col("__settle"), F.col(maturity)),
             ).otherwise(
-                dcf_by_basis(basis, F.col("__settle"), F.col("__next"))
+                # remaining fraction of the current coupon period as the
+                # COMPLEMENT of the accrued fraction — QuantLib's
+                # stepwise first-flow time is yearFraction(last, next) -
+                # yearFraction(last, settle), which differs from
+                # yearFraction(settle, next) under 30/360 when
+                # settlement lands on day 29-31 (30/360 is not additive
+                # through such a date; r15 contract differential)
+                (
+                    dcf_by_basis(basis, F.col("__last"), F.col("__next"))
+                    - dcf_by_basis(basis, F.col("__last"), F.col("__settle"))
+                )
                 / dcf_by_basis(basis, F.col("__last"), F.col("__next"))
             ),
         )

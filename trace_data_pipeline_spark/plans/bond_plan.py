@@ -278,7 +278,8 @@ par AS (
     CASE WHEN is_zero THEN CAST(0.0 AS DOUBLE)
          ELSE c_pct * ({_dcf_sql('last_cpn', 'settle')}) END AS acclast_r,
     CASE WHEN is_zero THEN CAST(1.0 AS DOUBLE) * ({_dcf_sql('settle', 'maturity')})
-         ELSE ({_dcf_sql('settle', 'next_cpn')})
+         ELSE (({_dcf_sql('last_cpn', 'next_cpn')})
+               - ({_dcf_sql('last_cpn', 'settle')}))
               / ({_dcf_sql('last_cpn', 'next_cpn')}) END AS q,
     CASE WHEN is_zero THEN 1 ELSE
       ((year(maturity) - year(last_cpn)) * 12
@@ -754,7 +755,7 @@ par AS (
     c_pct / (100.0 * m) AS c,
     c_pct * ({_dcf_sql('dated', 'first_cpn')}) AS cf1,
     c_pct * ({_dcf_sql('dated', 'settle')}) AS acclast_r,
-    ({_dcf_sql('settle', 'first_cpn')})
+    (({_dcf_sql('dated', 'first_cpn')}) - ({_dcf_sql('dated', 'settle')}))
       / ({_dcf_sql('prev_grid', 'first_cpn')}) AS q,
     ({_dcf_sql('dated', 'first_cpn')})
       / ({_dcf_sql('prev_grid', 'first_cpn')}) AS stub_frac_r
@@ -825,7 +826,8 @@ def w10h_odd_first_coupon(spark, sf_dir):
     bond's day-count basis (regular periods pay rate/m); accrued at
     settlement runs from the DATED date, not a virtual grid coupon;
     discounting keeps the regular period grid with the stub entering as
-    the fractional offset q = dcf(settle, first_cpn) / dcf(regular
+    the fractional offset q = (dcf(dated, first_cpn) -
+    dcf(dated, settle)) / dcf(regular
     period). Rows with d_off = 0 (k % 11 == 0) are deliberately
     ON-grid: under 30/360 the record then degenerates exactly to the
     regular bond_analytics_frac path (golden-pinned in
@@ -899,8 +901,15 @@ def w10h_odd_first_coupon(spark, sf_dir):
             * dcf_by_basis(basis, F.col("dated"), F.col("settle")),
         )
         .withColumn(
+            # QuantLib stepwise first-flow time: dcf(dated, first_cpn)
+            # - dcf(dated, settle) (the complement form; NOT
+            # dcf(settle, first_cpn), which deviates under 30/360 when
+            # settlement lands on day 29-31 — r15 contract differential)
             "q",
-            dcf_by_basis(basis, F.col("settle"), F.col("first_cpn"))
+            (
+                dcf_by_basis(basis, F.col("dated"), F.col("first_cpn"))
+                - dcf_by_basis(basis, F.col("dated"), F.col("settle"))
+            )
             / dcf_by_basis(basis, F.col("prev_grid"), F.col("first_cpn")),
         )
         .withColumn(
@@ -930,6 +939,267 @@ def w10h_odd_first_coupon(spark, sf_dir):
         F.when(
             ok, F.round(F.col("pd") + F.col("r.pv_residual"), 6)
         ).alias("prfull"),
+        F.when(ok, F.round(F.col("r.mac_dur"), 6)).alias("mac_dur"),
+        F.when(ok, F.round(F.col("r.mod_dur"), 6)).alias("mod_dur"),
+        F.when(ok, F.round(F.col("r.convexity"), 6)).alias("convexity"),
+    )
+
+
+_W10I_ORACLE = rf"""
+WITH RECURSIVE base AS (
+  SELECT o_orderkey,
+    CASE o_orderkey % 3 WHEN 0 THEN 6 WHEN 1 THEN 3 ELSE 1 END AS pm,
+    CASE o_orderkey % 3 WHEN 0 THEN 2 WHEN 1 THEN 4 ELSE 12 END AS m,
+    CAST(4 + o_orderkey % 20 AS INTEGER) AS n_hist,
+    CASE CAST(o_orderkey // 3 AS INTEGER) % 3
+         WHEN 0 THEN 'ACT/ACT' WHEN 1 THEN 'ACT/360'
+         ELSE 'ACT/365' END AS dcb,
+    CAST(2 + o_orderkey % 7 AS DOUBLE) AS c_pct,
+    CAST(DATE '2024-01-15'
+         + INTERVAL 1 MONTH * CAST(o_orderkey % 24 AS INTEGER) AS DATE)
+      AS dated,
+    60.0 + CAST(o_orderkey * 37 % 800 AS DOUBLE) / 10.0 AS p
+  FROM orders
+),
+mat AS (
+  SELECT *,
+    CAST(dated + INTERVAL 1 MONTH * (pm * n_hist) AS DATE) AS maturity,
+    dated + CAST(o_orderkey * 13 % (pm * n_hist * 28) AS INTEGER)
+      AS trade_d
+  FROM base
+),
+st0 AS (SELECT *, ({_BD1}) AS s1 FROM mat),
+st AS (
+  SELECT * EXCLUDE (s1),
+         CASE WHEN isodow(s1 + 1) = 6 THEN s1 + 3
+              WHEN isodow(s1 + 1) = 7 THEN s1 + 2 ELSE s1 + 1 END AS settle
+  FROM st0
+),
+sched AS (
+  SELECT *,
+    list_max(list_filter(
+      list_transform(range(0, 251),
+        j -> CAST(maturity - INTERVAL 1 MONTH * (pm * j) AS DATE)),
+      d -> d <= settle)) AS last_cpn,
+    list_min(list_filter(
+      list_transform(range(0, 251),
+        j -> CAST(maturity - INTERVAL 1 MONTH * (pm * j) AS DATE)),
+      d -> d > settle)) AS next_cpn
+  FROM st
+),
+par AS (
+  SELECT *,
+    ((year(maturity) - year(last_cpn)) * 12
+      + (month(maturity) - month(last_cpn))) // pm AS n,
+    ({_dcf_sql('last_cpn', 'next_cpn')})
+      - ({_dcf_sql('last_cpn', 'settle')}) AS t1,
+    c_pct * ({_dcf_sql('last_cpn', 'settle')}) AS acclast_r,
+    c_pct * ({_dcf_sql('dated', 'last_cpn')}) AS accpmt_r
+  FROM sched
+),
+arr AS (
+  SELECT o_orderkey, m, n, p, acclast_r, accpmt_r,
+         p + acclast_r AS pd,
+         CASE WHEN n >= 1 THEN list_transform(range(1, n + 1),
+           i -> t1 + ({_dcf_sql('next_cpn',
+             "CAST(maturity - INTERVAL 1 MONTH * (pm * (n - i)) AS DATE)")}))
+         END AS ts,
+         CASE WHEN n >= 1 THEN list_transform(range(1, n + 1),
+           i -> c_pct * ({_dcf_sql(
+             "CAST(maturity - INTERVAL 1 MONTH * (pm * (n - i + 1)) AS DATE)",
+             "CAST(maturity - INTERVAL 1 MONTH * (pm * (n - i)) AS DATE)")})
+                + (CASE WHEN i = n THEN 100.0 ELSE 0.0 END))
+         END AS cfs
+  FROM par
+),
+it AS (
+  SELECT o_orderkey, m, n, pd, ts, cfs, 0 AS k,
+         CAST(0.06 AS DOUBLE) / m AS x
+  FROM arr WHERE n >= 1
+  UNION ALL
+  SELECT o_orderkey, m, n, pd, ts, cfs, k + 1,
+         least(greatest(
+           x - (list_sum(list_transform(range(1, n + 1),
+                  i -> cfs[i] * power(1.0 + x, -(ts[i] * m)))) - pd)
+             / list_sum(list_transform(range(1, n + 1),
+                  i -> -(ts[i] * m) * cfs[i]
+                       * power(1.0 + x, -(ts[i] * m) - 1.0))),
+           -0.9), 10.0) AS x
+  FROM it WHERE k < 25
+),
+fin AS (
+  SELECT o_orderkey, m, n, pd, x,
+         list_sum(list_transform(range(1, n + 1),
+            i -> cfs[i] * power(1.0 + x, -(ts[i] * m)))) AS pv,
+         list_sum(list_transform(range(1, n + 1),
+            i -> ts[i] * cfs[i] * power(1.0 + x, -(ts[i] * m)))) AS wsum,
+         list_sum(list_transform(range(1, n + 1),
+            i -> ts[i] * (ts[i] + 1.0 / m) * cfs[i]
+                 * power(1.0 + x, -(ts[i] * m)))) AS csum
+  FROM it WHERE k = 25
+),
+conv AS (SELECT *, (abs(pv - pd) <= 1e-6) AS ok FROM fin)
+SELECT a.o_orderkey,
+       CASE WHEN f.ok THEN ROUND(f.x * f.m, 6) + 0.0 END AS ytm,
+       CASE WHEN f.ok
+            THEN ROUND(f.pd + (f.pv - f.pd) - a.acclast_r, 6) END AS prclean,
+       CASE WHEN f.ok THEN ROUND(f.pd + (f.pv - f.pd), 6) END AS prfull,
+       CASE WHEN f.ok THEN ROUND(a.acclast_r, 6) END AS acclast,
+       CASE WHEN f.ok THEN ROUND(a.accpmt_r, 6) END AS accpmt,
+       CASE WHEN f.ok THEN ROUND(a.acclast_r + a.accpmt_r, 6) END AS accall,
+       CASE WHEN f.ok THEN ROUND(f.wsum / f.pv, 6) END AS mac_dur,
+       CASE WHEN f.ok THEN ROUND(f.wsum / f.pv / (1.0 + f.x), 6) END
+         AS mod_dur,
+       CASE WHEN f.ok
+            THEN ROUND(f.csum / ((1.0 + f.x) * (1.0 + f.x)) / f.pv, 6) END
+         AS convexity
+FROM arr a
+LEFT JOIN conv f USING (o_orderkey)
+"""
+
+
+@register("w10i_act_exact_record", oracle=_W10I_ORACLE)
+def w10i_act_exact_record(spark, sf_dir):
+    """W10 ACT-exact record (r15): the QuantLib-faithful pricing model
+    for ACT day-count bases — per-flow coupon amounts rate x
+    dcf(accrual start, end) (QuantLib's FixedRateLeg under ACT/ACT
+    ISDA / ACT/360 / ACT/365, NOT the uniform rate/m quote convention
+    of w10e) and per-flow stepwise times, closed-form under ACT
+    additivity: t_i = [dcf(last, next) - dcf(last, settle)] +
+    dcf(next, d_i). Closes the ACT gap the r15 contract differential
+    measured on w10e (|Δytm| up to 1e-2 there; EXACT here, pinned by
+    test_reference_differential.py::test_w10i_act_exact_matches_
+    quantlib_contract). Reference: `stage1/helper_functions.py:44-255`
+    builds exactly these legs via ql.FixedRateBond.
+
+    Spark shape: the whole schedule — bracket probe, per-flow date
+    grid, day-count arrays — is codegen'd column algebra (nested
+    higher-order functions); one Arrow-batched Newton solve over the
+    (times, amounts) arrays; one scan, zero key shuffles, zero joins.
+    The DuckDB oracle replays the identical list algebra."""
+    from trace_data_pipeline_spark.functions.daycount import (
+        add_business_days,
+        coupon_bracket,
+        dcf_by_basis,
+    )
+    from trace_data_pipeline_spark.operators.bond_math import (
+        bond_analytics_times,
+    )
+
+    orders = _orders(spark, sf_dir)
+    k = F.col("o_orderkey")
+    pm = (
+        F.when(k % 3 == 0, 6).when(k % 3 == 1, 3).otherwise(1).cast("int")
+    )
+    m = (
+        F.when(k % 3 == 0, 2).when(k % 3 == 1, 4).otherwise(12).cast("int")
+    )
+    base = orders.select(
+        "o_orderkey",
+        pm.alias("pm"),
+        m.alias("m"),
+        (4 + k % 20).cast("int").alias("n_hist"),
+        F.when(F.floor(k / 3) % 3 == 0, "ACT/ACT")
+        .when(F.floor(k / 3) % 3 == 1, "ACT/360")
+        .otherwise("ACT/365")
+        .alias("dcb"),
+        (2 + k % 7).cast("double").alias("c_pct"),
+        F.add_months(
+            F.lit("2024-01-15").cast("date"), (k % 24).cast("int")
+        ).alias("dated"),
+        (60.0 + (k * 37 % 800).cast("double") / 10.0).alias("p"),
+    )
+    mat = base.withColumn(
+        "maturity", F.add_months("dated", F.col("pm") * F.col("n_hist"))
+    ).withColumn(
+        "trade_d",
+        F.date_add(
+            "dated",
+            (k * 13 % (F.col("pm") * F.col("n_hist") * 28)).cast("int"),
+        ),
+    )
+    st = mat.withColumn("settle", add_business_days(F.col("trade_d"), 2))
+    last_cpn, next_cpn = coupon_bracket(
+        F.col("settle"), F.col("maturity"), F.col("pm"), max_periods=250
+    )
+    basis = F.col("dcb")
+    sched = st.withColumn("last_cpn", last_cpn).withColumn(
+        "next_cpn", next_cpn
+    )
+    months_left = (F.year("maturity") - F.year("last_cpn")) * 12 + (
+        F.month("maturity") - F.month("last_cpn")
+    )
+    par = (
+        sched.withColumn("n", (months_left / F.col("pm")).cast("int"))
+        .withColumn(
+            "t1",
+            dcf_by_basis(basis, F.col("last_cpn"), F.col("next_cpn"))
+            - dcf_by_basis(basis, F.col("last_cpn"), F.col("settle")),
+        )
+        .withColumn(
+            "acclast_r",
+            F.col("c_pct")
+            * dcf_by_basis(basis, F.col("last_cpn"), F.col("settle")),
+        )
+        .withColumn(
+            "accpmt_r",
+            F.col("c_pct")
+            * dcf_by_basis(basis, F.col("dated"), F.col("last_cpn")),
+        )
+        .withColumn("pd", F.col("p") + F.col("acclast_r"))
+    )
+
+    def _grid_date(i):
+        return F.add_months(
+            F.col("maturity"), -(F.col("pm") * (F.col("n") - i))
+        )
+
+    arr = par.withColumn(
+        "ts",
+        F.when(
+            F.col("n") >= 1,
+            F.transform(
+                F.sequence(F.lit(1), F.col("n")),
+                lambda i: F.col("t1")
+                + dcf_by_basis(basis, F.col("next_cpn"), _grid_date(i)),
+            ),
+        ),
+    ).withColumn(
+        "cfs",
+        F.when(
+            F.col("n") >= 1,
+            F.transform(
+                F.sequence(F.lit(1), F.col("n")),
+                lambda i: F.col("c_pct")
+                * dcf_by_basis(basis, _grid_date(i - 1), _grid_date(i))
+                + F.when(i == F.col("n"), F.lit(100.0)).otherwise(0.0),
+            ),
+        ),
+    )
+    solved = arr.withColumn(
+        "r",
+        bond_analytics_times(
+            F.col("pd"), F.col("m"), F.col("ts"), F.col("cfs")
+        ),
+    )
+    ok = (F.col("n") >= 1) & (F.abs(F.col("r.pv_residual")) <= 1e-6)
+    return solved.select(
+        "o_orderkey",
+        F.when(ok, F.round(F.col("r.ytm"), 6) + 0.0).alias("ytm"),
+        F.when(
+            ok,
+            F.round(
+                F.col("pd") + F.col("r.pv_residual") - F.col("acclast_r"), 6
+            ),
+        ).alias("prclean"),
+        F.when(ok, F.round(F.col("pd") + F.col("r.pv_residual"), 6)).alias(
+            "prfull"
+        ),
+        F.when(ok, F.round(F.col("acclast_r"), 6)).alias("acclast"),
+        F.when(ok, F.round(F.col("accpmt_r"), 6)).alias("accpmt"),
+        F.when(
+            ok, F.round(F.col("acclast_r") + F.col("accpmt_r"), 6)
+        ).alias("accall"),
         F.when(ok, F.round(F.col("r.mac_dur"), 6)).alias("mac_dur"),
         F.when(ok, F.round(F.col("r.mod_dur"), 6)).alias("mod_dur"),
         F.when(ok, F.round(F.col("r.convexity"), 6)).alias("convexity"),

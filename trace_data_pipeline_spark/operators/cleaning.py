@@ -379,6 +379,14 @@ def correction_chain_resolution(
     # .isin() matches NaN against NaN, so null keys match EACH OTHER
     # regardless of the other components. Reproduced as a single key
     # expression matched with eqNullSafe.
+    #
+    # Documented deviation (r14 ADVICE item 2, unreachable for the
+    # numeric msg ids this key ever carries): pandas renders a NaN msg
+    # as the string 'nan' and a None msg as 'None', so in the reference
+    # a LITERAL string msg 'nan'/'None' would collide with a null one,
+    # and a None-vs-NaN pair renders to two DIFFERENT strings; here the
+    # '\x00nan' sentinel keeps literal strings distinct and folds
+    # None/NaN together.
     def ckey(msg_expr: Column) -> Column:
         any_null = functools.reduce(
             operator.or_, [F.col(c).isNull() for c in keys]
@@ -391,10 +399,19 @@ def correction_chain_resolution(
             )
         )
 
+    # targets is a dedup'd key set at the corrections' scale — WITHOUT
+    # the hint the planner can't size the post-persist aggregate and
+    # falls back to a SortMergeJoin that sort-exchanges the FULL trades
+    # side (r14 verdict: j4's only non-broadcast join; the hint removes
+    # the one big exchange in this stage)
     targets = w_full.select(ckey(F.col("__pomsg")).alias("__rmkey")).dropDuplicates()
     survivors = trades.join(
-        targets, ckey(F.col(msg_col)).eqNullSafe(F.col("__rmkey")), "left_anti"
+        F.broadcast(targets),
+        ckey(F.col(msg_col)).eqNullSafe(F.col("__rmkey")),
+        "left_anti",
     )
+    # t_keys dedups the TRADES side — trades-scale, never broadcast; the
+    # left-semi probe (w_full) is the small side and shuffles cheaply
     t_keys = trades.select(ckey(F.col(msg_col)).alias("__tkey")).dropDuplicates()
     w_to_add = (
         w_full.join(

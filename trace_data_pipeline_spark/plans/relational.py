@@ -2080,7 +2080,7 @@ def r10_trading_intensity(spark, sf_dir):
     alive range join + the calendar-bounded business-day frame; no
     month loop, no bond x day expansion."""
     from trace_data_pipeline_spark.functions.nyse_calendar import (
-        business_days_per_month,
+        business_days_per_month_from_bounds,
     )
 
     ev = load_table(spark, sf_dir, "events")
@@ -2103,8 +2103,13 @@ def r10_trading_intensity(spark, sf_dir):
         F.date_trunc("month", d).alias("m"),
         pr.alias("pr"),
     )
+    # min/max d ride the counts aggregation so the business-day spine
+    # bounds reduce from THIS tiny frame — no second scan of base and
+    # no driver collect (r14 verdict item 8)
     counts = base.groupBy("rating_group", "user_id", "m").agg(
-        F.count("pr").alias("days_traded")
+        F.count("pr").alias("days_traded"),
+        F.min("d").alias("__d_min"),
+        F.max("d").alias("__d_max"),
     )
     life = base.groupBy("rating_group", "user_id").agg(
         F.min("m").alias("f"), F.max("m").alias("l")
@@ -2127,11 +2132,10 @@ def r10_trading_intensity(spark, sf_dir):
     sums = counts.groupBy("rating_group", "m").agg(
         F.sum("days_traded").alias("total_days")
     )
-    bounds = base.agg(
-        F.date_format(F.min("d"), "yyyy-MM-dd").alias("lo"),
-        F.date_format(F.max("d"), "yyyy-MM-dd").alias("hi"),
-    ).collect()[0]
-    bdays = business_days_per_month(spark, bounds["lo"], bounds["hi"])
+    bounds = counts.agg(
+        F.min("__d_min").alias("lo"), F.max("__d_max").alias("hi")
+    )
+    bdays = business_days_per_month_from_bounds(bounds)
     avg = F.col("total_days").cast("double") / F.col("n_alive").cast("double")
     return (
         alive.join(sums, ["rating_group", "m"])
@@ -2753,3 +2757,316 @@ def r16_concentration_over_time(spark, sf_dir):
         for th in (50, 75, 90)
     ]
     return ranked.groupBy("rating_class", "year_month").agg(*aggs)
+
+
+@register(
+    "f10b_144a_screen",
+    oracle="""
+    WITH flagged AS (
+      SELECT p_partkey,
+             CASE p_partkey % 5 WHEN 0 THEN 'Y' WHEN 1 THEN 'N'
+                                WHEN 2 THEN NULL ELSE 'N' END AS rule_144a,
+             CASE p_partkey % 7 WHEN 0 THEN 'Y' WHEN 3 THEN NULL
+                                ELSE 'N' END AS private_placement
+      FROM part
+    )
+    SELECT p_partkey, rule_144a, private_placement FROM flagged
+    WHERE rule_144a = 'Y' OR private_placement = 'Y'
+    """,
+)
+def f10b_144a_screen(spark, sf_dir):
+    """F10 depth: the LITERAL 144A universe screen —
+    `rule_144a == 'Y' OR private_placement == 'Y'`
+    (`create_daily_standard_trace.py:2076-2080`, the data_type='144a'
+    branch) — as its own oracle-checked entry instead of pattern
+    subsumption under f10's generic two-column disjunct (r14 verdict
+    item 5). Null semantics match pandas exactly: a null flag compares
+    False/NULL, so a row keeps only on a literal 'Y' on either side
+    (null OR false → null → dropped, same outcome as pandas'
+    NaN == 'Y' → False). Pure pushed-down filter, zero shuffles."""
+    part = load_table(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    flagged = part.select(
+        "p_partkey",
+        F.when(k % 5 == 0, "Y")
+        .when(k % 5 == 1, "N")
+        .when(k % 5 == 2, F.lit(None).cast("string"))
+        .otherwise("N")
+        .alias("rule_144a"),
+        F.when(k % 7 == 0, "Y")
+        .when(k % 7 == 3, F.lit(None).cast("string"))
+        .otherwise("N")
+        .alias("private_placement"),
+    )
+    return flagged.filter(
+        (F.col("rule_144a") == "Y") | (F.col("private_placement") == "Y")
+    )
+
+
+@register(
+    "r17_industry_dvolume_evolution",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CASE WHEN user_id % 23 = 0 THEN NULL
+                  ELSE 1 + user_id % 17 END AS ff17num,
+             CAST(round(value * 100, 0) AS BIGINT)
+               * (1 + user_id % 9) AS dvol_units
+      FROM events
+    ), wk AS (
+      SELECT d + ((8 - isodow(d)) % 7) * INTERVAL 1 DAY
+               - INTERVAL 6 DAY AS week,
+             ff17num, dvol_units
+      FROM base WHERE ff17num IS NOT NULL
+    ), grp AS (
+      SELECT week, ff17num, CAST(SUM(dvol_units) AS BIGINT) AS s
+      FROM wk GROUP BY 1, 2
+    ), tot AS (
+      SELECT week, CAST(SUM(dvol_units) AS BIGINT) AS t
+      FROM wk GROUP BY 1
+    )
+    SELECT strftime(CAST(g.week AS DATE), '%Y-%m-%d') AS week,
+           g.ff17num,
+           CAST(g.s AS DOUBLE) / 100.0 AS dvolume,
+           100.0 * CAST(g.s AS DOUBLE) / CAST(t.t AS DOUBLE) AS pct
+    FROM grp g JOIN tot t ON t.week = g.week
+    """,
+)
+def r17_industry_dvolume_evolution(spark, sf_dir):
+    """Industry dollar-volume composition over time
+    (`stage1/helper_functions.py:4813-4976`,
+    create_industry_dvolume_evolution_plot): weekly SUM of dvolume per
+    FF industry as a share of the week's total, after the reference's
+    dropna on (dvolume, ff_column). Same two quirks as r12 (the sibling
+    market-cap figure): the week label is pd.Period('W-MON')
+    .to_timestamp() — the period START (the Tuesday), not the resample
+    Monday — and shares are computed before the pivot's fillna(0), so
+    absent (week, industry) cells are missing rows, not zeros. Sums run
+    in exact integer units (cents x lot) so both engines divide the
+    same integers. Was pattern-subsumed by r12; own entry per r14
+    verdict item 6.
+
+    Spark shape: two hash aggregates off one scan + an
+    aggregate-on-aggregate join keyed by week; no windows, no UDFs."""
+    ev = load_table(spark, sf_dir, "events")
+    d = F.to_date("ts")
+    week = F.date_add(
+        F.date_add(d, (F.lit(2) - F.dayofweek(d) + 7) % 7), -6
+    )
+    ff = F.when(F.col("user_id") % 23 == 0, F.lit(None)).otherwise(
+        F.lit(1) + F.col("user_id") % 17
+    )
+    dvol_units = (
+        F.round(F.col("value") * 100, 0).cast("long")
+        * (1 + F.col("user_id") % 9).cast("long")
+    )
+    base = ev.select(
+        week.alias("week"), ff.alias("ff17num"), dvol_units.alias("dv")
+    ).filter(F.col("ff17num").isNotNull())
+    grp = base.groupBy("week", "ff17num").agg(F.sum("dv").alias("s"))
+    tot = base.groupBy("week").agg(F.sum("dv").alias("t"))
+    return grp.join(tot, "week").select(
+        F.date_format("week", "yyyy-MM-dd").alias("week"),
+        "ff17num",
+        (F.col("s").cast("double") / F.lit(100.0)).alias("dvolume"),
+        (
+            F.lit(100.0) * F.col("s").cast("double")
+            / F.col("t").cast("double")
+        ).alias("pct"),
+    )
+
+
+_R18_CASE_BT = """CASE WHEN user_id % 63 < 1 THEN 'BT0'
+                       WHEN user_id % 63 < 3 THEN 'BT1'
+                       WHEN user_id % 63 < 7 THEN 'BT2'
+                       WHEN user_id % 63 < 15 THEN 'BT3'
+                       WHEN user_id % 63 < 31 THEN 'BT4'
+                       ELSE 'BT5' END"""
+_R18_CASE_CD = """CASE WHEN user_id % 255 < 1 THEN 'C0'
+                       WHEN user_id % 255 < 3 THEN 'C1'
+                       WHEN user_id % 255 < 7 THEN 'C2'
+                       WHEN user_id % 255 < 15 THEN 'C3'
+                       WHEN user_id % 255 < 31 THEN 'C4'
+                       WHEN user_id % 255 < 63 THEN 'C5'
+                       WHEN user_id % 255 < 127 THEN 'C6'
+                       ELSE 'C7' END"""
+
+
+@register(
+    "r18_bond_characteristics_evolution",
+    oracle=f"""
+    WITH base AS (
+      SELECT CAST(ts AS DATE)
+               + ((8 - isodow(CAST(ts AS DATE))) % 7) * INTERVAL 1 DAY
+               - INTERVAL 6 DAY AS week,
+             {_R18_CASE_BT} AS bond_type,
+             {_R18_CASE_CD} AS country_domicile,
+             CASE WHEN user_id % 4 = 0 THEN 'Y' ELSE 'N' END AS rule_144a
+      FROM events
+      WHERE user_id % 29 <> 0
+    ), combo AS (
+      SELECT week, bond_type, country_domicile, rule_144a,
+             COUNT(*) AS c
+      FROM base GROUP BY 1, 2, 3, 4
+    ), long AS (
+      SELECT week, 'bond_type' AS panel, bond_type AS cat, c FROM combo
+      UNION ALL
+      SELECT week, 'country_domicile', country_domicile, c FROM combo
+      UNION ALL
+      SELECT week, 'rule_144a', rule_144a, c FROM combo
+    ), cnt AS (
+      SELECT panel, week, cat, CAST(SUM(c) AS BIGINT) AS c
+      FROM long GROUP BY 1, 2, 3
+    ), tot AS (
+      SELECT panel, week, CAST(SUM(c) AS BIGINT) AS t
+      FROM long GROUP BY 1, 2
+    ), nw AS (
+      SELECT COUNT(DISTINCT week) AS w FROM base
+    ), mean AS (
+      SELECT c.panel, c.cat,
+             SUM(100.0 * CAST(c.c AS DOUBLE) / CAST(t.t AS DOUBLE))
+               / (SELECT w FROM nw) AS mpct
+      FROM cnt c JOIN tot t ON t.panel = c.panel AND t.week = c.week
+      GROUP BY 1, 2
+    ), lab AS (
+      SELECT panel, cat,
+             CASE WHEN row_number() OVER (
+                    PARTITION BY panel ORDER BY mpct DESC, cat
+                  ) <= 5 THEN cat ELSE 'Other' END AS label
+      FROM mean
+    ), relab AS (
+      SELECT c.panel, c.week, l.label, CAST(SUM(c.c) AS BIGINT) AS c
+      FROM cnt c JOIN lab l ON l.panel = c.panel AND l.cat = c.cat
+      GROUP BY 1, 2, 3
+    ), spine AS (
+      SELECT DISTINCT l.panel, l.label, wks.week
+      FROM lab l CROSS JOIN (SELECT DISTINCT week FROM base) wks
+    )
+    SELECT s.panel,
+           strftime(CAST(s.week AS DATE), '%Y-%m-%d') AS week,
+           s.label AS category,
+           100.0 * CAST(COALESCE(r.c, 0) AS DOUBLE)
+             / CAST(t.t AS DOUBLE) AS pct
+    FROM spine s
+    JOIN tot t ON t.panel = s.panel AND t.week = s.week
+    LEFT JOIN relab r
+      ON r.panel = s.panel AND r.week = s.week AND r.label = s.label
+    """,
+)
+def r18_bond_characteristics_evolution(spark, sf_dir):
+    """Bond-characteristics composition over time
+    (`stage1/helper_functions.py:5149-5488`,
+    create_bond_characteristics_evolution_plot): three stacked panels —
+    bond_type, country_domicile, rule_144a — each the weekly trade-count
+    share per category, with the reference's top-5 + 'Other' fold:
+    categories rank by their MEAN weekly share across the pivot's
+    fillna(0) week rows (sum of shares / total distinct weeks), the top
+    five keep their names, the rest collapse into 'Other', and the
+    relabeled pivot keeps explicit zero cells (the fillna(0)). Trades
+    missing ANY characteristic drop from all panels (the reference's
+    single dropna over the FISD lookup). Was pattern-subsumed; own
+    entry per r14 verdict item 6.
+
+    Numeric discipline: every emitted pct is one division of exact
+    integer counts (the 'Other' weekly share sums COUNTS, not floats,
+    algebraically identical to the reference's column sum); the float
+    mean-share sum is used ONLY to rank categories, whose synthetic
+    frequencies are 2x-separated so an ulp of cross-engine sum-order
+    difference cannot flip the top-5 cut.
+
+    Spark shape: ONE fact aggregation to the (week x characteristics)
+    combo cube, then every later frame is combo-sized — the 3-panel
+    unpivot, shares, the panel-partitioned rank window, the relabel,
+    and the broadcast label x week spine. At 100 TB: one shuffle."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    d = F.to_date("ts")
+    week = F.date_add(
+        F.date_add(d, (F.lit(2) - F.dayofweek(d) + 7) % 7), -6
+    )
+    u = F.col("user_id")
+
+    def _ladder(mod: int, prefix: str, n: int):
+        m = u % mod
+        expr = F.lit(f"{prefix}{n - 1}")
+        for i in range(n - 2, -1, -1):
+            expr = F.when(m < 2 ** (i + 1) - 1, f"{prefix}{i}").otherwise(
+                expr
+            )
+        return expr
+
+    base = ev.filter(u % 29 != 0).select(
+        week.alias("week"),
+        _ladder(63, "BT", 6).alias("bond_type"),
+        _ladder(255, "C", 8).alias("country_domicile"),
+        F.when(u % 4 == 0, "Y").otherwise("N").alias("rule_144a"),
+    )
+    combo = base.groupBy(
+        "week", "bond_type", "country_domicile", "rule_144a"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    long = (
+        combo.select(
+            "week", F.lit("bond_type").alias("panel"),
+            F.col("bond_type").alias("cat"), "c",
+        )
+        .unionByName(
+            combo.select(
+                "week", F.lit("country_domicile").alias("panel"),
+                F.col("country_domicile").alias("cat"), "c",
+            )
+        )
+        .unionByName(
+            combo.select(
+                "week", F.lit("rule_144a").alias("panel"),
+                F.col("rule_144a").alias("cat"), "c",
+            )
+        )
+    )
+    cnt = long.groupBy("panel", "week", "cat").agg(F.sum("c").alias("c"))
+    tot = long.groupBy("panel", "week").agg(F.sum("c").alias("t"))
+    nw = combo.select(F.countDistinct("week").alias("w"))
+    pct = cnt.join(tot, ["panel", "week"]).withColumn(
+        "pct",
+        F.lit(100.0) * F.col("c").cast("double") / F.col("t").cast("double"),
+    )
+    mean = (
+        pct.groupBy("panel", "cat")
+        .agg(F.sum("pct").alias("sp"))
+        .crossJoin(F.broadcast(nw))
+        .withColumn("mpct", F.col("sp") / F.col("w").cast("double"))
+    )
+    w_rank = Window.partitionBy("panel").orderBy(
+        F.col("mpct").desc(), F.col("cat")
+    )
+    lab = mean.withColumn("r", F.row_number().over(w_rank)).select(
+        "panel",
+        "cat",
+        F.when(F.col("r") <= 5, F.col("cat"))
+        .otherwise("Other")
+        .alias("label"),
+    )
+    relab = (
+        cnt.join(F.broadcast(lab), ["panel", "cat"])
+        .groupBy("panel", "week", "label")
+        .agg(F.sum("c").alias("c"))
+    )
+    spine = (
+        base.select("week")
+        .distinct()
+        .crossJoin(F.broadcast(lab.select("panel", "label").distinct()))
+    )
+    return (
+        spine.join(tot, ["panel", "week"])
+        .join(relab, ["panel", "week", "label"], "left")
+        .select(
+            "panel",
+            F.date_format("week", "yyyy-MM-dd").alias("week"),
+            F.col("label").alias("category"),
+            (
+                F.lit(100.0)
+                * F.coalesce(F.col("c"), F.lit(0)).cast("double")
+                / F.col("t").cast("double")
+            ).alias("pct"),
+        )
+    )

@@ -96,6 +96,154 @@ def build_ledger(repo: str = REPO, drop_max_round: bool = False) -> dict:
     }
 
 
+PKG = "trace_data_pipeline_spark"
+
+
+def _import_graph(repo: str) -> dict[str, set[str]]:
+    """repo-internal import graph: package module name -> set of
+    package module names it imports (ast over every package file, so
+    function-level imports count too)."""
+    import ast as _ast
+
+    files = {}
+    for root, _dirs, names in os.walk(os.path.join(repo, PKG)):
+        for n in names:
+            if n.endswith(".py"):
+                path = os.path.join(root, n)
+                rel = os.path.relpath(path, repo)[: -len(".py")]
+                mod = rel.replace(os.sep, ".")
+                if mod.endswith(".__init__"):
+                    mod = mod[: -len(".__init__")]
+                files[mod] = path
+    graph: dict[str, set[str]] = {m: set() for m in files}
+
+    def _resolve(base: str) -> list[str]:
+        # "from pkg.a import b" may bind module pkg.a.b or a symbol of
+        # pkg.a — include whichever exist
+        out = []
+        if base in files:
+            out.append(base)
+        return out
+
+    for mod, path in files.items():
+        try:
+            tree = _ast.parse(open(path, encoding="utf-8").read())
+        except SyntaxError:
+            continue
+        for node in _ast.walk(tree):
+            if isinstance(node, _ast.Import):
+                for a in node.names:
+                    if a.name.startswith(PKG):
+                        graph[mod].update(_resolve(a.name))
+            elif isinstance(node, _ast.ImportFrom):
+                if node.level:  # relative import
+                    parts = mod.split(".")
+                    # level=1 from a module means its package
+                    base = ".".join(parts[: -node.level])
+                    src = f"{base}.{node.module}" if node.module else base
+                else:
+                    src = node.module or ""
+                if not src.startswith(PKG):
+                    continue
+                graph[mod].update(_resolve(src))
+                for a in node.names:
+                    graph[mod].update(_resolve(f"{src}.{a.name}"))
+    # plans.catalog imports the plan modules (and the plans package)
+    # solely to trigger @register side effects when building the
+    # registry — following those edges would put EVERY plan module in
+    # EVERY entry's closure (each plan imports catalog for @register,
+    # catalog imports all siblings). Drop them: an entry's semantics
+    # never depend on sibling plan modules.
+    cat = graph.get(f"{PKG}.plans.catalog", set())
+    for dep in list(cat):
+        if dep == f"{PKG}.plans" or dep.startswith(f"{PKG}.plans."):
+            cat.discard(dep)
+    return graph, files
+
+
+def entry_dependency_files(repo: str = REPO) -> dict[str, list[str]]:
+    """For every catalog entry: the repo-relative package files its
+    builder can reach (defining module + transitive repo-internal
+    imports). This is the file set whose newest commit a parity stamp
+    must postdate."""
+    import inspect
+
+    from trace_data_pipeline_spark.plans import get_catalog
+
+    graph, files = _import_graph(repo)
+
+    def _closure(mod: str) -> set[str]:
+        seen, stack = set(), [mod]
+        while stack:
+            m = stack.pop()
+            if m in seen:
+                continue
+            seen.add(m)
+            stack.extend(graph.get(m, ()))
+        return seen
+
+    out = {}
+    for name, entry in get_catalog().items():
+        src = inspect.getsourcefile(entry.builder)
+        rel = os.path.relpath(src, repo)[: -len(".py")]
+        mod = rel.replace(os.sep, ".")
+        if mod.endswith(".__init__"):
+            mod = mod[: -len(".__init__")]
+        out[name] = sorted(
+            os.path.relpath(files[m], repo) for m in _closure(mod)
+        )
+    return out
+
+
+def stale_parity_stamps(repo: str = REPO) -> dict[str, dict]:
+    """Entries whose OLDEST per-scale parity stamp predates the newest
+    commit touching any file in their dependency closure (r14 verdict
+    item 7: a stamp taken pre-commit proves the pre-commit tree — the
+    j18/p3/s2 race). Re-prove with:
+    for sf in 0.001 0.01 0.1; do TEST_SF_DIR=/root/testdata/sf$sf \\
+      python -m pytest tests/test_parity.py --parity-report -k <entry>;
+    done"""
+    import subprocess
+    from datetime import datetime, timezone
+
+    ledger = build_ledger(repo)
+    deps = entry_dependency_files(repo)
+    # one git call per distinct file set is wasteful; one per FILE is
+    # cached and the sets overlap heavily
+    file_ts: dict[str, float] = {}
+
+    def _newest_commit_ts(path: str) -> float:
+        if path not in file_ts:
+            out = subprocess.run(
+                ["git", "log", "-1", "--format=%ct", "--", path],
+                cwd=repo,
+                capture_output=True,
+                text=True,
+            ).stdout.strip()
+            file_ts[path] = float(out) if out else 0.0
+        return file_ts[path]
+
+    stale = {}
+    for name, proved in ledger["parity_proved"].items():
+        if name not in deps:
+            continue  # retired entry
+        stamp = datetime.strptime(
+            proved, "%Y-%m-%dT%H:%M:%SZ"
+        ).replace(tzinfo=timezone.utc).timestamp()
+        newest, newest_file = 0.0, None
+        for f in deps[name]:
+            ts = _newest_commit_ts(f)
+            if ts > newest:
+                newest, newest_file = ts, f
+        if newest > stamp:
+            stale[name] = {
+                "proved": proved,
+                "newest_commit_ts": newest,
+                "newest_file": newest_file,
+            }
+    return stale
+
+
 def render_section(ledger: dict) -> str:
     """Markdown for the generated COVERAGE.md section. Deterministic:
     derived from the artifacts only, no generation timestamp."""
@@ -179,7 +327,14 @@ def update_coverage_md(repo: str = REPO, check: bool = False) -> bool:
 
     new = _apply(render_section(build_ledger(repo)))
     current = new == text
-    if not current and _apply(
+    # The drop-newest-round acceptance exists ONLY for the check path
+    # (the driver drops CORRECTNESS_r{N}.json after the round's final
+    # commit, so a ledger committed moments earlier isn't wrong, just
+    # pre-drop). On the WRITE path it must not short-circuit: a ledger
+    # that is genuinely one round stale is indistinguishable from the
+    # pre-drop race, and skipping the write would leave COVERAGE.md
+    # un-refreshed after a new round (r14 ADVICE item 1).
+    if check and not current and _apply(
         render_section(build_ledger(repo, drop_max_round=True))
     ) == text:
         current = True

@@ -34,3 +34,19 @@ def test_coverage_ledger_is_current():
         n for n in ledger["uncovered"] if n not in ledger["parity_proved"]
     ]
     assert not missing, f"entries with no evidence at all: {missing}"
+
+
+def test_parity_stamps_postdate_entry_commits():
+    """r14 verdict item 7: a parity stamp proves the TREE it ran on —
+    j18/p3/s2's r14 stamps predated their fixing commit by 5 minutes
+    because the proof ran pre-commit. Every entry's oldest per-scale
+    stamp must postdate the newest commit touching any package file in
+    its dependency closure (builder module + transitive repo-internal
+    imports). Protocol: commit first, then refresh the sweep."""
+    from coverage_ledger import stale_parity_stamps
+
+    stale = stale_parity_stamps()
+    assert not stale, (
+        "parity stamps older than the newest commit touching the "
+        f"entry's modules — re-prove after committing: {stale}"
+    )

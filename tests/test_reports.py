@@ -694,3 +694,35 @@ def test_concentration_table_matches_reference():
     )
     num = _re.compile(r"\d+\.\d{3}")
     assert num.findall(got) == num.findall(ref), (got, ref)
+
+
+def test_concentration_table_zero_row_class(spark):
+    """r14 ADVICE item 3: a rating class with ZERO rows in the report
+    slice aggregates to an all-null concentration row (or none) — the
+    quality report must render it as zeros, not raise TypeError on
+    None * 100 inside concentration_table."""
+    from pyspark.sql import functions as F
+
+    from trace_data_pipeline_spark.operators.analytics import (
+        concentration_metrics,
+    )
+    from trace_data_pipeline_spark.reports import latex
+    from trace_data_pipeline_spark.reports.render import collect_report_rows
+
+    vol = spark.createDataFrame(
+        [("IG", "u1", 10.0), ("IG", "u2", 5.0), ("NIG", "u3", 2.0)],
+        "rating_class string, user_id string, dvol double",
+    )
+    conc = {}
+    for cls in ("IG", "NIG", "DEF"):  # DEF slice is empty
+        cm = concentration_metrics(
+            vol.filter(F.col("rating_class") == cls), "user_id", "dvol"
+        )
+        rows = collect_report_rows(cm)
+        row = rows[0] if rows else {c: None for c in cm.columns}
+        conc[cls] = {k: (0.0 if v is None else v) for k, v in row.items()}
+    table = latex.concentration_table(
+        conc["IG"], conc["NIG"], conc["DEF"], "2020-01-01", "2020-12-31"
+    )
+    assert "0.000" in table  # the DEF column rendered as zeros
+    assert conc["IG"]["top_10pct_share"] > 0

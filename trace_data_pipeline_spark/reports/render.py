@@ -428,14 +428,17 @@ def write_quality_report(
         "user_id",
         (F.col("pr") * F.col("n_trades")).alias("dvol"),
     )
-    conc = {
-        cls: collect_report_rows(
-            concentration_metrics(
-                vol.filter(F.col("rating_class") == cls), "user_id", "dvol"
-            )
-        )[0]
-        for cls in ("IG", "NIG", "DEF")
-    }
+    conc = {}
+    for cls in ("IG", "NIG", "DEF"):
+        cm = concentration_metrics(
+            vol.filter(F.col("rating_class") == cls), "user_id", "dvol"
+        )
+        rows = collect_report_rows(cm)
+        # a class with zero rows in this slice aggregates to an
+        # all-null row (or none at all) — render as zeros instead of
+        # letting concentration_table multiply None (r14 ADVICE item 3)
+        row = rows[0] if rows else {c: None for c in cm.columns}
+        conc[cls] = {k: (0.0 if v is None else v) for k, v in row.items()}
 
     tables = [
         latex.availability_table(panels, span["lo"], span["hi"]),

@@ -58,9 +58,15 @@ SHIFTS = {
 # of the fixture, not a plan defect (real deployments hold the query
 # batch fixed as the corpus grows), and it would trip a linearity bound
 # that the shuffle-linear entries must satisfy.
+# r15: w10i (array-solver bond record) and r18 (top-5+Other evolution,
+# the only entry with a rank window over a global mean frame) joined the
+# gate; their user_id/o_orderkey moduli are not all divisors of the
+# shifts, so per-copy mixes re-randomize — statistically the same
+# workload, which is all a timing bound needs (see the p6 note above).
 QUERIES = ("p1_stage0_full", "w1_decimal_shift", "w2_bounce_back",
            "w10e_full_record", "d4_minhash_lsh_pairs", "d18_dedup_clusters",
-           "d28_incremental_dedup", "a1_daily_panel", "p6_portfolio_panel")
+           "d28_incremental_dedup", "a1_daily_panel", "p6_portfolio_panel",
+           "w10i_act_exact_record", "r18_bond_characteristics_evolution")
 
 
 def _generate_scaled(spark, dst_dir: str, n_copies: int) -> None:

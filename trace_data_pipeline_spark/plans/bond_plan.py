@@ -226,6 +226,7 @@ WITH RECURSIVE base AS (
     CASE WHEN o_orderkey % 7 = 0 THEN CAST(0.0 AS DOUBLE)
          WHEN o_orderkey % 6 IN (4, 5) AND o_orderkey % 13 = 0
            THEN CAST(0.0 AS DOUBLE)
+         WHEN o_orderkey % 11 = 5 THEN CAST(NULL AS DOUBLE)
          ELSE CAST(2 + o_orderkey % 7 AS DOUBLE) END AS c_pct,
     CASE o_orderkey % 4 WHEN 0 THEN '30/360' WHEN 1 THEN 'ACT/ACT'
                         WHEN 2 THEN 'ACT/360' ELSE 'ACT/365' END AS dcb,
@@ -246,7 +247,10 @@ st AS (
 ),
 cls AS (
   SELECT *,
-    (ctype = 'Z' OR (ctype = 'F' AND c_pct = 0.0 AND p < 100.0)) AS is_zero,
+    -- missing coupon takes the zero branch below par, exactly like
+    -- coupon == 0 (GetNewVarsPy: `x.coupon == 0 or np.isnan(x.coupon)`)
+    (ctype = 'Z' OR (ctype = 'F' AND (c_pct = 0.0 OR c_pct IS NULL)
+                     AND p < 100.0)) AS is_zero,
     CASE ifreq WHEN '1' THEN 1 WHEN '2' THEN 2 WHEN '4' THEN 4
                WHEN '12' THEN 12
                ELSE (CASE WHEN c_pct > 0 THEN 2 ELSE NULL END) END AS m_c
@@ -400,6 +404,9 @@ def w10e_full_record(spark, sf_dir):
         .alias("ifreq"),
         F.when(k % 7 == 0, F.lit(0.0))
         .when((k % 6).isin(4, 5) & (k % 13 == 0), F.lit(0.0))
+        # r15: MISSING coupons exercise the reference's np.isnan branch
+        # (below par -> zero-coupon bond; at/above par -> all-null)
+        .when(k % 11 == 5, F.lit(None).cast("double"))
         .otherwise((2 + k % 7).cast("double"))
         .alias("c_pct"),
         F.when(k % 4 == 0, "30/360")

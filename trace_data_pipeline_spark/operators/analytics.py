@@ -156,8 +156,15 @@ def winsorize_by_group(
     ).select(
         *group_by, F.get("__b", 0).alias("__lo"), F.get("__b", 1).alias("__hi")
     )
+    # null values stay null (pandas clip(NaN) = NaN): Spark's
+    # least/greatest SKIP nulls, so an unguarded clip would map a null
+    # price to the lower bound (r15 step10a differential finding)
     clipped = df.join(F.broadcast(bounds), list(group_by), "left").withColumn(
-        out_col, F.least(F.greatest(F.col(value), F.col("__lo")), F.col("__hi"))
+        out_col,
+        F.when(
+            F.col(value).isNotNull(),
+            F.least(F.greatest(F.col(value), F.col("__lo")), F.col("__hi")),
+        ),
     )
     return clipped.drop("__lo", "__hi")
 
@@ -184,11 +191,15 @@ def winsorize_many_by_group(
     bounds = df.groupBy(*group_by).agg(*aggs)
     out = df.join(F.broadcast(bounds), list(group_by), "left")
     for i, (value, out_col) in enumerate(cols):
+        # same null-preservation as winsorize_by_group
         out = out.withColumn(
             out_col,
-            F.least(
-                F.greatest(F.col(value), F.get(f"__b{i}", 0)),
-                F.get(f"__b{i}", 1),
+            F.when(
+                F.col(value).isNotNull(),
+                F.least(
+                    F.greatest(F.col(value), F.get(f"__b{i}", 0)),
+                    F.get(f"__b{i}", 1),
+                ),
             ),
         )
     return out.drop(*[f"__b{i}" for i in range(len(cols))])

@@ -1063,7 +1063,8 @@ def a10_concentration(spark, sf_dir):
              quantile_cont(l_extendedprice, 0.995) AS hi
       FROM lineitem GROUP BY 1
     )
-    SELECT l.month, ROUND(AVG(LEAST(GREATEST(l.l_extendedprice, b.lo), b.hi)), 4)
+    SELECT l.month, ROUND(AVG(CASE WHEN l.l_extendedprice IS NULL THEN NULL
+             ELSE LEAST(GREATEST(l.l_extendedprice, b.lo), b.hi) END), 4)
              AS mean_winsorized,
            COUNT(*) AS n
     FROM (SELECT strftime(l_shipdate, '%Y-%m') AS month, l_extendedprice

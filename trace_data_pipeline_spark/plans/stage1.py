@@ -671,8 +671,12 @@ final AS (
          CAST(s.mdy_composite AS BIGINT) AS mdy_composite,
          (s.sp_composite + s.mdy_composite) / 2.0 AS comp_rating,
          ROUND(s.bond_maturity, 6) AS bond_maturity,
-         ROUND(LEAST(GREATEST(s.ytm6, b.ylo), b.yhi), 6) + 0.0 AS ytm_w,
-         ROUND(LEAST(GREATEST(s.spread6, b.slo), b.shi), 6) + 0.0 AS spread_w
+         CASE WHEN s.ytm6 IS NULL THEN NULL
+              ELSE ROUND(LEAST(GREATEST(s.ytm6, b.ylo), b.yhi), 6) + 0.0
+         END AS ytm_w,
+         CASE WHEN s.spread6 IS NULL THEN NULL
+              ELSE ROUND(LEAST(GREATEST(s.spread6, b.slo), b.shi), 6) + 0.0
+         END AS spread_w
   FROM solved s JOIN bounds b ON s.d = b.d
 )"""
 

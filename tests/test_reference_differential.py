@@ -3890,3 +3890,99 @@ def test_winsorize_matches_reference_step10a(spark, seed):
     assert np.allclose(got[live], w[live], rtol=0, atol=1e-12)
     assert np.isnan(w).any()        # null rows exercised
     assert (got[live] != pdf["ytm"].to_numpy(float)[live]).any()  # clipping fired
+
+
+_SRC_EPH = _REF / "stage0" / "_error_plot_helpers.py"
+
+
+@pytest.mark.parametrize("seed", [20260816])
+def test_build_filter_summary_matches_reference(spark, seed):
+    """build_filter_summary + _format_table
+    (`stage0/_error_plot_helpers.py:485-930`): the reference sums a
+    PER-CHUNK audit ledger per stage (stage order recovered via median
+    step index across chunks — including non-contiguous and NaN chunk
+    ids), reclassifies decimal_shift removals as corrections, computes
+    %-of-global-start at 3 decimals and appends the overall row. The
+    engine is chunkless by design (SURVEY §2.4 A15: partitioning
+    replaces chunking), so its one-pass global audit aggregate must
+    equal the reference's chunk-summed table number for number."""
+    import re as _re
+
+    rng = np.random.default_rng(seed)
+    stages = ["price_filter", "decimal_shift", "bounce_back",
+              "final_dedup"]
+    chunk_ids = [0, 3, 7, 11, None]  # non-contiguous + one NaN chunk
+    rows = []
+    for ch in chunk_ids:
+        n = int(rng.integers(5_000, 20_000))
+        rows.append(dict(chunk=ch, stage="start", rows_before=n,
+                         rows_after=n, removed=0))
+        cur = n
+        for st in stages:
+            rem = int(rng.integers(0, max(2, cur // 12)))
+            rows.append(dict(chunk=ch, stage=st, rows_before=cur,
+                             rows_after=cur - rem, removed=rem))
+            cur -= rem
+    # per-chunk rows stay in stage order — the ledger append order is
+    # what the reference's median-cumcount trick recovers the canonical
+    # stage sequence from (a shuffled ledger is out of contract)
+    ledger = pd.DataFrame(rows)
+
+    ns = _ref_fns(
+        _SRC_EPH,
+        ("build_filter_summary", "_escape_filter_value", "_format_table",
+         "_rows_to_latex_generic"),
+    )
+    summary = ns["build_filter_summary"](ledger.copy())
+    assert list(summary.index) == stages + ["overall"]  # order recovered
+    fmt = ns["_format_table"](summary, percent_col="%removed_start")
+    tex = ns["_rows_to_latex_generic"](fmt)
+    want = {}
+    for line in tex.splitlines():
+        m = _re.search(
+            r"\\texttt\{([\w\\_]+)\} & ([\d,]+) & ([\d,]+) & ([\d,]+) & "
+            r"([\d.]+)", line
+        )
+        if m:
+            name = m.group(1).replace(r"\_", "_")
+            want[name] = (
+                int(m.group(2).replace(",", "")),
+                int(m.group(3).replace(",", "")),
+                int(m.group(4).replace(",", "")),
+                m.group(5),
+            )
+    assert set(want) == set(stages) | {"overall"}
+
+    # engine: ONE global aggregate over the same ledger (no chunks)
+    sdf = spark.createDataFrame(
+        ledger.assign(chunk=ledger["chunk"].astype("object")),
+        schema="chunk int, stage string, rows_before long,"
+        " rows_after long, removed long",
+    )
+    total_start = (
+        sdf.filter(F.col("stage") == "start")
+        .agg(F.sum("rows_before"))
+        .collect()[0][0]
+    )
+    agg = (
+        sdf.filter(F.col("stage") != "start")
+        .groupBy("stage")
+        .agg(
+            F.sum("rows_before").alias("npre"),
+            F.sum("rows_after").alias("npost"),
+            F.sum("removed").alias("rem"),
+        )
+    )
+    got_rows = {r["stage"]: r for r in agg.collect()}
+    for st in stages:
+        g = got_rows[st]
+        w = want[st]
+        pct = round(100.0 * g["rem"] / total_start, 3)
+        assert (g["npre"], g["npost"], g["rem"]) == w[:3], st
+        assert f"{pct:.3f}" == w[3], st
+    # overall: reference uses (start - final Npost) / start
+    final_npost = got_rows[stages[-1]]["npost"]
+    w = want["overall"]
+    assert w[0] == total_start and w[1] == final_npost
+    assert w[2] == sum(got_rows[s]["rem"] for s in stages)
+    assert f"{round(100.0 * (total_start - final_npost) / total_start, 3):.3f}" == w[3]

@@ -3986,3 +3986,86 @@ def test_build_filter_summary_matches_reference(spark, seed):
     assert w[0] == total_start and w[1] == final_npost
     assert w[2] == sum(got_rows[s]["rem"] for s in stages)
     assert f"{round(100.0 * (total_start - final_npost) / total_start, 3):.3f}" == w[3]
+
+
+@pytest.mark.parametrize("seed", [20260816])
+def test_calculate_credit_spreads_matches_reference(spark, seed):
+    """calculate_credit_spreads (`stage1/helper_functions.py`),
+    executed verbatim with joblib faked serial: the date merge of the
+    wide yield curve, the per-row key-rate interpolation (ComputeCredit
+    — itself diffed separately by test_w9) and the ytm - interp spread,
+    vs the engine's date join + piecewise_linear_cols composition
+    (w9b_credit_spread's shape). Missing-curve dates propagate NaN
+    spreads on both sides."""
+    from trace_data_pipeline_spark.operators.analytics import (
+        piecewise_linear_cols,
+    )
+
+    rng = np.random.default_rng(seed)
+    tenors = ["oneyr", "twoyr", "fiveyr", "sevyr", "tenyr", "twentyr",
+              "thirtyr"]
+    dates = pd.date_range("2021-01-04", periods=25, freq="B")
+    ylds = pd.DataFrame({"trd_exctn_dt": dates})
+    for ti, t in enumerate(tenors):
+        ylds[t] = np.round(0.01 + 0.002 * ti + 0.0005 * rng.random(25), 8)
+    ylds = ylds.iloc[:-3]  # last trade dates have NO curve -> NaN spread
+
+    rows = []
+    for i in range(60):
+        rows.append(dict(
+            cusip_id=f"C{i:03d}",
+            trd_exctn_dt=dates[int(rng.integers(0, 25))],
+            ytm=float(np.round(0.02 + 0.08 * rng.random(), 8)),
+            bond_maturity=float(np.round(rng.uniform(0.2, 35.0), 6)),
+        ))
+    traced_out = pd.DataFrame(rows).drop_duplicates(
+        ["cusip_id", "trd_exctn_dt"]
+    )
+
+    ns = _ref_fns(_SRC_S1, ("ComputeCredit", "calculate_credit_spreads"))
+    ns["Parallel"] = lambda n_jobs: (lambda it: list(it))
+    ns["delayed"] = lambda f: f
+    ns["tqdm"] = lambda it: it
+    ref = ns["calculate_credit_spreads"](traced_out.copy(), ylds.copy(),
+                                         n_jobs=1)
+    ref = ref.sort_values(["cusip_id", "trd_exctn_dt"]).reset_index(
+        drop=True
+    )
+
+    sdf = spark.createDataFrame(
+        traced_out,
+        schema="cusip_id string, trd_exctn_dt timestamp, ytm double,"
+        " bond_maturity double",
+    )
+    ydf = spark.createDataFrame(
+        ylds,
+        schema="trd_exctn_dt timestamp, " + ", ".join(
+            f"{t} double" for t in tenors
+        ),
+    )
+    merged = sdf.join(F.broadcast(ydf), "trd_exctn_dt", "left")
+    interp = piecewise_linear_cols(
+        F.col("bond_maturity"),
+        [1.0, 2.0, 5.0, 7.0, 10.0, 20.0, 30.0],
+        [F.col(t) for t in tenors],
+    )
+    got = (
+        merged.select(
+            "cusip_id",
+            "trd_exctn_dt",
+            interp.alias("yld_interp"),
+            (F.col("ytm") - interp).alias("credit_spread"),
+        )
+        .toPandas()
+        .sort_values(["cusip_id", "trd_exctn_dt"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(ref)
+    for col in ("yld_interp", "credit_spread"):
+        g = got[col].to_numpy(float)
+        w = ref[col].to_numpy(float)
+        assert (np.isnan(g) == np.isnan(w)).all(), col
+        live = ~np.isnan(w)
+        assert np.allclose(g[live], w[live], rtol=0, atol=1e-12), col
+    assert ref["credit_spread"].isna().any()   # missing-curve branch fired
+    assert ref["credit_spread"].notna().sum() > 30

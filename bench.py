@@ -62,6 +62,8 @@ FLOORS: dict[str, float] = {
     "d28_incremental_dedup": 1.062,
     "d2_ngram_jaccard_pairs": 1.338,
     "d31_cluster_representatives": 2.235,
+    # r15: zip_with-slice n-gram build (the index form was 8x slower)
+    "d34_repetition_signals": 1.397,
     "d3_minhash_bands": 0.738,
     "d4_minhash_lsh_pairs": 0.974,
     "d5_simhash": 2.44,

@@ -85,6 +85,9 @@ CEILINGS = {
     # r15: ACT-exact record and the top-5+Other evolution entry
     "w10i_act_exact_record": 8.0,      # bench-config min 1.89
     "r18_bond_characteristics_evolution": 5.0,  # bench-config min 1.38
+    # r15: pinned after the zip_with-slice rewrite cut it 11.9 -> 1.4 s
+    # (a regression of the interpreted-HOF build trips this hard)
+    "d34_repetition_signals": 4.5,     # bench-config min 1.40
     "r5_distressed_series": 10.0,      # min 3.39 (W7 grouped-map core)
     "r6_default_dynamics": 3.5,        # min 1.09
     "r8_active_dormant": 2.0,          # min 0.61

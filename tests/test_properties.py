@@ -660,3 +660,37 @@ def test_word_ngrams_short_doc_guard(spark):
     assert got[1] == ([], [])
     assert got[2] == (["two words"], [])
     assert got[3] == (["a b", "b c", "c d"], ["a b c", "b c d"])
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_word_ngrams_property_vs_python(spark, seed):
+    """Property check for the zip_with-slice n-gram build: for random
+    token arrays (including empties and length-n boundaries) the result
+    equals the plain-python sliding join for n in {2, 3, 4}."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from trace_data_pipeline_spark.datapipe.text import word_ngrams
+
+    rng = np.random.default_rng(seed)
+    vocab = ["a", "bb", "ccc", "x1", "y2", "zz9"]
+    rows = []
+    for i in range(60):
+        L = int(rng.integers(0, 9))
+        rows.append((i, [vocab[int(rng.integers(0, len(vocab)))]
+                         for _ in range(L)]))
+    pdf = pd.DataFrame(rows, columns=["rid", "toks"])
+    sdf = spark.createDataFrame(pdf, schema="rid long, toks array<string>")
+    sel = sdf.select(
+        "rid",
+        *[word_ngrams(F.col("toks"), n).alias(f"g{n}") for n in (2, 3, 4)],
+    )
+    got = {r["rid"]: r for r in sel.collect()}
+    for rid, toks in rows:
+        for n in (2, 3, 4):
+            want = [
+                " ".join(toks[i : i + n])
+                for i in range(len(toks) - n + 1)
+            ]
+            assert got[rid][f"g{n}"] == want, (rid, n, toks)

@@ -4069,3 +4069,67 @@ def test_calculate_credit_spreads_matches_reference(spark, seed):
         assert np.allclose(g[live], w[live], rtol=0, atol=1e-12), col
     assert ref["credit_spread"].isna().any()   # missing-curve branch fired
     assert ref["credit_spread"].notna().sum() > 30
+
+
+@pytest.mark.parametrize("seed", [20260816])
+def test_build_dn_summary_matches_reference(spark, seed):
+    """build_dn_summary (`stage0/_error_plot_helpers.py:586-653`, the
+    data report's Panel C): unlike build_filter_summary it
+    RECONSTRUCTS the sequential Npre/Npost walk from only the
+    chunk-summed removed counts starting at total_start. The engine
+    mirror is one tiny per-stage aggregate plus a cumulative-sum walk
+    (a window over a stage-count-sized frame)."""
+    from pyspark.sql import Window as W
+
+    rng = np.random.default_rng(seed)
+    steps = ["dn_cancel", "dn_correction", "dn_reversal", "dn_double",
+             "dn_agency"]
+    rows = []
+    for ch in range(4):
+        for st in steps:
+            rows.append(dict(chunk=ch, stage=st,
+                             removed=int(rng.integers(0, 900))))
+    dn = pd.DataFrame(rows)
+    total_start = 250_000
+
+    ns = _ref_fns(_SRC_EPH, ("build_dn_summary",))
+    ref = ns["build_dn_summary"](dn.copy(), total_start=total_start)
+    assert list(ref.index) == steps + ["overall"]
+
+    sdf = spark.createDataFrame(
+        dn, schema="chunk int, stage string, removed long"
+    ).repartition(3)
+    order = {st: i for i, st in enumerate(steps)}
+    agg = (
+        sdf.groupBy("stage")
+        .agg(F.sum("removed").alias("rem"))
+        .withColumn(
+            "ord",
+            F.coalesce(
+                *[
+                    F.when(F.col("stage") == st, F.lit(i))
+                    for st, i in order.items()
+                ]
+            ),
+        )
+    )
+    w = W.orderBy("ord").rowsBetween(W.unboundedPreceding, W.currentRow)
+    walked = (
+        agg.withColumn("cum", F.sum("rem").over(w))
+        .withColumn("npost", F.lit(total_start) - F.col("cum"))
+        .withColumn("npre", F.col("npost") + F.col("rem"))
+        .withColumn(
+            "pct", F.round(100.0 * F.col("rem") / F.lit(total_start), 3)
+        )
+    )
+    got = {r["stage"]: r for r in walked.collect()}
+    for st in steps:
+        g, wt = got[st], ref.loc[st]
+        assert (g["npre"], g["npost"], g["rem"]) == (
+            wt["Npre"], wt["Npost"], wt["Removed"]
+        ), st
+        assert g["pct"] == wt["%_start"], st
+    ov = ref.loc["overall"]
+    assert ov["Npre"] == total_start
+    assert ov["Npost"] == got[steps[-1]]["npost"]
+    assert ov["Removed"] == sum(got[s]["rem"] for s in steps)

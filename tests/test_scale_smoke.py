@@ -66,7 +66,8 @@ SHIFTS = {
 QUERIES = ("p1_stage0_full", "w1_decimal_shift", "w2_bounce_back",
            "w10e_full_record", "d4_minhash_lsh_pairs", "d18_dedup_clusters",
            "d28_incremental_dedup", "a1_daily_panel", "p6_portfolio_panel",
-           "w10i_act_exact_record", "r18_bond_characteristics_evolution")
+           "w10i_act_exact_record", "r18_bond_characteristics_evolution",
+           "d34_repetition_signals")
 
 
 def _generate_scaled(spark, dst_dir: str, n_copies: int) -> None:

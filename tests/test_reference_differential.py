@@ -4133,3 +4133,20 @@ def test_build_dn_summary_matches_reference(spark, seed):
     assert ov["Npre"] == total_start
     assert ov["Npost"] == got[steps[-1]]["npost"]
     assert ov["Removed"] == sum(got[s]["rem"] for s in steps)
+
+
+def test_parameter_value_formatting_matches_reference():
+    """fmt_param_value vs the reference's _fmt_scalar_value
+    (`stage0/_error_plot_helpers.py:938-960`) over every value class
+    the settings tables carry: booleans (On/Off), ints, %.8g floats,
+    tuples/lists with nested texttt stripping, underscore strings."""
+    from trace_data_pipeline_spark.reports.latex import fmt_param_value
+
+    ns = _ref_fns(_SRC_EPH, ("_fmt_scalar_value",))
+    cases = [
+        True, False, 0, 7, -3, 0.25, 1e-08, 123456.789, 2.0,
+        (1, 2.5), [0.1, 0.2, 0.3], ("a_b", 5), "plain", "under_scored",
+        np.int64(9), np.float64(0.5),
+    ]
+    for v in cases:
+        assert fmt_param_value(v) == ns["_fmt_scalar_value"](v), v

@@ -79,8 +79,10 @@ def test_parameters_table_panels():
         }
     )
     assert r"\multicolumn{2}{c}{\textbf{Panel A: Toggles}}" in tex
-    assert r"\texttt{apply\_bounce\_back} & True \\" in tex
-    assert r"\texttt{factor\_set} & 10,100,1000 \\" in tex
+    # booleans render as the reference's \texttt{On}/\texttt{Off}
+    # (_fmt_scalar_value; r15 parameter-formatter alignment)
+    assert r"\texttt{apply\_bounce\_back} & \texttt{On} \\" in tex
+    assert r"\texttt{factor\_set} & \texttt{10,100,1000} \\" in tex
 
 
 def test_data_report_document_reproducible():

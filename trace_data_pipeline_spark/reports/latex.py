@@ -341,6 +341,32 @@ def descriptive_stats_table(
     return table_env(body, caption, label, note)
 
 
+def fmt_param_value(v: object) -> str:
+    """Parameter-cell rendering, matching the reference's
+    `_fmt_scalar_value` (`stage0/_error_plot_helpers.py:938-960`)
+    exactly: booleans as \texttt{On}/\texttt{Off}, ints plain,
+    floats %.8g, tuples/lists as \texttt{(..)}/\texttt{[..]} with
+    nested wrapping stripped, strings underscore-escaped in
+    \texttt{} (r15 differential)."""
+    import numpy as _np
+
+    if isinstance(v, bool):
+        return r"\texttt{On}" if v else r"\texttt{Off}"
+    if isinstance(v, (int, _np.integer)):
+        return f"{int(v)}"
+    if isinstance(v, (float, _np.floating)):
+        return f"{v:.8g}"
+    if isinstance(v, (tuple, list)):
+        inside = ", ".join(fmt_param_value(x) for x in v)
+        inside = inside.replace(r"\texttt{", "").replace("}", "")
+        return (
+            r"\texttt{(" + inside + r")}"
+            if isinstance(v, tuple)
+            else r"\texttt{[" + inside + r"]}"
+        )
+    return r"\texttt{" + str(v).replace("_", r"\_") + "}"
+
+
 def parameters_table(
     panels: Mapping[str, Sequence[tuple[str, object]]],
     caption: str = "Error-Correction Filters and Module Parameters",
@@ -362,7 +388,7 @@ def parameters_table(
             r"\midrule",
         ]
         lines += [
-            rf"\texttt{{{escape_tex(k)}}} & {escape_tex(v)} \\"
+            rf"\texttt{{{escape_tex(k)}}} & {fmt_param_value(v)} \\"
             for k, v in pairs
         ]
     lines += [r"\bottomrule", r"\end{tabular}"]

@@ -99,7 +99,7 @@ def build_ledger(repo: str = REPO, drop_max_round: bool = False) -> dict:
 PKG = "trace_data_pipeline_spark"
 
 
-def _import_graph(repo: str) -> dict[str, set[str]]:
+def _import_graph(repo: str) -> tuple[dict[str, set[str]], dict[str, str]]:
     """repo-internal import graph: package module name -> set of
     package module names it imports (ast over every package file, so
     function-level imports count too)."""
@@ -138,8 +138,14 @@ def _import_graph(repo: str) -> dict[str, set[str]]:
             elif isinstance(node, _ast.ImportFrom):
                 if node.level:  # relative import
                     parts = mod.split(".")
-                    # level=1 from a module means its package
-                    base = ".".join(parts[: -node.level])
+                    # level=1 from a module means its package; from a
+                    # PACKAGE (__init__) it means the package ITSELF —
+                    # mod already had the .__init__ suffix stripped, so
+                    # strip one level fewer (r15 ADVICE: the old form
+                    # silently dropped such edges from the closure)
+                    is_pkg = files[mod].endswith("__init__.py")
+                    cut = node.level - 1 if is_pkg else node.level
+                    base = ".".join(parts[: len(parts) - cut])
                     src = f"{base}.{node.module}" if node.module else base
                 else:
                     src = node.module or ""

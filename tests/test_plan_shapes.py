@@ -143,6 +143,19 @@ def test_pq_adc_lut_broadcasts(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_j4_removal_anti_join_stays_broadcast(spark):
+    """j4: the removal-target anti-join must stay a BroadcastHashJoin
+    (r15: the unhinted plan sort-exchanges the FULL trades side on the
+    ckey string — the one exchange you can't afford at 100×). The hint
+    is conditional on the corrections-source scan estimate, so this
+    also guards the gate itself: a mis-read estimate would silently
+    drop the hint and resurface the SMJ here."""
+    plan = _plan(spark, "j4_correction_chain")
+    anti = [l for l in plan.splitlines() if "LeftAnti" in l]
+    assert anti and all("BroadcastHashJoin" in l for l in anti), anti
+    assert "SortMergeJoin" not in plan
+
+
 def test_decontaminate_broadcasts_benchmark(spark):
     """d26: the benchmark gram set must broadcast; the corpus gram
     stream collapses in a single partial-agg shuffle (no shuffle keyed

@@ -137,8 +137,12 @@ def _solve_frame(
         # frequency-scaled seed: 0.03 PER PERIOD is a 36%/yr start for
         # monthly bonds and Newton can bounce off the clamp; 0.06/m is
         # the same seed at m = 2 (so the whole-period contract is
-        # unchanged) and keeps high-frequency rows in the basin
-        y = 0.06 / m.astype(float)
+        # unchanged) and keeps high-frequency rows in the basin. Seed
+        # only where the mask holds (r15 ADVICE: a masked-invalid
+        # freq <= 0 row must not emit a RuntimeWarning under
+        # warnings-as-errors callers).
+        with np.errstate(all="ignore"):
+            y = np.where(valid, 0.06 / np.maximum(m.astype(float), 1.0), 0.0)
     for _ in range(NEWTON_ITERS):
         pv, dpv, _, _ = _sums(c, n, y, n_max, q, red, cf1)
         with np.errstate(all="ignore"):
@@ -304,7 +308,10 @@ def bond_analytics_times(
     valid &= np.isfinite(t_mat).all(axis=1) & (t_mat >= 0).all(axis=1)
 
     mf = m.astype(float)
-    x = 0.06 / mf  # per-period seed, as in _solve_frame
+    # per-period seed, as in _solve_frame; masked rows seed 0 so a
+    # freq <= 0 row never trips a divide warning (r15 ADVICE)
+    with np.errstate(all="ignore"):
+        x = np.where(valid, 0.06 / np.maximum(mf, 1.0), 0.0)
 
     def _pv_dpv(xv):
         pv = np.zeros(rows)

@@ -23,6 +23,27 @@ from pyspark.sql import functions as F
 
 from trace_data_pipeline_spark.operators.caching import tracked_persist
 
+# Conservative cap for the conditional broadcast of j4's removal-target
+# key set: well under Spark's 8 GB broadcast hard limit and a typical
+# executor heap, far above any per-chunk corrections volume the
+# reference processes (its W frames are a few %% of one day-chunk).
+TARGETS_BROADCAST_CAP_BYTES = 256 << 20
+
+
+def _estimated_bytes(df: DataFrame) -> int | None:
+    """The optimizer's plan-statistics size estimate for `df`, or None
+    when unavailable. Only meaningful for scan-rooted frames (file
+    statistics); derived joins/aggregates inflate multiplicatively and
+    must not be fed here. Classic-mode JVM introspection — under Spark
+    Connect (no _jdf) callers degrade to AQE's runtime join selection
+    rather than failing."""
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return None
+
 
 def anti_join_keys(
     df: DataFrame,
@@ -403,10 +424,25 @@ def correction_chain_resolution(
     # the hint the planner can't size the post-persist aggregate and
     # falls back to a SortMergeJoin that sort-exchanges the FULL trades
     # side (r14 verdict: j4's only non-broadcast join; the hint removes
-    # the one big exchange in this stage)
+    # the one big exchange in this stage). The hint is CONDITIONAL on
+    # the optimizer's size estimate for the corrections source (r15
+    # ADVICE): targets grows linearly with corrections volume, and an
+    # unconditional hint bypasses autoBroadcastJoinThreshold — at the
+    # 100 TB design point a TB-scale corrections side would blow the
+    # driver / the 8 GB broadcast hard limit. Estimate ≤ cap → hint
+    # (local runs and any production slice where corrections stay a
+    # few %% of a bounded day-chunk); unknown or above cap → leave the
+    # choice to AQE's runtime join selection over the persisted size.
+    # The gate reads the CORRECTIONS SOURCE's scan estimate — targets
+    # is a deduped single-key projection of it, so source bytes bound
+    # target bytes; the derived frame's own estimate is join-inflated
+    # garbage (10^2 over-estimates even at test scale).
+    corr_bytes = _estimated_bytes(corrections)
     targets = w_full.select(ckey(F.col("__pomsg")).alias("__rmkey")).dropDuplicates()
+    if corr_bytes is not None and corr_bytes <= TARGETS_BROADCAST_CAP_BYTES:
+        targets = F.broadcast(targets)
     survivors = trades.join(
-        F.broadcast(targets),
+        targets,
         ckey(F.col(msg_col)).eqNullSafe(F.col("__rmkey")),
         "left_anti",
     )

@@ -21,11 +21,14 @@ re-derived from its documented API, not copied code):
   False)`` — dates are maturity - k*tenor (month arithmetic with
   day-of-month clamping), a short first stub is prepended when the
   dated date is off the grid, and every date is business-day adjusted.
-- Calendar: weekend-only roll. The reference uses the NYSE calendar;
-  the engine's documented settlement scope is the weekend roll
-  (`functions/daycount.py::add_business_days`), with holiday-exact
-  joins living in the F9 operator. The differential grid therefore
-  avoids schedule dates that a holiday calendar would move.
+- Calendar: parameterized. Every calendar-touching function takes a
+  ``holidays`` set; empty (the default) is the weekend-only roll the
+  pre-r16 differential grids were restricted to, and
+  ``frozenset(functions.nyse_calendar.nyse_holidays(...))`` reproduces
+  the reference's ql.UnitedStates(NYSE) — T+2 settlement advance and
+  ModifiedFollowing schedule adjustment both route through it, so the
+  r16 grids extend to holiday-adjacent settlements and holiday-moved
+  schedule dates.
 - Discounting: QuantLib's ``CashFlows::npv(leg, InterestRate(y, dcc,
   Compounded, freq))`` accumulates time STEPWISE — each cash flow's
   discount time is the day-count fraction from the previous flow (or
@@ -48,31 +51,39 @@ ONE_DAY = timedelta(days=1)
 
 
 # ---------------------------------------------------------------- calendar
-def is_business_day(d: date) -> bool:
-    return d.weekday() < 5
+# Every calendar function takes an optional holiday set; empty = the
+# weekend-only calendar the pre-r16 differential grid was restricted
+# to, the NYSE closure set = the reference's ql.UnitedStates(NYSE).
+NO_HOLIDAYS: frozenset[date] = frozenset()
 
 
-def adjust_mf(d: date) -> date:
+def is_business_day(d: date, holidays: frozenset[date] = NO_HOLIDAYS) -> bool:
+    return d.weekday() < 5 and d not in holidays
+
+
+def adjust_mf(d: date, holidays: frozenset[date] = NO_HOLIDAYS) -> date:
     """ModifiedFollowing: next business day, unless that crosses a
     month boundary — then the previous business day."""
     f = d
-    while not is_business_day(f):
+    while not is_business_day(f, holidays):
         f += ONE_DAY
     if f.month != d.month:
         f = d
-        while not is_business_day(f):
+        while not is_business_day(f, holidays):
             f -= ONE_DAY
     return f
 
 
-def advance_business_days(d: date, n: int) -> date:
+def advance_business_days(
+    d: date, n: int, holidays: frozenset[date] = NO_HOLIDAYS
+) -> date:
     """QuantLib ``calendar.advance(d, n, Days, ...)``: n business-day
     steps (the convention argument is moot — the result is already a
     business day)."""
     out = d
     for _ in range(n):
         out += ONE_DAY
-        while not is_business_day(out):
+        while not is_business_day(out, holidays):
             out += ONE_DAY
     return out
 
@@ -130,7 +141,11 @@ def dcf(basis: str, start: date, end: date) -> float:
 
 # ----------------------------------------------------------------- schedule
 def backward_schedule(
-    dated: date, maturity: date, period_months: int, adjust: bool = True
+    dated: date,
+    maturity: date,
+    period_months: int,
+    adjust: bool = True,
+    holidays: frozenset[date] = NO_HOLIDAYS,
 ) -> list[date]:
     """QuantLib ``Schedule(..., DateGeneration.Backward,
     endOfMonth=False)``: unadjusted dates are maturity - k*tenor for
@@ -151,7 +166,7 @@ def backward_schedule(
         dates.append(dated)
     dates.reverse()
     if adjust:
-        dates = [adjust_mf(d) for d in dates]
+        dates = [adjust_mf(d, holidays) for d in dates]
         # adjustment can collapse neighbours; dedupe preserving order
         out = [dates[0]]
         for d in dates[1:]:
@@ -317,14 +332,17 @@ def get_new_vars_contract(
     trd_exctn_dt: date,
     dated_date: date | None,
     offering_date: date,
+    holidays: frozenset[date] = NO_HOLIDAYS,
 ) -> dict:
     """The full GetNewVarsPy branch logic
     (`stage1/helper_functions.py:44-255`), returning the 9-output
     record (NaN-filled on the reference's bond-is-None / pre-maturity /
-    solver-failure exits) plus the settlement date under
-    ``"settle"``."""
+    solver-failure exits) plus the settlement date under ``"settle"``.
+    Pass ``holidays=frozenset(nyse_holidays(...))`` for the reference's
+    ql.UnitedStates(NYSE) calendar — settlement advance AND every
+    schedule adjustment route through it."""
     start = dated_date if dated_date is not None else offering_date
-    settle = advance_business_days(trd_exctn_dt, 2)
+    settle = advance_business_days(trd_exctn_dt, 2, holidays)
 
     # interest frequency mapping (helper_functions.py:96-111)
     freq_map = {"1": 1, "2": 2, "4": 4, "12": 12}
@@ -347,8 +365,13 @@ def get_new_vars_contract(
 
     if is_zero:
         # ZeroCouponBond: one redemption at the payment-adjusted
-        # maturity; accrued 0; yield at annual compounding
-        pay = adjust_mf(maturity)
+        # maturity; accrued 0; yield at annual compounding. A maturity
+        # that MF-rolls BACKWARD to/under settlement leaves no live
+        # cash flow — QuantLib's bondYield throws on the empty leg and
+        # the reference's except returns the NaN record.
+        pay = adjust_mf(maturity, holidays)
+        if pay <= settle:
+            return out
         flows = [Flow(pay=pay, amount=100.0)]
         times = [dcf(day_count_basis, settle, pay)]
         try:
@@ -362,7 +385,7 @@ def get_new_vars_contract(
 
     if coupon_type == "F" and not coupon_missing and coupon > 0 and m >= 1:
         rate = coupon / 100.0
-        schedule = backward_schedule(start, maturity, 12 // m)
+        schedule = backward_schedule(start, maturity, 12 // m, holidays=holidays)
         flows = fixed_rate_leg(schedule, rate, day_count_basis)
         # accrued at settlement: the coupon whose accrual period
         # contains settlement, accrued from its start (QuantLib

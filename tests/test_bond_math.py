@@ -230,8 +230,10 @@ def test_full_record_degrades_to_null_not_job_failure(spark):
     )
 
     rows = [
-        # monthly coupon, ~36 years to maturity: 432 periods > the
-        # 250-period backward window -> last_cpn null -> __n null
+        # monthly coupon, ~36 years to maturity: 432 periods. The QUOTE
+        # model's 250-period backward window nulls it; the default
+        # quantlib model builds the full schedule like the reference
+        # and SOLVES it (asserted below).
         (1, "F", "12", 5.0, "30/360", "2060-06-15", 480, "2024-03-11", 95.0),
         # unrecognized day-count basis
         (2, "F", "2", 4.0, "BUS/252", "2030-06-15", 96, "2024-03-11", 95.0),
@@ -255,11 +257,26 @@ def test_full_record_degrades_to_null_not_job_failure(spark):
         r["k"]: r
         for r in attach_full_record(df).select("k", *RECORD_COLS).collect()
     }
-    for k in (1, 2, 3):
+    for k in (2, 3):
         assert all(got[k][c] is None for c in RECORD_COLS), (
             f"row {k} must be the ALL-null record, got {got[k]}"
         )
     assert got[4]["ytm"] is not None and got[4]["prclean"] is not None
+    # default model: the 432-period schedule is in contract and solves
+    assert got[1]["ytm"] is not None
+    assert abs(got[1]["prclean"] - 95.0) < 1e-4
+
+    quote = {
+        r["k"]: r
+        for r in attach_full_record(df, model="quote")
+        .select("k", *RECORD_COLS)
+        .collect()
+    }
+    for k in (1, 2, 3):
+        assert all(quote[k][c] is None for c in RECORD_COLS), (
+            f"quote row {k} must be the ALL-null record, got {quote[k]}"
+        )
+    assert quote[4]["ytm"] is not None
 
 
 def test_golden_leap_year_act_act_straddle(spark):
@@ -277,7 +294,11 @@ def test_golden_leap_year_act_act_straddle(spark):
 
     All constants hand-derived from calendar day counts + closed-form
     PV -- an independent arithmetic path from the engine's fractional
-    Newton solver."""
+    Newton solver. Pinned on the QUOTE model: the constants assume the
+    UNADJUSTED Jun-15/Dec-15 grid (Jun-15-2024 is a Saturday the
+    default quantlib model MF-adjusts); the default model's ACT/ACT
+    leap handling is pinned by the exact contract differential
+    instead."""
     from pyspark.sql import functions as F
 
     from trace_data_pipeline_spark.operators.bond_record import (
@@ -297,7 +318,11 @@ def test_golden_leap_year_act_act_straddle(spark):
         F.col("trade_d").cast("date").alias("trade_d"),
         "p",
     )
-    r = attach_full_record(df).select(*RECORD_COLS).collect()[0]
+    r = (
+        attach_full_record(df, model="quote")
+        .select(*RECORD_COLS)
+        .collect()[0]
+    )
     assert abs(r["acclast"] - 1.459780) < 1e-6, r["acclast"]
     assert abs(r["ytm"] - 0.08) < 1e-6, r["ytm"]
     assert abs(r["prclean"] - 97.637959) < 1e-5
@@ -308,12 +333,14 @@ def test_golden_leap_year_act_act_straddle(spark):
 
 
 def test_golden_monthly_250_period_boundary(spark):
-    """The ADVICE-r3 crash case pinned at its exact BOUNDARY: the
-    backward schedule is bounded at 250 periods, so a monthly bond 243
-    months from settlement still solves while one 255 months out falls
-    off the window and must yield the ALL-null record (never a crash,
-    never a partial record) -- and the boundary must not over-null the
-    in-window row."""
+    """The ADVICE-r3 crash case pinned at its exact BOUNDARY (QUOTE
+    model): its backward schedule is bounded at 250 periods, so a
+    monthly bond 243 months from settlement still solves while one 255
+    months out falls off the window and must yield the ALL-null record
+    (never a crash, never a partial record) -- and the boundary must
+    not over-null the in-window row. The default quantlib model has no
+    such window (the reference builds the whole schedule) and must
+    solve BOTH rows."""
     from pyspark.sql import functions as F
 
     from trace_data_pipeline_spark.operators.bond_record import (
@@ -340,12 +367,22 @@ def test_golden_monthly_250_period_boundary(spark):
     )
     got = {
         r["k"]: r
-        for r in attach_full_record(df).select("k", *RECORD_COLS).collect()
+        for r in attach_full_record(df, model="quote")
+        .select("k", *RECORD_COLS)
+        .collect()
     }
     inside = got[1]
     assert inside["ytm"] is not None and inside["ytm"] > 0.05  # below par
     assert abs(inside["prclean"] - 95.0) < 1e-4
     assert all(got[2][c] is None for c in RECORD_COLS), got[2]
+
+    full = {
+        r["k"]: r
+        for r in attach_full_record(df).select("k", *RECORD_COLS).collect()
+    }
+    for k in (1, 2):
+        assert full[k]["ytm"] is not None and full[k]["ytm"] > 0.05
+        assert abs(full[k]["prclean"] - 95.0) < 1e-4
 
 
 def test_irregular_first_coupon_out_of_contract(spark):

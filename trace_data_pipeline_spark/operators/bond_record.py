@@ -6,68 +6,89 @@ code, day_count_basis, maturity, schedule history length, trade date),
 attaches the full 9-output record: ytm, prclean, prfull, acclast,
 accpmt, accall, mac_dur, mod_dur, convexity.
 
-Spark shape: settlement roll, backward coupon bracket (O(1) probe),
-day-count routing, and the accrued trio are all codegen'd column
-algebra in one projection; the only Python is the Arrow-batched Newton
-solve of the dirty price with flows at fractional period offsets. One
-pass, zero shuffles, zero joins — at 100 TB this pipelines with
-whatever partitioning the input already has.
+Two pricing models, selected by `model=`:
 
-Semantics per the reference:
-- T+2 settlement (weekend roll; the holiday-exact variant is the F9
-  calendar semi-join / `add_business_days_calendar`);
+- ``"quantlib"`` (default, r16): the reference-faithful model. T+2
+  settlement advanced over the NYSE holiday calendar
+  (`ql.UnitedStates(NYSE).advance`, helper_functions.py:74), every
+  backward-schedule date ModifiedFollowing-adjusted against the same
+  calendar (the Schedule/FixedRateBond conventions at :125-152),
+  per-flow coupon amounts rate x dcf(accrual_start, accrual_end)
+  (QuantLib's FixedRateLeg — under ACT bases a regular coupon is NOT
+  rate/m), and stepwise per-flow discount times. Contract-exact on all
+  9 outputs across all four day-count bases, including holiday-moved
+  settlements and schedule dates (tests/ql_contract.py differential).
+- ``"quote"``: the pre-r16 uniform rate/m quote-convention model with
+  weekend-only settlement roll — kept for callers that price off the
+  quoted convention rather than the reference's leg; its documented
+  deviations (ACT amounts, holiday-blind roll) live on
+  `_attach_quote_record`.
+
+Spark shape (both models): one pass, zero shuffles, zero joins — at
+100 TB this pipelines with whatever partitioning the input already
+has. The quantlib model's schedule is array column algebra (one
+adjusted-date array per row via `transform`, per-period day-count
+steps via `zip_with` over slices, prefix-sum times); the only Python
+is the Arrow-batched Newton solve over the per-flow (times, amounts)
+arrays (`bond_math.bond_analytics_times`). The holiday calendar is a
+literal array<date> bound ONCE per plan — a dimension in an
+expression, never a join, so per-flow adjustment inside array lambdas
+costs no fact-table explosion.
+
+Shared semantics per the reference:
 - day_count_basis ∈ {30/360, ACT/ACT, ACT/360, ACT/365} routed per row;
-- interest_frequency '1'/'2'/'4'/'12', with '0'/'99' defaulting to
+- interest_frequency '1'/'2'/'4'/'12', with '0'/'99'/null defaulting to
   semiannual when coupon > 0 (helper_functions.py:104-109);
 - coupon_type 'Z' — and zero-coupon-eligible 'F' rows (no coupon,
-  priced below par) — priced as a single flow with annual compounding;
+  priced below par) — priced as a single flow with annual compounding
+  at the payment-adjusted maturity;
 - 'F' with no coupon at/above par → bond is None → all-null record;
+- settlement at/after (unadjusted) maturity → all-null record;
 - solver non-convergence → all-null record (the try/except RuntimeError
   → NaN contract).
 
 Assumes a regular schedule (dated_date ON the coupon grid, expressed as
-`hist_m` months of history before maturity). The reference's irregular
-first-stub accruals are handled by the dedicated odd-first-coupon path
-(`bond_math.bond_analytics_stub` / the `w10h_odd_first_coupon` plan),
-not by this record operator.
+`hist_m` months of history before maturity, hist_m divisible by the
+period). The reference's irregular first-stub accruals are handled by
+the dedicated odd-first-coupon path (`bond_math.bond_analytics_stub` /
+the `w10h_odd_first_coupon` plan), not by this record operator.
 
-Differential status vs the QuantLib contract (r15,
-tests/ql_contract.py + test_reference_differential.py): on 30/360 with
-weekday schedules all 9 outputs are EXACT to solver/rounding tolerance,
-including the stepwise first-flow time through a day-29-31 settlement
-(the complement-form q below). Documented deviations:
+Remaining documented deviations of the DEFAULT model (r16 differential
+status — everything else is exact):
 
-- ACT bases: QuantLib's FixedRateLeg pays rate*dcf(start, end) per
-  period and discounts at stepwise ACT times (ACT/360 semiannual pays
-  ~rate*181/360, not rate/2); this operator keeps the uniform rate/m
-  quote-convention model. Measured gap over the quoted regime
-  (|ytm| < 50%): |Δytm| < 1e-2 (< 9e-4 beyond 1y to run), durations/
-  convexity < 3.5% rel, accrued EXACT, prices re-fit exactly. For
-  QuantLib-exact ACT output use `bond_math.bond_analytics_times` /
-  the `w10i_act_exact_record` plan — per-flow amounts and times,
-  contract-exact on all 9 outputs (r15 differential).
+- Holiday span: the default calendar is the rule-derived NYSE closure
+  list for 2002-2060 (`functions/nyse_calendar.py`); schedule dates
+  outside that span adjust weekend-only. Pass `holidays=` to widen.
 - Yields below -90% per period (price far above the remaining flows,
   settlement in the last period) return the all-null record: the
-  solver's -0.9 clamp keeps (1+y)^-250 inside float range. QuantLib's
-  root exists down to (1+y/m) > 0; the reference would report it when
-  its solver converges.
-- Settlement rolls weekends only (NYSE holidays via the F9 calendar
-  join when exact parity matters), and coupon dates are kept
-  unadjusted — ModifiedFollowing on a weekend coupon date shifts
-  QuantLib's accrual amounts/times by the roll.
+  solver's -0.9 clamp keeps discount powers inside float range.
+  QuantLib's root exists down to (1+y/m) > 0; the reference would
+  report it when its solver converges.
+- An unrecognized interest-frequency code degrades the row to the
+  all-null record where the reference raises ValueError.
 """
 
 from __future__ import annotations
+
+import datetime as dt
+from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from trace_data_pipeline_spark.functions.daycount import (
     add_business_days,
+    add_business_days_cal,
+    adjust_mf_col,
     coupon_bracket,
     dcf_by_basis,
+    dcf_by_basis_signed,
 )
-from trace_data_pipeline_spark.operators.bond_math import bond_analytics_frac
+from trace_data_pipeline_spark.functions.nyse_calendar import nyse_holidays
+from trace_data_pipeline_spark.operators.bond_math import (
+    bond_analytics_frac,
+    bond_analytics_times,
+)
 
 RECORD_COLS = (
     "ytm",
@@ -81,25 +102,22 @@ RECORD_COLS = (
     "convexity",
 )
 
+# Default calendar span: the reference's TRACE sample starts 2002; 2060
+# covers every maturity in sample with slack. Bonds whose dated dates
+# precede 2002 accrue their pre-2002 periods on weekend-adjusted dates
+# (documented deviation above).
+_DEFAULT_HOLIDAY_SPAN = (2002, 2060)
 
-def attach_full_record(
-    df: DataFrame,
-    price: str = "p",
-    coupon_pct: str = "c_pct",
-    coupon_type: str = "ctype",
-    ifreq: str = "ifreq",
-    dcb: str = "dcb",
-    maturity: str = "maturity",
-    hist_m: str = "hist_m",
-    trade_d: str = "trade_d",
-) -> DataFrame:
-    """Attach the 9 analytics columns (RECORD_COLS) to `df`."""
-    p, c_pct = F.col(price), F.col(coupon_pct)
-    # the reference raises ValueError on an unrecognized interest
-    # frequency (helper_functions.py:104-109); here the row degrades to
-    # the all-null record instead of failing the job: only '0'/'99'/null
-    # take the semiannual default, anything else leaves m_c null, which
-    # __valid below folds in
+
+def _freq_and_branches(
+    p: Column, c_pct: Column, coupon_type: str, ifreq: str, dcb: str
+) -> tuple[Column, Column, Column]:
+    """(m_c, is_zero, basis_ok) — the GetNewVarsPy branch logic shared
+    by both models. The reference raises ValueError on an unrecognized
+    interest frequency (helper_functions.py:104-109); here the row
+    degrades to the all-null record instead of failing the job: only
+    '0'/'99'/null take the semiannual default, anything else leaves
+    m_c null, which the validity gate folds in."""
     m_c = (
         F.when(F.col(ifreq) == "1", 1)
         .when(F.col(ifreq) == "2", 2)
@@ -123,9 +141,279 @@ def attach_full_record(
     )
     # unrecognized day-count basis (dcf_by_basis has no otherwise) must
     # yield the all-null record, not a silently inconsistent partial one
-    # where null accrued/q coalesce into solver defaults
     basis_ok = F.col(dcb).isin(
         "30/360", "", "ACT/ACT", "ACT/360", "ACT/365", "ACT/366"
+    )
+    return m_c, is_zero, basis_ok
+
+
+def attach_full_record(
+    df: DataFrame,
+    price: str = "p",
+    coupon_pct: str = "c_pct",
+    coupon_type: str = "ctype",
+    ifreq: str = "ifreq",
+    dcb: str = "dcb",
+    maturity: str = "maturity",
+    hist_m: str = "hist_m",
+    trade_d: str = "trade_d",
+    model: str = "quantlib",
+    holidays: Sequence[dt.date] | None = None,
+) -> DataFrame:
+    """Attach the 9 analytics columns (RECORD_COLS) to `df`. See the
+    module docstring for the two models; `holidays` overrides the
+    default NYSE closure list (quantlib model only)."""
+    if model == "quote":
+        return _attach_quote_record(
+            df, price, coupon_pct, coupon_type, ifreq, dcb, maturity,
+            hist_m, trade_d,
+        )
+    if model != "quantlib":
+        raise ValueError(f"unknown model {model!r}")
+    if holidays is None:
+        holidays = nyse_holidays(*_DEFAULT_HOLIDAY_SPAN)
+
+    p, c_pct = F.col(price), F.col(coupon_pct)
+    m_c, is_zero, basis_ok = _freq_and_branches(
+        p, c_pct, coupon_type, ifreq, dcb
+    )
+    basis = F.col(dcb)
+    hol = F.col("__hols")
+
+    st = (
+        df.withColumn("__hols", F.lit(list(holidays)))
+        .withColumn(
+            "__settle", add_business_days_cal(F.col(trade_d), 2, hol)
+        )
+        .withColumn("__m_c", m_c)
+        .withColumn("__is_zero", is_zero)
+    )
+    st = st.withColumn(
+        "__valid",
+        basis_ok
+        & (F.col("__settle") < F.col(maturity))
+        & (
+            F.col("__is_zero")
+            | (
+                (F.col(coupon_type) == "F")
+                & (c_pct > 0)
+                & F.col("__m_c").isNotNull()
+            )
+        ),
+    )
+    coupon_row = F.col("__valid") & ~F.col("__is_zero")
+    st = (
+        st.withColumn(
+            "__m", F.when(F.col("__is_zero"), 1).otherwise(F.col("__m_c"))
+        )
+        .withColumn("__pm", (12 / F.col("__m_c")).cast("int"))
+        .withColumn(
+            "__N",
+            F.when(
+                coupon_row, (F.col(hist_m) / F.col("__pm")).cast("int")
+            ),
+        )
+    )
+    # the full adjusted schedule, ascending: element 1 is the adjusted
+    # dated date, element N+1 the adjusted maturity (termination-date
+    # convention is ModifiedFollowing too, helper_functions.py:138).
+    # One interpreted lambda per row; the lazily-evaluated session
+    # probe inside adjust_mf_col costs ~1 holiday lookup per weekday
+    # date, so the array build is O(N) lookups, not O(N * steps).
+    sched = st.withColumn(
+        "__D",
+        F.transform(
+            F.sequence(F.lit(0), F.col("__N")),
+            lambda j: adjust_mf_col(
+                F.add_months(
+                    F.col(maturity),
+                    (-F.col("__pm") * (F.col("__N") - j)).cast("int"),
+                ),
+                hol,
+            ),
+        ),
+    )
+    # per-period day-count steps: steps[i] = dcf(D[i], D[i+1]) — the
+    # accrual fraction QuantLib's FixedRateLeg pays per coupon. 30/360
+    # is NOT additive across adjusted dates, so past coupons sum these
+    # per-period values rather than telescoping.
+    sched = sched.withColumn(
+        "__steps",
+        F.zip_with(
+            F.slice("__D", 1, F.col("__N")),
+            F.slice("__D", 2, F.col("__N")),
+            lambda a, b: dcf_by_basis(basis, a, b),
+        ),
+    )
+    # cnt = #{schedule dates <= settlement}: cnt - 1 coupons have PAID
+    # (accpmt); the accrual period containing settlement starts at
+    # D[max(cnt, 1)] (a settlement before the dated date — a trade
+    # before dated — clamps to the first period with zero accrued,
+    # QuantLib's accruedAmount contract).
+    par = (
+        sched.withColumn(
+            "__cnt",
+            F.size(F.filter("__D", lambda d: d <= F.col("__settle"))),
+        )
+        .withColumn("__cntc", F.greatest(F.col("__cnt"), F.lit(1)))
+    )
+    par = par.withColumn(
+        "__accfrac",
+        dcf_by_basis_signed(
+            basis,
+            F.element_at("__D", F.col("__cntc")),
+            F.col("__settle"),
+        ),
+    )
+    par = (
+        par.withColumn(
+            "__acclast",
+            F.when(F.col("__is_zero"), F.lit(0.0)).otherwise(
+                c_pct * F.greatest(F.col("__accfrac"), F.lit(0.0))
+            ),
+        )
+        .withColumn(
+            "__accpmt",
+            F.when(F.col("__is_zero"), F.lit(0.0)).otherwise(
+                c_pct
+                * F.coalesce(
+                    F.aggregate(
+                        F.slice(
+                            "__steps",
+                            1,
+                            F.greatest(F.col("__cnt") - 1, F.lit(0)),
+                        ),
+                        F.lit(0.0),
+                        lambda a, x: a + x,
+                    ),
+                    F.lit(0.0),
+                )
+            ),
+        )
+        .withColumn(
+            "__R", F.col("__N") - F.col("__cntc") + 1
+        )
+    )
+    # remaining flows: per-flow steps from the current period on; the
+    # stepwise time of flow j is prefix_sum(rem_steps, j) - accfrac
+    # (QuantLib's stepwise accumulation — the first flow contributes
+    # its REMAINING fraction, later flows their full period).
+    par = par.withColumn(
+        "__remsteps",
+        F.slice(
+            "__steps", F.col("__cntc"), F.greatest(F.col("__R"), F.lit(0))
+        ),
+    )
+    z_pay = adjust_mf_col(F.col(maturity), hol)
+    z_ok = (
+        F.col("__valid")
+        & F.col("__is_zero")
+        & (z_pay > F.col("__settle"))
+    )
+    ts = F.when(
+        z_ok,
+        F.array(dcf_by_basis(basis, F.col("__settle"), z_pay)),
+    ).when(
+        coupon_row,
+        F.transform(
+            "__remsteps",
+            lambda s, i: F.aggregate(
+                F.slice("__remsteps", 1, (i + 1).cast("int")),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            - F.col("__accfrac"),
+        ),
+    )
+    cfs = F.when(z_ok, F.array(F.lit(100.0))).when(
+        coupon_row,
+        F.transform(
+            "__remsteps",
+            lambda s, i: c_pct * s
+            + F.when(i == F.col("__R") - 1, F.lit(100.0)).otherwise(
+                F.lit(0.0)
+            ),
+        ),
+    )
+    par = par.withColumn("__ts", ts).withColumn("__cfs", cfs)
+    par = par.withColumn("__pd", p + F.col("__acclast"))
+    solved = par.withColumn(
+        "__r",
+        bond_analytics_times(
+            F.coalesce(F.col("__pd"), p),
+            F.coalesce(F.col("__m"), F.lit(1)),
+            F.col("__ts"),
+            F.col("__cfs"),
+        ),
+    )
+    # non-convergence gate: |pv residual| is ~1e-9 for a converged row
+    # and astronomically large for a clamp-bounced one — the 1e-6
+    # branch can never flip between engines. An empty/null flow array
+    # (settlement in/after the last adjusted period, or a rolled-back
+    # zero maturity) yields NaN outputs and fails the gate, matching
+    # the reference's exception exit.
+    v = F.col("__valid") & (F.abs(F.col("__r.pv_residual")) <= 1e-6)
+    out = (
+        solved.withColumn(
+            "ytm", F.when(v, F.round(F.col("__r.ytm") * 1.0, 6) + 0.0)
+        )
+        .withColumn(
+            "prclean",
+            F.when(
+                v,
+                F.round(
+                    F.col("__pd")
+                    + F.col("__r.pv_residual")
+                    - F.col("__acclast"),
+                    6,
+                ),
+            ),
+        )
+        .withColumn(
+            "prfull",
+            F.when(v, F.round(F.col("__pd") + F.col("__r.pv_residual"), 6)),
+        )
+        .withColumn("acclast", F.when(v, F.round(F.col("__acclast"), 6)))
+        .withColumn("accpmt", F.when(v, F.round(F.col("__accpmt"), 6)))
+        .withColumn(
+            "accall",
+            F.when(v, F.round(F.col("__acclast") + F.col("__accpmt"), 6)),
+        )
+        .withColumn("mac_dur", F.when(v, F.round(F.col("__r.mac_dur"), 6)))
+        .withColumn("mod_dur", F.when(v, F.round(F.col("__r.mod_dur"), 6)))
+        .withColumn(
+            "convexity", F.when(v, F.round(F.col("__r.convexity"), 6))
+        )
+    )
+    return out.drop(
+        "__hols", "__settle", "__m_c", "__is_zero", "__valid", "__m",
+        "__pm", "__N", "__D", "__steps", "__cnt", "__cntc", "__accfrac",
+        "__acclast", "__accpmt", "__R", "__remsteps", "__ts", "__cfs",
+        "__pd", "__r",
+    )
+
+
+def _attach_quote_record(
+    df: DataFrame,
+    price: str,
+    coupon_pct: str,
+    coupon_type: str,
+    ifreq: str,
+    dcb: str,
+    maturity: str,
+    hist_m: str,
+    trade_d: str,
+) -> DataFrame:
+    """The quote-convention model (pre-r16 default): uniform rate/m
+    coupon amounts, (t - 1 + q)-period discount times, weekend-only T+2
+    roll, unadjusted schedule dates. Exact vs the QuantLib contract on
+    30/360 weekday grids; under ACT bases it prices the QUOTED
+    convention, deviating from the reference's per-flow leg (measured
+    bounds in test_reference_differential.py::
+    test_w10_quote_model_act_bases_bounded)."""
+    p, c_pct = F.col(price), F.col(coupon_pct)
+    m_c, is_zero, basis_ok = _freq_and_branches(
+        p, c_pct, coupon_type, ifreq, dcb
     )
     st = (
         df.withColumn("__settle", add_business_days(F.col(trade_d), 2))

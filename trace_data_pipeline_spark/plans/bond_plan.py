@@ -217,7 +217,86 @@ _BD1 = (
     "WHEN isodow(trade_d + 1) = 7 THEN trade_d + 2 ELSE trade_d + 1 END"
 )
 
-_W10E_ORACLE = rf"""
+def _nyse_hols_sql(start_year: int = 2002, end_year: int = 2060) -> str:
+    """The NYSE closure list as a DuckDB DATE[] literal — the SAME
+    rule-derived list the engine binds (`functions/nyse_calendar.py`),
+    so oracle and engine adjust every date identically."""
+    from trace_data_pipeline_spark.functions.nyse_calendar import (
+        nyse_holidays,
+    )
+
+    ds = ", ".join(
+        f"DATE '{d.isoformat()}'"
+        for d in nyse_holidays(start_year, end_year)
+    )
+    return f"[{ds}]"
+
+
+def _bd_sql(x: str) -> str:
+    """DuckDB twin of daycount.is_session_col: weekday (isodow 1-5)
+    and not in the `hol` array carried through the oracle CTEs."""
+    return f"(isodow({x}) <= 5 AND NOT list_contains(hol, {x}))"
+
+
+def _roll_fwd_sql(d: str, steps: int = 6) -> str:
+    """First session >= d (daycount.roll_fwd_col twin): a lazily
+    evaluated CASE probe, one holiday lookup on the common weekday."""
+    parts = [f"WHEN {_bd_sql(d)} THEN ({d})"]
+    for k in range(1, steps + 1):
+        parts.append(f"WHEN {_bd_sql(f'({d} + {k})')} THEN ({d} + {k})")
+    return "CASE " + " ".join(parts) + f" ELSE ({d} + {steps + 1}) END"
+
+
+def _roll_bwd_sql(d: str, steps: int = 6) -> str:
+    parts = [f"WHEN {_bd_sql(d)} THEN ({d})"]
+    for k in range(1, steps + 1):
+        parts.append(f"WHEN {_bd_sql(f'({d} - {k})')} THEN ({d} - {k})")
+    return "CASE " + " ".join(parts) + f" ELSE ({d} - {steps + 1}) END"
+
+
+def _adjust_mf_sql(d: str) -> str:
+    """ModifiedFollowing (daycount.adjust_mf_col twin)."""
+    fwd = _roll_fwd_sql(d)
+    bwd = _roll_bwd_sql(d)
+    return (
+        f"CASE WHEN month({fwd}) = month({d}) THEN ({fwd})"
+        f" ELSE ({bwd}) END"
+    )
+
+
+def _adv_bd_sql(d: str, n: int = 2) -> str:
+    """n next-session steps (daycount.add_business_days_cal twin)."""
+    out = f"({d})"
+    for _ in range(n):
+        out = f"({_roll_fwd_sql(f'({out} + 1)')})"
+    return out
+
+
+def _dcf_signed_sql(d1: str, d2: str) -> str:
+    """daycount.dcf_by_basis_signed twin: ACT/ACT antisymmetric
+    extension for reversed spans; the other bases are naturally
+    signed."""
+    swapped = _dcf_sql(d2, d1)
+    return (
+        f"CASE WHEN dcb = 'ACT/ACT' AND {d2} < {d1}"
+        f" THEN -({swapped}) ELSE ({_dcf_sql(d1, d2)}) END"
+    )
+
+
+def _w10e_oracle() -> str:
+    """DuckDB replay of the r16 quantlib-model attach_full_record:
+    NYSE-calendar T+2 settlement, ModifiedFollowing-adjusted backward
+    schedule, per-flow rate*dcf coupon amounts, stepwise per-flow
+    times, and the identical fixed 25-step Newton (list algebra, same
+    t-sequential accumulation as the Arrow solver). Every chain CTE is
+    AS MATERIALIZED: DuckDB 1.0's optimizer inlines plain CTEs into
+    the recursive member and blows up on the deeply nested calendar
+    CASE trees (minutes of planning for 50 rows); materialization
+    plans in 0.3 s with identical results."""
+    grid = (
+        "CAST(maturity - INTERVAL 1 MONTH * (pm * (nn - j)) AS DATE)"
+    )
+    return rf"""
 WITH RECURSIVE base AS (
   SELECT o_orderkey,
     CASE WHEN o_orderkey % 7 = 0 THEN 'Z' ELSE 'F' END AS ctype,
@@ -235,17 +314,12 @@ WITH RECURSIVE base AS (
       AS maturity,
     CAST(84 + 12 * (o_orderkey % 10) AS INTEGER) AS hist_m,
     DATE '2024-01-01' + CAST(o_orderkey % 365 AS INTEGER) AS trade_d,
-    60.0 + CAST(o_orderkey * 37 % 800 AS DOUBLE) / 10.0 AS p
+    60.0 + CAST(o_orderkey * 37 % 800 AS DOUBLE) / 10.0 AS p,
+    {_nyse_hols_sql()}::DATE[] AS hol
   FROM orders
 ),
-st0 AS (SELECT *, ({_BD1}) AS s1 FROM base),
-st AS (
-  SELECT * EXCLUDE (s1),
-         CASE WHEN isodow(s1 + 1) = 6 THEN s1 + 3
-              WHEN isodow(s1 + 1) = 7 THEN s1 + 2 ELSE s1 + 1 END AS settle
-  FROM st0
-),
-cls AS (
+st AS MATERIALIZED (SELECT *, ({_adv_bd_sql('trade_d', 2)}) AS settle FROM base),
+cls AS MATERIALIZED (
   SELECT *,
     -- missing coupon takes the zero branch below par, exactly like
     -- coupon == 0 (GetNewVarsPy: `x.coupon == 0 or np.isnan(x.coupon)`)
@@ -256,110 +330,136 @@ cls AS (
                ELSE (CASE WHEN c_pct > 0 THEN 2 ELSE NULL END) END AS m_c
   FROM st
 ),
-par0 AS (
+par0 AS MATERIALIZED (
   SELECT *,
-    (is_zero OR (ctype = 'F' AND c_pct > 0)) AS valid,
+    (dcb IN ('30/360', '', 'ACT/ACT', 'ACT/360', 'ACT/365', 'ACT/366')
+     AND settle < maturity
+     AND (is_zero OR (ctype = 'F' AND c_pct > 0 AND m_c IS NOT NULL)))
+      AS valid,
     CASE WHEN is_zero THEN 1 ELSE m_c END AS m,
     CASE WHEN is_zero THEN NULL ELSE 12 // m_c END AS pm
   FROM cls
 ),
-sched AS (
+nsch AS MATERIALIZED (
   SELECT *,
-    CASE WHEN is_zero OR NOT valid THEN NULL ELSE
-      list_max(list_filter(
-        list_transform(range(0, 251),
-          j -> CAST(maturity - INTERVAL 1 MONTH * (pm * j) AS DATE)),
-        d -> d <= settle)) END AS last_cpn,
-    CASE WHEN is_zero OR NOT valid THEN NULL ELSE
-      list_min(list_filter(
-        list_transform(range(0, 251),
-          j -> CAST(maturity - INTERVAL 1 MONTH * (pm * j) AS DATE)),
-        d -> d > settle)) END AS next_cpn
+    CASE WHEN valid AND NOT is_zero THEN hist_m // pm END AS nn
   FROM par0
 ),
-par AS (
+dd AS MATERIALIZED (
+  SELECT *,
+    CASE WHEN nn IS NOT NULL THEN
+      list_transform(range(0, nn + 1), j -> {_adjust_mf_sql(grid)})
+    END AS D
+  FROM nsch
+),
+stp AS MATERIALIZED (
+  SELECT *,
+    CASE WHEN nn >= 1 THEN
+      list_transform(range(1, nn + 1), i -> ({_dcf_sql('D[i]', 'D[i+1]')}))
+    END AS sl
+  FROM dd
+),
+cn AS MATERIALIZED (
+  SELECT *,
+    CASE WHEN D IS NOT NULL
+         THEN len(list_filter(D, d -> d <= settle)) END AS cnt
+  FROM stp
+),
+af AS MATERIALIZED (
+  SELECT *, greatest(cnt, 1) AS cntc,
+    CASE WHEN cnt IS NOT NULL THEN
+      ({_dcf_signed_sql('D[greatest(cnt, 1)]', 'settle')})
+    END AS accfrac
+  FROM cn
+),
+acc AS MATERIALIZED (
   SELECT *,
     CASE WHEN is_zero THEN CAST(0.0 AS DOUBLE)
-         ELSE c_pct * ({_dcf_sql('last_cpn', 'settle')}) END AS acclast_r,
-    CASE WHEN is_zero THEN CAST(1.0 AS DOUBLE) * ({_dcf_sql('settle', 'maturity')})
-         ELSE (({_dcf_sql('last_cpn', 'next_cpn')})
-               - ({_dcf_sql('last_cpn', 'settle')}))
-              / ({_dcf_sql('last_cpn', 'next_cpn')}) END AS q,
-    CASE WHEN is_zero THEN 1 ELSE
-      ((year(maturity) - year(last_cpn)) * 12
-       + (month(maturity) - month(last_cpn))) // pm END AS n,
-    CASE WHEN is_zero THEN 0 ELSE
-      hist_m // pm
-      - ((year(maturity) - year(last_cpn)) * 12
-         + (month(maturity) - month(last_cpn))) // pm END AS n_paid,
+         ELSE c_pct * greatest(accfrac, 0.0) END AS acclast_r,
     CASE WHEN is_zero THEN CAST(0.0 AS DOUBLE)
-         ELSE c_pct / (100.0 * m) END AS c
-  FROM sched
+         ELSE c_pct * coalesce(
+           list_sum(list_slice(sl, 1, greatest(cnt - 1, 0))), 0.0)
+         END AS accpmt_r,
+    CASE WHEN nn IS NOT NULL THEN nn - cntc + 1 END AS rr
+  FROM af
 ),
-parf AS (
-  SELECT o_orderkey, valid, m, q, n, c, acclast_r,
-         CASE WHEN is_zero THEN CAST(0.0 AS DOUBLE)
-              ELSE CAST(n_paid AS DOUBLE) * c_pct / m END AS accpmt_r,
-         p + acclast_r AS pd
-  FROM par
+rem AS MATERIALIZED (
+  SELECT *,
+    CASE WHEN rr >= 1 THEN list_slice(sl, cntc, nn) END AS remst,
+    CASE WHEN is_zero THEN ({_adjust_mf_sql('maturity')}) END AS z_pay
+  FROM acc
+),
+arr AS MATERIALIZED (
+  SELECT *,
+    CASE WHEN valid AND is_zero AND z_pay > settle
+           THEN [CAST(({_dcf_sql('settle', 'z_pay')}) AS DOUBLE)]
+         WHEN valid AND NOT is_zero AND rr >= 1 THEN
+           list_transform(range(1, rr + 1),
+             j -> list_sum(list_slice(remst, 1, j)) - accfrac)
+    END AS ts,
+    CASE WHEN valid AND is_zero AND z_pay > settle
+           THEN [CAST(100.0 AS DOUBLE)]
+         WHEN valid AND NOT is_zero AND rr >= 1 THEN
+           list_transform(range(1, rr + 1),
+             j -> c_pct * remst[j]
+                  + (CASE WHEN j = rr THEN 100.0 ELSE 0.0 END))
+    END AS cfs,
+    p + acclast_r AS pd
+  FROM rem
 ),
 it AS (
-  SELECT o_orderkey, m, q, n, c, pd, 0 AS k,
-         CAST(0.06 AS DOUBLE) / m AS y
-  FROM parf WHERE valid
+  SELECT o_orderkey, m, pd, ts, cfs, len(ts) AS n, 0 AS k,
+         CAST(0.06 AS DOUBLE) / m AS x
+  FROM arr WHERE ts IS NOT NULL AND len(ts) >= 1
   UNION ALL
-  SELECT o_orderkey, m, q, n, c, pd, k + 1,
+  SELECT o_orderkey, m, pd, ts, cfs, n, k + 1,
          least(greatest(
-           y - (list_sum(list_transform(range(1, n + 1),
-                  t -> {_CFQ} * power(1.0 / (1.0 + y),
-                                      CAST(t AS DOUBLE) - 1.0 + q))) - pd)
+           x - (list_sum(list_transform(range(1, n + 1),
+                  i -> cfs[i] * power(1.0 + x, -(ts[i] * m)))) - pd)
              / list_sum(list_transform(range(1, n + 1),
-                  t -> -(CAST(t AS DOUBLE) - 1.0 + q) * {_CFQ}
-                       * power(1.0 / (1.0 + y), CAST(t AS DOUBLE) + q))),
-           -0.9), 10.0) AS y
+                  i -> -(ts[i] * m) * cfs[i]
+                       * power(1.0 + x, -(ts[i] * m) - 1.0))),
+           -0.9), 10.0) AS x
   FROM it WHERE k < 25
 ),
 fin AS (
-  SELECT o_orderkey, m, q, n, c, pd, y,
+  SELECT o_orderkey, m, n, pd, ts, cfs, x,
          list_sum(list_transform(range(1, n + 1),
-            t -> {_CFQ} * power(1.0 / (1.0 + y),
-                                CAST(t AS DOUBLE) - 1.0 + q))) AS pv,
+            i -> cfs[i] * power(1.0 + x, -(ts[i] * m)))) AS pv,
          list_sum(list_transform(range(1, n + 1),
-            t -> (CAST(t AS DOUBLE) - 1.0 + q) * {_CFQ}
-                 * power(1.0 / (1.0 + y),
-                         CAST(t AS DOUBLE) - 1.0 + q))) AS wsum,
+            i -> ts[i] * cfs[i] * power(1.0 + x, -(ts[i] * m)))) AS wsum,
          list_sum(list_transform(range(1, n + 1),
-            t -> (CAST(t AS DOUBLE) - 1.0 + q) * (CAST(t AS DOUBLE) + q)
-                 * {_CFQ}
-                 * power(1.0 / (1.0 + y),
-                         CAST(t AS DOUBLE) - 1.0 + q))) AS csum
+            i -> ts[i] * (ts[i] + 1.0 / m) * cfs[i]
+                 * power(1.0 + x, -(ts[i] * m)))) AS csum
   FROM it WHERE k = 25
 ),
 conv AS (
-  -- the reference's try/except RuntimeError → all-NaN contract: a
+  -- the reference's try/except RuntimeError -> all-NaN contract: a
   -- row whose Newton fit did not converge yields NULL analytics
   SELECT *, (abs(pv - pd) <= 1e-6) AS ok FROM fin
 )
-SELECT b.o_orderkey,
-       CASE WHEN f.ok THEN ROUND(f.y * f.m, 6) + 0.0 END AS ytm,
+SELECT a.o_orderkey,
+       CASE WHEN f.ok THEN ROUND(f.x * f.m, 6) + 0.0 END AS ytm,
        CASE WHEN f.ok
-            THEN ROUND(f.pd + (f.pv - f.pd) - pf.acclast_r, 6) END
+            THEN ROUND(a.pd + (f.pv - a.pd) - a.acclast_r, 6) END
          AS prclean,
-       CASE WHEN f.ok THEN ROUND(f.pd + (f.pv - f.pd), 6) END AS prfull,
-       CASE WHEN f.ok THEN ROUND(pf.acclast_r, 6) END AS acclast,
-       CASE WHEN f.ok THEN ROUND(pf.accpmt_r, 6) END AS accpmt,
-       CASE WHEN f.ok THEN ROUND(pf.acclast_r + pf.accpmt_r, 6) END
+       CASE WHEN f.ok THEN ROUND(a.pd + (f.pv - a.pd), 6) END AS prfull,
+       CASE WHEN f.ok THEN ROUND(a.acclast_r, 6) END AS acclast,
+       CASE WHEN f.ok THEN ROUND(a.accpmt_r, 6) END AS accpmt,
+       CASE WHEN f.ok THEN ROUND(a.acclast_r + a.accpmt_r, 6) END
          AS accall,
-       CASE WHEN f.ok THEN ROUND(f.wsum / f.pv / f.m, 6) END AS mac_dur,
-       CASE WHEN f.ok THEN ROUND(f.wsum / f.pv / f.m / (1.0 + f.y), 6) END
+       CASE WHEN f.ok THEN ROUND(f.wsum / f.pv, 6) END AS mac_dur,
+       CASE WHEN f.ok THEN ROUND(f.wsum / f.pv / (1.0 + f.x), 6) END
          AS mod_dur,
        CASE WHEN f.ok
-            THEN ROUND(f.csum * (1.0 / (1.0 + f.y)) * (1.0 / (1.0 + f.y))
-                       / f.pv / (f.m * f.m), 6) END AS convexity
-FROM base b
-JOIN parf pf USING (o_orderkey)
-LEFT JOIN conv f USING (o_orderkey)
+            THEN ROUND(f.csum / ((1.0 + f.x) * (1.0 + f.x)) / f.pv, 6)
+         END AS convexity
+FROM arr a
+LEFT JOIN conv f ON a.o_orderkey = f.o_orderkey
 """
+
+
+_W10E_ORACLE = _w10e_oracle()
 
 
 @register("w10e_full_record", oracle=_W10E_ORACLE)
@@ -371,20 +471,28 @@ def w10e_full_record(spark, sf_dir):
     ACT/360, ACT/365), per-row interest_frequency (1/2/4/12, plus the
     0/99 missing codes defaulting to semiannual when coupon > 0),
     coupon_type Z / zero-eligible-F zero-coupon handling (annual
-    compounding, single flow), T+2 weekend-rolled settlement, and the
-    bond-None → all-null contract for F bonds with no coupon priced
-    at/above par.
+    compounding, single flow), and the bond-None → all-null contract
+    for F bonds with no coupon priced at/above par.
 
-    Spark shape: everything except the Newton solve is codegen'd column
-    algebra over one projection (settlement roll, backward coupon
-    bracket via the O(1) probe, day-count CASE routing, accrued trio);
-    the solver is one Arrow-batched pandas UDF fitting the DIRTY price
-    with flows at fractional period offsets. One scan, zero KEY
-    shuffles, zero joins (plan-guarded; the only exchange ever present
-    is _orders' small-file round-robin widening, a no-op on a
+    r16: the default model is QuantLib-faithful end to end — T+2
+    settlement advanced over the NYSE HOLIDAY calendar
+    (ql.UnitedStates(NYSE).advance, helper_functions.py:74), every
+    schedule date ModifiedFollowing-adjusted against it (:125-152),
+    per-flow rate*dcf coupon amounts (FixedRateLeg — not the uniform
+    rate/m quote convention), stepwise per-flow discount times.
+    Contract-exact on all 9 outputs across all four bases including
+    holiday-moved dates (tests/test_reference_differential.py).
+
+    Spark shape: the whole schedule — calendar adjustment, per-period
+    day-count steps, prefix-sum times — is array column algebra over
+    one projection (the holiday list is a literal array bound once,
+    never a join); the solver is one Arrow-batched pandas UDF over the
+    per-flow (times, amounts) arrays. One scan, zero KEY shuffles,
+    zero joins (plan-guarded; the only exchange ever present is
+    _orders' small-file round-robin widening, a no-op on a
     production-width scan). The oracle replays the identical
     arithmetic in DuckDB (recursive-CTE Newton, list-algebra
-    schedule)."""
+    schedule, same holiday literal)."""
     from trace_data_pipeline_spark.operators.bond_record import (
         RECORD_COLS,
         attach_full_record,

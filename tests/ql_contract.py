@@ -228,9 +228,20 @@ def _stepwise_times(
 
 
 def npv(flows: list[Flow], times: list[float], y: float, m: int) -> float:
-    return sum(
-        f.amount * (1.0 + y / m) ** (-t * m) for f, t in zip(flows, times)
-    )
+    """PV of the leg at nominal yield y compounded m times/year. PV
+    grows without bound as (1 + y/m) -> 0+; a float overflow deep in
+    the bisection bracket (long monthly legs probed at the -0.999*m
+    endpoint) is the MATHEMATICAL +inf, not a solver failure — so
+    saturate instead of letting OverflowError abort the solve (it is
+    an ArithmeticError subclass and would wrongly take the NaN exit
+    for bonds QuantLib prices fine, e.g. forward-dated issues)."""
+    try:
+        return sum(
+            f.amount * (1.0 + y / m) ** (-t * m)
+            for f, t in zip(flows, times)
+        )
+    except OverflowError:
+        return float("inf")
 
 
 def solve_yield(

@@ -39,9 +39,14 @@ def _median(a: np.ndarray) -> float:
     return float(a[m // 2]) if m % 2 else float((a[m // 2 - 1] + a[m // 2]) * 0.5)
 
 
-def _is_round(p: np.ndarray, valid: np.ndarray, tol: float) -> np.ndarray:
+def _is_round(
+    p: np.ndarray,
+    valid: np.ndarray,
+    tol: float,
+    round_numbers: tuple = ROUND_NUMBERS,
+) -> np.ndarray:
     out = np.zeros(p.size, dtype=bool)
-    for r in ROUND_NUMBERS:
+    for r in round_numbers:
         out |= np.abs(p - r) < tol
     return out & valid
 
@@ -142,6 +147,7 @@ def ultra_distressed_filter(
     intraday_range_threshold: float = 0.75,
     intraday_price_threshold: float = 20.0,
     round_dp: int | None = 4,
+    suspicious_round_numbers: Sequence[float] = ROUND_NUMBERS,
 ) -> DataFrame:
     """Append the four flag columns + flag_refined_any.
 
@@ -156,6 +162,10 @@ def ultra_distressed_filter(
                 df = df.withColumn(c, F.round(c, round_dp))
 
     order_names = list(order_cols)
+    # the reference's production config passes its OWN list (e.g.
+    # ULTRA_DISTRESSED_CONFIG omits 0.75) — a module constant here
+    # would silently flag differently than the pipeline it mirrors
+    rnd_tuple = tuple(suspicious_round_numbers)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_names, kind="mergesort").reset_index(drop=True)
@@ -167,7 +177,7 @@ def ultra_distressed_filter(
         pl = np.zeros(n, dtype=np.int8)
         if n >= min(3, min_plateau_days):
             valid = ~np.isnan(p)
-            rnd = _is_round(p, valid, round_tolerance)
+            rnd = _is_round(p, valid, round_tolerance, rnd_tuple)
             if n >= 3:
                 a = _anomaly_flags(
                     p,

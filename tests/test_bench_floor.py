@@ -45,6 +45,9 @@ CEILINGS = {
     # warm min ~4.8 s at local[32], was ~8.5 at 8 partitions); ~2.5x
     # margin on the warm min
     "a1s_streaming_daily_panel": 12.0,
+    # same fixed micro-batch machinery (3-drop wire replay + stateful
+    # dedup; warm min ~5.7 s at local[32], r16 calibration)
+    "s5_wire_ingest_dedup": 12.0,
     "p0_stage0_panel": 13.0,           # min 4.3
     "p1_stage0_full": 17.0,            # min 5.6
     "p2_stage1_full": 6.0,             # min 1.9

@@ -307,3 +307,159 @@ def a1s_streaming_daily_panel(spark, sf_dir):
         F.col("__f.min_value").alias("min_value"),
         F.col("__f.max_value").alias("max_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# s5: Kafka-shaped wire ingest + streaming exact dedup (r16, verdict
+# item 7 — the streaming surface's transport decode was proven only in
+# unit tests; this makes it an oracle-gradeable end-to-end entry).
+# ---------------------------------------------------------------------------
+
+_S5_ORACLE = """
+SELECT event_id, ts, user_id, event_type, value, props FROM events
+"""
+
+N_WIRE_DROPS = 3
+_WIRE_CACHE: dict[tuple, str] = {}
+
+
+def _clear_wire_cache() -> None:
+    with _REPLAY_LOCK:
+        _WIRE_CACHE.clear()
+
+
+register_release_hook(_clear_wire_cache)
+
+
+def _run_wire_replay(spark, sf_dir: str) -> str:
+    """Stage the event log as N chronological Kafka-message drops
+    (binary JSON `value` column — the exact frame a Kafka source
+    yields), with every drop after the first RE-DELIVERING a
+    deterministic subset of the previous drop (event_id % 7 == 0 —
+    producer-retry/replay semantics crossing a micro-batch boundary);
+    stream them back through the wire decode and the watermarked
+    exact dedup into an append parquet sink. Returns the sink dir.
+
+    The dedup delay is sized to the whole observed span: the
+    redelivery horizon here is one drop, and a delay covering the
+    span guarantees no first delivery is ever dropped as late — the
+    state bound story (delay ≈ transport redelivery window) is d28's;
+    this entry grades wire + dedup CORRECTNESS end to end. If the
+    decode lost precision (the default-millis JSON timestampFormat
+    trap) or the dedup passed a redelivery, the value hash against
+    the plain events table diverges."""
+    from trace_data_pipeline_spark.streaming.daily import (
+        stream_events_from_dir,
+    )
+    from trace_data_pipeline_spark.streaming.dedup import (
+        streaming_exact_dedup,
+    )
+    from trace_data_pipeline_spark.streaming.kafka import (
+        decode_json_events,
+        encode_json_events,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    span = ev.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).collect()[0]
+    lo, hi = span["lo"], span["hi"]
+    step = (hi - lo) / N_WIRE_DROPS
+    horizon = f"{(hi - lo).days + 2} days"
+
+    base = tempfile.mkdtemp(prefix="s5_wire_")
+    _REPLAY_BASES.append(base)
+    src = os.path.join(base, "drops")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    part_files: list[str] = []
+    prev = None
+    for i in range(N_WIRE_DROPS):
+        cond = F.col("ts") >= F.lit(lo + step * i)
+        if i < N_WIRE_DROPS - 1:
+            cond = cond & (F.col("ts") < F.lit(lo + step * (i + 1)))
+        cur = ev.filter(cond)
+        payload = (
+            cur
+            if prev is None
+            else cur.unionByName(prev.filter(F.col("event_id") % 7 == 0))
+        )
+        d = os.path.join(src, f"drop_{i}.parquet")
+        encode_json_events(payload).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(d)
+        prev = cur
+        for fn in os.listdir(d):
+            if fn.startswith("part-"):
+                p = os.path.join(d, fn)
+                os.utime(p, (1_000_000_000 + i, 1_000_000_000 + i))
+                part_files.append(p)
+    _assert_ascending_mtimes(part_files)
+
+    ss = spark.newSession()
+    conf_key = "spark.sql.shuffle.partitions"
+    ss.conf.set(
+        conf_key, str(min(int(ss.conf.get(conf_key)), STATE_PARTITIONS))
+    )
+    raw = stream_events_from_dir(
+        ss, os.path.join(src, "*"), "value binary", max_files_per_trigger=1
+    )
+    deduped = streaming_exact_dedup(
+        decode_json_events(raw), id_cols=("event_id",), ts_col="ts",
+        delay=horizon,
+    )
+    q = (
+        deduped.coalesce(1)
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out
+
+
+def replay_wire_ingest(spark, sf_dir):
+    """Memoized like replay_daily_panel: once per (application,
+    sf_dir, input fingerprint); the release_caches() hook drops the
+    memo at query boundaries so bench re-measures the replay."""
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        _input_fingerprint(sf_dir),
+    )
+    out = _WIRE_CACHE.get(key)
+    if out is None or not os.path.isdir(out):
+        with _REPLAY_LOCK:
+            out = _WIRE_CACHE.get(key)
+            if out is None or not os.path.isdir(out):
+                out = _run_wire_replay(spark, sf_dir)
+                _WIRE_CACHE[key] = out
+    return spark.read.parquet(out)
+
+
+@register("s5_wire_ingest_dedup", oracle=_S5_ORACLE)
+def s5_wire_ingest_dedup(spark, sf_dir):
+    """§2.8 transport end-to-end: Kafka-message-shaped JSON drops →
+    wire decode (micro-precision timestampFormat — the default-millis
+    trap this entry caught) → dropDuplicatesWithinWatermark over the
+    redelivered stream → append sink. Output must hash-match the
+    plain events table: every redelivery suppressed, every first
+    delivery intact to the microsecond. The Kafka source itself is
+    config-only (`streaming/kafka.py::kafka_json_stream`) — the
+    decode and dedup proven here are byte-identical through a broker;
+    only the transport differs."""
+    emitted = replay_wire_ingest(spark, sf_dir)
+    return emitted.select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )

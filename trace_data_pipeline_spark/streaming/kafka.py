@@ -21,6 +21,27 @@ EVENTS_WIRE_SCHEMA = (
     "event_type string, value double, props string"
 )
 
+# Spark's DEFAULT JSON timestampFormat writes milliseconds — a
+# round-trip through the wire would silently truncate event times to
+# the millisecond and event-time joins/watermarks downstream would see
+# different instants than the producer. Pin a micro-precision format
+# on BOTH encode and decode (r16: caught by the s5 ingest entry's
+# value-hash oracle).
+WIRE_TS_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+_WIRE_OPTS = {"timestampFormat": WIRE_TS_FORMAT}
+
+
+def encode_json_events(df: DataFrame) -> DataFrame:
+    """Typed event rows → the Kafka message shape (one binary `value`
+    column of JSON) — the producer half of the wire, used by tests and
+    by the file-backed replay entry to stage a Kafka-faithful stream
+    without a broker."""
+    return df.select(
+        F.to_json(F.struct(*df.columns), _WIRE_OPTS)
+        .cast("binary")
+        .alias("value")
+    )
+
 
 def decode_json_events(raw: DataFrame, schema: str = EVENTS_WIRE_SCHEMA) -> DataFrame:
     """Kafka-shaped frame (binary `value` column) → typed event rows.
@@ -28,7 +49,9 @@ def decode_json_events(raw: DataFrame, schema: str = EVENTS_WIRE_SCHEMA) -> Data
     messages yield null columns (from_json's PERMISSIVE mode) rather
     than failing the stream."""
     return raw.select(
-        F.from_json(F.col("value").cast("string"), schema).alias("j")
+        F.from_json(F.col("value").cast("string"), schema, _WIRE_OPTS).alias(
+            "j"
+        )
     ).select("j.*")
 
 

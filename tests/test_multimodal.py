@@ -967,3 +967,37 @@ def test_decode_fn_injection(spark):
     assert sorted(r.frame_idx for r in vrows) == [0, 1]
     assert {r.frame_ms for r in vrows} == {0.0, 2.0}
     assert all(r.px_mean == pytest.approx(20.0) for r in vrows)
+
+
+def test_dhash_bands_locality_and_identity():
+    """d35's hash kernel: identical pixels → identical bands; a
+    ONE-pixel perturbation can alter at most the two adjacent
+    comparison bits of the single resampled row that samples it (≤ 1
+    band touched, Hamming ≤ 2) — the locality that makes the band
+    join recall near-duplicates; and a full-image inversion-style
+    change moves many bands."""
+    import random
+
+    from trace_data_pipeline_spark.datapipe.png import dhash_bands
+
+    rng = random.Random(20260816)
+    w, h = 15, 12
+    base = [rng.randrange(256) for _ in range(w * h)]
+    b0 = dhash_bands(bytes(base), w, h, 1)
+    assert len(b0) == 8 and all(0 <= b < 256 for b in b0)
+    assert dhash_bands(bytes(base), w, h, 1) == b0  # deterministic
+
+    for _ in range(50):
+        px = list(base)
+        i = rng.randrange(w * h)
+        px[i] = (px[i] + 200) % 256
+        b1 = dhash_bands(bytes(px), w, h, 1)
+        diff = [j for j in range(8) if b0[j] != b1[j]]
+        assert len(diff) <= 1, (i, diff)
+        if diff:
+            ham = bin(b0[diff[0]] ^ b1[diff[0]]).count("1")
+            assert ham <= 2, (i, ham)
+
+    flipped = bytes((255 - v) for v in base)
+    b2 = dhash_bands(flipped, w, h, 1)
+    assert sum(1 for j in range(8) if b0[j] != b2[j]) >= 4

@@ -205,3 +205,35 @@ def resize_nearest(
             d = dst_row + ox * channels
             out[d : d + channels] = pixels[s : s + channels]
     return bytes(out)
+
+
+def dhash_bands(
+    pixels: bytes,
+    width: int,
+    height: int,
+    channels: int,
+    cols: int = 9,
+    rows: int = 8,
+) -> list[int]:
+    """Row-banded difference hash (dHash) over the FIRST channel:
+    nearest-resample to cols x rows, then bit x of band y is 1 iff
+    cell[y][x] > cell[y][x+1] — (cols-1) bits per band, `rows` bands.
+
+    The row bands double as LSH bucket keys (the d4 minhash posture
+    applied to perceptual hashes): a near-duplicate image differing in
+    a few comparisons leaves most bands untouched, so candidate pairs
+    surface from an equi-join on (band index, band value) — never an
+    all-pairs scan — and the exact Hamming distance over all bands
+    verifies them. Pure integer arithmetic end to end (the nearest
+    resample is floor(i*src/dst)), bit-reproducible in any engine."""
+    small = resize_nearest(pixels, width, height, channels, cols, rows)
+    out = []
+    stride = cols * channels
+    for y in range(rows):
+        row = small[y * stride : (y + 1) * stride]
+        band = 0
+        for x in range(cols - 1):
+            if row[x * channels] > row[(x + 1) * channels]:
+                band |= 1 << x
+        out.append(band)
+    return out

@@ -2255,3 +2255,164 @@ def d34_repetition_signals(spark, sf_dir):
             F.col("m").isNotNull(), frac(F.col("m"), F.col("tot"))
         ).alias("top_2gram_frac"),
     )
+
+
+@register(
+    "d35_media_dhash_pairs",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id AS k, CAST(doc_id // 7 AS BIGINT) AS g,
+             CAST(doc_id % 7 AS INTEGER) AS role
+      FROM documents
+    ),
+    dd AS (
+      SELECT k, g, role,
+             CAST(12 + g % 6 AS INTEGER) AS w,
+             CAST(10 + g % 5 AS INTEGER) AS h,
+             CASE WHEN role <= 2 THEN g * 53 ELSE k * 53 END AS salt,
+             CASE WHEN role <= 2 THEN 0 ELSE k % 11 END AS cr,
+             CASE WHEN role IN (1, 2) THEN 1 ELSE 0 END AS bump
+      FROM d
+    ),
+    val AS (
+      SELECT dd.k, oy.oy, ox.ox,
+             (((ox.ox * dd.w) // 9) * 31 + ((oy.oy * dd.h) // 8) * 17
+              + dd.salt
+              + dd.cr * ((ox.ox * dd.w) // 9) * ((oy.oy * dd.h) // 8)
+              + CASE WHEN dd.bump = 1
+                          AND ((ox.ox * dd.w) // 9) = dd.k % dd.w
+                          AND ((oy.oy * dd.h) // 8) = dd.k % dd.h
+                     THEN 200 ELSE 0 END) % 256 AS v
+      FROM dd, range(0, 8) oy(oy), range(0, 9) ox(ox)
+    ),
+    bits AS (
+      SELECT k, oy, ox, v,
+             lead(v) OVER (PARTITION BY k, oy ORDER BY ox) AS vn
+      FROM val
+    ),
+    bands AS (
+      SELECT k, CAST(oy AS INTEGER) AS j,
+             CAST(COALESCE(SUM(CASE WHEN v > vn THEN 1 << ox END), 0)
+                  AS INTEGER) AS band
+      FROM bits WHERE ox < 8 GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT a.k AS ka, b.k AS kb
+      FROM bands a
+      JOIN bands b ON a.j = b.j AND a.band = b.band AND a.k < b.k
+      GROUP BY 1, 2
+    ),
+    ham AS (
+      SELECT c.ka, c.kb,
+             SUM(bit_count(xor(ba.band, bb.band))) AS hamming
+      FROM cand c
+      JOIN bands ba ON ba.k = c.ka
+      JOIN bands bb ON bb.k = c.kb AND bb.j = ba.j
+      GROUP BY 1, 2
+    )
+    SELECT ka AS media_a, kb AS media_b,
+           CAST(hamming AS INTEGER) AS hamming
+    FROM ham WHERE hamming <= 3
+    """,
+)
+def d35_media_dhash_pairs(spark, sf_dir):
+    """Perceptual near-duplicate detection over DECODED media (r15
+    verdict growth item): per doc a grayscale PNG is synthesized from
+    a closed-form pixel formula — docs in the same //7 group share a
+    base image, two of them carry a one-pixel perturbation
+    (re-encodes / slight edits of the same picture), the rest are
+    salted distinct — then the REAL bytes are decoded
+    (`datapipe/png.py`, stdlib inflate + unfilter, filter type cycling
+    0-4), dHashed (nearest 9x8 resample + row-wise adjacent-pixel
+    comparison bits), and near-dup pairs surface from a BAND JOIN on
+    the 8 row-bands followed by an exact Hamming-distance check
+    (<= 3). Identical bucketed posture to d4's MinHash-LSH: candidate
+    generation is an equi-join on (band index, band value) — |docs|^2
+    never materializes — and at 100x the band buckets shard by value
+    exactly like any other join key.
+
+    The DuckDB oracle recomputes the bands straight from the pixel
+    FORMULA through the same integer resample arithmetic, so a decode
+    or hash defect anywhere in the real-bytes path breaks the value
+    hash."""
+    import pandas as pd
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("media_id"))
+
+    def synth(batches):
+        from trace_data_pipeline_spark.datapipe.png import encode_png
+
+        for pdf in batches:
+            payloads = []
+            for k in pdf["media_id"]:
+                k = int(k)
+                g, role = k // 7, k % 7
+                w, h = 12 + g % 6, 10 + g % 5
+                salt = g * 53 if role <= 2 else k * 53
+                cr = 0 if role <= 2 else k % 11
+                bump = role in (1, 2)
+                bx, by = k % w, k % h
+                px = bytes(
+                    (
+                        x * 31 + y * 17 + salt + cr * x * y
+                        + (200 if bump and x == bx and y == by else 0)
+                    )
+                    % 256
+                    for y in range(h)
+                    for x in range(w)
+                )
+                payloads.append(encode_png(px, w, h, 1, filter_type=k % 5))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    def hasher(batches):
+        from trace_data_pipeline_spark.datapipe.png import (
+            decode_png,
+            dhash_bands,
+        )
+
+        for pdf in batches:
+            bands = []
+            for payload in pdf["payload"]:
+                w, h, ch, px = decode_png(bytes(payload))
+                bands.append(dhash_bands(bytes(px), w, h, ch))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "bands": bands}
+            )
+
+    media = docs.mapInPandas(synth, "media_id long, payload binary")
+    hashed = media.mapInPandas(hasher, "media_id long, bands array<int>")
+    ex = hashed.select(
+        "media_id", "bands", F.posexplode("bands").alias("j", "band")
+    )
+    a = ex.select(
+        F.col("media_id").alias("ka"), F.col("bands").alias("ba"),
+        "j", "band",
+    )
+    b = ex.select(
+        F.col("media_id").alias("kb"), F.col("bands").alias("bb"),
+        "j", "band",
+    )
+    cand = (
+        a.join(b, ["j", "band"])
+        .filter(F.col("ka") < F.col("kb"))
+        .select("ka", "kb", "ba", "bb")
+        .distinct()
+    )
+    ham = F.aggregate(
+        F.zip_with(
+            "ba", "bb", lambda x, y: F.bit_count(x.bitwiseXOR(y))
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= 3)
+        .select(
+            F.col("ka").alias("media_a"),
+            F.col("kb").alias("media_b"),
+            F.col("hamming").cast("int").alias("hamming"),
+        )
+    )

@@ -1184,7 +1184,12 @@ def w10i_act_exact_record(spark, sf_dir):
     dcf(next, d_i). Closes the ACT gap the r15 contract differential
     measured on w10e (|Δytm| up to 1e-2 there; EXACT here, pinned by
     test_reference_differential.py::test_w10i_act_exact_matches_
-    quantlib_contract). Reference: `stage1/helper_functions.py:44-255`
+    quantlib_contract). r16 scope note: w10e's default model now
+    subsumes this fidelity AND adds the NYSE holiday calendar; w10i
+    stays on the weekend-roll contract its differential pins — it
+    exists to prove the CLOSED-FORM ACT-additive schedule algebra
+    (no per-row date array), the plan you'd pick at 100 TB when the
+    basis is known ACT. Reference: `stage1/helper_functions.py:44-255`
     builds exactly these legs via ql.FixedRateBond.
 
     Spark shape: the whole schedule — bracket probe, per-flow date

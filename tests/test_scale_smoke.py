@@ -63,11 +63,17 @@ SHIFTS = {
 # gate; their user_id/o_orderkey moduli are not all divisors of the
 # shifts, so per-copy mixes re-randomize — statistically the same
 # workload, which is all a timing bound needs (see the p6 note above).
+# r16: d35 (perceptual dHash pairs — its 16-bit band join and >780k
+# pattern period exist precisely so the 10x fixture scales the real
+# workload, not an accidental duplicate-clique explosion) and s5 (the
+# wire-ingest replay: fixed micro-batch machinery plus a linear
+# decode/dedup stream) joined the gate.
 QUERIES = ("p1_stage0_full", "w1_decimal_shift", "w2_bounce_back",
            "w10e_full_record", "d4_minhash_lsh_pairs", "d18_dedup_clusters",
            "d28_incremental_dedup", "a1_daily_panel", "p6_portfolio_panel",
            "w10i_act_exact_record", "r18_bond_characteristics_evolution",
-           "d34_repetition_signals")
+           "d34_repetition_signals", "d35_media_dhash_pairs",
+           "s5_wire_ingest_dedup")
 
 
 def _generate_scaled(spark, dst_dir: str, n_copies: int) -> None:

@@ -2267,10 +2267,10 @@ def d34_repetition_signals(spark, sf_dir):
     ),
     dd AS (
       SELECT k, g, role,
-             CAST(12 + g % 6 AS INTEGER) AS w,
-             CAST(10 + g % 5 AS INTEGER) AS h,
+             CAST(12 + g % 23 AS INTEGER) AS w,
+             CAST(10 + g % 19 AS INTEGER) AS h,
              CASE WHEN role <= 2 THEN g * 53 ELSE k * 53 END AS salt,
-             CASE WHEN role <= 2 THEN 0 ELSE k % 11 END AS cr,
+             CASE WHEN role <= 2 THEN g % 7 ELSE k % 11 END AS cr,
              CASE WHEN role IN (1, 2) THEN 1 ELSE 0 END AS bump
       FROM d
     ),
@@ -2290,11 +2290,21 @@ def d34_repetition_signals(spark, sf_dir):
              lead(v) OVER (PARTITION BY k, oy ORDER BY ox) AS vn
       FROM val
     ),
-    bands AS (
-      SELECT k, CAST(oy AS INTEGER) AS j,
+    rows_ AS (
+      SELECT k, CAST(oy AS INTEGER) AS oy,
              CAST(COALESCE(SUM(CASE WHEN v > vn THEN 1 << ox END), 0)
-                  AS INTEGER) AS band
+                  AS INTEGER) AS rband
       FROM bits WHERE ox < 8 GROUP BY 1, 2
+    ),
+    bands AS (
+      -- 16-bit bands from row PAIRS: 4 band indexes over 65536 values
+      -- (8-bit row bands would bucket n/256 docs together and turn the
+      -- candidate join quadratic; see the builder docstring)
+      SELECT a.k, CAST(a.oy // 2 AS INTEGER) AS j,
+             CAST(a.rband + 256 * b.rband AS INTEGER) AS band
+      FROM rows_ a JOIN rows_ b
+        ON b.k = a.k AND b.oy = a.oy + 1
+      WHERE a.oy % 2 = 0
     ),
     cand AS (
       SELECT a.k AS ka, b.k AS kb
@@ -2325,11 +2335,17 @@ def d35_media_dhash_pairs(spark, sf_dir):
     (`datapipe/png.py`, stdlib inflate + unfilter, filter type cycling
     0-4), dHashed (nearest 9x8 resample + row-wise adjacent-pixel
     comparison bits), and near-dup pairs surface from a BAND JOIN on
-    the 8 row-bands followed by an exact Hamming-distance check
-    (<= 3). Identical bucketed posture to d4's MinHash-LSH: candidate
-    generation is an equi-join on (band index, band value) — |docs|^2
-    never materializes — and at 100x the band buckets shard by value
-    exactly like any other join key.
+    4 sixteen-bit row-pair bands followed by an exact Hamming check
+    (<= 3 over all 64 bits). Identical bucketed posture to d4's
+    MinHash-LSH: candidate generation is an equi-join on (band index,
+    band value) — |docs|^2 never materializes — and the band width is
+    a SCALE decision: 8-bit row bands would bucket ~n/256 docs per
+    value (a quadratic join at 100x), 16 bits bucket ~n/65536 while a
+    one-pixel edit still flips bits in at most ONE row, leaving >= 3
+    of the 4 pair-bands intact for recall. The synthetic pattern
+    period (w mod 23, h mod 19, salt mod 256, cross mod 7) exceeds
+    780k groups, so scaled fixtures do not alias into accidental
+    cross-group duplicate cliques.
 
     The DuckDB oracle recomputes the bands straight from the pixel
     FORMULA through the same integer resample arithmetic, so a decode
@@ -2347,9 +2363,9 @@ def d35_media_dhash_pairs(spark, sf_dir):
             for k in pdf["media_id"]:
                 k = int(k)
                 g, role = k // 7, k % 7
-                w, h = 12 + g % 6, 10 + g % 5
+                w, h = 12 + g % 23, 10 + g % 19
                 salt = g * 53 if role <= 2 else k * 53
-                cr = 0 if role <= 2 else k % 11
+                cr = g % 7 if role <= 2 else k % 11
                 bump = role in (1, 2)
                 bx, by = k % w, k % h
                 px = bytes(
@@ -2382,7 +2398,20 @@ def d35_media_dhash_pairs(spark, sf_dir):
             )
 
     media = docs.mapInPandas(synth, "media_id long, payload binary")
-    hashed = media.mapInPandas(hasher, "media_id long, bands array<int>")
+    rows8 = media.mapInPandas(hasher, "media_id long, bands array<int>")
+    # combine row PAIRS into 16-bit bucket keys: 4 bands over 65536
+    # values, so a bucket holds ~n/65536 docs and the candidate join
+    # stays sub-quadratic (8-bit row bands bucket n/256 together —
+    # fine for Hamming, catastrophic as a join key at 100x)
+    hashed = rows8.select(
+        "media_id",
+        F.col("bands").alias("rbands"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(3)),
+            lambda j: F.element_at("bands", (2 * j + 1).cast("int"))
+            + 256 * F.element_at("bands", (2 * j + 2).cast("int")),
+        ).alias("bands"),
+    ).drop("rbands")
     ex = hashed.select(
         "media_id", "bands", F.posexplode("bands").alias("j", "band")
     )

@@ -250,7 +250,7 @@ def solve_yield(
     dirty: float,
     m: int,
     lo: float | None = None,
-    hi: float = 12.0,
+    hi: float | None = None,
     tol: float = 1e-12,
 ) -> float:
     """Bisection to machine tolerance (QuantLib uses a guarded Newton
@@ -258,9 +258,18 @@ def solve_yield(
     PV). The root exists for any positive dirty price on the open
     domain (1 + y/m) > 0 — deeply negative yields (short stubs priced
     far above the remaining flows) are genuine solutions, not solver
-    failures."""
+    failures. The default hi bracket is +10 PER PERIOD (10*m nominal)
+    — the engine solver's upper clamp — so both sides take the NaN
+    exit together beyond it; QuantLib's auto-expanding Brent would
+    chase arbitrarily large roots (deep discounts days from maturity
+    annualize without bound), and a FIXED nominal ceiling below the
+    clamp (the pre-r16 12.0) wrongly NaN'd semiannual roots the
+    engine reports (caught by the random dated-schedule
+    differential)."""
     if lo is None:
         lo = -0.999 * m
+    if hi is None:
+        hi = 10.0 * m
     f_lo = npv(flows, times, lo, m) - dirty
     f_hi = npv(flows, times, hi, m) - dirty
     if not (f_lo > 0 > f_hi):

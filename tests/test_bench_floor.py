@@ -36,6 +36,7 @@ CEILINGS = {
     "r2_error_checks": 15.0,           # min 4.9
     "d31_cluster_representatives": 6.5,   # min 2.10 (r9 CC-MR; was 3.2)
     "w10e_full_record": 9.0,           # min 2.7
+    "w10j_dated_schedule_record": 9.0,  # min 2.6 (r16; same machinery)
     "w10f_yield_to_worst": 3.0,        # min 0.60 at local[32]; 2 solver legs
     "w11b_modified_following": 4.0,    # min 1.01 at local[32]; spine windows
     "w10g_yield_to_worst_schedule": 6.0,  # min 1.61 at local[32]; legs solve

@@ -302,12 +302,16 @@ def test_schedule_ytw_one_legs_exchange(spark):
     assert len(parts) == 1, parts
 
 
-def test_full_record_zero_key_exchanges(spark):
-    """w10e: the full 9-output analytics record is one scan + codegen'd
-    schedule algebra + one Arrow solve — no key shuffle, no join, no
-    SortAggregate; at most the small-file widening round-robin (the
-    contract w10h's docstring cites; pin it on w10e itself too)."""
-    plan = _plan(spark, "w10e_full_record")
+@pytest.mark.parametrize(
+    "name", ["w10e_full_record", "w10j_dated_schedule_record"]
+)
+def test_full_record_zero_key_exchanges(spark, name):
+    """w10e/w10j: the full 9-output analytics record is one scan +
+    schedule array algebra + one Arrow solve — no key shuffle, no
+    join, no SortAggregate; at most the small-file widening
+    round-robin (the contract w10h's docstring cites; pin it on the
+    record entries themselves too)."""
+    plan = _plan(spark, name)
     assert "hashpartitioning" not in plan
     assert "rangepartitioning" not in plan
     assert "Exchange SinglePartition" not in plan

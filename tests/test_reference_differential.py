@@ -4778,3 +4778,85 @@ def test_step10_rating_split_tables_match_reference(spark, seed):
     assert n_banded == int(
         (pdf["spc_rating"].between(1, 21) | (pdf["spc_rating"] == 22)).sum()
     )
+
+
+def test_w10_dated_schedule_matches_contract(spark):
+    """The dated-date schedule mode (r16): attach_full_record(dated=)
+    vs the contract's ql.Schedule backward generation over 300 random
+    bonds whose dated dates sit OFF the coupon grid (day offsets up to
+    70 days — genuine short first stubs), across all four bases, all
+    four frequencies, and NYSE-holiday-adjusted dates. Exact on all 9
+    outputs. This is the FISD column surface (real dated_date, not a
+    grid-regular history length), so it also pins the J-probe, the
+    stub prepend, and the ModifiedFollowing stub-collapse dedupe."""
+    from datetime import date, timedelta
+
+    rng = np.random.default_rng(7)
+    rows = []
+    rid = 0
+    dmax = [31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31]
+    for i in range(300):
+        pm = [6, 3, 1, 12][i % 4]
+        code = {6: "2", 3: "4", 1: "12", 12: "1"}[pm]
+        mat = date(2027 + i % 8, 1 + i % 12, 1 + i % 28)
+        n_per = 3 + i % 10
+        y, m = divmod((mat.year * 12 + mat.month - 1) - pm * n_per, 12)
+        dated = date(y, m + 1, min(mat.day, dmax[m])) - timedelta(
+            days=int(i * 13 % 71)
+        )
+        trade = dated + timedelta(
+            days=int(rng.integers(0, max((mat - dated).days - 10, 5)))
+        )
+        rows.append(dict(
+            rid=rid, p=[72.5, 96.0, 104.0, 118.0][rid % 4],
+            c_pct=[2.5, 5.0, 7.25, 9.0][(rid // 2) % 4], ctype="F",
+            ifreq=code, dcb=["30/360", "ACT/ACT", "ACT/360",
+                             "ACT/365"][i % 4],
+            maturity=mat, dated_d=dated, trade_d=trade,
+        ))
+        rid += 1
+    pdf = pd.DataFrame(rows)
+    # most rows are genuine stubs (dated off the pm-month grid)
+    off_grid = sum(1 for r in pdf.itertuples(index=False)
+                   if (r.maturity.day != r.dated_d.day
+                       or ((r.maturity.year * 12 + r.maturity.month)
+                           - (r.dated_d.year * 12 + r.dated_d.month))
+                       % {"2": 6, "4": 3, "12": 1, "1": 12}[r.ifreq] != 0))
+    assert off_grid > 200
+
+    from trace_data_pipeline_spark.operators.bond_record import (
+        RECORD_COLS,
+        attach_full_record,
+    )
+
+    sdf = spark.createDataFrame(
+        pdf,
+        schema="rid long, p double, c_pct double, ctype string,"
+        " ifreq string, dcb string, maturity date, dated_d date,"
+        " trade_d date",
+    ).repartition(5, "rid")
+    got = (
+        attach_full_record(sdf, dated="dated_d")
+        .select("rid", *RECORD_COLS)
+        .toPandas()
+        .sort_values("rid")
+        .set_index("rid")
+    )
+    hols = _nyse_hols()
+    from tests.ql_contract import get_new_vars_contract
+
+    recs = {}
+    for r in pdf.itertuples(index=False):
+        recs[r.rid] = get_new_vars_contract(
+            pr=float(r.p), coupon=float(r.c_pct), coupon_type=r.ctype,
+            interest_frequency=r.ifreq, day_count_basis=r.dcb,
+            maturity=r.maturity, trd_exctn_dt=r.trade_d,
+            dated_date=r.dated_d, offering_date=r.dated_d,
+            holidays=hols,
+        )
+    want = pd.DataFrame.from_dict(recs, orient="index").drop(
+        columns=["settle"]
+    ).sort_index()
+    want.index.name = "rid"
+    assert int(want["ytm"].notna().sum()) > 280
+    _assert_w10_exact(pdf.assign(), got, want)

@@ -159,11 +159,25 @@ def attach_full_record(
     trade_d: str = "trade_d",
     model: str = "quantlib",
     holidays: Sequence[dt.date] | None = None,
+    dated: str | None = None,
 ) -> DataFrame:
     """Attach the 9 analytics columns (RECORD_COLS) to `df`. See the
     module docstring for the two models; `holidays` overrides the
-    default NYSE closure list (quantlib model only)."""
+    default NYSE closure list (quantlib model only).
+
+    `dated` (quantlib model only) names a DATED-DATE column and
+    replaces the grid-regular `hist_m` parameterization with the
+    reference's ACTUAL schedule contract (`ql.Schedule(dated,
+    maturity, ..., Backward)`, helper_functions.py:125-152): coupon
+    dates generate backward from maturity, and a dated date OFF the
+    grid is prepended as a short first stub whose coupon pays
+    rate*dcf(dated, first_cpn) — which the per-flow amounts model
+    prices natively (the stub is just the first period's day-count
+    step). This is the column a FISD row actually carries; `hist_m`
+    remains for synthetic grid-regular inputs."""
     if model == "quote":
+        if dated is not None:
+            raise ValueError("dated schedules need model='quantlib'")
         return _attach_quote_record(
             df, price, coupon_pct, coupon_type, ifreq, dcb, maturity,
             hist_m, trade_d,
@@ -202,36 +216,79 @@ def attach_full_record(
         ),
     )
     coupon_row = F.col("__valid") & ~F.col("__is_zero")
-    st = (
-        st.withColumn(
-            "__m", F.when(F.col("__is_zero"), 1).otherwise(F.col("__m_c"))
-        )
-        .withColumn("__pm", (12 / F.col("__m_c")).cast("int"))
-        .withColumn(
-            "__N",
-            F.when(
-                coupon_row, (F.col(hist_m) / F.col("__pm")).cast("int")
-            ),
-        )
-    )
+    st = st.withColumn(
+        "__m", F.when(F.col("__is_zero"), 1).otherwise(F.col("__m_c"))
+    ).withColumn("__pm", (12 / F.col("__m_c")).cast("int"))
     # the full adjusted schedule, ascending: element 1 is the adjusted
-    # dated date, element N+1 the adjusted maturity (termination-date
-    # convention is ModifiedFollowing too, helper_functions.py:138).
-    # One interpreted lambda per row; the lazily-evaluated session
-    # probe inside adjust_mf_col costs ~1 holiday lookup per weekday
-    # date, so the array build is O(N) lookups, not O(N * steps).
-    sched = st.withColumn(
-        "__D",
-        F.transform(
-            F.sequence(F.lit(0), F.col("__N")),
+    # schedule start (dated date / stub start), the last element the
+    # adjusted maturity (termination-date convention is
+    # ModifiedFollowing too, helper_functions.py:138). One interpreted
+    # lambda per row; the lazily-evaluated session probe inside
+    # adjust_mf_col costs ~1 holiday lookup per weekday date, so the
+    # array build is O(N) lookups, not O(N * steps).
+    if dated is None:
+        # grid-regular: hist_m whole periods of history
+        np_ = F.when(coupon_row, (F.col(hist_m) / F.col("__pm")).cast("int"))
+        st = st.withColumn("__NP", np_)
+        raw_d = F.transform(
+            F.sequence(F.lit(0), F.col("__NP")),
             lambda j: adjust_mf_col(
                 F.add_months(
                     F.col(maturity),
-                    (-F.col("__pm") * (F.col("__N") - j)).cast("int"),
+                    (-F.col("__pm") * (F.col("__NP") - j)).cast("int"),
                 ),
                 hol,
             ),
-        ),
+        )
+    else:
+        # backward generation from the REAL dated date: J = max k with
+        # maturity - pm*k >= dated, found by the same O(1) probe trick
+        # as coupon_bracket (months_between's day-fraction error is
+        # sub-month, so J lies in {j0-1..j0+2}); a dated date off the
+        # grid prepends a short first stub, and ModifiedFollowing can
+        # collapse the stub start into the first grid date —
+        # array_distinct reproduces the reference's neighbour dedupe.
+        dt_col = F.col(dated)
+        j0 = F.floor(
+            F.months_between(F.col(maturity), dt_col) / F.col("__pm")
+        ).cast("int")
+        cand = F.filter(
+            F.transform(
+                F.array(F.lit(-1), F.lit(0), F.lit(1), F.lit(2)),
+                lambda dj: F.greatest(F.lit(0), j0 + dj),
+            ),
+            lambda j: F.add_months(
+                F.col(maturity), (-F.col("__pm") * j).cast("int")
+            )
+            >= dt_col,
+        )
+        st = st.withColumn("__J", F.when(coupon_row, F.array_max(cand)))
+        grid = F.transform(
+            F.sequence(F.lit(0), F.col("__J")),
+            lambda j: adjust_mf_col(
+                F.add_months(
+                    F.col(maturity),
+                    (-F.col("__pm") * (F.col("__J") - j)).cast("int"),
+                ),
+                hol,
+            ),
+        )
+        on_grid = (
+            F.add_months(
+                F.col(maturity), (-F.col("__pm") * F.col("__J")).cast("int")
+            )
+            == dt_col
+        )
+        raw_d = F.array_distinct(
+            F.when(on_grid, grid).otherwise(
+                F.concat(F.array(adjust_mf_col(dt_col, hol)), grid)
+            )
+        )
+    sched = st.withColumn("__D", raw_d).withColumn(
+        "__N",
+        F.when(
+            F.col("__D").isNotNull(), F.size("__D") - F.lit(1)
+        ).cast("int"),
     )
     # per-period day-count steps: steps[i] = dcf(D[i], D[i+1]) — the
     # accrual fraction QuantLib's FixedRateLeg pays per coupon. 30/360
@@ -387,9 +444,9 @@ def attach_full_record(
     )
     return out.drop(
         "__hols", "__settle", "__m_c", "__is_zero", "__valid", "__m",
-        "__pm", "__N", "__D", "__steps", "__cnt", "__cntc", "__accfrac",
-        "__acclast", "__accpmt", "__R", "__remsteps", "__ts", "__cfs",
-        "__pd", "__r",
+        "__pm", "__NP", "__J", "__N", "__D", "__steps", "__cnt", "__cntc",
+        "__accfrac", "__acclast", "__accpmt", "__R", "__remsteps", "__ts",
+        "__cfs", "__pd", "__r",
     )
 
 

@@ -283,76 +283,14 @@ def _dcf_signed_sql(d1: str, d2: str) -> str:
     )
 
 
-def _w10e_oracle() -> str:
-    """DuckDB replay of the r16 quantlib-model attach_full_record:
-    NYSE-calendar T+2 settlement, ModifiedFollowing-adjusted backward
-    schedule, per-flow rate*dcf coupon amounts, stepwise per-flow
-    times, and the identical fixed 25-step Newton (list algebra, same
-    t-sequential accumulation as the Arrow solver). Every chain CTE is
-    AS MATERIALIZED: DuckDB 1.0's optimizer inlines plain CTEs into
-    the recursive member and blows up on the deeply nested calendar
-    CASE trees (minutes of planning for 50 rows); materialization
-    plans in 0.3 s with identical results."""
-    grid = (
-        "CAST(maturity - INTERVAL 1 MONTH * (pm * (nn - j)) AS DATE)"
-    )
-    return rf"""
-WITH RECURSIVE base AS (
-  SELECT o_orderkey,
-    CASE WHEN o_orderkey % 7 = 0 THEN 'Z' ELSE 'F' END AS ctype,
-    CASE o_orderkey % 6 WHEN 0 THEN '1' WHEN 1 THEN '2' WHEN 2 THEN '4'
-                        WHEN 3 THEN '12' WHEN 4 THEN '0' ELSE '99' END AS ifreq,
-    CASE WHEN o_orderkey % 7 = 0 THEN CAST(0.0 AS DOUBLE)
-         WHEN o_orderkey % 6 IN (4, 5) AND o_orderkey % 13 = 0
-           THEN CAST(0.0 AS DOUBLE)
-         WHEN o_orderkey % 11 = 5 THEN CAST(NULL AS DOUBLE)
-         ELSE CAST(2 + o_orderkey % 7 AS DOUBLE) END AS c_pct,
-    CASE o_orderkey % 4 WHEN 0 THEN '30/360' WHEN 1 THEN 'ACT/ACT'
-                        WHEN 2 THEN 'ACT/360' ELSE 'ACT/365' END AS dcb,
-    CAST(DATE '2030-06-15'
-         + INTERVAL 1 MONTH * CAST(o_orderkey % 120 AS INTEGER) AS DATE)
-      AS maturity,
-    CAST(84 + 12 * (o_orderkey % 10) AS INTEGER) AS hist_m,
-    DATE '2024-01-01' + CAST(o_orderkey % 365 AS INTEGER) AS trade_d,
-    60.0 + CAST(o_orderkey * 37 % 800 AS DOUBLE) / 10.0 AS p,
-    {_nyse_hols_sql()}::DATE[] AS hol
-  FROM orders
-),
-st AS MATERIALIZED (SELECT *, ({_adv_bd_sql('trade_d', 2)}) AS settle FROM base),
-cls AS MATERIALIZED (
-  SELECT *,
-    -- missing coupon takes the zero branch below par, exactly like
-    -- coupon == 0 (GetNewVarsPy: `x.coupon == 0 or np.isnan(x.coupon)`)
-    (ctype = 'Z' OR (ctype = 'F' AND (c_pct = 0.0 OR c_pct IS NULL)
-                     AND p < 100.0)) AS is_zero,
-    CASE ifreq WHEN '1' THEN 1 WHEN '2' THEN 2 WHEN '4' THEN 4
-               WHEN '12' THEN 12
-               ELSE (CASE WHEN c_pct > 0 THEN 2 ELSE NULL END) END AS m_c
-  FROM st
-),
-par0 AS MATERIALIZED (
-  SELECT *,
-    (dcb IN ('30/360', '', 'ACT/ACT', 'ACT/360', 'ACT/365', 'ACT/366')
-     AND settle < maturity
-     AND (is_zero OR (ctype = 'F' AND c_pct > 0 AND m_c IS NOT NULL)))
-      AS valid,
-    CASE WHEN is_zero THEN 1 ELSE m_c END AS m,
-    CASE WHEN is_zero THEN NULL ELSE 12 // m_c END AS pm
-  FROM cls
-),
-nsch AS MATERIALIZED (
-  SELECT *,
-    CASE WHEN valid AND NOT is_zero THEN hist_m // pm END AS nn
-  FROM par0
-),
-dd AS MATERIALIZED (
-  SELECT *,
-    CASE WHEN nn IS NOT NULL THEN
-      list_transform(range(0, nn + 1), j -> {_adjust_mf_sql(grid)})
-    END AS D
-  FROM nsch
-),
-stp AS MATERIALIZED (
+def _record_oracle_tail() -> str:
+    """Shared solver tail for the quantlib-model record oracles
+    (w10e grid-regular, w10j dated-schedule): per-period steps,
+    accrued/paid, remaining-flow times/amounts, the 25-step
+    recursive Newton, and the gated 9-output select. Consumes a
+    CTE chain ending in `dd` with columns (o_orderkey, p, c_pct,
+    dcb, maturity, settle, valid, is_zero, m, hol, nn, D)."""
+    return rf"""stp AS MATERIALIZED (
   SELECT *,
     CASE WHEN nn >= 1 THEN
       list_transform(range(1, nn + 1), i -> ({_dcf_sql('D[i]', 'D[i+1]')}))
@@ -459,7 +397,271 @@ LEFT JOIN conv f ON a.o_orderkey = f.o_orderkey
 """
 
 
+def _w10e_oracle() -> str:
+    """DuckDB replay of the r16 quantlib-model attach_full_record:
+    NYSE-calendar T+2 settlement, ModifiedFollowing-adjusted backward
+    schedule, per-flow rate*dcf coupon amounts, stepwise per-flow
+    times, and the identical fixed 25-step Newton (list algebra, same
+    t-sequential accumulation as the Arrow solver). Every chain CTE is
+    AS MATERIALIZED: DuckDB 1.0's optimizer inlines plain CTEs into
+    the recursive member and blows up on the deeply nested calendar
+    CASE trees (minutes of planning for 50 rows); materialization
+    plans in 0.3 s with identical results."""
+    grid = (
+        "CAST(maturity - INTERVAL 1 MONTH * (pm * (nn - j)) AS DATE)"
+    )
+    return rf"""
+WITH RECURSIVE base AS (
+  SELECT o_orderkey,
+    CASE WHEN o_orderkey % 7 = 0 THEN 'Z' ELSE 'F' END AS ctype,
+    CASE o_orderkey % 6 WHEN 0 THEN '1' WHEN 1 THEN '2' WHEN 2 THEN '4'
+                        WHEN 3 THEN '12' WHEN 4 THEN '0' ELSE '99' END AS ifreq,
+    CASE WHEN o_orderkey % 7 = 0 THEN CAST(0.0 AS DOUBLE)
+         WHEN o_orderkey % 6 IN (4, 5) AND o_orderkey % 13 = 0
+           THEN CAST(0.0 AS DOUBLE)
+         WHEN o_orderkey % 11 = 5 THEN CAST(NULL AS DOUBLE)
+         ELSE CAST(2 + o_orderkey % 7 AS DOUBLE) END AS c_pct,
+    CASE o_orderkey % 4 WHEN 0 THEN '30/360' WHEN 1 THEN 'ACT/ACT'
+                        WHEN 2 THEN 'ACT/360' ELSE 'ACT/365' END AS dcb,
+    CAST(DATE '2030-06-15'
+         + INTERVAL 1 MONTH * CAST(o_orderkey % 120 AS INTEGER) AS DATE)
+      AS maturity,
+    CAST(84 + 12 * (o_orderkey % 10) AS INTEGER) AS hist_m,
+    DATE '2024-01-01' + CAST(o_orderkey % 365 AS INTEGER) AS trade_d,
+    60.0 + CAST(o_orderkey * 37 % 800 AS DOUBLE) / 10.0 AS p,
+    {_nyse_hols_sql()}::DATE[] AS hol
+  FROM orders
+),
+st AS MATERIALIZED (SELECT *, ({_adv_bd_sql('trade_d', 2)}) AS settle FROM base),
+cls AS MATERIALIZED (
+  SELECT *,
+    -- missing coupon takes the zero branch below par, exactly like
+    -- coupon == 0 (GetNewVarsPy: `x.coupon == 0 or np.isnan(x.coupon)`)
+    (ctype = 'Z' OR (ctype = 'F' AND (c_pct = 0.0 OR c_pct IS NULL)
+                     AND p < 100.0)) AS is_zero,
+    CASE ifreq WHEN '1' THEN 1 WHEN '2' THEN 2 WHEN '4' THEN 4
+               WHEN '12' THEN 12
+               ELSE (CASE WHEN c_pct > 0 THEN 2 ELSE NULL END) END AS m_c
+  FROM st
+),
+par0 AS MATERIALIZED (
+  SELECT *,
+    (dcb IN ('30/360', '', 'ACT/ACT', 'ACT/360', 'ACT/365', 'ACT/366')
+     AND settle < maturity
+     AND (is_zero OR (ctype = 'F' AND c_pct > 0 AND m_c IS NOT NULL)))
+      AS valid,
+    CASE WHEN is_zero THEN 1 ELSE m_c END AS m,
+    CASE WHEN is_zero THEN NULL ELSE 12 // m_c END AS pm
+  FROM cls
+),
+nsch AS MATERIALIZED (
+  SELECT *,
+    CASE WHEN valid AND NOT is_zero THEN hist_m // pm END AS nn
+  FROM par0
+),
+dd AS MATERIALIZED (
+  SELECT *,
+    CASE WHEN nn IS NOT NULL THEN
+      list_transform(range(0, nn + 1), j -> {_adjust_mf_sql(grid)})
+    END AS D
+  FROM nsch
+),
+""" + _record_oracle_tail()
+
+
 _W10E_ORACLE = _w10e_oracle()
+
+
+def _w10j_oracle() -> str:
+    """DuckDB replay of the dated-schedule quantlib record: backward
+    generation from the REAL dated date (J by candidate probe off the
+    calendar month distance), short-first-stub prepend with the
+    ModifiedFollowing-collapse dedupe, then the shared solver tail."""
+    gridj = (
+        "CAST(maturity - INTERVAL 1 MONTH * (pm * (jj - j)) AS DATE)"
+    )
+    return rf"""
+WITH RECURSIVE base AS MATERIALIZED (
+  SELECT o_orderkey,
+    CASE WHEN o_orderkey % 13 = 0 THEN 'Z' ELSE 'F' END AS ctype,
+    CASE o_orderkey % 4 WHEN 0 THEN '2' WHEN 1 THEN '4'
+                        WHEN 2 THEN '12' ELSE '1' END AS ifreq,
+    CASE o_orderkey % 4 WHEN 0 THEN 6 WHEN 1 THEN 3
+                        WHEN 2 THEN 1 ELSE 12 END AS pm0,
+    CASE WHEN o_orderkey % 13 = 0 THEN CAST(0.0 AS DOUBLE)
+         ELSE CAST(2 + o_orderkey % 7 AS DOUBLE) END AS c_pct,
+    CASE CAST(o_orderkey // 4 AS INTEGER) % 4
+         WHEN 0 THEN '30/360' WHEN 1 THEN 'ACT/ACT'
+         WHEN 2 THEN 'ACT/360' ELSE 'ACT/365' END AS dcb,
+    CAST(DATE '2027-02-10'
+         + INTERVAL 1 MONTH * CAST(o_orderkey % 96 AS INTEGER) AS DATE)
+      AS maturity,
+    CAST(3 + o_orderkey % 10 AS INTEGER) AS n_per,
+    60.0 + CAST(o_orderkey * 37 % 797 AS DOUBLE) / 10.0 AS p,
+    {_nyse_hols_sql()}::DATE[] AS hol
+  FROM orders
+),
+dt0 AS MATERIALIZED (
+  SELECT *,
+    CAST(CAST(maturity - INTERVAL 1 MONTH * (pm0 * n_per) AS DATE)
+         - CAST(o_orderkey * 13 % 71 AS INTEGER) AS DATE) AS dated
+  FROM base
+),
+tr AS MATERIALIZED (
+  SELECT *,
+    dated + CAST(o_orderkey * 17 %
+      greatest(date_diff('day', dated, maturity) - 10, 5) AS INTEGER)
+      AS trade_d
+  FROM dt0
+),
+st AS MATERIALIZED (SELECT *, ({_adv_bd_sql('trade_d', 2)}) AS settle FROM tr),
+cls AS MATERIALIZED (
+  SELECT *,
+    (ctype = 'Z' OR (ctype = 'F' AND (c_pct = 0.0 OR c_pct IS NULL)
+                     AND p < 100.0)) AS is_zero,
+    CASE ifreq WHEN '1' THEN 1 WHEN '2' THEN 2 WHEN '4' THEN 4
+               WHEN '12' THEN 12
+               ELSE (CASE WHEN c_pct > 0 THEN 2 ELSE NULL END) END AS m_c
+  FROM st
+),
+par0 AS MATERIALIZED (
+  SELECT *,
+    (dcb IN ('30/360', '', 'ACT/ACT', 'ACT/360', 'ACT/365', 'ACT/366')
+     AND settle < maturity
+     AND (is_zero OR (ctype = 'F' AND c_pct > 0 AND m_c IS NOT NULL)))
+      AS valid,
+    CASE WHEN is_zero THEN 1 ELSE m_c END AS m,
+    CASE WHEN is_zero THEN NULL ELSE 12 // m_c END AS pm
+  FROM cls
+),
+nsch0 AS MATERIALIZED (
+  SELECT *,
+    (year(maturity) * 12 + month(maturity))
+      - (year(dated) * 12 + month(dated)) AS mm
+  FROM par0
+),
+nsch AS MATERIALIZED (
+  SELECT *,
+    CASE WHEN valid AND NOT is_zero THEN
+      list_max(list_filter(
+        [greatest(mm // pm - 1, 0), greatest(mm // pm, 0), mm // pm + 1],
+        j -> CAST(maturity - INTERVAL 1 MONTH * (pm * j) AS DATE)
+             >= dated))
+    END AS jj
+  FROM nsch0
+),
+dd1 AS MATERIALIZED (
+  SELECT *,
+    CASE WHEN jj IS NOT NULL THEN
+      list_transform(range(0, jj + 1), j -> {_adjust_mf_sql(gridj)})
+    END AS grid,
+    CASE WHEN jj IS NOT NULL THEN
+      (CAST(maturity - INTERVAL 1 MONTH * (pm * jj) AS DATE) = dated)
+    END AS on_grid,
+    CASE WHEN jj IS NOT NULL THEN ({_adjust_mf_sql('dated')}) END
+      AS adj_dated
+  FROM nsch
+),
+dd AS MATERIALIZED (
+  SELECT * EXCLUDE (grid, on_grid, adj_dated),
+    CASE WHEN jj IS NULL THEN NULL
+         WHEN on_grid OR adj_dated = grid[1] THEN grid
+         ELSE list_prepend(adj_dated, grid) END AS D,
+    CAST(CASE WHEN jj IS NULL THEN NULL
+              WHEN on_grid OR adj_dated = grid[1] THEN jj
+              ELSE jj + 1 END AS INTEGER) AS nn
+  FROM dd1
+),
+""" + _record_oracle_tail()
+
+
+_W10J_ORACLE = _w10j_oracle()
+
+
+@register("w10j_dated_schedule_record", oracle=_W10J_ORACLE)
+def w10j_dated_schedule_record(spark, sf_dir):
+    """W10 with the reference's REAL schedule contract (r16): the
+    record parameterized by an actual DATED DATE — `ql.Schedule(dated,
+    maturity, Period(freq), NYSE, ModifiedFollowing, ModifiedFollowing,
+    Backward, False)` (`stage1/helper_functions.py:125-152`) — instead
+    of a grid-regular history length. Most grid rows put the dated
+    date OFF the coupon grid (random day offsets up to 70 days), so
+    the backward generation prepends a SHORT FIRST STUB whose coupon
+    pays rate*dcf(dated, first_cpn); the per-flow amounts model prices
+    it natively (the stub is just the first period's day-count step),
+    with the same NYSE-calendar settlement and per-date
+    ModifiedFollowing adjustment as w10e. Zero-coupon rows (k%13)
+    exercise the Z branch through the same chain.
+
+    This is the column surface a FISD row actually carries — a user
+    can feed (dated_date, maturity, coupon, basis, frequency, price,
+    trade date) straight from the reference's step-4 output. Exact vs
+    the QuantLib contract on all 9 outputs including stubs x holidays
+    x all four bases (test_reference_differential.py::
+    test_w10_dated_schedule_matches_contract). Plan shape identical
+    to w10e: one scan, zero key shuffles, zero joins."""
+    from trace_data_pipeline_spark.operators.bond_record import (
+        RECORD_COLS,
+        attach_full_record,
+    )
+
+    orders = _orders(spark, sf_dir)
+    k = F.col("o_orderkey")
+    pm0 = (
+        F.when(k % 4 == 0, 6)
+        .when(k % 4 == 1, 3)
+        .when(k % 4 == 2, 1)
+        .otherwise(12)
+        .cast("int")
+    )
+    base = orders.select(
+        "o_orderkey",
+        F.when(k % 13 == 0, "Z").otherwise("F").alias("ctype"),
+        F.when(k % 4 == 0, "2")
+        .when(k % 4 == 1, "4")
+        .when(k % 4 == 2, "12")
+        .otherwise("1")
+        .alias("ifreq"),
+        F.when(k % 13 == 0, F.lit(0.0))
+        .otherwise((2 + k % 7).cast("double"))
+        .alias("c_pct"),
+        F.when(F.floor(k / 4) % 4 == 0, "30/360")
+        .when(F.floor(k / 4) % 4 == 1, "ACT/ACT")
+        .when(F.floor(k / 4) % 4 == 2, "ACT/360")
+        .otherwise("ACT/365")
+        .alias("dcb"),
+        F.add_months(
+            F.lit("2027-02-10").cast("date"), (k % 96).cast("int")
+        ).alias("maturity"),
+        (3 + k % 10).cast("int").alias("n_per"),
+        pm0.alias("pm0"),
+        (60.0 + (k * 37 % 797).cast("double") / 10.0).alias("p"),
+    )
+    dd = base.withColumn(
+        "dated",
+        F.date_sub(
+            F.add_months(
+                "maturity", (-F.col("pm0") * F.col("n_per")).cast("int")
+            ),
+            (k * 13 % 71).cast("int"),
+        ),
+    )
+    tr = dd.withColumn(
+        "trade_d",
+        F.date_add(
+            "dated",
+            (
+                k * 17
+                % F.greatest(
+                    F.datediff("maturity", "dated") - 10, F.lit(5)
+                )
+            ).cast("int"),
+        ),
+    )
+    return attach_full_record(tr, dated="dated").select(
+        "o_orderkey", *RECORD_COLS
+    )
+
 
 
 @register("w10e_full_record", oracle=_W10E_ORACLE)

@@ -102,75 +102,29 @@ def dcf_by_basis(basis: Column, start: Column, end: Column) -> Column:
     )
 
 
-def is_session_col(d: Column, holidays: Column) -> Column:
-    """True when `d` is a trading session: a weekday not contained in
-    `holidays` (an array<date> literal — dimension-sized, bind it ONCE
-    per plan with F.lit(list) and reuse the column). The AND is
-    row-lazy, so weekend probes never pay the array scan."""
-    return (~F.dayofweek(d).isin(1, 7)) & ~F.array_contains(holidays, d)
+import datetime as _dt
+import functools as _functools
+
+_EPOCH = _dt.date(1970, 1, 1).toordinal()
+# bit-test masks for word positions 0..63 as SIGNED 64-bit literals
+# (1 << 63 is the long sign bit)
+_BIT_MASKS = [(1 << i) if i < 63 else -(1 << 63) for i in range(64)]
 
 
-def roll_fwd_col(d: Column, holidays: Column, max_steps: int = 6) -> Column:
-    """First session >= d (QuantLib's Following). A lazily-evaluated
-    CASE probe: the common weekday row costs ONE holiday lookup; the
-    bound of 6 exceeds the longest observed consecutive-closure run on
-    the NYSE calendar (4: Hurricane Sandy's Mon-Tue after a weekend)."""
-    c = F.when(is_session_col(d, holidays), d)
-    for k in range(1, max_steps + 1):
-        dk = F.date_add(d, k)
-        c = c.when(is_session_col(dk, holidays), dk)
-    return c.otherwise(F.date_add(d, max_steps + 1))
-
-
-def roll_bwd_col(d: Column, holidays: Column, max_steps: int = 6) -> Column:
-    """First session <= d (QuantLib's Preceding)."""
-    c = F.when(is_session_col(d, holidays), d)
-    for k in range(1, max_steps + 1):
-        dk = F.date_sub(d, k)
-        c = c.when(is_session_col(dk, holidays), dk)
-    return c.otherwise(F.date_sub(d, max_steps + 1))
-
-
-def adjust_mf_col(d: Column, holidays: Column) -> Column:
-    """ModifiedFollowing against the holiday-array calendar: next
-    session, unless that crosses a month boundary — then the previous
-    session (QuantLib's payment/termination convention the reference
-    passes throughout `stage1/helper_functions.py:125-152`). A <= 7-day
-    forward roll can never land in the same month of a different year,
-    so the month() equality is the full crossing test. Pure column
-    algebra — the array-join twin for fact-side adjustment is
-    `operators/temporal.py::modified_following_calendar`; this form
-    exists so PER-FLOW schedule dates inside array lambdas can adjust
-    without exploding the fact table."""
-    fwd = roll_fwd_col(d, holidays)
-    return F.when(F.month(fwd) == F.month(d), fwd).otherwise(
-        roll_bwd_col(d, holidays)
-    )
-
-
-def add_business_days_cal(start: Column, n: int, holidays: Column) -> Column:
-    """Trade date + n sessions against the holiday-array calendar —
-    QuantLib `calendar.advance(d, n, Days)` (T+2 settlement,
-    `stage1/helper_functions.py:74`): n strict next-session steps."""
-    d = start
-    for _ in range(n):
-        d = roll_fwd_col(F.date_add(d, 1), holidays)
-    return d
-
-
-def dcf_by_basis_signed(basis: Column, start: Column, end: Column) -> Column:
-    """dcf_by_basis extended to reversed spans. 30/360's signed formula
-    and the flat ACT datediff quotients are ALREADY correct for
-    end < start (and 30/360's day-clipping is argument-asymmetric, so
-    swapping would change it); only the ACT/ACT ISDA year-segment sum —
-    which clamps reversed segments to zero — needs the antisymmetric
-    extension. Needed for the stepwise first-flow time when settlement
-    precedes the first accrual start (a trade before the dated date):
-    t1 = dcf(start, pay) - dcf(start, settle) with a NEGATIVE second
-    term."""
-    return F.when(
-        (basis == "ACT/ACT") & (end < start), -act_act_isda(end, start)
-    ).otherwise(dcf_by_basis(basis, start, end))
+@_functools.lru_cache(maxsize=8)
+def _holiday_bitset(holidays: tuple) -> tuple[int, int, tuple[int, ...]]:
+    """(first epoch-day, span length, packed 64-bit words) for a
+    holiday set — the closure calendar as a bitmap over days."""
+    days = sorted(d.toordinal() - _EPOCH for d in holidays)
+    lo, hi = days[0], days[-1]
+    n = hi - lo + 1
+    words = [0] * ((n + 63) >> 6)
+    for day in days:
+        i = day - lo
+        words[i >> 6] |= 1 << (i & 63)
+    # keep the sign-bit representation consistent with _BIT_MASKS
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    return lo, n, tuple(words)
 
 
 def add_business_days(start: Column, n: int = 2) -> Column:

@@ -269,41 +269,16 @@ def bond_analytics_stub(
     )
 
 
-@F.pandas_udf(_SCHEMA)
-def bond_analytics_times(
-    dirty: pd.Series,
-    freq: pd.Series,
-    times: pd.Series,
-    amounts: pd.Series,
-) -> pd.DataFrame:
-    """ACT-exact variant (closes the r15 contract-differential gap for
-    ACT bases): fits the dirty price to flows at EXPLICIT per-flow
-    times (years from settlement, QuantLib's stepwise accumulation —
-    closed-form under ACT additivity) with EXPLICIT per-flow amounts
-    (rate x dcf(accrual start, end) per 100 face, QuantLib's
-    FixedRateLeg — NOT the uniform rate/m quote convention of
-    `bond_analytics_frac`). times/amounts are equal-length arrays per
-    row; discounting is (1 + y/m)^(-t*m).
-
-    Same fixed contract as the rest of the family — 25 Newton steps
-    from y/m = 0.06/m, clamped per-period to [-0.9, 10], t-SEQUENTIAL
-    term accumulation so the DuckDB list-algebra oracle replays it
-    bit-for-bit, all-NaN on non-convergence."""
+def _solve_times_matrices(p, m, t_mat, cf_mat, n) -> pd.DataFrame:
+    """Shared fixed-contract solve over padded per-flow (times,
+    amounts) matrices: 25 Newton steps from y/m = 0.06/m, per-period
+    clamp [-0.9, 10], t-SEQUENTIAL term accumulation (the DuckDB
+    list-algebra oracle replays it bit-for-bit), all-NaN on
+    non-convergence or invalid rows."""
     import numpy as np
 
-    p = dirty.to_numpy(dtype=float)
-    m = freq.to_numpy(dtype="int64")
-    rows = len(p)
-    n = np.array([0 if v is None else len(v) for v in times])
-    n_max = int(n.max()) if rows else 0
-    t_mat = np.zeros((rows, n_max))
-    cf_mat = np.zeros((rows, n_max))
-    for i, (tv, av) in enumerate(zip(times, amounts)):
-        if tv is None or av is None or len(tv) != len(av):
-            n[i] = 0
-            continue
-        t_mat[i, : len(tv)] = np.asarray(tv, dtype=float)
-        cf_mat[i, : len(av)] = np.asarray(av, dtype=float)
+    rows = p.size
+    n_max = t_mat.shape[1] if rows else 0
     valid = (n >= 1) & (p > 0.0) & (m >= 1) & np.isfinite(p)
     valid &= np.isfinite(t_mat).all(axis=1) & (t_mat >= 0).all(axis=1)
 
@@ -359,3 +334,140 @@ def bond_analytics_times(
         )
     out.loc[~valid] = float("nan")
     return out
+
+
+@F.pandas_udf(_SCHEMA)
+def bond_analytics_times(
+    dirty: pd.Series,
+    freq: pd.Series,
+    times: pd.Series,
+    amounts: pd.Series,
+) -> pd.DataFrame:
+    """ACT-exact variant (closes the r15 contract-differential gap for
+    ACT bases): fits the dirty price to flows at EXPLICIT per-flow
+    times (years from settlement, QuantLib's stepwise accumulation —
+    closed-form under ACT additivity) with EXPLICIT per-flow amounts
+    (rate x dcf(accrual start, end) per 100 face, QuantLib's
+    FixedRateLeg — NOT the uniform rate/m quote convention of
+    `bond_analytics_frac`). times/amounts are equal-length arrays per
+    row; discounting is (1 + y/m)^(-t*m).
+
+    Same fixed contract as the rest of the family — 25 Newton steps
+    from y/m = 0.06/m, clamped per-period to [-0.9, 10], t-SEQUENTIAL
+    term accumulation so the DuckDB list-algebra oracle replays it
+    bit-for-bit, all-NaN on non-convergence."""
+    import numpy as np
+
+    p = dirty.to_numpy(dtype=float)
+    m = freq.to_numpy(dtype="int64")
+    rows = len(p)
+    n = np.array([0 if v is None else len(v) for v in times])
+    n_max = int(n.max()) if rows else 0
+    t_mat = np.zeros((rows, n_max))
+    cf_mat = np.zeros((rows, n_max))
+    for i, (tv, av) in enumerate(zip(times, amounts)):
+        if tv is None or av is None or len(tv) != len(av):
+            n[i] = 0
+            continue
+        t_mat[i, : len(tv)] = np.asarray(tv, dtype=float)
+        cf_mat[i, : len(av)] = np.asarray(av, dtype=float)
+    return _solve_times_matrices(p, m, t_mat, cf_mat, n)
+
+
+_RECORD_SCHEMA = StructType(
+    [
+        StructField("ytm", DoubleType()),
+        StructField("mac_dur", DoubleType()),
+        StructField("mod_dur", DoubleType()),
+        StructField("convexity", DoubleType()),
+        StructField("pv_residual", DoubleType()),
+        StructField("acclast", DoubleType()),
+        StructField("accpmt", DoubleType()),
+    ]
+)
+
+
+def make_record_kernel(holidays: tuple, mode: str):
+    """Factory for the quantlib-model record kernel: ONE Arrow pass
+    per batch computing NYSE-calendar T+2 settlement, the
+    ModifiedFollowing-adjusted backward schedule (grid-regular via
+    n periods, or mode='dated' from a real dated date with stub
+    prepend), accrued/paid amounts, and the per-flow Newton solve —
+    all vectorized int64/float64 matrix arithmetic
+    (operators/bond_schedule.py; see its docstring for why this lives
+    in the kernel rather than Catalyst column algebra). The holiday
+    tuple and mode are bound at creation; inputs per row are scalars
+    only (price, coupon %, freq, period months, basis code, maturity /
+    trade / schedule-param epoch days, zero and valid flags), so the
+    Arrow transfer is a handful of primitive columns."""
+    import numpy as np
+
+    from trace_data_pipeline_spark.operators.bond_schedule import (
+        NpCalendar,
+        build_flows,
+        dcf_basis,
+    )
+
+    cal = NpCalendar(holidays)
+    dated_mode = mode == "dated"
+
+    @F.pandas_udf(_RECORD_SCHEMA)
+    def record_kernel(
+        price: pd.Series,
+        coupon_pct: pd.Series,
+        freq: pd.Series,
+        period_m: pd.Series,
+        basis_code: pd.Series,
+        mat_days: pd.Series,
+        trade_days: pd.Series,
+        sched_val: pd.Series,
+        is_zero: pd.Series,
+        ok_flag: pd.Series,
+    ) -> pd.DataFrame:
+        p = price.to_numpy(dtype=float)
+        c_in = coupon_pct.to_numpy(dtype=float)
+        m = freq.to_numpy(dtype="int64")
+        pm = period_m.to_numpy(dtype="int64")
+        bas = basis_code.to_numpy(dtype="int64")
+        mat = mat_days.to_numpy(dtype="int64")
+        trd = trade_days.to_numpy(dtype="int64")
+        sv = sched_val.to_numpy(dtype="int64")
+        isz = is_zero.to_numpy(dtype=bool)
+        okf = ok_flag.to_numpy(dtype=bool)
+        rows = p.size
+
+        settle = cal.advance_bd(trd, 2)
+        ok = okf & (settle < mat)
+        coupon_ok = ok & ~isz
+        acc_pos, acc_sgn, paid, rem, rem_n = build_flows(
+            cal, bas, mat, pm, settle,
+            n_hist=None if dated_mode else sv,
+            dated=sv if dated_mode else None,
+            coupon_ok=coupon_ok,
+        )
+        zsel = ok & isz
+        if zsel.any():
+            zpay = cal.adjust_mf(mat)
+            zt = dcf_basis(bas, settle, zpay)
+            if rem.shape[1] == 0:
+                rem = np.zeros((rows, 1))
+            rem[zsel, 0] = np.where(zpay[zsel] > settle[zsel], zt[zsel], 0.0)
+            rem_n = np.where(
+                zsel, np.where(zpay > settle, 1, 0), rem_n
+            )
+        c = np.where(isz, 0.0, np.nan_to_num(c_in))
+        acclast = c * acc_pos
+        accpmt = c * paid
+        dirty = p + acclast
+        if rem.shape[1] == 0:
+            rem = np.zeros((rows, 1))
+        t_mat = np.cumsum(rem, axis=1) - acc_sgn[:, None]
+        cf_mat = c[:, None] * rem
+        has = rem_n >= 1
+        cf_mat[has, np.maximum(rem_n[has] - 1, 0)] += 100.0
+        out = _solve_times_matrices(dirty, m, t_mat, cf_mat, rem_n)
+        out["acclast"] = np.where(ok, acclast, float("nan"))
+        out["accpmt"] = np.where(ok, accpmt, float("nan"))
+        return out
+
+    return record_kernel

@@ -26,14 +26,18 @@ Two pricing models, selected by `model=`:
 
 Spark shape (both models): one pass, zero shuffles, zero joins — at
 100 TB this pipelines with whatever partitioning the input already
-has. The quantlib model's schedule is array column algebra (one
-adjusted-date array per row via `transform`, per-period day-count
-steps via `zip_with` over slices, prefix-sum times); the only Python
-is the Arrow-batched Newton solve over the per-flow (times, amounts)
-arrays (`bond_math.bond_analytics_times`). The holiday calendar is a
-literal array<date> bound ONCE per plan — a dimension in an
-expression, never a join, so per-flow adjustment inside array lambdas
-costs no fact-table explosion.
+has. The quantlib model runs the ENTIRE schedule-and-solve in ONE
+Arrow kernel (`bond_math.make_record_kernel` over
+`operators/bond_schedule.py`): vectorized int64 date matrices,
+bitset-probed NYSE calendar, exact-integer day counts, cumsum
+stepwise times, per-flow Newton. Inputs are a handful of scalar
+columns per row; the JVM side keeps only the branch logic, the cheap
+rounding/gating projections — and the calendar is data baked into the
+kernel closure, never a join. (The first implementation expressed the
+schedule as Catalyst higher-order-function column algebra;
+interpreted lambdas plus per-probe holiday scans ran 4-10x slower
+than the kernel and literal-bound bitsets ballooned planning — see
+bond_schedule's module docstring for the history.)
 
 Shared semantics per the reference:
 - day_count_basis ∈ {30/360, ACT/ACT, ACT/360, ACT/365} routed per row;
@@ -78,16 +82,13 @@ from pyspark.sql import functions as F
 
 from trace_data_pipeline_spark.functions.daycount import (
     add_business_days,
-    add_business_days_cal,
-    adjust_mf_col,
     coupon_bracket,
     dcf_by_basis,
-    dcf_by_basis_signed,
 )
 from trace_data_pipeline_spark.functions.nyse_calendar import nyse_holidays
 from trace_data_pipeline_spark.operators.bond_math import (
     bond_analytics_frac,
-    bond_analytics_times,
+    make_record_kernel,
 )
 
 RECORD_COLS = (
@@ -192,20 +193,30 @@ def attach_full_record(
         p, c_pct, coupon_type, ifreq, dcb
     )
     basis = F.col(dcb)
-    hol = F.col("__hols")
-
-    st = (
-        df.withColumn("__hols", F.lit(list(holidays)))
-        .withColumn(
-            "__settle", add_business_days_cal(F.col(trade_d), 2, hol)
-        )
-        .withColumn("__m_c", m_c)
-        .withColumn("__is_zero", is_zero)
+    # The ENTIRE schedule derivation — NYSE T+2 settlement,
+    # ModifiedFollowing adjustment, stub handling, day counts, accrued
+    # and paid amounts, stepwise times — runs INSIDE one Arrow kernel
+    # as vectorized int64 matrix arithmetic
+    # (operators/bond_schedule.py). The first implementation built it
+    # as Catalyst HOF column algebra; interpreted lambdas plus
+    # per-probe holiday scans put w10e at 17-21 s for 150k rows at
+    # sf0.1 where the kernel form prices the same batch in a few
+    # seconds, and literal-bound bitsets ballooned planning into
+    # multi-megabyte task binaries. Inputs stay scalar-per-row, so
+    # this remains one scan, zero shuffles, zero joins.
+    mode = "dated" if dated is not None else "hist"
+    kernel = make_record_kernel(tuple(holidays), mode)
+    basis_code = (
+        F.when(basis.isin("30/360", ""), 0)
+        .when(basis == "ACT/ACT", 1)
+        .when(basis == "ACT/360", 2)
+        .otherwise(3)
+        .cast("int")
     )
+    st = df.withColumn("__m_c", m_c).withColumn("__is_zero", is_zero)
     st = st.withColumn(
         "__valid",
         basis_ok
-        & (F.col("__settle") < F.col(maturity))
         & (
             F.col("__is_zero")
             | (
@@ -214,227 +225,52 @@ def attach_full_record(
                 & F.col("__m_c").isNotNull()
             )
         ),
-    )
-    coupon_row = F.col("__valid") & ~F.col("__is_zero")
-    st = st.withColumn(
+    ).withColumn(
         "__m", F.when(F.col("__is_zero"), 1).otherwise(F.col("__m_c"))
     ).withColumn("__pm", (12 / F.col("__m_c")).cast("int"))
-    # the full adjusted schedule, ascending: element 1 is the adjusted
-    # schedule start (dated date / stub start), the last element the
-    # adjusted maturity (termination-date convention is
-    # ModifiedFollowing too, helper_functions.py:138). One interpreted
-    # lambda per row; the lazily-evaluated session probe inside
-    # adjust_mf_col costs ~1 holiday lookup per weekday date, so the
-    # array build is O(N) lookups, not O(N * steps).
     if dated is None:
-        # grid-regular: hist_m whole periods of history
-        np_ = F.when(coupon_row, (F.col(hist_m) / F.col("__pm")).cast("int"))
-        st = st.withColumn("__NP", np_)
-        raw_d = F.transform(
-            F.sequence(F.lit(0), F.col("__NP")),
-            lambda j: adjust_mf_col(
-                F.add_months(
-                    F.col(maturity),
-                    (-F.col("__pm") * (F.col("__NP") - j)).cast("int"),
-                ),
-                hol,
-            ),
-        )
+        sched_val = (F.col(hist_m) / F.col("__pm")).cast("int")
     else:
-        # backward generation from the REAL dated date: J = max k with
-        # maturity - pm*k >= dated, found by the same O(1) probe trick
-        # as coupon_bracket (months_between's day-fraction error is
-        # sub-month, so J lies in {j0-1..j0+2}); a dated date off the
-        # grid prepends a short first stub, and ModifiedFollowing can
-        # collapse the stub start into the first grid date —
-        # array_distinct reproduces the reference's neighbour dedupe.
-        dt_col = F.col(dated)
-        j0 = F.floor(
-            F.months_between(F.col(maturity), dt_col) / F.col("__pm")
-        ).cast("int")
-        cand = F.filter(
-            F.transform(
-                F.array(F.lit(-1), F.lit(0), F.lit(1), F.lit(2)),
-                lambda dj: F.greatest(F.lit(0), j0 + dj),
-            ),
-            lambda j: F.add_months(
-                F.col(maturity), (-F.col("__pm") * j).cast("int")
-            )
-            >= dt_col,
-        )
-        st = st.withColumn("__J", F.when(coupon_row, F.array_max(cand)))
-        grid = F.transform(
-            F.sequence(F.lit(0), F.col("__J")),
-            lambda j: adjust_mf_col(
-                F.add_months(
-                    F.col(maturity),
-                    (-F.col("__pm") * (F.col("__J") - j)).cast("int"),
-                ),
-                hol,
-            ),
-        )
-        on_grid = (
-            F.add_months(
-                F.col(maturity), (-F.col("__pm") * F.col("__J")).cast("int")
-            )
-            == dt_col
-        )
-        raw_d = F.array_distinct(
-            F.when(on_grid, grid).otherwise(
-                F.concat(F.array(adjust_mf_col(dt_col, hol)), grid)
-            )
-        )
-    sched = st.withColumn("__D", raw_d).withColumn(
-        "__N",
-        F.when(
-            F.col("__D").isNotNull(), F.size("__D") - F.lit(1)
-        ).cast("int"),
-    )
-    # per-period day-count steps: steps[i] = dcf(D[i], D[i+1]) — the
-    # accrual fraction QuantLib's FixedRateLeg pays per coupon. 30/360
-    # is NOT additive across adjusted dates, so past coupons sum these
-    # per-period values rather than telescoping.
-    sched = sched.withColumn(
-        "__steps",
-        F.zip_with(
-            F.slice("__D", 1, F.col("__N")),
-            F.slice("__D", 2, F.col("__N")),
-            lambda a, b: dcf_by_basis(basis, a, b),
-        ),
-    )
-    # cnt = #{schedule dates <= settlement}: cnt - 1 coupons have PAID
-    # (accpmt); the accrual period containing settlement starts at
-    # D[max(cnt, 1)] (a settlement before the dated date — a trade
-    # before dated — clamps to the first period with zero accrued,
-    # QuantLib's accruedAmount contract).
-    par = (
-        sched.withColumn(
-            "__cnt",
-            F.size(F.filter("__D", lambda d: d <= F.col("__settle"))),
-        )
-        .withColumn("__cntc", F.greatest(F.col("__cnt"), F.lit(1)))
-    )
-    par = par.withColumn(
-        "__accfrac",
-        dcf_by_basis_signed(
-            basis,
-            F.element_at("__D", F.col("__cntc")),
-            F.col("__settle"),
-        ),
-    )
-    par = (
-        par.withColumn(
-            "__acclast",
-            F.when(F.col("__is_zero"), F.lit(0.0)).otherwise(
-                c_pct * F.greatest(F.col("__accfrac"), F.lit(0.0))
-            ),
-        )
-        .withColumn(
-            "__accpmt",
-            F.when(F.col("__is_zero"), F.lit(0.0)).otherwise(
-                c_pct
-                * F.coalesce(
-                    F.aggregate(
-                        F.slice(
-                            "__steps",
-                            1,
-                            F.greatest(F.col("__cnt") - 1, F.lit(0)),
-                        ),
-                        F.lit(0.0),
-                        lambda a, x: a + x,
-                    ),
-                    F.lit(0.0),
-                )
-            ),
-        )
-        .withColumn(
-            "__R", F.col("__N") - F.col("__cntc") + 1
-        )
-    )
-    # remaining flows: per-flow steps from the current period on; the
-    # stepwise time of flow j is prefix_sum(rem_steps, j) - accfrac
-    # (QuantLib's stepwise accumulation — the first flow contributes
-    # its REMAINING fraction, later flows their full period).
-    par = par.withColumn(
-        "__remsteps",
-        F.slice(
-            "__steps", F.col("__cntc"), F.greatest(F.col("__R"), F.lit(0))
-        ),
-    )
-    z_pay = adjust_mf_col(F.col(maturity), hol)
-    z_ok = (
-        F.col("__valid")
-        & F.col("__is_zero")
-        & (z_pay > F.col("__settle"))
-    )
-    ts = F.when(
-        z_ok,
-        F.array(dcf_by_basis(basis, F.col("__settle"), z_pay)),
-    ).when(
-        coupon_row,
-        F.transform(
-            "__remsteps",
-            lambda s, i: F.aggregate(
-                F.slice("__remsteps", 1, (i + 1).cast("int")),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            )
-            - F.col("__accfrac"),
-        ),
-    )
-    cfs = F.when(z_ok, F.array(F.lit(100.0))).when(
-        coupon_row,
-        F.transform(
-            "__remsteps",
-            lambda s, i: c_pct * s
-            + F.when(i == F.col("__R") - 1, F.lit(100.0)).otherwise(
-                F.lit(0.0)
-            ),
-        ),
-    )
-    par = par.withColumn("__ts", ts).withColumn("__cfs", cfs)
-    par = par.withColumn("__pd", p + F.col("__acclast"))
-    solved = par.withColumn(
+        sched_val = F.unix_date(F.col(dated)).cast("int")
+    solved = st.withColumn(
         "__r",
-        bond_analytics_times(
-            F.coalesce(F.col("__pd"), p),
-            F.coalesce(F.col("__m"), F.lit(1)),
-            F.col("__ts"),
-            F.col("__cfs"),
+        kernel(
+            p,
+            F.coalesce(c_pct.cast("double"), F.lit(0.0)),
+            F.coalesce(F.col("__m"), F.lit(0)),
+            F.coalesce(F.col("__pm"), F.lit(0)),
+            basis_code,
+            F.unix_date(F.col(maturity)).cast("int"),
+            F.unix_date(F.col(trade_d)).cast("int"),
+            F.coalesce(sched_val, F.lit(0)),
+            F.col("__is_zero"),
+            F.coalesce(F.col("__valid"), F.lit(False)),
         ),
     )
     # non-convergence gate: |pv residual| is ~1e-9 for a converged row
     # and astronomically large for a clamp-bounced one — the 1e-6
-    # branch can never flip between engines. An empty/null flow array
-    # (settlement in/after the last adjusted period, or a rolled-back
-    # zero maturity) yields NaN outputs and fails the gate, matching
-    # the reference's exception exit.
-    v = F.col("__valid") & (F.abs(F.col("__r.pv_residual")) <= 1e-6)
+    # branch can never flip between engines. Invalid rows (bad basis /
+    # frequency, settlement at/past maturity, empty remaining leg,
+    # rolled-back zero maturity) come back all-NaN from the kernel and
+    # fail the gate, matching the reference's exception exit.
+    v = F.abs(F.col("__r.pv_residual")) <= 1e-6
+    pd_ = (p + F.col("__r.acclast")) + F.col("__r.pv_residual")
     out = (
         solved.withColumn(
             "ytm", F.when(v, F.round(F.col("__r.ytm") * 1.0, 6) + 0.0)
         )
         .withColumn(
-            "prclean",
-            F.when(
-                v,
-                F.round(
-                    F.col("__pd")
-                    + F.col("__r.pv_residual")
-                    - F.col("__acclast"),
-                    6,
-                ),
-            ),
+            "prclean", F.when(v, F.round(pd_ - F.col("__r.acclast"), 6))
         )
-        .withColumn(
-            "prfull",
-            F.when(v, F.round(F.col("__pd") + F.col("__r.pv_residual"), 6)),
-        )
-        .withColumn("acclast", F.when(v, F.round(F.col("__acclast"), 6)))
-        .withColumn("accpmt", F.when(v, F.round(F.col("__accpmt"), 6)))
+        .withColumn("prfull", F.when(v, F.round(pd_, 6)))
+        .withColumn("acclast", F.when(v, F.round(F.col("__r.acclast"), 6)))
+        .withColumn("accpmt", F.when(v, F.round(F.col("__r.accpmt"), 6)))
         .withColumn(
             "accall",
-            F.when(v, F.round(F.col("__acclast") + F.col("__accpmt"), 6)),
+            F.when(
+                v,
+                F.round(F.col("__r.acclast") + F.col("__r.accpmt"), 6),
+            ),
         )
         .withColumn("mac_dur", F.when(v, F.round(F.col("__r.mac_dur"), 6)))
         .withColumn("mod_dur", F.when(v, F.round(F.col("__r.mod_dur"), 6)))
@@ -443,10 +279,7 @@ def attach_full_record(
         )
     )
     return out.drop(
-        "__hols", "__settle", "__m_c", "__is_zero", "__valid", "__m",
-        "__pm", "__NP", "__J", "__N", "__D", "__steps", "__cnt", "__cntc",
-        "__accfrac", "__acclast", "__accpmt", "__R", "__remsteps", "__ts",
-        "__cfs", "__pd", "__r",
+        "__m_c", "__is_zero", "__valid", "__m", "__pm", "__r"
     )
 
 
@@ -609,7 +442,7 @@ def _attach_quote_record(
         )
     )
     return out.drop(
-        "__settle", "__m_c", "__is_zero", "__valid", "__m", "__pm",
+        "__calw", "__calm", "__settle", "__m_c", "__is_zero", "__valid", "__m", "__pm",
         "__last", "__next", "__acclast", "__q", "__n", "__accpmt", "__c",
         "__pd", "__r",
     )

@@ -233,13 +233,13 @@ def _nyse_hols_sql(start_year: int = 2002, end_year: int = 2060) -> str:
 
 
 def _bd_sql(x: str) -> str:
-    """DuckDB twin of daycount.is_session_col: weekday (isodow 1-5)
+    """DuckDB twin of bond_schedule.NpCalendar.is_session: weekday (isodow 1-5)
     and not in the `hol` array carried through the oracle CTEs."""
     return f"(isodow({x}) <= 5 AND NOT list_contains(hol, {x}))"
 
 
 def _roll_fwd_sql(d: str, steps: int = 6) -> str:
-    """First session >= d (daycount.roll_fwd_col twin): a lazily
+    """First session >= d (NpCalendar.roll_fwd twin): a lazily
     evaluated CASE probe, one holiday lookup on the common weekday."""
     parts = [f"WHEN {_bd_sql(d)} THEN ({d})"]
     for k in range(1, steps + 1):
@@ -255,7 +255,7 @@ def _roll_bwd_sql(d: str, steps: int = 6) -> str:
 
 
 def _adjust_mf_sql(d: str) -> str:
-    """ModifiedFollowing (daycount.adjust_mf_col twin)."""
+    """ModifiedFollowing (NpCalendar.adjust_mf twin)."""
     fwd = _roll_fwd_sql(d)
     bwd = _roll_bwd_sql(d)
     return (
@@ -265,7 +265,7 @@ def _adjust_mf_sql(d: str) -> str:
 
 
 def _adv_bd_sql(d: str, n: int = 2) -> str:
-    """n next-session steps (daycount.add_business_days_cal twin)."""
+    """n next-session steps (NpCalendar.advance_bd twin)."""
     out = f"({d})"
     for _ in range(n):
         out = f"({_roll_fwd_sql(f'({out} + 1)')})"
@@ -273,7 +273,7 @@ def _adv_bd_sql(d: str, n: int = 2) -> str:
 
 
 def _dcf_signed_sql(d1: str, d2: str) -> str:
-    """daycount.dcf_by_basis_signed twin: ACT/ACT antisymmetric
+    """bond_schedule.dcf_basis signed-span twin: ACT/ACT antisymmetric
     extension for reversed spans; the other bases are naturally
     signed."""
     swapped = _dcf_sql(d2, d1)

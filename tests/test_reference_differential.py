@@ -4420,11 +4420,13 @@ def test_step5_compute_bond_analytics_matches_reference(spark, seed, tmp_path):
         " coupon double, coupon_type string, hist_m int,"
         " bond_maturity double",
     )
+    # the DATED-DATE schedule API (r16) — the step consumes the FISD
+    # columns exactly as the reference does, no grid-regular crutch
     rec = attach_full_record(
         sdf.withColumn("trade_d", F.to_date("trd_exctn_dt")),
         price="pr", coupon_pct="coupon", coupon_type="coupon_type",
         ifreq="interest_frequency", dcb="day_count_basis",
-        maturity="maturity", hist_m="hist_m", trade_d="trade_d",
+        maturity="maturity", trade_d="trade_d", dated="dated_date",
     )
     ydf = spark.createDataFrame(
         ylds,

@@ -45,6 +45,32 @@ _SCHEMA = StructType(
 )
 
 
+def _flow_matrices(c, n, n_max, q, red, cf1):
+    """(CF, TAU) per-flow matrices for `_solve_frame` — the same
+    elementwise expressions the historical `_sums` column loop built
+    per t, hoisted out of the Newton iterations (they do not depend on
+    the yield; the loop recomputed them 26 times).
+
+    CF[:, t-1] = coupon cash flow at period t per 100 face: c·100 per
+    period (cf1 overriding t = 1 — the odd-first-coupon stub), plus
+    `red` (redemption, default 100; call price on call legs) at t = n,
+    zero past n. TAU[:, t-1] = t - 1 + q, the fractional period offset
+    of flow t from settlement (`q` = remaining fraction of the current
+    period; 1 on the grid)."""
+    import numpy as np
+
+    t_idx = np.arange(1, n_max + 1)
+    TAU = (t_idx - 1.0)[None, :] + q[:, None]
+    coup_reg = c * 100.0
+    COUP = np.broadcast_to(coup_reg[:, None], (c.size, n_max)).copy()
+    if cf1 is not None and n_max >= 1:
+        COUP[:, 0] = cf1
+    T = t_idx[None, :]
+    N = n[:, None]
+    CF = np.where(T == N, COUP + red[:, None], np.where(T < N, COUP, 0.0))
+    return CF, TAU
+
+
 def _sums(
     c: "np.ndarray",
     n: "np.ndarray",
@@ -54,26 +80,13 @@ def _sums(
     red: "np.ndarray | None" = None,
     cf1: "np.ndarray | None" = None,
 ) -> tuple["np.ndarray", "np.ndarray", "np.ndarray", "np.ndarray"]:
-    """Row-vectorized, per-row t-SEQUENTIAL accumulation of the four
-    discounted-flow sums (the t-order matters for parity with the
-    oracle's list_sum; rows with t > n contribute exact zeros).
-
-    `q` is the fractional time (in periods) from settlement to the FIRST
-    remaining flow: flow t is discounted at exponent t - 1 + q, weighted
-    by t - 1 + q, with convexity weight (t - 1 + q)(t + q). q = 1 (flow
-    dates on the period grid) reproduces the whole-period t, t(t+1)
-    weights exactly.
-
-    `red` is the per-row redemption amount paid with the final flow
-    (default 100 = redemption at par). Yield-to-call legs redeem at the
-    call price instead: same schedule truncated at the call period.
-
-    `cf1` overrides the FIRST flow's coupon amount per 100 face
-    (default c·100 = a regular coupon). An odd short/long first coupon
-    (backward-generated schedule whose dated date is off the grid)
-    pays coupon_rate·dcf(dated, first_cpn) instead — the stub is a
-    cash-flow amount, not a second schedule engine, exactly like the
-    w10f call-leg redemption."""
+    """The four discounted-flow folds (pv, dpv, wsum, csum) at yield
+    `y` — the kernel contract the oracle fragments pin against
+    (tests/test_bond_math.py). Since r16 this is a thin wrapper over
+    the hoisted matrices `_solve_frame` iterates with; the fold order
+    (per-row sequential cumsum), the discount recurrence and the
+    multiplication grouping are the historical column loop's, so the
+    floats are unchanged."""
     import numpy as np
 
     m = y.size
@@ -81,27 +94,35 @@ def _sums(
         q = np.ones(m)
     if red is None:
         red = np.full(m, 100.0)
-    v = 1.0 / (1.0 + y)
-    pv = np.zeros(m)
-    dpv = np.zeros(m)
-    wsum = np.zeros(m)
-    csum = np.zeros(m)
+    if n_max == 0:
+        z = np.zeros(m)
+        return z, z.copy(), z.copy(), z.copy()
     with np.errstate(all="ignore"):
-        vq = np.power(v, q)  # v^q; v^(t-1+q) accumulates from here
-        vp = vq / v
-        coup_reg = c * 100.0
-        for t in range(1, n_max + 1):
-            vp = vp * v  # v^(t-1+q)
-            tau = t - 1.0 + q
-            coup = (
-                cf1 if (t == 1 and cf1 is not None) else coup_reg
-            )
-            cf = np.where(t == n, coup + red, np.where(t < n, coup, 0.0))
-            pv += cf * vp
-            dpv += -tau * cf * (vp * v)
-            wsum += tau * cf * vp
-            csum += tau * (tau + 1.0) * cf * vp
+        CF, TAU = _flow_matrices(c, n, n_max, q, red, cf1)
+        v = 1.0 / (1.0 + y)
+        VP = _vp_matrix(v, q, n_max)
+        pv = np.cumsum(CF * VP, axis=1)[:, -1] + 0.0
+        dpv = (
+            np.cumsum((-TAU * CF) * (VP * v[:, None]), axis=1)[:, -1] + 0.0
+        )
+        wsum = np.cumsum((TAU * CF) * VP, axis=1)[:, -1] + 0.0
+        csum = (
+            np.cumsum(((TAU * (TAU + 1.0)) * CF) * VP, axis=1)[:, -1] + 0.0
+        )
     return pv, dpv, wsum, csum
+
+
+def _vp_matrix(v, q, n_max):
+    """v^(t-1+q) columns via the exact multiplicative recurrence the
+    `_sums` loop used (vp_1 = (v^q / v)·v, vp_t = vp_{t-1}·v — NOT
+    np.power(v, TAU), which rounds differently): one np.power plus a
+    per-row cumprod, which IS the sequential left-to-right product."""
+    import numpy as np
+
+    vq = np.power(v, q)
+    A = np.broadcast_to(v[:, None], (v.size, n_max)).copy()
+    A[:, 0] = (vq / v) * v
+    return np.cumprod(A, axis=1)
 
 
 def _solve_frame(
@@ -143,14 +164,60 @@ def _solve_frame(
         # warnings-as-errors callers).
         with np.errstate(all="ignore"):
             y = np.where(valid, 0.06 / np.maximum(m.astype(float), 1.0), 0.0)
-    for _ in range(NEWTON_ITERS):
-        pv, dpv, _, _ = _sums(c, n, y, n_max, q, red, cf1)
-        with np.errstate(all="ignore"):
-            step = np.where(valid, (pv - p) / dpv, 0.0)
-        y = np.clip(y - step, Y_MIN, Y_MAX)
-    pv, _, wsum, csum = _sums(c, n, y, n_max, q, red, cf1)
+    qv = np.ones(p.size) if q is None else q
+    rv = np.full(p.size, 100.0) if red is None else red
+    # r16 (guide §4.2): the historical `_sums` column loop re-derived
+    # the cash-flow and time matrices on every Newton call and summed
+    # four folds where the iteration needs two. Hoist CF/TAU, run the
+    # discount-factor recurrence as a per-row cumprod, fold with
+    # cumsum (the same sequential left fold, so every float is
+    # bit-identical), and iterate only the SHRINKING ACTIVE SET of
+    # rows not yet at their fixed point — same contract, 25 steps max.
+    if n_max:
+        CF, TAU = _flow_matrices(c, n, n_max, qv, rv, cf1)
+    else:
+        CF = TAU = np.zeros((p.size, 0))
+    act = np.nonzero(valid)[0]
     with np.errstate(all="ignore"):
+        it = 0
+        while it < NEWTON_ITERS and act.size:
+            w = int(n[act].max()) if act.size else 0
+            w = min(max(w, 0), n_max)
+            ya = y[act]
+            v = 1.0 / (1.0 + ya)
+            if w:
+                VP = _vp_matrix(v, qv[act], w)
+                cfa = CF[act, :w]
+                pva = np.cumsum(cfa * VP, axis=1)[:, -1] + 0.0
+                dva = (
+                    np.cumsum(
+                        (-TAU[act, :w] * cfa) * (VP * v[:, None]), axis=1
+                    )[:, -1]
+                    + 0.0
+                )
+            else:
+                pva = np.zeros(act.size)
+                dva = np.zeros(act.size)
+            yn = np.clip(ya - (pva - p[act]) / dva, Y_MIN, Y_MAX)
+            moved = yn != ya
+            moved &= ~(np.isnan(yn) & np.isnan(ya))
+            y[act] = yn
+            act = act[moved]
+            it += 1
         v = 1.0 / (1.0 + y)
+        if n_max:
+            VP = _vp_matrix(v, qv, n_max)
+            CV = CF * VP
+            pv = np.cumsum(CV, axis=1)[:, -1] + 0.0
+            wsum = np.cumsum((TAU * CF) * VP, axis=1)[:, -1] + 0.0
+            csum = (
+                np.cumsum(((TAU * (TAU + 1.0)) * CF) * VP, axis=1)[:, -1]
+                + 0.0
+            )
+        else:
+            pv = np.zeros(p.size)
+            wsum = np.zeros(p.size)
+            csum = np.zeros(p.size)
         mf = m.astype(float)
         mac_years = wsum / pv / mf
         out = pd.DataFrame(
@@ -274,7 +341,18 @@ def _solve_times_matrices(p, m, t_mat, cf_mat, n) -> pd.DataFrame:
     amounts) matrices: 25 Newton steps from y/m = 0.06/m, per-period
     clamp [-0.9, 10], t-SEQUENTIAL term accumulation (the DuckDB
     list-algebra oracle replays it bit-for-bit), all-NaN on
-    non-convergence or invalid rows."""
+    non-convergence or invalid rows.
+
+    r16 optimization (guide §4.2): the per-column Python loop became
+    whole-matrix expressions — per-element np.power calls and the
+    left-fold accumulation order (np.cumsum along axis=1 IS the
+    sequential fold the column loop did) are unchanged, so every
+    float is bit-identical — and the Newton loop runs over a
+    SHRINKING ACTIVE SET: a row whose x repeats exactly is at its
+    fixed point (the iteration is deterministic, so every later
+    iterate is the same x) and drops out. Most rows converge in 6-10
+    of the 25 contractual steps, so the pow()-heavy matrix passes run
+    on a fraction of the rows/iterations the dense loop paid for."""
     import numpy as np
 
     rows = p.size
@@ -288,40 +366,62 @@ def _solve_times_matrices(p, m, t_mat, cf_mat, n) -> pd.DataFrame:
     with np.errstate(all="ignore"):
         x = np.where(valid, 0.06 / np.maximum(mf, 1.0), 0.0)
 
-    def _pv_dpv(xv):
-        pv = np.zeros(rows)
-        dpv = np.zeros(rows)
-        with np.errstate(all="ignore"):
-            base = 1.0 + xv
-            for j in range(n_max):
-                live = j < n
-                tm = t_mat[:, j] * mf
-                v = np.where(live, np.power(base, -tm), 0.0)
-                pv += cf_mat[:, j] * v
-                dpv += np.where(
-                    live,
-                    -tm * cf_mat[:, j] * np.power(base, -tm - 1.0),
-                    0.0,
-                )
-        return pv, dpv
-
-    for _ in range(NEWTON_ITERS):
-        pv, dpv = _pv_dpv(x)
-        with np.errstate(all="ignore"):
-            step = np.where(valid, (pv - p) / dpv, 0.0)
-        x = np.clip(x - step, Y_MIN, Y_MAX)
+    # Newton touches only valid rows (invalid rows' steps were masked
+    # to 0 before — their x never moved, so skipping them is exact).
+    act = np.nonzero(valid)[0]
+    live_full = np.arange(n_max)[None, :] < n[:, None]
+    with np.errstate(all="ignore"):
+        it = 0
+        while it < NEWTON_ITERS and act.size:
+            # width shrinks with the surviving rows: columns past the
+            # active rows' max live count held exact zeros in the fold
+            w = int(n[act].max())
+            tm = t_mat[act, :w] * mf[act, None]
+            cf = cf_mat[act, :w]
+            live = live_full[act, :w]
+            base = 1.0 + x[act]
+            v = np.where(live, np.power(base[:, None], -tm), 0.0)
+            # trailing `+ 0.0`: the column loop accumulated from a +0.0
+            # seed, so a fold whose value is zero is +0.0 there; cumsum
+            # alone could carry -0.0 through an all-negative-zero
+            # prefix. x + 0.0 is the identity on every other float.
+            pv = (
+                np.cumsum(cf * v, axis=1)[:, -1] + 0.0
+                if w
+                else np.zeros(act.size)
+            )
+            dv = np.where(
+                live, -tm * cf * np.power(base[:, None], -tm - 1.0), 0.0
+            )
+            dpv = (
+                np.cumsum(dv, axis=1)[:, -1] + 0.0
+                if w
+                else np.zeros(act.size)
+            )
+            xn = np.clip(x[act] - (pv - p[act]) / dpv, Y_MIN, Y_MAX)
+            moved = xn != x[act]
+            # NaN rows iterate NaN -> NaN: fixed point too
+            moved &= ~(np.isnan(xn) & np.isnan(x[act]))
+            x[act] = xn
+            act = act[moved]
+            it += 1
     pv = np.zeros(rows)
     wsum = np.zeros(rows)
     csum = np.zeros(rows)
     with np.errstate(all="ignore"):
         base = 1.0 + x
-        for j in range(n_max):
-            live = j < n
-            t = t_mat[:, j]
-            v = np.where(live, np.power(base, -t * mf), 0.0)
-            pv += cf_mat[:, j] * v
-            wsum += t * cf_mat[:, j] * v
-            csum += t * (t + 1.0 / mf) * cf_mat[:, j] * v
+        if n_max:
+            v = np.where(
+                live_full, np.power(base[:, None], -(t_mat * mf[:, None])), 0.0
+            )
+            # the column loop multiplied left-to-right — (t*cf)*v, not
+            # t*(cf*v) — and float multiplication is not associative;
+            # keep its exact grouping
+            pv = np.cumsum(cf_mat * v, axis=1)[:, -1] + 0.0
+            wsum = np.cumsum((t_mat * cf_mat) * v, axis=1)[:, -1] + 0.0
+            csum = np.cumsum(
+                ((t_mat * (t_mat + 1.0 / mf[:, None])) * cf_mat) * v, axis=1
+            )[:, -1] + 0.0
         mac = wsum / pv
         out = pd.DataFrame(
             {
@@ -387,6 +487,98 @@ _RECORD_SCHEMA = StructType(
 )
 
 
+def _record_batch(cal, dated_mode, p, c_in, m, pm, bas, mat, trd, sv, isz, okf):
+    """The quantlib-model record for one numpy row batch: NYSE T+2
+    settlement, ModifiedFollowing backward schedule (grid-regular or
+    dated with stub prepend), accrued/paid amounts, per-flow Newton.
+    Pure function of its arrays — every row's outputs depend only on
+    that row's inputs, which is what lets `_record_batch_bucketed`
+    split a batch by schedule width without changing a bit."""
+    import numpy as np
+
+    from trace_data_pipeline_spark.operators.bond_schedule import (
+        build_flows,
+        dcf_basis,
+    )
+
+    rows = p.size
+    settle = cal.advance_bd(trd, 2)
+    ok = okf & (settle < mat)
+    coupon_ok = ok & ~isz
+    acc_pos, acc_sgn, paid, rem, rem_n = build_flows(
+        cal, bas, mat, pm, settle,
+        n_hist=None if dated_mode else sv,
+        dated=sv if dated_mode else None,
+        coupon_ok=coupon_ok,
+    )
+    zsel = ok & isz
+    if zsel.any():
+        zpay = cal.adjust_mf(mat)
+        zt = dcf_basis(bas, settle, zpay)
+        if rem.shape[1] == 0:
+            rem = np.zeros((rows, 1))
+        rem[zsel, 0] = np.where(zpay[zsel] > settle[zsel], zt[zsel], 0.0)
+        rem_n = np.where(
+            zsel, np.where(zpay > settle, 1, 0), rem_n
+        )
+    c = np.where(isz, 0.0, np.nan_to_num(c_in))
+    acclast = c * acc_pos
+    accpmt = c * paid
+    dirty = p + acclast
+    if rem.shape[1] == 0:
+        rem = np.zeros((rows, 1))
+    t_mat = np.cumsum(rem, axis=1) - acc_sgn[:, None]
+    cf_mat = c[:, None] * rem
+    has = rem_n >= 1
+    cf_mat[has, np.maximum(rem_n[has] - 1, 0)] += 100.0
+    out = _solve_times_matrices(dirty, m, t_mat, cf_mat, rem_n)
+    out["acclast"] = np.where(ok, acclast, float("nan"))
+    out["accpmt"] = np.where(ok, accpmt, float("nan"))
+    return out
+
+
+def _record_batch_bucketed(
+    cal, dated_mode, p, c_in, m, pm, bas, mat, trd, sv, isz, okf
+):
+    """Split one Arrow batch into schedule-width buckets before the
+    matrix work (guide §2.3 "don't compute what you throw away",
+    applied inside the kernel): the schedule/solve matrices are padded
+    to the WIDEST row of the batch, and a monthly 16-year bond next to
+    quarterly 7-year ones drags every row's calendar, day-count and
+    pow() passes to ~190 columns where the batch median needs ~30.
+    Sorting rows by (estimated) period count and processing a few
+    equal-count slices keeps each slice's padding near its own max.
+    Row-independent math (see `_record_batch`) makes the split exact;
+    the estimate only has to ORDER rows well, not be right."""
+    import numpy as np
+
+    rows = p.size
+    arrays = (p, c_in, m, pm, bas, mat, trd, sv, isz, okf)
+    n_buckets = min(8, rows // 1024)
+    if n_buckets <= 1:
+        return _record_batch(cal, dated_mode, *arrays)
+    pm_safe = np.maximum(pm, 1)
+    if dated_mode:
+        est = np.maximum(mat - sv, 0) // (30 * pm_safe) + 2
+    else:
+        est = sv
+    est = np.where(okf & ~isz, est, 0)
+    order = np.argsort(-est, kind="stable")
+    bounds = np.linspace(0, rows, n_buckets + 1).astype(np.int64)
+    out = pd.DataFrame(
+        index=np.arange(rows),
+        columns=[f.name for f in _RECORD_SCHEMA.fields],
+        dtype=float,
+    )
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        idx = order[lo:hi]
+        part = _record_batch(
+            cal, dated_mode, *(a[idx] for a in arrays)
+        )
+        out.iloc[idx] = part.to_numpy()
+    return out
+
+
 def make_record_kernel(holidays: tuple, mode: str):
     """Factory for the quantlib-model record kernel: ONE Arrow pass
     per batch computing NYSE-calendar T+2 settlement, the
@@ -400,12 +592,8 @@ def make_record_kernel(holidays: tuple, mode: str):
     only (price, coupon %, freq, period months, basis code, maturity /
     trade / schedule-param epoch days, zero and valid flags), so the
     Arrow transfer is a handful of primitive columns."""
-    import numpy as np
-
     from trace_data_pipeline_spark.operators.bond_schedule import (
         NpCalendar,
-        build_flows,
-        dcf_basis,
     )
 
     cal = NpCalendar(holidays)
@@ -424,50 +612,19 @@ def make_record_kernel(holidays: tuple, mode: str):
         is_zero: pd.Series,
         ok_flag: pd.Series,
     ) -> pd.DataFrame:
-        p = price.to_numpy(dtype=float)
-        c_in = coupon_pct.to_numpy(dtype=float)
-        m = freq.to_numpy(dtype="int64")
-        pm = period_m.to_numpy(dtype="int64")
-        bas = basis_code.to_numpy(dtype="int64")
-        mat = mat_days.to_numpy(dtype="int64")
-        trd = trade_days.to_numpy(dtype="int64")
-        sv = sched_val.to_numpy(dtype="int64")
-        isz = is_zero.to_numpy(dtype=bool)
-        okf = ok_flag.to_numpy(dtype=bool)
-        rows = p.size
-
-        settle = cal.advance_bd(trd, 2)
-        ok = okf & (settle < mat)
-        coupon_ok = ok & ~isz
-        acc_pos, acc_sgn, paid, rem, rem_n = build_flows(
-            cal, bas, mat, pm, settle,
-            n_hist=None if dated_mode else sv,
-            dated=sv if dated_mode else None,
-            coupon_ok=coupon_ok,
+        return _record_batch_bucketed(
+            cal,
+            dated_mode,
+            price.to_numpy(dtype=float),
+            coupon_pct.to_numpy(dtype=float),
+            freq.to_numpy(dtype="int64"),
+            period_m.to_numpy(dtype="int64"),
+            basis_code.to_numpy(dtype="int64"),
+            mat_days.to_numpy(dtype="int64"),
+            trade_days.to_numpy(dtype="int64"),
+            sched_val.to_numpy(dtype="int64"),
+            is_zero.to_numpy(dtype=bool),
+            ok_flag.to_numpy(dtype=bool),
         )
-        zsel = ok & isz
-        if zsel.any():
-            zpay = cal.adjust_mf(mat)
-            zt = dcf_basis(bas, settle, zpay)
-            if rem.shape[1] == 0:
-                rem = np.zeros((rows, 1))
-            rem[zsel, 0] = np.where(zpay[zsel] > settle[zsel], zt[zsel], 0.0)
-            rem_n = np.where(
-                zsel, np.where(zpay > settle, 1, 0), rem_n
-            )
-        c = np.where(isz, 0.0, np.nan_to_num(c_in))
-        acclast = c * acc_pos
-        accpmt = c * paid
-        dirty = p + acclast
-        if rem.shape[1] == 0:
-            rem = np.zeros((rows, 1))
-        t_mat = np.cumsum(rem, axis=1) - acc_sgn[:, None]
-        cf_mat = c[:, None] * rem
-        has = rem_n >= 1
-        cf_mat[has, np.maximum(rem_n[has] - 1, 0)] += 100.0
-        out = _solve_times_matrices(dirty, m, t_mat, cf_mat, rem_n)
-        out["acclast"] = np.where(ok, acclast, float("nan"))
-        out["accpmt"] = np.where(ok, accpmt, float("nan"))
-        return out
 
     return record_kernel

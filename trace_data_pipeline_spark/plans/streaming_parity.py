@@ -135,6 +135,46 @@ def _assert_ascending_mtimes(paths: list[str]) -> None:
             )
 
 
+def _stage_drops(staged, n_drops: int, src: str) -> list[str]:
+    """ONE-pass drop staging (r16, guide §2.4 — remove jobs outright):
+    `staged` carries a `__drop` routing column; a single coalesce(1)
+    write partitioned by it replaces the previous one-filtered-scan-
+    per-drop loop (N scans + N write jobs → 1 + 1). The partition dirs
+    are then renamed to the `drop_i.parquet` layout the file source
+    replays, with strictly ascending mtimes (the replay-order
+    contract). An empty time slice still yields a drop file (schema-
+    only parquet) so the micro-batch count stays exactly N."""
+    tmp = os.path.join(src, "__stage")
+    (
+        staged.coalesce(1)
+        .write.mode("overwrite")
+        .partitionBy("__drop")
+        .parquet(tmp)
+    )
+    spark = staged.sparkSession
+    part_files: list[str] = []
+    for i in range(n_drops):
+        d = os.path.join(src, f"drop_{i}.parquet")
+        pdir = os.path.join(tmp, f"__drop={i}")
+        if os.path.isdir(pdir):
+            os.rename(pdir, d)
+        else:  # empty slice: stage a zero-row file with the same schema
+            (
+                spark.createDataFrame([], staged.drop("__drop").schema)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(d)
+            )
+        for fn in sorted(os.listdir(d)):
+            if fn.startswith("part-"):
+                p = os.path.join(d, fn)
+                os.utime(p, (1_000_000_000 + i, 1_000_000_000 + i))
+                part_files.append(p)
+    shutil.rmtree(tmp, ignore_errors=True)
+    _assert_ascending_mtimes(part_files)
+    return part_files
+
+
 def _run_replay(spark, sf_dir: str) -> str:
     """Execute the chronological drop replay once; return the staging
     dir holding every (window, user) update emission, stamped with
@@ -168,20 +208,15 @@ def _run_replay(spark, sf_dir: str) -> str:
     # oldest-modified-first, so maxFilesPerTrigger=1 yields one
     # chronological micro-batch per drop under a single end barrier —
     # identical replay semantics to a write-then-drain loop at a
-    # quarter of the per-barrier streaming overhead
-    part_files: list[str] = []
-    for i in range(N_DROPS):
-        cond = F.col("ts") >= F.lit(lo + step * i)
-        if i < N_DROPS - 1:
-            cond = cond & (F.col("ts") < F.lit(lo + step * (i + 1)))
-        d = os.path.join(src, f"drop_{i}.parquet")
-        ev.filter(cond).coalesce(1).write.mode("overwrite").parquet(d)
-        for fn in os.listdir(d):
-            if fn.startswith("part-"):
-                p = os.path.join(d, fn)
-                os.utime(p, (1_000_000_000 + i, 1_000_000_000 + i))
-                part_files.append(p)
-    _assert_ascending_mtimes(part_files)
+    # quarter of the per-barrier streaming overhead. r16: all drops
+    # stage in ONE pass over the events scan (same slice boundaries as
+    # the old per-drop filters) instead of one filtered write job each.
+    drop_ix = F.lit(N_DROPS - 1)
+    for i in range(N_DROPS - 2, -1, -1):
+        drop_ix = F.when(
+            F.col("ts") < F.lit(lo + step * (i + 1)), F.lit(i)
+        ).otherwise(drop_ix)
+    _stage_drops(ev.withColumn("__drop", drop_ix), N_DROPS, src)
 
     # Plan the stream in a CLONED session (same SparkContext, own
     # SQLConf) so pinning STATE_PARTITIONS (see its comment for the
@@ -356,7 +391,7 @@ def _run_wire_replay(spark, sf_dir: str) -> str:
     )
     from trace_data_pipeline_spark.streaming.kafka import (
         decode_json_events,
-        encode_json_events,
+        json_event_value,
     )
 
     ev = load_table(spark, sf_dir, "events").select(
@@ -376,29 +411,32 @@ def _run_wire_replay(spark, sf_dir: str) -> str:
     ckpt = os.path.join(base, "ckpt")
     os.makedirs(src, exist_ok=True)
 
-    part_files: list[str] = []
-    prev = None
-    for i in range(N_WIRE_DROPS):
-        cond = F.col("ts") >= F.lit(lo + step * i)
-        if i < N_WIRE_DROPS - 1:
-            cond = cond & (F.col("ts") < F.lit(lo + step * (i + 1)))
-        cur = ev.filter(cond)
-        payload = (
-            cur
-            if prev is None
-            else cur.unionByName(prev.filter(F.col("event_id") % 7 == 0))
-        )
-        d = os.path.join(src, f"drop_{i}.parquet")
-        encode_json_events(payload).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(d)
-        prev = cur
-        for fn in os.listdir(d):
-            if fn.startswith("part-"):
-                p = os.path.join(d, fn)
-                os.utime(p, (1_000_000_000 + i, 1_000_000_000 + i))
-                part_files.append(p)
-    _assert_ascending_mtimes(part_files)
+    # r16 one-pass staging: the old loop paid one filtered scan +
+    # encode + write job PER drop (plus re-encoding the redelivered
+    # subset). Encode once next to the routing columns, route each row
+    # to its time-slice drop — redelivered rows (event_id % 7 == 0,
+    # producer-retry semantics) explode into (drop, drop+1) with the
+    # SAME wire bytes — and write all drops in one partitioned job.
+    drop_ix = F.lit(N_WIRE_DROPS - 1)
+    for i in range(N_WIRE_DROPS - 2, -1, -1):
+        drop_ix = F.when(
+            F.col("ts") < F.lit(lo + step * (i + 1)), F.lit(i)
+        ).otherwise(drop_ix)
+    wire = ev.select(
+        json_event_value(ev).alias("value"),
+        drop_ix.alias("__d"),
+        (F.col("event_id") % 7 == 0).alias("__redeliver"),
+    )
+    staged = wire.select(
+        "value",
+        F.explode(
+            F.when(
+                F.col("__redeliver") & (F.col("__d") < N_WIRE_DROPS - 1),
+                F.array(F.col("__d"), F.col("__d") + 1),
+            ).otherwise(F.array(F.col("__d")))
+        ).alias("__drop"),
+    )
+    _stage_drops(staged, N_WIRE_DROPS, src)
 
     ss = spark.newSession()
     conf_key = "spark.sql.shuffle.partitions"

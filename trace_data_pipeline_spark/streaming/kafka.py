@@ -31,16 +31,25 @@ WIRE_TS_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
 _WIRE_OPTS = {"timestampFormat": WIRE_TS_FORMAT}
 
 
+def json_event_value(df: DataFrame, cols: list[str] | None = None):
+    """The wire-encode EXPRESSION (binary JSON of `cols`, micro-second
+    timestamps) — lets a caller keep routing columns (timestamps, ids)
+    next to the encoded value instead of losing them to a select, so
+    e.g. the s5 replay can stage every drop in ONE pass over the
+    events table (guide §2.4: one job instead of one filtered
+    scan+encode per drop)."""
+    cols = list(df.columns) if cols is None else list(cols)
+    return F.to_json(F.struct(*[df[c] for c in cols]), _WIRE_OPTS).cast(
+        "binary"
+    )
+
+
 def encode_json_events(df: DataFrame) -> DataFrame:
     """Typed event rows → the Kafka message shape (one binary `value`
     column of JSON) — the producer half of the wire, used by tests and
     by the file-backed replay entry to stage a Kafka-faithful stream
     without a broker."""
-    return df.select(
-        F.to_json(F.struct(*df.columns), _WIRE_OPTS)
-        .cast("binary")
-        .alias("value")
-    )
+    return df.select(json_event_value(df).alias("value"))
 
 
 def decode_json_events(raw: DataFrame, schema: str = EVENTS_WIRE_SCHEMA) -> DataFrame:

@@ -150,3 +150,142 @@ def test_w2_clean_mode_drops_flagged(spark):
     )
     assert out.count() == 4
     assert "filtered_error" not in out.columns
+
+
+# ------------------------------------------- W2 kernel vectorization
+
+
+def test_w2_kernel_matches_per_row_reference_scan():
+    """r16 optimization gate: `_scan_group` iterates only precomputed
+    candidate rows and `_trailing_unique_median` runs as one sliding
+    sort — both must stay BIT-identical to the straightforward per-row
+    reference scan below (the pre-r16 implementation) on stress grids
+    with jumps, par runs, plateaus, duplicates and NaNs."""
+    import numpy as np
+
+    from trace_data_pipeline_spark.operators.bounceback import (
+        EPS,
+        _scan_group,
+        _trailing_unique_median,
+    )
+
+    def ref_median(p, window):
+        out = np.full(p.size, np.nan)
+        for i in range(1, p.size):
+            seg = p[max(0, i - window) : i]
+            seg = seg[~np.isnan(seg)]
+            if seg.size:
+                out[i] = float(np.median(np.unique(seg)))
+        return out
+
+    def ref_scan(p, *, threshold_abs, lookahead, max_span, window,
+                 back_to_anchor_tol, candidate_slack_abs,
+                 reassignment_margin_abs, par_spike, par_level,
+                 par_equal_tol, par_min_run, par_cooldown):
+        n = p.size
+        flags = np.zeros(n, dtype=np.int8)
+        d = np.empty(n)
+        d[0] = np.nan
+        d[1:] = p[1:] - p[:-1]
+        base = ref_median(p, window + 1)
+        thr = max(0.0, threshold_abs - candidate_slack_abs)
+        back_abs = back_to_anchor_tol * threshold_abs
+
+        def at_par(x):
+            return not np.isnan(x) and abs(x - par_level) <= par_equal_tol
+
+        i, cooldown_until = 0, -1
+        while i < n:
+            if i <= cooldown_until and not at_par(p[i]):
+                i += 1
+                continue
+            jump = not np.isnan(d[i]) and abs(d[i]) >= thr - EPS
+            far = not np.isnan(base[i]) and abs(p[i] - base[i]) >= thr - EPS
+            par_hit = (
+                par_spike and at_par(p[i]) and not np.isnan(base[i])
+                and abs(p[i] - base[i]) >= back_abs - EPS
+            )
+            par_only = par_hit and not jump
+            if not (jump or far or par_hit):
+                i += 1
+                continue
+            stop_at = None
+            if not par_only:
+                for j in range(i + 1, min(n - 1, i + lookahead) + 1):
+                    opposite = (
+                        not np.isnan(d[i]) and not np.isnan(d[j])
+                        and np.sign(d[j]) == -np.sign(d[i])
+                        and abs(d[j]) >= thr - EPS
+                    )
+                    returned = not np.isnan(base[i]) and (
+                        abs(p[j] - base[i]) <= back_abs + EPS
+                    )
+                    if opposite or returned:
+                        stop_at = j
+                        break
+            if stop_at is not None:
+                start = i
+                if i > 0 and not np.isnan(base[i - 1]) and not np.isnan(base[i]):
+                    dev_prev = abs(p[i - 1] - base[i - 1])
+                    dev_curr = abs(p[i] - base[i])
+                    if (
+                        dev_prev - dev_curr >= reassignment_margin_abs - EPS
+                        and dev_prev >= back_abs - EPS
+                    ):
+                        start = i - 1
+                if not par_hit or at_par(p[start]):
+                    flags[start] = 1
+                for k in range(start + 1, min(stop_at, start + max_span) + 1):
+                    if par_hit:
+                        if at_par(p[k]):
+                            flags[k] = 1
+                    elif not np.isnan(base[start]) and (
+                        abs(p[k] - base[start]) >= back_abs - EPS
+                    ):
+                        flags[k] = 1
+                    else:
+                        break
+                if par_hit:
+                    cooldown_until = max(cooldown_until, stop_at + par_cooldown)
+                i = stop_at + 1
+                continue
+            if par_hit:
+                run_end = i
+                while run_end + 1 < n and at_par(p[run_end + 1]):
+                    run_end += 1
+                if run_end - i + 1 >= par_min_run:
+                    flags[i : run_end + 1] = 1
+                    cooldown_until = max(cooldown_until, run_end + par_cooldown)
+                    i = run_end + 1
+                    continue
+            i += 1
+        return flags
+
+    rng = np.random.default_rng(16)
+    kw = dict(
+        threshold_abs=35.0, lookahead=5, max_span=5, window=5,
+        back_to_anchor_tol=0.25, candidate_slack_abs=1.0,
+        reassignment_margin_abs=5.0, par_spike=True, par_level=100.0,
+        par_equal_tol=1e-8, par_min_run=3, par_cooldown=2,
+    )
+    for trial in range(120):
+        n = int(rng.integers(1, 250))
+        p = 60 + np.cumsum(rng.normal(0, 1.5, n))
+        idx = rng.choice(n, max(1, n // 25), replace=False)
+        p[idx] *= rng.choice([0.1, 10.0, 100.0], idx.size)
+        for s in rng.choice(n, max(1, n // 30), replace=False):
+            p[s : s + int(rng.integers(1, 6))] = 100.0
+        for s in rng.choice(n, max(1, n // 40), replace=False):
+            p[s : s + int(rng.integers(2, 7))] = p[s]
+        p[rng.choice(n, max(1, n // 20), replace=False)] = np.nan
+        variants = [kw, dict(kw, par_spike=False),
+                    dict(kw, threshold_abs=1.0, candidate_slack_abs=2.0)]
+        for v in variants:
+            assert np.array_equal(ref_scan(p.copy(), **v), _scan_group(p.copy(), **v)), (
+                f"scan mismatch trial={trial}"
+            )
+        ma = ref_median(p, 6)
+        mb = _trailing_unique_median(p, 6)
+        assert np.array_equal(
+            ma.view(np.uint64), mb.view(np.uint64)
+        ), f"median bit mismatch trial={trial}"

@@ -31,14 +31,36 @@ EPS = 1e-12
 
 def _trailing_unique_median(p: np.ndarray, window: int) -> np.ndarray:
     """Strictly-backward anchor: median of the UNIQUE values among the
-    previous `window` rows (the current row excluded via the shift)."""
+    previous `window` rows (the current row excluded via the shift).
+
+    Vectorized as one (n, window) sliding view: each row is sorted
+    (NaNs last), deduped by adjacent inequality — np.unique's own
+    algorithm, so value selection is identical — and the median taken
+    as (lo + hi) * 0.5 of the middle unique ranks, which reproduces
+    np.median bit-for-bit (odd count: (v+v)*0.5 == v in IEEE; even:
+    same add-then-halve as np.mean of the two middle values). The
+    per-row Python loop this replaces paid ~3 small numpy calls per
+    element (guide §4.2: batch the work, don't loop it)."""
     n = p.size
     out = np.full(n, np.nan)
-    for i in range(1, n):
-        seg = p[max(0, i - window) : i]
-        seg = seg[~np.isnan(seg)]
-        if seg.size:
-            out[i] = float(np.median(np.unique(seg)))
+    if n <= 1:
+        return out
+    buf = np.concatenate([np.full(window, np.nan), p[:-1]])
+    m = np.lib.stride_tricks.sliding_window_view(buf, window)  # (n, window)
+    s = np.sort(m, axis=1)  # NaNs sort to the end
+    isval = ~np.isnan(s)
+    uniq = isval.copy()
+    uniq[:, 1:] &= s[:, 1:] != s[:, :-1]
+    u = uniq.sum(axis=1)
+    rank = np.cumsum(uniq, axis=1) - 1
+    k_lo = ((u - 1) // 2)[:, None]
+    k_hi = (u // 2)[:, None]
+    vals = np.where(uniq, s, 0.0)
+    v_lo = np.where(uniq & (rank == k_lo), vals, 0.0).sum(axis=1)
+    v_hi = np.where(uniq & (rank == k_hi), vals, 0.0).sum(axis=1)
+    med = (v_lo + v_hi) * 0.5
+    np.copyto(out, med, where=u > 0)
+    out[0] = np.nan
     return out
 
 
@@ -58,7 +80,15 @@ def _scan_group(
     par_min_run: int,
     par_cooldown: int,
 ) -> np.ndarray:
-    """The sequential scan over one id's time-ordered prices."""
+    """The sequential scan over one id's time-ordered prices.
+
+    A row the original per-row loop merely stepped past (no jump, no
+    anchor deviation, no par hit) changes no state — cooldown only
+    ever SKIPS rows — so the scan iterates the precomputed candidate
+    set instead of every row (guide §4.2). The candidate masks are the
+    loop's own predicates, hoisted and vectorized; the data-dependent
+    state machine (lookahead, blame, plateau, cooldown) is unchanged
+    and consumes the same scalars it always did."""
     n = p.size
     flags = np.zeros(n, dtype=np.int8)
     d = np.empty(n)
@@ -69,28 +99,31 @@ def _scan_group(
     thr = max(0.0, threshold_abs - candidate_slack_abs)
     back_abs = back_to_anchor_tol * threshold_abs
 
+    base_ok = ~np.isnan(base)
+    dev = np.abs(p - base)  # NaN where either side is NaN
+    at_par_arr = ~np.isnan(p) & (np.abs(p - par_level) <= par_equal_tol)
+    with np.errstate(invalid="ignore"):
+        jump_m = ~np.isnan(d) & (np.abs(d) >= thr - EPS)
+        far_m = base_ok & (dev >= thr - EPS)
+        par_m = (
+            at_par_arr & base_ok & (dev >= back_abs - EPS)
+            if par_spike
+            else np.zeros(n, dtype=bool)
+        )
+
     def at_par(x: float) -> bool:
         return not np.isnan(x) and abs(x - par_level) <= par_equal_tol
 
-    i, cooldown_until = 0, -1
-    while i < n:
-        if i <= cooldown_until and not at_par(p[i]):
-            i += 1
+    cooldown_until, resume = -1, 0
+    for i in np.nonzero(jump_m | far_m | par_m)[0]:
+        if i < resume:
+            continue
+        if i <= cooldown_until and not at_par_arr[i]:
             continue
 
-        jump = not np.isnan(d[i]) and abs(d[i]) >= thr - EPS
-        far = not np.isnan(base[i]) and abs(p[i] - base[i]) >= thr - EPS
-        par_hit = (
-            par_spike
-            and at_par(p[i])
-            and not np.isnan(base[i])
-            and abs(p[i] - base[i]) >= back_abs - EPS
-        )
+        jump = bool(jump_m[i])
+        par_hit = bool(par_m[i])
         par_only = par_hit and not jump
-
-        if not (jump or far or par_hit):
-            i += 1
-            continue
 
         # look ahead for the bounce: an opposite big move, or a return
         # to the pre-move anchor (par-only candidates skip this path)
@@ -103,7 +136,7 @@ def _scan_group(
                     and np.sign(d[j]) == -np.sign(d[i])
                     and abs(d[j]) >= thr - EPS
                 )
-                returned = not np.isnan(base[i]) and (
+                returned = bool(base_ok[i]) and (
                     abs(p[j] - base[i]) <= back_abs + EPS
                 )
                 if opposite or returned:
@@ -114,7 +147,7 @@ def _scan_group(
             start = i
             # blame reassignment: previous row deviating even more from
             # ITS anchor owns the error
-            if i > 0 and not np.isnan(base[i - 1]) and not np.isnan(base[i]):
+            if i > 0 and base_ok[i - 1] and base_ok[i]:
                 dev_prev = abs(p[i - 1] - base[i - 1])
                 dev_curr = abs(p[i] - base[i])
                 if (
@@ -122,14 +155,14 @@ def _scan_group(
                     and dev_prev >= back_abs - EPS
                 ):
                     start = i - 1
-            if not par_hit or at_par(p[start]):
+            if not par_hit or at_par_arr[start]:
                 flags[start] = 1
             # plateau extension: keep flagging while still displaced
             for k in range(start + 1, min(stop_at, start + max_span) + 1):
                 if par_hit:
-                    if at_par(p[k]):
+                    if at_par_arr[k]:
                         flags[k] = 1
-                elif not np.isnan(base[start]) and (
+                elif bool(base_ok[start]) and (
                     abs(p[k] - base[start]) >= back_abs - EPS
                 ):
                     flags[k] = 1
@@ -137,22 +170,20 @@ def _scan_group(
                     break
             if par_hit:
                 cooldown_until = max(cooldown_until, stop_at + par_cooldown)
-            i = stop_at + 1
+            resume = stop_at + 1
             continue
 
         # persistent par block with no quick correction: flag runs of
         # at least par_min_run consecutive par prints
         if par_hit:
             run_end = i
-            while run_end + 1 < n and at_par(p[run_end + 1]):
+            while run_end + 1 < n and at_par_arr[run_end + 1]:
                 run_end += 1
             if run_end - i + 1 >= par_min_run:
                 flags[i : run_end + 1] = 1
                 cooldown_until = max(cooldown_until, run_end + par_cooldown)
-                i = run_end + 1
+                resume = run_end + 1
                 continue
-
-        i += 1
 
     return flags
 

@@ -729,12 +729,25 @@ def r3_availability_by_rating(spark, sf_dir):
     bonds, distinct sessions, coverage window. Composes on the p2
     chain; dates compare as ISO strings so min/max are engine-neutral."""
     out = _classed(build_stage1(spark, sf_dir, _S))
-    return out.groupBy("rating_class").agg(
+    # min/max over the fixed-width DATE, not the ISO string: a var-width
+    # string buffer demotes the whole two-countDistinct aggregate chain
+    # to SortAggregate (8 SortAggregate nodes + 2 full-panel Sorts at
+    # r16 measurement); ISO-8601 ordering == date ordering, and the
+    # final date_format restores the identical string values
+    agg = out.groupBy("rating_class").agg(
         F.count(F.lit(1)).alias("n_bond_days"),
         F.countDistinct("user_id").alias("n_bonds"),
         F.countDistinct("d").alias("n_days"),
-        F.min("d").alias("first_d"),
-        F.max("d").alias("last_d"),
+        F.min(F.to_date("d")).alias("__first"),
+        F.max(F.to_date("d")).alias("__last"),
+    )
+    return agg.select(
+        "rating_class",
+        "n_bond_days",
+        "n_bonds",
+        "n_days",
+        F.date_format("__first", "yyyy-MM-dd").alias("first_d"),
+        F.date_format("__last", "yyyy-MM-dd").alias("last_d"),
     )
 
 

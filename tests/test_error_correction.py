@@ -289,3 +289,30 @@ def test_w2_kernel_matches_per_row_reference_scan():
         assert np.array_equal(
             ma.view(np.uint64), mb.view(np.uint64)
         ), f"median bit mismatch trial={trial}"
+
+
+def test_w1_null_price_rows_pass_through_unflagged(spark):
+    """r16: the per-(id,date) median fallback anchor was removed — a
+    null price misses the anchor join (null keys don't match) and must
+    still come out flag 0 / factor 1.0 / suggested null, with its
+    group's other rows corrected exactly as before."""
+    prices = [100.0, 101.0, None, 1010.0, 100.5, None, 99.5]
+    pdf = pd.DataFrame(
+        {
+            "cusip_id": "X",
+            "trd_exctn_dt": "2024-01-15",
+            "seq": range(len(prices)),
+            "rptd_pr": [float(p) if p is not None else None for p in prices],
+        }
+    )
+    out = decimal_shift_corrector(
+        spark.createDataFrame(pdf), order_cols=("seq",)
+    )
+    rows = {r["seq"]: r for r in out.collect()}
+    assert len(rows) == len(prices)
+    for s in (2, 5):
+        assert rows[s]["dec_shift_flag"] == 0
+        assert rows[s]["dec_shift_factor"] == 1.0
+        assert rows[s]["suggested_price"] is None
+    assert rows[3]["dec_shift_flag"] == 1  # the 10x row still corrects
+    assert rows[3]["dec_shift_factor"] == 0.1

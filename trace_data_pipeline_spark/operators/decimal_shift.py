@@ -29,7 +29,7 @@ from collections.abc import Sequence
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, StructField, StructType
 
@@ -71,14 +71,25 @@ def rolling_unique_anchor(
     rolling unique-median anchor. `order_cols` must totally order each
     id's trades (the reference's 6-key stable sort)."""
     order_cols = list(order_cols)
-    w_first = Window.partitionBy(id_col, date_col, price_col).orderBy(
-        *[F.col(c) for c in order_cols]
-    )
     slim = df.select(id_col, date_col, price_col, *order_cols)
+    # keep-first as a hash AGGREGATE, not a row_number window (r16,
+    # guide §2.2): min(struct(order)) is the lexicographically first
+    # order tuple — identical to the window's rank-1 row since the
+    # slim frame's only non-key columns ARE the order columns — and
+    # the aggregate collapses duplicate triples map-side (partial
+    # aggregation), so the exchange ships |unique triples| instead of
+    # |rows| and the per-partition sort disappears. The struct buffer
+    # is fixed-width (every caller orders by timestamp/long), so the
+    # aggregate stays hash-based.
     dedup = (
-        slim.withColumn("__rn", F.row_number().over(w_first))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        slim.groupBy(id_col, date_col, price_col)
+        .agg(F.min(F.struct(*[F.col(c) for c in order_cols])).alias("__first"))
+        .select(
+            id_col,
+            date_col,
+            price_col,
+            *[F.col(f"__first.{c}").alias(c) for c in order_cols],
+        )
     )
     schema = StructType(
         [dedup.schema[c] for c in dedup.columns]
@@ -122,12 +133,16 @@ def decimal_shift_corrector(
     )
     out = df.join(anchors, on=[id_col, date_col, price_col], how="left")
 
-    # rows whose price never reached the dedup table (null price) fall
-    # back to the per-(id, date) interpolated median
-    day_med = F.median(price_col).over(Window.partitionBy(id_col, date_col))
-    out = out.withColumn(
-        "__anchor", F.coalesce(F.col("anchor_price"), day_med).cast("double")
-    )
+    # No fallback anchor for rows that missed the dedup table: only
+    # null-price rows miss the join (null keys don't match), and a
+    # null price nulls every gate input below — flag 0, factor 1.0,
+    # suggested_price null — whatever the anchor is. (NaN corner
+    # audited: a NaN price CAN flip raw_rel>tol to TRUE under a NaN
+    # anchor, but the accept conjunction still nulls out → flag 0
+    # either way.) The per-(id, date) median window this replaces
+    # (r16) forced one more full-fact Exchange on a column the output
+    # provably never reads.
+    out = out.withColumn("__anchor", F.col("anchor_price").cast("double"))
     anchor = F.col("__anchor")
     price = F.col(price_col).cast("double")
     raw_rel = F.abs(price - anchor) / anchor

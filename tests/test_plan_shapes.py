@@ -385,7 +385,17 @@ def test_error_checks_one_scan_two_kernels_one_row_combine(spark):
     assert "InMemoryTableScan" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
-    assert "SortAggregate" not in plan
+    # r16: the ONLY SortAggregate allowed is W1's keep-first dedup pair
+    # (min(struct(order)) — fixed-width struct buffer, partial-agg'd so
+    # the exchange ships |unique triples|; accepted in
+    # OPTIMIZATION_r16.md). Any OTHER demotion must still fail here.
+    saggs = {
+        ln[ln.index("SortAggregate") :]
+        for ln in plan.splitlines()
+        if "SortAggregate" in ln
+    }
+    assert all("min(struct(" in s for s in saggs), saggs
+    assert len(saggs) <= 2, saggs
 
 
 def test_alive_range_joins_broadcast_months(spark):
@@ -405,3 +415,25 @@ def test_alive_range_joins_broadcast_months(spark):
         plan = _plan(spark, name)
         assert kind in plan, (name, plan[:2000])
         assert "CartesianProduct" not in plan, name
+
+
+def test_availability_aggregates_stay_hash_based(spark):
+    """r3 (r16): min/max of the availability date run over to_date(d),
+    not the ISO string — a var-width min/max buffer would demote the
+    whole two-countDistinct expand chain to SortAggregate and drag two
+    full-panel Sorts in front of it (the before-plan carried 8
+    SortAggregate nodes; plans/r16/r3_availability_by_rating_*.txt)."""
+    plan = _plan(spark, "r3_availability_by_rating")
+    assert "SortAggregate" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_w1_anchor_dedup_has_no_window(spark):
+    """W1 (r16): the keep-first dedup is a min(struct(order)) aggregate
+    with map-side duplicate collapse, and the dead per-(id,date) median
+    fallback window is deleted — the plan must carry NO Window node at
+    all (the before-plan had two: row_number dedup + median fallback,
+    each with its own full-fact Exchange;
+    plans/r16/w1_decimal_shift_*.txt)."""
+    plan = _plan(spark, "w1_decimal_shift")
+    assert "Window" not in plan

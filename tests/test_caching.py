@@ -180,3 +180,32 @@ def test_release_hooks_run_once_per_sweep_and_never_block_it(spark):
         assert calls.count("bad") == 1
     finally:
         _RELEASE_HOOKS[:] = before
+
+
+def test_cc_runs_one_action_per_round(spark):
+    """r16 fuse: the star-contraction loop submits ONE action per round
+    — the gate aggregate's count is also what materializes the previous
+    round's lazily-checkpointed rewrite, so there is no separate
+    per-round materialization job (and no extra read-back of the
+    just-cached edge state). Pinned by total job count on a
+    deterministic 3-round graph: the fused loop measures 24 jobs here
+    (AQE submits each shuffle query stage as its own job), the
+    two-action shape measured 30 — a bound of 26 catches a regression
+    to the old shape with slack for minor AQE variation."""
+    from trace_data_pipeline_spark.datapipe.dedup import connected_components
+
+    release_caches()
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], ["doc_id"])
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)], ["a", "b"]
+    )
+    spark.sparkContext.setJobGroup("cc-fuse-guard", "cc one action per round")
+    out = connected_components(nodes, edges, max_iter=8)
+    jobs = len(
+        spark.sparkContext.statusTracker().getJobIdsForGroup("cc-fuse-guard")
+    )
+    # result still right (same graph as the convergence test above)
+    got = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 7: 7}
+    assert jobs <= 26, jobs
+    release_caches()

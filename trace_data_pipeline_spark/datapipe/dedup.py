@@ -393,23 +393,30 @@ def connected_components(
     its component minimum — so the edges ARE the labels and the
     per-round work is pure edge algebra:
 
-    - round job A: one PARTIAL-AGGREGATED groupBy over the (persisted /
-      checkpointed) edge rows computing per-node (min, max) neighbor —
-      map-side combine, skew-safe for any hub degree. This single tiny
-      frame serves THREE masters: the convergence gate (the state is a
-      star forest ⟺ no node has BOTH a smaller neighbor AND ≥2
-      distinct neighbors ⟺ no row with min < u AND max ≠ min — a
-      per-group predicate, no cross-round diff needed), the large-star
-      minimum (joined back below), and at the fixed point the final
-      labels themselves (label = least(u, min));
-    - round job B: large-star as a join of the symmetric edge rows
+    - the gate aggregate: one PARTIAL-AGGREGATED groupBy over the
+      (persisted / checkpointed) edge rows computing per-node (min,
+      max) neighbor — map-side combine, skew-safe for any hub degree.
+      This single tiny frame serves THREE masters: the convergence
+      gate (the state is a star forest ⟺ no node has BOTH a smaller
+      neighbor AND ≥2 distinct neighbors ⟺ no row with min < u AND
+      max ≠ min — a per-group predicate, no cross-round diff needed),
+      the large-star minimum (joined back below), and at the fixed
+      point the final labels themselves (label = least(u, min));
+    - the rewrite: large-star as a join of the symmetric edge rows
       against that min frame (AQE broadcasts it while it is small and
       falls back to a skew-splittable shuffle join when it is not),
       then small-star FUSED into the same pipeline as a window-min over
       the large-star output (its edges are already max→min oriented),
-      lazily localCheckpoint'ed and materialized by the round's count.
-      ONE edge-sized exchange per round — the label-propagation loop
-      this replaces paid three (neighbor join, min merge, jump join).
+      lazily localCheckpoint'ed. ONE edge-sized exchange per round —
+      the label-propagation loop this replaced paid three (neighbor
+      join, min merge, jump join).
+    - ONE ACTION per round (r16): the rewrite is never counted on its
+      own — the NEXT round's gate aggregate is its first consumer, so
+      the gate's count materializes the checkpoint in the same job.
+      The old shape paid a second job per round (the rewrite's own
+      count) plus a full read-back of the just-cached edge state;
+      per-round cost is now one execution of the rewrite pipeline +
+      one aggregate, with no extra pass.
 
     Round count: empirically ceil(log2(D+1)) + 1 rounds for a
     diameter-D path (the adversarial topology: 6-node path→3,
@@ -440,12 +447,16 @@ def connected_components(
       tiny next to the corpus) and unpersisted on exit; without this the
       whole LSH candidate pipeline would re-execute every round;
     - each round's edge state is lazily localCheckpoint'ed to truncate
-      lineage, and the PREVIOUS round's checkpoint blocks are freed
-      immediately (RDD ids diffed around the checkpoint call, because
-      DataFrame.unpersist cannot reach checkpoint storage); the
-      per-round min frame is unpersisted as soon as round job B has
-      consumed it. On a production cluster, set a checkpoint dir and
-      use reliable `checkpoint()` instead for fault tolerance.
+      lineage; a state's checkpoint blocks (id-diffed around the gate
+      job that registered them, because DataFrame.unpersist cannot
+      reach checkpoint storage) are freed the moment the NEXT state is
+      materialized, and each round's min frame is unpersisted as soon
+      as the next gate job has consumed the rewrite built on it. The
+      round-0 id diff is discarded: that job runs the caller's whole
+      candidate pipeline, so its diff would contain caller-owned
+      persists this loop must not free. On a production cluster, set a
+      checkpoint dir and use reliable `checkpoint()` instead for fault
+      tolerance.
 
     Returns (id_col, cluster_id) for EVERY node — singletons label
     themselves; cluster_id = min member id, the dedup keeper."""
@@ -471,16 +482,29 @@ def connected_components(
         ).select("__e.u", "__e.v")
 
     state = edge_rows
-    ckpt_ids: set[int] = set()
+    # blocks of the state the CURRENT lazy state was built from — dead
+    # the moment the next gate job materializes it
+    pending_free: set[int] = set()
+    # blocks the latest gate job registered (current state's checkpoint
+    # + current mins cache; the latter is also handle-freed — re-freeing
+    # a gone id is a no-op)
+    cur_ids: set[int] = set()
+    prev_mins = None
     mins = None
     labels = None
     try:
         for rnd in range(max_iter + 1):
-            # round job A — per-node neighbor (min, max) + convergence
-            # gate. Duplicate edge rows (tolerated across rounds in
-            # lieu of a per-round distinct shuffle) cannot fool the
-            # gate: min/max ignore multiplicity, and "≥2 distinct
-            # neighbors" is exactly max ≠ min.
+            # ONE job per round (r16): the per-node neighbor (min, max)
+            # aggregate is also the FIRST consumer of the previous
+            # round's lazily-checkpointed state, so counting the gate
+            # materializes that checkpoint in the same action — the old
+            # separate per-round `nxt.count()` job (and its extra
+            # read-back of the cached edge set) is gone. Duplicate edge
+            # rows (tolerated across rounds in lieu of a per-round
+            # distinct shuffle) cannot fool the gate: min/max ignore
+            # multiplicity, and "≥2 distinct neighbors" is exactly
+            # max ≠ min.
+            before = _persistent_rdd_ids(sc)
             mins = (
                 sym(state)
                 .groupBy("u")
@@ -490,6 +514,25 @@ def connected_components(
             viol = mins.filter(
                 (F.col("mn") < F.col("u")) & (F.col("mx") != F.col("mn"))
             ).count()
+            if rnd == 0:
+                # the first gate job runs the caller's whole candidate
+                # pipeline, so it may ALSO materialize caller-owned
+                # persists (and edge_rows itself) — none of which this
+                # loop owns. Discard the round-0 diff: edge_rows is
+                # freed by its handle on exit, and every later round
+                # reads only the self-contained checkpointed state, so
+                # later diffs contain exactly this loop's blocks.
+                cur_ids = set()
+            else:
+                cur_ids = _persistent_rdd_ids(sc) - before
+            # the state this gate just materialized is self-contained:
+            # the previous round's mins (consumed by the join inside
+            # it) and the previous state's checkpoint blocks are dead
+            if prev_mins is not None:
+                prev_mins.unpersist()
+                prev_mins = None
+            _unpersist_rdd_ids(sc, pending_free)
+            pending_free = set()
             if viol == 0:
                 # star forest (or empty): edges are the labels. Leaf →
                 # its center (mn < u); center/isolated-min → itself.
@@ -504,10 +547,11 @@ def connected_components(
                 # transform budget spent and still moving — fall
                 # through to the loud raise without a wasted round
                 break
-            # round job B — large-star (join back the per-node min,
-            # connect larger neighbors to least(mn, u)) fused with
-            # small-star (window-min over the max→min-oriented
-            # large-star output) in one pipeline, one edge exchange.
+            # large-star (join back the per-node min, connect larger
+            # neighbors to least(mn, u)) fused with small-star
+            # (window-min over the max→min-oriented large-star output)
+            # in one pipeline, one edge exchange — materialized lazily
+            # by the NEXT round's gate job.
             large = (
                 sym(state)
                 .join(mins.select("u", "mn"), "u")
@@ -524,14 +568,10 @@ def connected_components(
                 .alias("x"),
                 F.col("m2").alias("y"),
             )
-            before = _persistent_rdd_ids(sc)
             nxt = nxt.localCheckpoint(eager=False)
-            nxt.count()
-            new_ckpt_ids = _persistent_rdd_ids(sc) - before
-            _unpersist_rdd_ids(sc, ckpt_ids)
-            mins.unpersist()
-            mins = None
-            state, ckpt_ids = nxt, new_ckpt_ids
+            prev_mins, mins = mins, None
+            pending_free, cur_ids = cur_ids, set()
+            state = nxt
         if labels is None:
             raise ValueError(
                 f"connected_components did not converge in {max_iter} "
@@ -552,9 +592,11 @@ def connected_components(
             F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("cluster_id"),
         )
     finally:
-        _unpersist_rdd_ids(sc, ckpt_ids)
+        _unpersist_rdd_ids(sc, pending_free | cur_ids)
         if mins is not None:
             mins.unpersist()
+        if prev_mins is not None:
+            prev_mins.unpersist()
         edge_rows.unpersist()
 
 

@@ -41,8 +41,10 @@ FLOORS: dict[str, float] = {
     # data (near-identical at sf0.001 and sf0.1); state partitions
     # re-pinned 8->2 and staging appends coalesced to one file per
     # micro-batch (warm replay-only A/B 8.5 s -> 3.0 s same session),
-    # full-entry warm min 4.77 measured through the builder
-    "a1s_streaming_daily_panel": 4.5,
+    # full-entry warm min 4.77 measured through the builder; r16:
+    # re-pinned after the one-pass drop staging (938b8da) —
+    # min-of-retries 3.90 at HEAD on a canary-0.432 box
+    "a1s_streaming_daily_panel": 3.9,
     "a8_pooled_stats": 0.923,
     "d10_cosine_topk": 1.888,
     "d11_lsh_cosine_pairs": 0.68,
@@ -94,10 +96,17 @@ FLOORS: dict[str, float] = {
     # r15: top-5+Other evolution (one fact shuffle + combo-sized frames)
     "r18_bond_characteristics_evolution": 1.375,
     "s4_hot_cold_join": 0.694,
+    # r16: wire-replay machinery twin of a1s — warm min 3.26 measured
+    # after the one-pass drop staging (938b8da); previously unpinned,
+    # so stalls could inflate it with no retry
+    "s5_wire_ingest_dedup": 3.26,
     "t2_filter_report": 0.96,
     "w10b_daycount": 0.698,
     "w10c_bond_freqs": 0.912,
-    "w10e_full_record": 1.925,
+    # r16: re-pinned after the record-kernel vectorization (matrix
+    # Newton + active set + width buckets) — min-of-retries at HEAD on
+    # a canary-0.432 box, so conservatively reachable
+    "w10e_full_record": 1.49,
     "w10f_yield_to_worst": 0.664,
     "w10g_yield_to_worst_schedule": 1.249,
     "w10h_odd_first_coupon": 1.308,

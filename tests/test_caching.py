@@ -66,6 +66,13 @@ def test_connected_components_converges_and_frees(spark):
     out = connected_components(nodes, edges, max_iter=8)
     got = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 7: 7}
+    # BEFORE the global sweep (whose release_caches() frees everything
+    # and so cannot see a per-round leak — r16 ADVICE): exactly one
+    # persistent RDD may remain, the returned labels' eager checkpoint.
+    # At the r16 leak this was 7 (one edge-state checkpoint per round:
+    # localCheckpoint(eager=False) registers at CALL time, so the
+    # next-round id diff missed it).
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 1
     # only the final labels checkpoint may remain; the sweep clears it
     release_caches()
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0

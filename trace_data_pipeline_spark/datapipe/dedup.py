@@ -447,16 +447,22 @@ def connected_components(
       tiny next to the corpus) and unpersisted on exit; without this the
       whole LSH candidate pipeline would re-execute every round;
     - each round's edge state is lazily localCheckpoint'ed to truncate
-      lineage; a state's checkpoint blocks (id-diffed around the gate
-      job that registered them, because DataFrame.unpersist cannot
-      reach checkpoint storage) are freed the moment the NEXT state is
-      materialized, and each round's min frame is unpersisted as soon
-      as the next gate job has consumed the rewrite built on it. The
-      round-0 id diff is discarded: that job runs the caller's whole
-      candidate pipeline, so its diff would contain caller-owned
-      persists this loop must not free. On a production cluster, set a
-      checkpoint dir and use reliable `checkpoint()` instead for fault
-      tolerance.
+      lineage. localCheckpoint(eager=False) REGISTERS its RDD in
+      getPersistentRDDs at CALL time (not at materialization), so the
+      checkpoint's ids are captured by id-diffing immediately around
+      the localCheckpoint call itself and carried into the NEXT
+      round's free-set (r17, ADVICE: a diff taken at the top of the
+      next round starts AFTER registration and misses them — every
+      round's edge-sized checkpoint leaked until ContextCleaner GC).
+      A state's blocks are then freed one round after its successor
+      materializes: the successor's own checkpoint makes it
+      self-contained, so the predecessor is provably dead. Each
+      round's min frame is unpersisted as soon as the next gate job
+      has consumed the rewrite built on it. The round-0 gate diff is
+      discarded: that job runs the caller's whole candidate pipeline,
+      so its diff would contain caller-owned persists this loop must
+      not free. On a production cluster, set a checkpoint dir and use
+      reliable `checkpoint()` instead for fault tolerance.
 
     Returns (id_col, cluster_id) for EVERY node — singletons label
     themselves; cluster_id = min member id, the dedup keeper."""
@@ -485,10 +491,16 @@ def connected_components(
     # blocks of the state the CURRENT lazy state was built from — dead
     # the moment the next gate job materializes it
     pending_free: set[int] = set()
-    # blocks the latest gate job registered (current state's checkpoint
-    # + current mins cache; the latter is also handle-freed — re-freeing
-    # a gone id is a no-op)
+    # blocks owned by the current round: the current state's checkpoint
+    # (bracket-diffed around its localCheckpoint call, see below) + the
+    # current mins cache (also handle-freed — re-freeing a gone id is a
+    # no-op)
     cur_ids: set[int] = set()
+    # checkpoint ids registered by the rewrite's localCheckpoint call,
+    # carried into the NEXT round's cur_ids (registration happens at
+    # call time, so the next round's before-snapshot already contains
+    # them and its gate diff alone would miss them — the r16 leak)
+    carried_ckpt: set[int] = set()
     prev_mins = None
     mins = None
     labels = None
@@ -524,7 +536,8 @@ def connected_components(
                 # later diffs contain exactly this loop's blocks.
                 cur_ids = set()
             else:
-                cur_ids = _persistent_rdd_ids(sc) - before
+                cur_ids = carried_ckpt | (_persistent_rdd_ids(sc) - before)
+            carried_ckpt = set()
             # the state this gate just materialized is self-contained:
             # the previous round's mins (consumed by the join inside
             # it) and the previous state's checkpoint blocks are dead
@@ -568,7 +581,12 @@ def connected_components(
                 .alias("x"),
                 F.col("m2").alias("y"),
             )
+            # bracket the registration: localCheckpoint(eager=False)
+            # registers its RDD NOW, so this diff — not the next gate's
+            # — owns the checkpoint ids
+            pre_ckpt = _persistent_rdd_ids(sc)
             nxt = nxt.localCheckpoint(eager=False)
+            carried_ckpt = _persistent_rdd_ids(sc) - pre_ckpt
             prev_mins, mins = mins, None
             pending_free, cur_ids = cur_ids, set()
             state = nxt
@@ -592,7 +610,7 @@ def connected_components(
             F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("cluster_id"),
         )
     finally:
-        _unpersist_rdd_ids(sc, pending_free | cur_ids)
+        _unpersist_rdd_ids(sc, pending_free | cur_ids | carried_ckpt)
         if mins is not None:
             mins.unpersist()
         if prev_mins is not None:

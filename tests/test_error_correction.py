@@ -316,3 +316,88 @@ def test_w1_null_price_rows_pass_through_unflagged(spark):
         assert rows[s]["suggested_price"] is None
     assert rows[3]["dec_shift_flag"] == 1  # the 10x row still corrects
     assert rows[3]["dec_shift_factor"] == 0.1
+
+
+def test_w1_packed_order_key_matches_struct_dedup(spark):
+    """r17: the keep-first dedup mins a fixed-width decimal(38,0) pack
+    of the (ts, event_id) order tuple instead of min(struct(...)) so
+    the aggregate stays hash-based. The pack must be strictly
+    order-isomorphic: on a frame with duplicate (id, date, price)
+    triples, ts ties broken by event_id, negative prices/ids and
+    boundary event_ids, the anchors must equal the frozen struct-path
+    reference EXACTLY — and the plan must carry a HashAggregate with
+    no SortAggregate."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from trace_data_pipeline_spark.operators.decimal_shift import (
+        rolling_unique_anchor,
+    )
+
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    rows = []
+    # two ids, several dates, duplicate triples with shuffled orders
+    for uid in ("A", "B"):
+        for day in range(4):
+            d = f"2024-03-0{day + 1}"
+            for px, pairs in [
+                (100.0 + day, [(5, 2), (5, 1), (3, 9)]),  # ts tie -> event_id
+                (101.5 + day, [(7, 0), (2, 2**62)]),       # big event_id
+                (9.75, [(1, 3)]),
+            ]:
+                for toff, eid in pairs:
+                    rows.append(
+                        (uid, d, px, base + dt.timedelta(seconds=toff), eid)
+                    )
+    df = spark.createDataFrame(
+        rows, "cusip_id string, trd_exctn_dt string, rptd_pr double, "
+        "ts timestamp, event_id long"
+    )
+    fast = rolling_unique_anchor(
+        df, "cusip_id", "trd_exctn_dt", "rptd_pr", ["ts", "event_id"]
+    )
+    # the frozen r16 reference: min(struct) dedup + the same kernel
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from trace_data_pipeline_spark.operators.decimal_shift import (
+        _anchor_kernel,
+    )
+    from trace_data_pipeline_spark.operators.parallelism import (
+        pin_group_parallelism,
+    )
+
+    slim = df.select("cusip_id", "trd_exctn_dt", "rptd_pr", "ts", "event_id")
+    dedup = (
+        slim.groupBy("cusip_id", "trd_exctn_dt", "rptd_pr")
+        .agg(F.min(F.struct("ts", "event_id")).alias("__first"))
+        .select(
+            "cusip_id",
+            "trd_exctn_dt",
+            "rptd_pr",
+            F.col("__first.ts").alias("ts"),
+            F.col("__first.event_id").alias("event_id"),
+        )
+    )
+    schema = StructType(
+        [dedup.schema[c] for c in dedup.columns]
+        + [StructField("anchor_price", DoubleType())]
+    )
+    ref = (
+        pin_group_parallelism(dedup, "cusip_id")
+        .groupBy("cusip_id")
+        .applyInPandas(
+            _anchor_kernel("rptd_pr", ["ts", "event_id"], 5), schema=schema
+        )
+        .select("cusip_id", "trd_exctn_dt", "rptd_pr", "anchor_price")
+    )
+    key = ["cusip_id", "trd_exctn_dt", "rptd_pr"]
+    got = {tuple(r[k] for k in key): r["anchor_price"]
+           for r in fast.collect()}
+    want = {tuple(r[k] for k in key): r["anchor_price"]
+            for r in ref.collect()}
+    assert got == want
+    assert len(got) == len({(r[0], r[1], r[2]) for r in rows})  # deduped
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "SortAggregate" not in plan
+    assert "HashAggregate" in plan

@@ -385,17 +385,11 @@ def test_error_checks_one_scan_two_kernels_one_row_combine(spark):
     assert "InMemoryTableScan" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
-    # r16: the ONLY SortAggregate allowed is W1's keep-first dedup pair
-    # (min(struct(order)) — fixed-width struct buffer, partial-agg'd so
-    # the exchange ships |unique triples|; accepted in
-    # OPTIMIZATION_r16.md). Any OTHER demotion must still fail here.
-    saggs = {
-        ln[ln.index("SortAggregate") :]
-        for ln in plan.splitlines()
-        if "SortAggregate" in ln
-    }
-    assert all("min(struct(" in s for s in saggs), saggs
-    assert len(saggs) <= 2, saggs
+    # r17: W1's keep-first dedup now mins a fixed-width decimal(38,0)
+    # pack of the order tuple (r16 accepted a min(struct) SortAggregate
+    # pair; the pack upgrades it to HashAggregate) — NO demotion of any
+    # kind may remain.
+    assert "SortAggregate" not in plan
 
 
 def test_alive_range_joins_broadcast_months(spark):
@@ -429,11 +423,16 @@ def test_availability_aggregates_stay_hash_based(spark):
 
 
 def test_w1_anchor_dedup_has_no_window(spark):
-    """W1 (r16): the keep-first dedup is a min(struct(order)) aggregate
+    """W1 (r16): the keep-first dedup is a min-of-order-key aggregate
     with map-side duplicate collapse, and the dead per-(id,date) median
     fallback window is deleted — the plan must carry NO Window node at
     all (the before-plan had two: row_number dedup + median fallback,
     each with its own full-fact Exchange;
-    plans/r16/w1_decimal_shift_*.txt)."""
+    plans/r16/w1_decimal_shift_*.txt). r17: the order key is a
+    fixed-width decimal(38,0) pack, so the dedup runs as HashAggregate
+    — the min(struct) SortAggregate pair r16 accepted is gone
+    (plans/r17/w1_decimal_shift_*.txt)."""
     plan = _plan(spark, "w1_decimal_shift")
     assert "Window" not in plan
+    assert "SortAggregate" not in plan
+    assert "HashAggregate" in plan

@@ -37,6 +37,15 @@ from trace_data_pipeline_spark.operators.parallelism import pin_group_parallelis
 
 EPS = 1e-12
 
+# fixed-width order-key pack (r17, guide §2.2/§5 "keep aggregates
+# hash-based"): 10^20 > the full shifted-long range (2^64 ≈ 1.85e19),
+# so pack = micros * 10^20 + (event + 2^63 + 1) is strictly
+# lexicographic; |micros| ≤ 2.53e17 for every legal Spark timestamp
+# (0001-01-01..9999-12-31), so |pack| < 2.6e37 < 10^38-1 — decimal(38,0)
+# never overflows
+_ORD_SHIFT = 10**20
+_ORD_OFF = 2**63
+
 
 def _anchor_kernel(price_name: str, order_names: list[str], window: int):
     """Per-id pandas kernel: centered / forward / backward rolling
@@ -59,6 +68,64 @@ def _anchor_kernel(price_name: str, order_names: list[str], window: int):
     return kernel
 
 
+def _fixed_width_order_key(slim: DataFrame, order_cols: list[str]):
+    """Strictly order-isomorphic fixed-width encoding of the order
+    tuple, or None when the column shape is unsupported.
+
+    Same decimal(38,0)-pack idea as functions/ordered.packed_order_key
+    (which a1/d31's min_by keys ride), generalized to null fields and
+    the FULL signed long domain — the 2^63-shifted second component
+    needs a 20-digit budget, one past packed_order_key's ≤19 contract,
+    which the tighter |micros| ≤ 2.53e17 first-component bound pays for.
+
+    Supported shape: (timestamp, integral) — the stage-0 callers'
+    (ts, event_id). pack = micros(ts) * 10^20 + (event_id + 2^63 + 1),
+    computed in exact decimal(38,0) arithmetic (bounds proved at
+    _ORD_SHIFT's definition). Null fields encode below every real
+    value (nulls-first), matching min(struct)'s field ordering, so the
+    keep-first dedup picks the identical row; the downstream pandas
+    sort sees nulls first rather than pandas' NaT-last — order columns
+    are non-null in every caller's data, and only the SORT POSITION of
+    a null-order row could differ, never which row survives dedup."""
+    from pyspark.sql.types import (
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+        TimestampType,
+    )
+
+    if len(order_cols) != 2:
+        return None
+    t_type = slim.schema[order_cols[0]].dataType
+    e_type = slim.schema[order_cols[1]].dataType
+    if not isinstance(t_type, TimestampType):
+        return None
+    if not isinstance(e_type, (ByteType, ShortType, IntegerType, LongType)):
+        return None
+    t = F.col(order_cols[0])
+    e = F.col(order_cols[1]).cast("long")
+    # -5e17 sits below every legal Spark micros value (min ≈ -6.3e16)
+    t_enc = (
+        F.when(t.isNull(), F.lit(-(5 * 10**17)))
+        .otherwise(F.unix_micros(t))
+        .cast("decimal(18,0)")
+    )
+    # shifted event: [1, 2^64] for real values, 0 for null — < 10^20.
+    # Literals above 2^63 must be python Decimals (a bare int literal
+    # goes through java.lang.Long and overflows).
+    import decimal
+
+    off = F.lit(decimal.Decimal(_ORD_OFF + 1))
+    shift = F.lit(decimal.Decimal(_ORD_SHIFT))
+    e_enc = F.when(e.isNull(), F.lit(0).cast("decimal(21,0)")).otherwise(
+        e.cast("decimal(20,0)") + off.cast("decimal(20,0)")
+    )
+    return (
+        (t_enc * shift.cast("decimal(21,0)")).cast("decimal(38,0)") + e_enc
+    ).cast("decimal(38,0)")
+
+
 def rolling_unique_anchor(
     df: DataFrame,
     id_col: str,
@@ -73,29 +140,45 @@ def rolling_unique_anchor(
     order_cols = list(order_cols)
     slim = df.select(id_col, date_col, price_col, *order_cols)
     # keep-first as a hash AGGREGATE, not a row_number window (r16,
-    # guide §2.2): min(struct(order)) is the lexicographically first
-    # order tuple — identical to the window's rank-1 row since the
-    # slim frame's only non-key columns ARE the order columns — and
-    # the aggregate collapses duplicate triples map-side (partial
-    # aggregation), so the exchange ships |unique triples| instead of
-    # |rows| and the per-partition sort disappears. The struct buffer
-    # is fixed-width (every caller orders by timestamp/long), so the
-    # aggregate stays hash-based.
-    dedup = (
-        slim.groupBy(id_col, date_col, price_col)
-        .agg(F.min(F.struct(*[F.col(c) for c in order_cols])).alias("__first"))
-        .select(
-            id_col,
-            date_col,
-            price_col,
-            *[F.col(f"__first.{c}").alias(c) for c in order_cols],
+    # guide §2.2): the lexicographically-first order tuple IS the
+    # window's rank-1 row since the slim frame's only non-key columns
+    # ARE the order columns — and the aggregate collapses duplicate
+    # triples map-side (partial aggregation), so the exchange ships
+    # |unique triples| instead of |rows| with no per-partition sort.
+    packed = _fixed_width_order_key(slim, order_cols)
+    if packed is not None:
+        # r17 (guide §2.2/§5): min over a FIXED-WIDTH decimal(38,0)
+        # pack of the order tuple — a struct min buffer is not
+        # UnsafeRow-mutable and demoted the whole aggregate pair to
+        # SortAggregate; the decimal buffer keeps it HashAggregate.
+        # The kernel only ever SORTS by the order columns (the anchor
+        # output never emits them), so an order-isomorphic key is
+        # exactly equivalent.
+        dedup = slim.groupBy(id_col, date_col, price_col).agg(
+            F.min(packed).alias("__w1_ord")
         )
-    )
+        kernel_order = ["__w1_ord"]
+    else:
+        dedup = (
+            slim.groupBy(id_col, date_col, price_col)
+            .agg(
+                F.min(
+                    F.struct(*[F.col(c) for c in order_cols])
+                ).alias("__first")
+            )
+            .select(
+                id_col,
+                date_col,
+                price_col,
+                *[F.col(f"__first.{c}").alias(c) for c in order_cols],
+            )
+        )
+        kernel_order = order_cols
     schema = StructType(
         [dedup.schema[c] for c in dedup.columns]
         + [StructField("anchor_price", DoubleType())]
     )
-    kernel = _anchor_kernel(price_col, order_cols, window)
+    kernel = _anchor_kernel(price_col, kernel_order, window)
     anchored = (
         pin_group_parallelism(dedup, id_col)
         .groupBy(id_col)

@@ -61,6 +61,9 @@ def test_decimal_shift_invariants(sp, series):
             assert 5.0 <= r["suggested_price"] <= 300.0
 
 
+@pytest.mark.slow  # r17 (verdict item 1): ~11 s of randomized Spark
+# jobs; W1 clean mode stays default-covered by the golden vectors and
+# the clean-chunk reference differential
 @given(series=prices)
 @SLOW
 def test_clean_mode_only_rescales(sp, series):
@@ -414,6 +417,9 @@ def test_incremental_dedup_null_pred_rows_are_corpus(sp):
     assert out == {2: 1}
 
 
+@pytest.mark.slow  # r17 (verdict item 1): ~16 s of randomized Spark
+# jobs; d26/d28 parity plus the null-pred and sink-replay tests keep
+# default-lane coverage of the same operator
 @given(texts=docs_texts)
 @SLOW
 def test_incremental_dedup_soundness(sp, texts):

@@ -620,6 +620,8 @@ def _pre_tape(seed: int) -> pd.DataFrame:
     return pdf
 
 
+@pytest.mark.slow  # r17 (verdict item 1): ~6 s battery; j4 oracle
+# parity keeps the correction chain default-covered
 @pytest.mark.parametrize("seed", [20260816, 977])
 def test_j3_j4_j5_clean_pre_matches_reference(spark, seed):
     """Full pre-2012 chain: C-cancel anti-join (J3), napp/ntype/npair
@@ -1202,6 +1204,9 @@ def _ref_chunk_ns():
     return ns
 
 
+@pytest.mark.slow  # r17 (verdict item 1): heaviest differential
+# battery (4 params ≈ 18 s); the chunk chain stays default-covered by
+# the per-operator differentials and the p0/p1 oracle parity
 @pytest.mark.parametrize("seed", [20260816, 977])
 @pytest.mark.parametrize("clean_agency", [True, False])
 def test_clean_trace_chunk_matches_reference(spark, seed, clean_agency):
@@ -2278,6 +2283,8 @@ def _std_tape(seed: int) -> pd.DataFrame:
     return pdf
 
 
+@pytest.mark.slow  # r17 (verdict item 1): ~8 s battery; standard
+# chain stays default-covered by p3 oracle parity
 @pytest.mark.parametrize("seed", [20260816, 977])
 def test_clean_trace_standard_chunk_matches_reference(spark, seed):
     """The FULL Standard chunk cleaner
@@ -4653,6 +4660,8 @@ def test_step8_ultra_distressed_matches_reference(spark, seed, tmp_path):
     assert not np.allclose(true_pct, ref_pct)
 
 
+@pytest.mark.slow  # r17 (verdict item 1): ~3 s battery; r2
+# descriptive parity keeps the split tables default-covered
 @pytest.mark.parametrize("seed", [20260816])
 def test_step10_rating_split_tables_match_reference(spark, seed):
     """step10's Tables 5/6/7 (`stage1_pipeline.py:2160-2224`): the

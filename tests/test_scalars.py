@@ -94,6 +94,10 @@ def _wide_inputs(draw):
     return n, d, scale
 
 
+@pytest.mark.slow  # r17 (verdict item 1): 30 Spark round-trips ≈ 18 s;
+# the wide quotient's real call sites are oracle-hash-checked in the
+# default parity lane (p7/p8/es5), so the randomized battery moves to
+# the slow lane unreduced
 @given(nds=_wide_inputs())
 @settings(
     max_examples=30,

@@ -415,6 +415,10 @@ def main() -> None:
     }
 
     total = round(sum(timings.values()), 3)
+    # r17 (verdict item 7): the normalized total rides the parsed line
+    # so PERF's round-over-round comparison stops conflating box state
+    # with code — additions-only, the contract keys are unchanged.
+    total_normalized = round(sum(queries_normalized.values()), 3)
     # The driver records only the LAST 2000 chars of this line when its
     # JSON parse fails (BENCH_r01..r04 all show "parsed": null), so the
     # tail must carry the signal by construction:
@@ -486,6 +490,7 @@ def main() -> None:
                         queries_normalized.items(), key=lambda kv: (kv[1], kv[0])
                     )
                 ),
+                "value_normalized": total_normalized,
                 "value": total,
             },
             f,
@@ -517,6 +522,7 @@ def main() -> None:
                         key=lambda kv: (kv[1], kv[0]),
                     )
                 ),
+                "value_normalized": total_normalized,
                 "value": total,
             }
         )
@@ -537,6 +543,7 @@ def main() -> None:
                 "canary_sec": round(canary, 3),
                 "canary_arrow_sec": round(canary_arrow, 3),
                 "queries": {k: round(v, 3) for k, v in top10.items()},
+                "value_normalized": total_normalized,
                 "value": round(total, 3),
             },
             separators=(",", ":"),

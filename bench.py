@@ -55,8 +55,12 @@ FLOORS: dict[str, float] = {
     "d13_ivf_topk": 0.905,
     "d15_winnow_fingerprint": 0.589,
     "d17_pq_encode": 0.769,
-    "d18_dedup_clusters": 1.703,
-    "d19_semantic_dedup_clusters": 2.328,
+    # r17: re-pinned from warm min-of-5 at HEAD on a canary-0.344 box
+    # (verdict item 2) — the old 1.703/2.328 predate the r16 CC fuse
+    # and sat so far under the entries' true warm cost that every
+    # bench run burned both retries chasing an unreachable 2x floor
+    "d18_dedup_clusters": 2.8,
+    "d19_semantic_dedup_clusters": 3.1,
     "d22_kmeans_step": 0.579,
     "d25_pq_adc_topk": 1.279,
     "d26_decontaminate": 0.715,

@@ -43,8 +43,8 @@ from trace_data_pipeline_spark.operators.analytics import (
     winsorize_many_by_group,
 )
 from trace_data_pipeline_spark.operators.caching import tracked_persist
-from trace_data_pipeline_spark.operators.asof import asof_join
 from trace_data_pipeline_spark.operators.filters import AuditLedger, filter_with_log
+from trace_data_pipeline_spark.functions.ordered import ts_seq_key
 from trace_data_pipeline_spark.plans.catalog import register
 from trace_data_pipeline_spark.sources import load_table
 
@@ -86,9 +86,30 @@ _YS = (0.04, 0.042, 0.045, 0.047, 0.05, 0.055, 0.06)
 def _panel(spark: SparkSession, sf_dir: str, s: Stage1Settings) -> DataFrame:
     """Daily panel (the stage-0 output stand-in): per (user_id, day)
     trade count + exact 6-dp equal-weighted price, after the F12 date
-    cutoff. Prices go through integer cents so both engines agree."""
+    cutoff. Prices go through integer cents so both engines agree.
+
+    r17 (guide §2.4 "remove shuffles outright"): the step6 rating
+    observation rides THIS aggregate instead of a second events scan +
+    row_number window + as-of union — three structural facts make the
+    fusion output-identical to the old rat/asof chain (oracle-checked):
+
+    1. the last purchase of a (user, day) is max_by over the packed
+       (ts, event_id) order key — the same hash-aggregate selection the
+       a1 panel uses (lexicographic max == the rn=1 row of the old
+       DESC/DESC row_number window; event_id is unique so the max is);
+    2. a purchase on day d implies an event on day d, so rating days
+       are a SUBSET of panel days — the backward as-of attach over the
+       union degenerates to a running last-non-null over the panel
+       itself (computed in ``_merged`` BEFORE the accrued screen, so
+       pre-screen rating days still reach later surviving rows);
+    3. the panel's date cutoff is output-invariant for ratings too: a
+       rating observed after the cutoff can never attach to a panel
+       row (attachment needs rd ≤ d ≤ cutoff < rd — contradiction).
+    """
     ev = load_table(spark, sf_dir, "events")
     cents = F.round(F.col("value") * 100, 0).cast("long")
+    is_p = F.col("event_type") == "purchase"
+    pkey = ts_seq_key("ts", "event_id")
     return (
         ev.filter(F.to_date("ts") <= F.lit(s.cutoff_date).cast("date"))
         .groupBy("user_id", F.to_date("ts").alias("d"))
@@ -97,6 +118,14 @@ def _panel(spark: SparkSession, sf_dir: str, s: Stage1Settings) -> DataFrame:
             round_ratio_half_up(F.sum(cents), F.count(F.lit(1)) * 100, 6).alias(
                 "pr"
             ),
+            # last purchase's cents (max_by skips null keys = the
+            # non-purchase rows; the value may be legitimately null)
+            F.max_by(F.when(is_p, cents), F.when(is_p, pkey)).alias(
+                "__rat_cents"
+            ),
+            # marker: a purchase day has a rating OBSERVATION even when
+            # its cents (hence both derived levels) are null
+            F.max(is_p.cast("int")).alias("__has_rat"),
         )
     )
 
@@ -137,8 +166,34 @@ def _merged(spark: SparkSession, sf_dir: str, s: Stage1Settings) -> DataFrame:
     """step4 FISD merge + tenor derivations (stage1_pipeline.py:365-378):
     broadcast left join, bond_maturity / bond_age in /365.25 years, and
     the valid_accrued_vars predicate as a column (`accrued_ok`) so the
-    Table-2 report can count it without a second scan."""
+    Table-2 report can count it without a second scan.
+
+    r17: also materializes the step6 backward as-of rating attach as a
+    running last-non-null over the panel itself (``__rat_asof``) — see
+    ``_panel`` for why this is output-identical to the old second-scan
+    rat frame + as-of union. It runs HERE, before the accrued screen,
+    because the screen's bond_age>0 predicate drops early days whose
+    rating observations must still reach later surviving rows (the old
+    rat side was never screened). Whole-row semantics preserved: the
+    struct is filled as one value, so a null-level observation still
+    replaces an older vintage rather than mixing columns."""
     panel = _panel(spark, sf_dir, s)
+    cents = F.col("__rat_cents")
+    sp = F.when(cents % 7 == 0, F.lit(None)).otherwise(1 + cents % 22)
+    mdy = F.when(cents % 5 == 0, F.lit(None)).otherwise(1 + cents % 21)
+    obs = F.when(
+        F.col("__has_rat") == 1,
+        F.struct(sp.alias("sp_num"), mdy.alias("mdy_num")),
+    )
+    w_fill = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    panel = (
+        panel.withColumn("__rat_asof", F.last(obs, ignorenulls=True).over(w_fill))
+        .drop("__rat_cents", "__has_rat")
+    )
     merged = panel.join(F.broadcast(_fisd(spark, sf_dir)), "user_id", "left")
     bm = F.datediff(F.col("maturity"), F.col("d")).cast("double") / 365.25
     ba = F.datediff(F.col("d"), F.col("offering_date")).cast("double") / 365.25
@@ -155,62 +210,20 @@ def _merged(spark: SparkSession, sf_dir: str, s: Stage1Settings) -> DataFrame:
     )
 
 
-def _ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Synthetic rating history: one observation per (user, day) from
-    'purchase' events (last by time), numeric S&P / Moody's levels
-    derived from the trade cents with deterministic nulls."""
-    ev = load_table(spark, sf_dir, "events").filter(
-        F.col("event_type") == "purchase"
-    )
-    w = Window.partitionBy("user_id", F.to_date("ts")).orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
-    )
-    obs = (
-        ev.select(
-            "user_id",
-            F.to_date("ts").alias("rd"),
-            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
-            F.row_number().over(w).alias("__rn"),
-        )
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
-    sp = F.when(F.col("cents") % 7 == 0, F.lit(None)).otherwise(
-        1 + F.col("cents") % 22
-    )
-    mdy = F.when(F.col("cents") % 5 == 0, F.lit(None)).otherwise(
-        1 + F.col("cents") % 21
-    )
-    return obs.select(
-        "user_id", "rd", sp.alias("sp_num"), mdy.alias("mdy_num")
-    )
-
-
 def _enriched(
     spark: SparkSession, sf_dir: str, acc: DataFrame, s: Stage1Settings
 ) -> DataFrame:
     """step6 ratings merge + step9 flags on the accrued-surviving frame:
-    backward as-of rating attach (whole-row semantics via a struct value
-    — per-column last-non-null would mix rating vintages), W8 composite
-    levels, the spike (distressed stand-in), dip-window and high-price
-    flags. All windows partition by user_id and order by the (unique)
-    panel date."""
-    rat = _ratings(spark, sf_dir).select(
-        "user_id",
-        F.col("rd").alias("d"),
-        F.struct("sp_num", "mdy_num").alias("__rat"),
-    )
-    # _ratings is unique per (user_id, d) by construction (row_number
-    # filter), so the tiebreak is vacuous today — the struct payload is
-    # pinned as a total order anyway so that determinism among
-    # equal-date right rows never rests on that upstream invariant.
-    rated = asof_join(
-        acc, rat, on="d", by="user_id", value_cols=["__rat"], tiebreak_cols=["__rat"]
-    )
+    the backward as-of rating attach is already ON the frame (computed
+    in ``_merged`` as a running last-non-null over the unscreened
+    panel — r17; whole-row struct semantics unchanged), so this step
+    unpacks it and computes the W8 composite levels, the spike
+    (distressed stand-in), dip-window and high-price flags. All windows
+    partition by user_id and order by the (unique) panel date."""
     rated = (
-        rated.withColumn("sp_num", F.col("__rat.sp_num"))
-        .withColumn("mdy_num", F.col("__rat.mdy_num"))
-        .drop("__rat")
+        acc.withColumn("sp_num", F.col("__rat_asof.sp_num"))
+        .withColumn("mdy_num", F.col("__rat_asof.mdy_num"))
+        .drop("__rat_asof")
     )
     mdy_adj = F.when(F.col("mdy_num") >= 21, F.lit(22)).otherwise(F.col("mdy_num"))
     comp = rated.withColumn("mdy_adj", mdy_adj).withColumn(

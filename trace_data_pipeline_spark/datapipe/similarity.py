@@ -70,6 +70,15 @@ def brute_force_topk(
         F.col(vec_col).alias("__cv"),
         norm_f64(F.col(vec_col), dim).alias("__cn"),
     )
+    # r17 (verdict item 6, measured A/B): the Q·N pair dot uses the HOF
+    # fold, NOT the dim-unrolled expression — the ~300-op unrolled tree
+    # compiles into one oversized codegen method that the JVM refuses
+    # to JIT (8 KB bytecode limit), so it runs INTERPRETED on the hot
+    # path: sf0.1 warm min 2.70 vs 1.75 s, sf1 19.15 vs 4.99 s
+    # (identical bits; an Arrow/numpy sequential-fold kernel measured
+    # 1.62/4.77 — inside noise of the fold, not worth the Python
+    # boundary). The per-ROW norms keep the unrolled form: one call per
+    # row, never hot, and the small method JITs fine.
     scored = (
         F.broadcast(q)
         .crossJoin(c)
@@ -77,7 +86,7 @@ def brute_force_topk(
         .withColumn(
             "cos_sim",
             F.round(
-                dot_f64(F.col("__qv"), F.col("__cv"), dim)
+                dot_f64(F.col("__qv"), F.col("__cv"), None)
                 / (F.col("__qn") * F.col("__cn")),
                 round_dp,
             ),

@@ -45,6 +45,13 @@ def get_spark(
         # 128 MB input splits: right for wide parquet scans at cluster scale
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
+        # r17: PySpark's DataFrame-debugging call-site capture walks the
+        # Python stack and makes two extra JVM round-trips on EVERY
+        # DataFrame method — profiled at ~1 s of the ~1.4 s it took to
+        # CONSTRUCT the stage-1 plan (py4j latency dominated). Pure
+        # error-attribution sugar, no execution semantics; off for the
+        # engine's sessions exactly as a production job would run it.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

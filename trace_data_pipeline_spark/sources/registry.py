@@ -120,6 +120,17 @@ def load_jdbc_table(
     raise AssertionError("unreachable")  # loop always returns or raises
 
 
+def _table_stat(path: str) -> tuple:
+    """Cheap freshness token for the cache below: (mtime_ns, size) of
+    the parquet file, or of the directory entry for multi-file tables
+    (adding/removing part files touches the directory's mtime)."""
+    try:
+        st = os.stat(path)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return ()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if sf_dir.startswith("jdbc:"):
         # live-warehouse branch: the "sf_dir" IS the connection URL and
@@ -128,6 +139,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return load_jdbc_table(spark, sf_dir, name)
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    # r17 (guide §6 "file listing cached per session"): resolving a
+    # parquet table re-reads footers for schema inference on EVERY call
+    # — measured 110-450 ms per load_table even warm — and builders
+    # call this 2-4x per entry (a composite like p6 pays ~0.6 s of pure
+    # driver-side footer reading per construction). Cache the LAZY
+    # DataFrame per (session, dir, table, file-stat): plan/schema only,
+    # never data — execution always re-reads the files, so bench/oracle
+    # runs still compute everything from the parquet inputs. Keyed ON
+    # the session object (cloned sessions must not share frames; the
+    # cache dies with the session) and invalidated by the file's
+    # (mtime, size).
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    cache = getattr(spark, "_tds_table_cache", None)
+    if cache is None:
+        cache = {}
+        spark._tds_table_cache = cache
+    key = (os.path.abspath(path), name, _table_stat(path))
+    hit = cache.get(key)
+    if hit is not None:
+        return hit
+    df = _read_table(spark, sf_dir, name)
+    cache[key] = df
+    return df
+
+
+def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS). Spark <=4.0 only reads it
         # with the legacy nanosAsLong conf (raw long nanos we truncate to

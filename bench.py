@@ -42,11 +42,15 @@ FLOORS: dict[str, float] = {
     # re-pinned 8->2 and staging appends coalesced to one file per
     # micro-batch (warm replay-only A/B 8.5 s -> 3.0 s same session),
     # full-entry warm min 4.77 measured through the builder; r16:
-    # re-pinned after the one-pass drop staging (938b8da) —
-    # min-of-retries 3.90 at HEAD on a canary-0.432 box
-    "a1s_streaming_daily_panel": 3.9,
+    # re-pinned after the one-pass drop staging (938b8da); r17: warm
+    # min-of-3 3.16 at HEAD (canary ~0.4 box) while settling the
+    # 4-vs-2-drop decision (OPTIMIZATION_r17.md "Streaming") —
+    # re-pinned to keep stall rejection honest
+    "a1s_streaming_daily_panel": 3.1,
     "a8_pooled_stats": 0.923,
-    "d10_cosine_topk": 1.888,
+    # r17: pair dot un-unrolled (similarity.py) — warm min-of-4 1.742
+    # on a canary-0.31-0.41 box
+    "d10_cosine_topk": 1.74,
     "d11_lsh_cosine_pairs": 0.68,
     "d12b_png_features": 0.666,
     "d12c_jpeg_features": 0.73,
@@ -81,7 +85,9 @@ FLOORS: dict[str, float] = {
     # r13: re-floored — the exact napp/ntype/npair rewrite adds the
     # pair aggregation chain and the substitution joins (warm min-of-6
     # 2.46; persist-vs-not A/B was a wash at this scale)
-    "j4_correction_chain": 2.45,
+    # r17: re-pinned after the construction-tax cuts (load_table cache
+    # + call-site capture off) — warm min-of-4 2.061, canary-0.31 box
+    "j4_correction_chain": 2.06,
     "j5_sequence_match": 0.541,
     "j7_agency_dedup": 0.552,
     "p0_stage0_panel": 1.796,

@@ -436,3 +436,21 @@ def test_w1_anchor_dedup_has_no_window(spark):
     assert "Window" not in plan
     assert "SortAggregate" not in plan
     assert "HashAggregate" in plan
+
+
+def test_stage1_ratings_fused_into_panel(spark):
+    """r17: the step6 ratings attach rides the panel aggregate + a
+    running last-non-null — the plan must carry NO Union (the old
+    as-of union shape) and exactly TWO distinct events scans (the full
+    panel scan + the fisd user_id projection; the old shape had a
+    third, the rat frame's own purchase scan). Counted by DISTINCT
+    scan signature because InMemoryRelation re-prints its child plan
+    (cf. the r2 guard); plans/r17/p2_stage1_full_{before,after}.txt."""
+    import re
+
+    plan = _plan(spark, "p2_stage1_full")
+    assert "Union" not in plan
+    scans = set(re.findall(r"FileScan parquet \[[^\]]*\]", plan))
+    assert len(scans) == 2, scans
+    locations = re.findall(r"Location: InMemoryFileIndex\(1 paths\)\[[^\]]*", plan)
+    assert locations and all("events.parquet" in loc for loc in locations)
